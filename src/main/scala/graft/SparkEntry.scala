@@ -1,13 +1,133 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Dedup
+import graft.sim.Fuzzy
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` on the same
+  * parquet tables (column names aligned on both sides).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 group-aggregate (reference wp_export_data.py:39 group-count,
+    // generalized to the TPC-H Q1 shape). Decimal casts make the sums
+    // order-independent and oracle-exact.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // S5 table scan (SELECT * FROM t; get_associations_raw_data.sql:1-2).
+    "s05_table_scan" -> ((s, dir) => t(s, dir, "region")),
+
+    // S6 parameterized scan: projection + rename + predicate
+    // (sql/get_products_id.sql:1-3 via update_open_data.py:59-61).
+    "s06_param_scan" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderstatus") === lit("O"))
+        .select(col("o_orderkey").as("key"),
+                col("o_totalprice").as("price"),
+                col("o_orderpriority").as("priority"))),
+
+    // F3 regex contains + negated contains with na=false semantics
+    // (custom_search_extraction.py:101; assos_..._to_spreadsheets.py:88).
+    "f03_regex_filter" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(coalesce(col("p_type").rlike("^ECO"), lit(false)) &&
+                !coalesce(col("p_name").rlike("green|red"), lit(false)))
+        .select(col("p_partkey"), col("p_name"), col("p_type"))),
+
+    // J1 broadcast left-outer lookup join (custom_search_extraction.py:96-97).
+    "j01_broadcast_lookup" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+              col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))),
+
+    // A3 order-dependent dedup keep-last, made explicit
+    // (assos_validation_retreatment.py:106; SURVEY §7.4(1)).
+    "a03_dedup_keep_last" -> ((s, dir) =>
+      Dedup.dedupKeepLast(t(s, dir, "orders"), Seq("o_custkey"),
+                          col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                col("o_totalprice"))),
+
+    // W4 top-1 per key window (the J5/A3 pattern; SURVEY §2.5).
+    "w04_top1_per_key" -> ((s, dir) =>
+      Dedup.dedupKeepLast(t(s, dir, "orders"), Seq("o_custkey"),
+                          col("o_totalprice"), col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+                col("o_totalprice"))),
+
+    // J5 fuzzy top-1 similarity join (get_similarity.py:148-152).
+    "j05_fuzzy_top1" -> ((s, dir) =>
+      Fuzzy.fuzzyTop1Join(t(s, dir, "customer"), "c_name",
+                          t(s, dir, "supplier"), "s_name"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "s05_table_scan" -> "SELECT r_regionkey, r_name FROM region",
+    "s06_param_scan" ->
+      """SELECT o_orderkey AS key, o_totalprice AS price,
+         o_orderpriority AS priority
+         FROM orders WHERE o_orderstatus = 'O'""",
+    "f03_regex_filter" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+         WHERE COALESCE(regexp_matches(p_type, '^ECO'), false)
+           AND NOT COALESCE(regexp_matches(p_name, 'green|red'), false)""",
+    "j01_broadcast_lookup" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+         LEFT JOIN region ON n_regionkey = r_regionkey""",
+    "a03_dedup_keep_last" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn FROM orders)
+         WHERE rn = 1""",
+    "w04_top1_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+         WHERE rn = 1""",
+    "j05_fuzzy_top1" ->
+      """WITH l AS (SELECT DISTINCT c_name FROM customer),
+              r AS (SELECT DISTINCT s_name FROM supplier),
+              scored AS (
+                SELECT c_name, s_name,
+                  CASE WHEN GREATEST(LENGTH(c_name), LENGTH(s_name)) = 0 THEN 100
+                       ELSE CAST(FLOOR(100.0 *
+                           (GREATEST(LENGTH(c_name), LENGTH(s_name))
+                            - levenshtein(c_name, s_name))
+                           / GREATEST(LENGTH(c_name), LENGTH(s_name))) AS INT)
+                  END AS similarity
+                FROM l CROSS JOIN r)
+         SELECT c_name, s_name, similarity FROM (
+           SELECT *, row_number() OVER (PARTITION BY c_name
+             ORDER BY similarity DESC, s_name ASC) AS rn FROM scored)
+         WHERE rn = 1"""
+  )
 }
