@@ -33,10 +33,12 @@ object SparkEntry {
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     // S5 table scan (SELECT * FROM t; get_associations_raw_data.sql:1-2).
-    "s05_table_scan" -> ((s, dir) => t(s, dir, "region")),
+    "s05_table_scan" -> ((s, dir) =>
+      t(s, dir, "region").orderBy(col("r_regionkey"))),
 
     // S6 parameterized scan: projection + rename + predicate
     // (sql/get_products_id.sql:1-3 via update_open_data.py:59-61).
@@ -45,7 +47,8 @@ object SparkEntry {
         .where(col("o_orderstatus") === lit("O"))
         .select(col("o_orderkey").as("key"),
                 col("o_totalprice").as("price"),
-                col("o_orderpriority").as("priority"))),
+                col("o_orderpriority").as("priority"))
+        .orderBy(col("key"))),
 
     // F3 regex contains + negated contains with na=false semantics
     // (custom_search_extraction.py:101; assos_..._to_spreadsheets.py:88).
@@ -53,14 +56,16 @@ object SparkEntry {
       t(s, dir, "part")
         .filter(coalesce(col("p_type").rlike("^ECO"), lit(false)) &&
                 !coalesce(col("p_name").rlike("green|red"), lit(false)))
-        .select(col("p_partkey"), col("p_name"), col("p_type"))),
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+        .orderBy(col("p_partkey"))),
 
     // J1 broadcast left-outer lookup join (custom_search_extraction.py:96-97).
     "j01_broadcast_lookup" -> ((s, dir) =>
       t(s, dir, "nation")
         .join(broadcast(t(s, dir, "region")),
               col("n_regionkey") === col("r_regionkey"), "left")
-        .select(col("n_nationkey"), col("n_name"), col("r_name"))),
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))),
 
     // A3 order-dependent dedup keep-last, made explicit
     // (assos_validation_retreatment.py:106; SURVEY §7.4(1)).
@@ -68,19 +73,25 @@ object SparkEntry {
       Dedup.dedupKeepLast(t(s, dir, "orders"), Seq("o_custkey"),
                           col("o_orderdate"), col("o_orderkey"))
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-                col("o_totalprice"))),
+                col("o_totalprice"))
+        .orderBy(col("o_custkey"))),
 
     // W4 top-1 per key window (the J5/A3 pattern; SURVEY §2.5).
     "w04_top1_per_key" -> ((s, dir) =>
       Dedup.dedupKeepLast(t(s, dir, "orders"), Seq("o_custkey"),
                           col("o_totalprice"), col("o_orderkey"))
         .select(col("o_custkey"), col("o_orderkey"),
-                col("o_totalprice"))),
+                col("o_totalprice"))
+        .orderBy(col("o_custkey"))),
 
-    // J5 fuzzy top-1 similarity join (get_similarity.py:148-152).
+    // J5 fuzzy top-1 similarity join with full left payload
+    // (get_similarity.py:148-152 attaches the best match to full rows).
     "j05_fuzzy_top1" -> ((s, dir) =>
       Fuzzy.fuzzyTop1Join(t(s, dir, "customer"), "c_name",
-                          t(s, dir, "supplier"), "s_name"))
+                          t(s, dir, "supplier"), "s_name")
+        .select(col("c_custkey"), col("c_name"), col("s_name"),
+                col("similarity"))
+        .orderBy(col("c_name")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -90,29 +101,33 @@ object SparkEntry {
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
          COUNT(*) AS count_order
-         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
-    "s05_table_scan" -> "SELECT r_regionkey, r_name FROM region",
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "s05_table_scan" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "s06_param_scan" ->
       """SELECT o_orderkey AS key, o_totalprice AS price,
          o_orderpriority AS priority
-         FROM orders WHERE o_orderstatus = 'O'""",
+         FROM orders WHERE o_orderstatus = 'O' ORDER BY key""",
     "f03_regex_filter" ->
       """SELECT p_partkey, p_name, p_type FROM part
          WHERE COALESCE(regexp_matches(p_type, '^ECO'), false)
-           AND NOT COALESCE(regexp_matches(p_name, 'green|red'), false)""",
+           AND NOT COALESCE(regexp_matches(p_name, 'green|red'), false)
+         ORDER BY p_partkey""",
     "j01_broadcast_lookup" ->
       """SELECT n_nationkey, n_name, r_name FROM nation
-         LEFT JOIN region ON n_regionkey = r_regionkey""",
+         LEFT JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey""",
     "a03_dedup_keep_last" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
            SELECT *, row_number() OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn FROM orders)
-         WHERE rn = 1""",
+         WHERE rn = 1 ORDER BY o_custkey""",
     "w04_top1_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT *, row_number() OVER (PARTITION BY o_custkey
              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
-         WHERE rn = 1""",
+         WHERE rn = 1 ORDER BY o_custkey""",
     "j05_fuzzy_top1" ->
       """WITH l AS (SELECT DISTINCT c_name FROM customer),
               r AS (SELECT DISTINCT s_name FROM supplier),
@@ -124,10 +139,14 @@ object SparkEntry {
                             - levenshtein(c_name, s_name))
                            / GREATEST(LENGTH(c_name), LENGTH(s_name))) AS INT)
                   END AS similarity
-                FROM l CROSS JOIN r)
-         SELECT c_name, s_name, similarity FROM (
-           SELECT *, row_number() OVER (PARTITION BY c_name
-             ORDER BY similarity DESC, s_name ASC) AS rn FROM scored)
-         WHERE rn = 1"""
+                FROM l CROSS JOIN r),
+              best AS (
+                SELECT c_name, s_name, similarity FROM (
+                  SELECT *, row_number() OVER (PARTITION BY c_name
+                    ORDER BY similarity DESC, s_name DESC) AS rn FROM scored)
+                WHERE rn = 1)
+         SELECT c.c_custkey, c.c_name, b.s_name, b.similarity
+         FROM customer c LEFT JOIN best b USING (c_name)
+         ORDER BY c.c_name"""
   )
 }

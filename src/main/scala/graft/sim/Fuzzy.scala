@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fuzzy string similarity (reference: fuzzywuzzy WRatio scoring at
@@ -23,19 +22,23 @@ object Fuzzy {
         .cast("int"))
   }
 
-  /** Fuzzy top-1 join: for every left row, the single right row whose
+  /** Fuzzy top-1 join: attach to every left row the single right row whose
     * `rightKey` best matches `leftKey` (reference's per-partition
-    * `process.extract(limit=1)` O(n²) loop, get_similarity.py:148-152).
+    * `process.extract(limit=1)` O(n²) loop, get_similarity.py:148-152,
+    * which merges the winner back onto the full frame).
     *
-    * Plan shape: broadcast nested-loop cross join (right side is expected
-    * small — e.g. daily-partition candidates) scored by `levenshteinRatio`,
-    * then window top-1 per left key. At 100 TB the left side streams
-    * through executors against the broadcast right side: no shuffle of the
-    * big side except the final per-key window, which partitions on the
-    * left key. For a large right side, pre-band by length/prefix first
-    * (SimilarityTopKJoinStrategy — SURVEY §4, later round).
+    * Plan shape, chosen for scale:
+    *  - score distinct left keys against the broadcast distinct right side
+    *    (left streams through executors — no shuffle of the big side);
+    *  - arg-max via `max(struct(score, rightKey))` — a hash aggregate with
+    *    map-side partial aggregation, so the |L|·|R| scored rows collapse
+    *    to |distinct L| *before* the shuffle (a window top-1 would shuffle
+    *    all |L|·|R| rows);
+    *  - left-join the winners back so callers get the full row payload.
+    * For a large right side, pre-band with [[fuzzyTop1JoinBanded]].
     *
-    * Ties broken by ascending right key for determinism.
+    * Ties broken by the *greatest* right key at the max score (struct
+    * ordering), deterministically.
     */
   def fuzzyTop1Join(left: DataFrame, leftKey: String,
                     right: DataFrame, rightKey: String,
@@ -44,10 +47,51 @@ object Fuzzy {
     val r = broadcast(right.select(col(rightKey)).distinct())
     val scored = l.crossJoin(r)
       .withColumn(scoreCol, levenshteinRatio(col(leftKey), col(rightKey)))
-    val w = Window.partitionBy(col(leftKey))
-      .orderBy(col(scoreCol).desc, col(rightKey).asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val best = scored.groupBy(col(leftKey))
+      .agg(max(struct(col(scoreCol), col(rightKey))).as("__best"))
+      .select(col(leftKey),
+              col("__best").getField(rightKey).as(rightKey),
+              col("__best").getField(scoreCol).as(scoreCol))
+    left.join(best, Seq(leftKey), "left")
+  }
+
+  /** Scale path for a right side too large to broadcast: candidate pairs
+    * are restricted to length-compatible bands before scoring.
+    *
+    * Exactness: `ratio(a,b) >= minScore` implies
+    * `|len(a)-len(b)| <= (1-minScore/100)*max(len)`, so bucketing by
+    * `floor(length / bandWidth)` and probing the neighbouring buckets
+    * within the tolerance loses no pair at or above the threshold. Rows
+    * whose best match scores below `minScore` come back with a null match
+    * (the reference itself bands such rows as no-match downstream,
+    * get_similarity.py:185-188).
+    *
+    * Shuffles: one hash shuffle of each side on the band key (an equi-join
+    * Catalyst can plan as sort-merge at any scale), then the same
+    * partial-agg arg-max as [[fuzzyTop1Join]].
+    */
+  def fuzzyTop1JoinBanded(left: DataFrame, leftKey: String,
+                          right: DataFrame, rightKey: String,
+                          minScore: Int = 60,
+                          scoreCol: String = "similarity"): DataFrame = {
+    val tol = 1.0 - minScore / 100.0
+    val l = left.select(col(leftKey)).distinct()
+      .withColumn("__llen", length(col(leftKey)))
+    // a pair (la, lb) with ratio >= minScore has |la-lb| <= tol*max(la,lb);
+    // replicate each right key into every integer length it may pair with
+    val r = right.select(col(rightKey)).distinct()
+      .withColumn("__rlen", length(col(rightKey)))
+      .withColumn("__band",
+        explode(sequence(ceil(col("__rlen") * (1.0 - tol)).cast("int"),
+                         floor(col("__rlen") / (1.0 - tol)).cast("int"))))
+    val scored = l.join(r, col("__llen") === col("__band"))
+      .withColumn(scoreCol, levenshteinRatio(col(leftKey), col(rightKey)))
+      .filter(col(scoreCol) >= minScore)
+    val best = scored.groupBy(col(leftKey))
+      .agg(max(struct(col(scoreCol), col(rightKey))).as("__best"))
+      .select(col(leftKey),
+              col("__best").getField(rightKey).as(rightKey),
+              col("__best").getField(scoreCol).as(scoreCol))
+    left.join(best, Seq(leftKey), "left")
   }
 }

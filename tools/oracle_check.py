@@ -1,6 +1,9 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate: run Verify's parquet dumps
-against DuckDB oracle SQL on the same sf dir; compare sorted/canonicalized.
+against DuckDB oracle SQL on the same sf dir. The driver's hash is
+ORDER-SENSITIVE over emitted rows (columns sorted by name), so rows are
+compared in emitted order here too; a value-equal-but-reordered result is
+reported as ORDER-FAIL (driver would fail it).
 
 Usage: oracle_check.py <sfDir> <verifyOutDir>
 """
@@ -11,12 +14,11 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def canon(rows, cols):
-    # sort columns by name, stringify values, sort rows
+    # sort columns by name, stringify values; rows stay in emitted order
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(repr(r[i]) for i in order))
-    out.sort()
     return [cols[i] for i in order], out
 
 def main(sf_dir, out_dir):
@@ -46,7 +48,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(sr)} oracle={len(orr)}"); n_fail += 1
         elif sr != orr:
             bad = next(i for i in range(len(sr)) if sr[i] != orr[i])
-            print(f"FAIL {name}: value mismatch at row {bad}:\n  spark ={sr[bad]}\n  oracle={orr[bad]}")
+            kind = "ORDER-FAIL" if sorted(sr) == sorted(orr) else "FAIL"
+            print(f"{kind} {name}: value mismatch at row {bad}:\n  spark ={sr[bad]}\n  oracle={orr[bad]}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(sr)} rows)"); n_pass += 1
