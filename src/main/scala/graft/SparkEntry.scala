@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.Dedup
+import graft.queries.{CondQueries, DateQueries, StringQueries}
 import graft.sim.Fuzzy
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -18,7 +19,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    base ++ StringQueries.queries ++ DateQueries.queries ++
+      CondQueries.queries
+
+  def oracleSql: Map[String, String] =
+    baseOracle ++ StringQueries.oracle ++ DateQueries.oracle ++
+      CondQueries.oracle
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 group-aggregate (reference wp_export_data.py:39 group-count,
     // generalized to the TPC-H Q1 shape). Decimal casts make the sums
     // order-independent and oracle-exact.
@@ -94,7 +103,7 @@ object SparkEntry {
         .orderBy(col("c_name")))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def baseOracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
