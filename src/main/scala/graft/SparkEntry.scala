@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.Dedup
-import graft.queries.{CondQueries, DateQueries, StringQueries}
+import graft.queries.{AggWindowQueries, CondQueries, DateQueries,
+  FilterQueries, JoinQueries, StringQueries}
 import graft.sim.Fuzzy
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -21,11 +22,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     base ++ StringQueries.queries ++ DateQueries.queries ++
-      CondQueries.queries
+      CondQueries.queries ++ FilterQueries.queries ++
+      JoinQueries.queries ++ AggWindowQueries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++ StringQueries.oracle ++ DateQueries.oracle ++
-      CondQueries.oracle
+      CondQueries.oracle ++ FilterQueries.oracle ++
+      JoinQueries.oracle ++ AggWindowQueries.oracle
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 group-aggregate (reference wp_export_data.py:39 group-count,

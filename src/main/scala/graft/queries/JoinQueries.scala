@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.CondOps
+
+/** Oracle-checked queries for the join family (SURVEY §2.3 J2-J4,
+  * J6-J8; J1/J5 live in the base set).
+  */
+object JoinQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J2 plain left join on a key column (get_similarity.py:179-180) —
+    // Catalyst picks broadcast vs sort-merge from stats/AQE
+    "j02_left_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+                col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))),
+
+    // J3 left join + exists flag (update_open_data.py:71-81)
+    "j03_join_exists_flag" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"), col("c_name"))
+      t(s, dir, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_name"),
+                CondOps.flagYesNo(col("c_custkey").isNotNull)
+                  .as("flag_already_exist"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J4 left join on an aggregated frame + zero-fill
+    // (wp_export_data.py:39-49)
+    "j04_join_on_agg" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("nb_orders"),
+             sum(col("o_totalprice").cast("decimal(18,2)"))
+               .cast("decimal(18,2)").as("total_spent"))
+      t(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+                coalesce(col("nb_orders"), lit(0L)).as("nb_orders"),
+                coalesce(col("total_spent"),
+                         lit(0).cast("decimal(18,2)")).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J6 union-append with missing columns
+    // (assos_validation_retreatment.py:101 append(sort=False))
+    "j06_union_append" -> ((s, dir) => {
+      val a = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+                col("c_acctbal").as("acctbal"), lit("cust").as("src"))
+      val b = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_name").as("name"),
+                lit("supp").as("src"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("src"), col("key"))
+    }),
+
+    // J7 multi-file concat — one native scan over several files
+    // (custom_search_extraction.py:83-87 pd.concat over zip members)
+    "j07_multifile_concat" -> ((s, dir) => {
+      val p = s"$dir/region.parquet"
+      s.read.parquet(p, p).orderBy(col("r_regionkey"))
+    }),
+
+    // J8 column-wise concat after split (process_open_data.py:72-73)
+    "j08_columnwise_concat" -> ((s, dir) => {
+      val geo = concat_ws(",", col("p_size").cast("string"),
+                          round(col("p_retailprice"), 2).cast("string"))
+      t(s, dir, "part")
+        .withColumn("lat", split(geo, ",").getItem(0))
+        .withColumn("lon", split(geo, ",").getItem(1))
+        .select(col("p_partkey"), col("p_name"), col("lat"), col("lon"))
+        .orderBy(col("p_partkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j02_left_join" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "j03_join_exists_flag" ->
+      """WITH rich AS (SELECT c_custkey, c_name FROM customer
+                       WHERE c_acctbal > 5000.0)
+         SELECT o_orderkey, c_name,
+           CASE WHEN c_custkey IS NOT NULL THEN 'yes' ELSE 'no' END
+             AS flag_already_exist
+         FROM orders LEFT JOIN rich ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "j04_join_on_agg" ->
+      """WITH agg AS (SELECT o_custkey, COUNT(*) AS nb_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS total_spent
+           FROM orders GROUP BY o_custkey)
+         SELECT c_custkey, c_name,
+           COALESCE(nb_orders, 0) AS nb_orders,
+           COALESCE(total_spent, CAST(0 AS DECIMAL(18,2))) AS total_spent
+         FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+         ORDER BY c_custkey""",
+    "j06_union_append" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal,
+                'cust' AS src FROM customer
+         UNION ALL BY NAME
+         SELECT s_suppkey AS key, s_name AS name, 'supp' AS src
+         FROM supplier
+         ORDER BY src, key""",
+    "j07_multifile_concat" ->
+      """SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region)
+         ORDER BY r_regionkey""",
+    "j08_columnwise_concat" ->
+      """WITH b AS (SELECT p_partkey, p_name,
+           CAST(p_size AS VARCHAR) || ',' ||
+           CAST(round(p_retailprice, 2) AS VARCHAR) AS geo FROM part)
+         SELECT p_partkey, p_name, string_split(geo, ',')[1] AS lat,
+                string_split(geo, ',')[2] AS lon
+         FROM b ORDER BY p_partkey"""
+  )
+}
