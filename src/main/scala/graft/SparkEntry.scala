@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.Dedup
 import graft.queries.{AggWindowQueries, CondQueries, DateQueries,
-  FilterQueries, JoinQueries, StringQueries}
+  EventQueries, FilterQueries, JoinQueries, LlmQueries, StringQueries}
 import graft.sim.Fuzzy
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     base ++ StringQueries.queries ++ DateQueries.queries ++
       CondQueries.queries ++ FilterQueries.queries ++
-      JoinQueries.queries ++ AggWindowQueries.queries
+      JoinQueries.queries ++ AggWindowQueries.queries ++
+      LlmQueries.queries ++ EventQueries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++ StringQueries.oracle ++ DateQueries.oracle ++
       CondQueries.oracle ++ FilterQueries.oracle ++
-      JoinQueries.oracle ++ AggWindowQueries.oracle
+      JoinQueries.oracle ++ AggWindowQueries.oracle ++
+      LlmQueries.oracle ++ EventQueries.oracle
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 group-aggregate (reference wp_export_data.py:39 group-count,

@@ -1,0 +1,104 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Cosine is computed in double with a strict left-to-right fold —
+  * verified to match DuckDB's sequential list accumulation bit-for-bit,
+  * so scores gate exactly. Brute-force top-k is the correctness baseline;
+  * [[lshBucketNeighbors]] is the scale path: sign-of-random-projection
+  * bucketing (projection matrix from a fixed public LCG, shared with the
+  * oracle), candidates confined to a bucket.
+  */
+object Ann {
+
+  /** Element-wise double cast. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-to-right dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB twins (list_zip + sequential list_aggregate sum). */
+  def dotSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), s -> s[1] * s[2]), 'sum')"
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Brute-force cosine top-k: for each query row (small side, broadcast)
+    * the k nearest data rows. Output: (q_id, rank, vec_id, cos). */
+  def bruteForceTopK(data: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val d = data.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      toDouble(col(vecCol)).as("qv")))
+    val scored = d.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Number of random hyperplanes = bucket bits. */
+  val Planes = 8
+  val Dim = 64
+
+  /** Fixed projection matrix from a public LCG (x' = (1103515245x +
+    * 12345) mod 2^31), quantized to multiples of 1/1024 in [-0.5, 0.5)
+    * so every value has an exact finite decimal form — the SQL literal
+    * the oracle parses round-trips to the identical double. */
+  val projections: IndexedSeq[IndexedSeq[Double]] = {
+    var x = 42L
+    def next(): Double = {
+      x = (1103515245L * x + 12345L) % 2147483648L
+      ((x >> 4) % 1024).toDouble / 1024.0 - 0.5
+    }
+    IndexedSeq.fill(Planes)(IndexedSeq.fill(Dim)(next()))
+  }
+
+  /** LSH bucket id: sign bits of the Planes projections. */
+  def bucket(v: Column): Column =
+    (0 until Planes).map { j =>
+      when(dot(v, typedLit(projections(j))) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def bucketSql(v: String): String = {
+    def lits(p: IndexedSeq[Double]) =
+      p.map(d => s"$d").mkString("[", ", ", "]::DOUBLE[]")
+    (0 until Planes).map { j =>
+      s"(CASE WHEN ${dotSql(v, lits(projections(j)))} > 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Within-bucket nearest neighbor (top-1 by cosine, ties to the
+    * greatest vec_id) — the bucketed ANN scale path. Vectors alone in
+    * their bucket drop out. Output: (vec_id, bucket, neighbor, cos). */
+  def lshBucketNeighbors(data: DataFrame, idCol: String,
+                         vecCol: String): DataFrame = {
+    val d = data.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", bucket(col("v")))
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+              col("b.vec_id").as("other"),
+              cosine(col("a.v"), col("b.v")).as("cos"))
+    pairs.groupBy(col("vec_id"), col("bucket"))
+      .agg(max(struct(col("cos"), col("other"))).as("best"))
+      .select(col("vec_id"), col("bucket"),
+              col("best.other").as("neighbor"), col("best.cos").as("cos"))
+  }
+}

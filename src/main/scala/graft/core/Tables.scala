@@ -17,7 +17,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects; read it as raw nanos and truncate to a microsecond
+    * timestamp (exactly what DuckDB's `ts::TIMESTAMP` does, keeping the
+    * oracle comparable). */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
 
   /** Convenience: all standard tables as a name->DataFrame map (lazy scans). */
   def all(spark: SparkSession, sfDir: String): Map[String, DataFrame] =

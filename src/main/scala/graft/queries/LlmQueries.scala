@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.core.Tables
+import graft.multimodal.Multimodal
+import graft.ops.Dedup
+import graft.sim.{JaccardJoin, MinHashLSH, SimHash}
+import graft.text.{TextAnalysis, TextHash}
+
+/** Oracle-checked queries for the LLM-training-data operators (dedup,
+  * similarity search, text analysis, multimodal plumbing) over the
+  * `documents` and `embeddings` tables. Every oracle is generated from
+  * the same constants/formulas as the Spark expressions, so even the
+  * approximate structures (MinHash bands, SimHash chunks, LSH buckets)
+  * gate exactly.
+  */
+object LlmQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: md5 fingerprint of a content key, keep-lowest-id
+    "dd01_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"),
+          substring(col("text"), 1, 60), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Exact n-gram Jaccard self-join (prefix-filtered; naive oracle)
+    "dd02_ngram_jaccard" -> ((s, dir) =>
+      JaccardJoin.selfJoin(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // MinHash-LSH near-dup (bands replicated exactly in the oracle)
+    "dd03_minhash_lsh" -> ((s, dir) =>
+      MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // SimHash near-dup (pigeonhole chunk join; naive oracle)
+    "dd04_simhash" -> ((s, dir) =>
+      SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Language ID: stopword-marker argmax
+    "ts01_langid" -> ((s, dir) => {
+      val toks = TextHash.tokens(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.markerCount(toks, "en").as("n_en"),
+          TextAnalysis.markerCount(toks, "fr").as("n_fr"),
+          TextAnalysis.langId(toks).as("detected"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length prior + stopword ratio + type-token ratio
+    "ts02_quality" -> ((s, dir) => {
+      val toks = TextHash.tokens(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          TextAnalysis.qualityScore(toks).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace + regex word + BPE-ish subword chunks
+    "ts03_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))")
+            .as("n_words"),
+          expr("size(regexp_extract_all(text, '[a-z]{1,4}', 0))")
+            .as("n_subwords"))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprinting: content digest + min-8-gram rolling hash
+    "ts04_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          md5(col("text")).as("fp"),
+          array_min(TextHash.shingleHashes(col("text"), 8)).as("win8"))
+        .orderBy(col("doc_id"))),
+
+    // Brute-force cosine top-k (correctness baseline for ANN)
+    "ann01_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Random-projection LSH bucketing + within-bucket top-1 (scale path)
+    "ann02_lsh_neighbors" -> ((s, dir) =>
+      Ann.lshBucketNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
+    // Multimodal plumbing: binary payload + typed meta + fake decode +
+    // frame sampling
+    "mm01_multimodal" -> ((s, dir) => {
+      val bin = Multimodal.toBinary(col("text"))
+      val (nb, dig, h8) = Multimodal.fakeFeatures(bin)
+      t(s, dir, "documents").select(col("doc_id"), nb, dig, h8,
+          Multimodal.metaStruct(col("lang"), col("n_chars")).as("meta"),
+          Multimodal.frameSample(bin, 3, 16).as("frames"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd01_exact_dedup" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY md5(substring(text, 1, 60))
+             ORDER BY doc_id) AS rn FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+    "dd02_ngram_jaccard" ->
+      JaccardJoin.selfJoinSql("documents", "doc_id", "text"),
+    "dd03_minhash_lsh" ->
+      MinHashLSH.nearDupPairsSql("documents", "doc_id", "text"),
+    "dd04_simhash" ->
+      SimHash.nearDupPairsSql("documents", "doc_id", "text"),
+    "ts01_langid" -> {
+      val toks = "string_split(text, ' ')"
+      s"""SELECT doc_id,
+          ${TextAnalysis.markerCountSql(toks, "en")} AS n_en,
+          ${TextAnalysis.markerCountSql(toks, "fr")} AS n_fr,
+          ${TextAnalysis.langIdSql(toks)} AS detected
+          FROM documents ORDER BY doc_id"""
+    },
+    "ts02_quality" -> {
+      val toks = "string_split(text, ' ')"
+      s"""SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens,
+          ${TextAnalysis.qualityScoreSql(toks)} AS quality
+          FROM documents ORDER BY doc_id"""
+    },
+    "ts03_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT)
+           AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "ts04_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp,
+          list_aggregate(${TextHash.shingleHashesSql("text", 8)}, 'min')
+            AS win8
+          FROM documents ORDER BY doc_id""",
+    "ann01_cosine_topk" -> {
+      val cos = Ann.cosineSql("q.v", "d.v")
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v FROM v WHERE q_id < 5),
+          scored AS (SELECT q.q_id, d.vec_id, $cos AS cos
+            FROM q JOIN v d ON d.vec_id <> q.q_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM scored)
+        SELECT q_id, rank, vec_id, cos FROM ranked
+        WHERE rank <= 10 ORDER BY q_id, rank"""
+    },
+    "ann02_lsh_neighbors" -> {
+      val cos = Ann.cosineSql("a.v", "b.v")
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          bk AS (SELECT vec_id, v,
+            CAST(${Ann.bucketSql("v")} AS BIGINT) AS bucket FROM v),
+          pairs AS (SELECT a.vec_id AS vec_id, a.bucket AS bucket,
+              b.vec_id AS other, $cos AS cos
+            FROM bk a JOIN bk b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          ranked AS (SELECT vec_id, bucket, other, cos,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, other DESC) AS rn FROM pairs)
+        SELECT vec_id, bucket, other AS neighbor, cos FROM ranked
+        WHERE rn = 1 ORDER BY vec_id"""
+    },
+    "mm01_multimodal" ->
+      """SELECT doc_id,
+         CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+         md5(text) AS digest,
+         lower(hex(substring(text, 1, 8)::BLOB)) AS head8,
+         {'lang': lang, 'n_chars': n_chars} AS meta,
+         [lower(hex(substring(text, 1, 16)::BLOB)),
+          lower(hex(substring(text, 17, 16)::BLOB)),
+          lower(hex(substring(text, 33, 16)::BLOB))] AS frames
+         FROM documents ORDER BY doc_id"""
+  )
+}

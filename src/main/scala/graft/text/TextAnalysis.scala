@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure expressions
+  * with oracle-SQL twins generated from the same marker lists/formulas.
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists per language (public-knowledge closed lists;
+    * the n-gram-free heuristic: argmax of marker-token hits). */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "des"),
+    "es" -> Seq("el", "los", "las", "y", "una", "si"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "nicht"))
+
+  /** Marker-hit count for one language over a token array. */
+  def markerCount(toks: Column, lang: String): Column = {
+    val set = markers.toMap.apply(lang)
+    size(filter(toks, t => t.isInCollection(set)))
+  }
+
+  def markerCountSql(toks: String, lang: String): String = {
+    val set = markers.toMap.apply(lang).map(s => s"'$s'").mkString(", ")
+    s"CAST(len(list_filter($toks, t -> list_contains([$set], t))) AS INT)"
+  }
+
+  /** Detected language: argmax of marker counts, ties resolved in
+    * [[markers]] order, zero hits → 'und'. */
+  def langId(toks: Column): Column = {
+    val counts = markers.map { case (l, _) => l -> markerCount(toks, l) }
+    counts.zipWithIndex.foldRight(lit("und"): Column) {
+      case (((l, c), i), elseCol) =>
+        val rest = counts.drop(i + 1).map(_._2)
+        val geAll = rest.foldLeft(c > 0)((acc, o) => acc && c >= o)
+        when(geAll, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  def langIdSql(toks: String): String = {
+    val cs = markers.map { case (l, _) => l -> markerCountSql(toks, l) }
+    val whens = cs.zipWithIndex.map { case ((l, c), i) =>
+      val rest = cs.drop(i + 1).map(_._2)
+      val cond = (s"$c > 0" +: rest.map(o => s"$c >= $o")).mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"(CASE $whens ELSE 'und' END)"
+  }
+
+  /** Quality score in [0,1]: length prior + stopword ratio + type-token
+    * ratio (the reference-free heuristics of training-data filters).
+    * Formula association order fixed so the oracle reproduces the exact
+    * double. */
+  def qualityScore(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val stopRatio = markerCount(toks, "en").cast("double") / n
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    least(n / 100.0, lit(1.0)) * 0.4 + stopRatio * 0.3 + ttr * 0.3
+  }
+
+  def qualityScoreSql(toks: String): String = {
+    val n = s"CAST(len($toks) AS DOUBLE)"
+    val stop = s"(CAST(${markerCountSql(toks, "en")} AS DOUBLE) / $n)"
+    val ttr = s"(CAST(len(list_distinct($toks)) AS DOUBLE) / $n)"
+    s"(least($n / 100.0, 1.0) * 0.4 + $stop * 0.3 + $ttr * 0.3)"
+  }
+}

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text hashing shared by the dedup / similarity operators
+  * (MinHash-LSH, SimHash, n-gram Jaccard — SURVEY north-star LLM ops).
+  *
+  * All hashes are base-31 polynomial arithmetic over character codes in
+  * exact Int64 — deliberately *not* an engine hash function, so the DuckDB
+  * oracle can evaluate the same formula bit-for-bit. Every builder has a
+  * Column form and a SQL-text form generated from the same constants: one
+  * source of truth on both sides of the correctness gate.
+  *
+  * Scale: everything here is a pure expression (whole-stage codegen, no
+  * UDF, no shuffle); the 12-char cap keeps every product within Int64 in
+  * both engines (31^11 * 122 < 2^63), since DuckDB errors on overflow.
+  */
+object TextHash {
+
+  /** 31^k for k <= 11. */
+  val pow31: IndexedSeq[Long] =
+    Iterator.iterate(1L)(_ * 31).take(12).toIndexedSeq
+
+  val MaxChars = 12
+
+  /** Base-31 hash of (the first 12 chars of) a short string. Out-of-range
+    * positions contribute 0 — `ascii('') = 0` in both engines — so short
+    * strings hash consistently. */
+  def charHash(c: Column): Column =
+    (0 until MaxChars).map { i =>
+      ascii(c.substr(lit(i + 1), lit(1))) * lit(pow31(MaxChars - 1 - i))
+    }.reduce(_ + _)
+
+  /** DuckDB rendering of [[charHash]] over SQL expression `e` (ascii is
+    * INT32 there and errors on overflow — hence the BIGINT cast). */
+  def charHashSql(e: String): String =
+    (0 until MaxChars).map { i =>
+      s"ascii(substring($e, ${i + 1}, 1))::BIGINT * ${pow31(MaxChars - 1 - i)}"
+    }.mkString("(", " + ", ")")
+
+  /** Distinct character q-gram hashes of a text column (the shingle set
+    * of MinHash/Jaccard dedup). Empty array when the text is shorter
+    * than q. */
+  def shingleHashes(text: Column, q: Int): Column = {
+    require(q >= 2 && q <= MaxChars)
+    val grams = transform(
+      sequence(lit(1), length(text) - (q - 1)),
+      i => (0 until q).map { j =>
+        ascii(text.substr(i + lit(j), lit(1))) * lit(pow31(q - 1 - j))
+      }.reduce(_ + _))
+    when(length(text) < q, array().cast("array<bigint>"))
+      .otherwise(array_distinct(grams))
+  }
+
+  /** DuckDB rendering of [[shingleHashes]]. `range` is end-exclusive
+    * where Spark's `sequence` is inclusive, hence the q-2 offset. */
+  def shingleHashesSql(e: String, q: Int): String = {
+    val term = (0 until q).map { j =>
+      s"ascii(substring($e, i + $j, 1))::BIGINT * ${pow31(q - 1 - j)}"
+    }.mkString(" + ")
+    s"""CASE WHEN length($e) < $q THEN []::BIGINT[]
+        ELSE list_distinct(list_transform(
+          range(1, length($e) - ${q - 2}), i -> $term)) END"""
+  }
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-token 12-char-capped hashes folded into 32 bits (for SimHash). */
+  def tokenHashes32(text: Column): Column =
+    transform(tokens(text), t => charHash(t) % lit(4294967296L))
+
+  def tokenHashes32Sql(e: String): String =
+    s"""list_transform(string_split($e, ' '),
+        t -> ${charHashSql("t")} % 4294967296)"""
+}
