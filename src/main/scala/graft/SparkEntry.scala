@@ -98,11 +98,13 @@ object SparkEntry {
                 col("o_totalprice"))
         .orderBy(col("o_custkey"))),
 
-    // J5 fuzzy top-1 similarity join with full left payload
-    // (get_similarity.py:148-152 attaches the best match to full rows).
+    // J5 fuzzy top-1 similarity join with full left payload, banded +
+    // thresholded at 60 (get_similarity.py:148-154: best match attached
+    // to full rows, score>60 = candidate; below-threshold rows keep a
+    // null match, which downstream banding maps to no_fb_account).
     "j05_fuzzy_top1" -> ((s, dir) =>
-      Fuzzy.fuzzyTop1Join(t(s, dir, "customer"), "c_name",
-                          t(s, dir, "supplier"), "s_name")
+      Fuzzy.fuzzyTop1JoinBanded(t(s, dir, "customer"), "c_name",
+                                t(s, dir, "supplier"), "s_name", 60)
         .select(col("c_custkey"), col("c_name"), col("s_name"),
                 col("similarity"))
         .orderBy(col("c_name")))
@@ -157,7 +159,8 @@ object SparkEntry {
               best AS (
                 SELECT c_name, s_name, similarity FROM (
                   SELECT *, row_number() OVER (PARTITION BY c_name
-                    ORDER BY similarity DESC, s_name DESC) AS rn FROM scored)
+                    ORDER BY similarity DESC, s_name DESC) AS rn
+                  FROM scored WHERE similarity >= 60)
                 WHERE rn = 1)
          SELECT c.c_custkey, c.c_name, b.s_name, b.similarity
          FROM customer c LEFT JOIN best b USING (c_name)

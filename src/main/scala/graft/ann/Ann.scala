@@ -87,9 +87,9 @@ object Ann {
     * their bucket drop out. Output: (vec_id, bucket, neighbor, cos). */
   def lshBucketNeighbors(data: DataFrame, idCol: String,
                          vecCol: String): DataFrame = {
-    val d = data.select(col(idCol).as("vec_id"),
+    val d = graft.core.Fence(data.select(col(idCol).as("vec_id"),
       toDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", bucket(col("v")))
+      .withColumn("bucket", bucket(col("v"))))
     val pairs = d.as("a").join(d.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))

@@ -29,9 +29,10 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
-    // Exact n-gram Jaccard self-join (prefix-filtered; naive oracle)
+    // Exact n-gram Jaccard self-join (word trigrams, prefix-filtered;
+    // naive oracle)
     "dd02_ngram_jaccard" -> ((s, dir) =>
-      JaccardJoin.selfJoin(t(s, dir, "documents"), "doc_id", "text")
+      JaccardJoin.selfJoinWords(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // MinHash-LSH near-dup (bands replicated exactly in the oracle)
@@ -75,9 +76,12 @@ object LlmQueries {
 
     // Document fingerprinting: content digest + min-8-gram rolling hash
     "ts04_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      t(s, dir, "documents")
+        .withColumn("__codes", TextHash.charCodes(col("text")))
+        .select(col("doc_id"),
           md5(col("text")).as("fp"),
-          array_min(TextHash.shingleHashes(col("text"), 8)).as("win8"))
+          array_min(TextHash.shingleHashesFromCodes(col("__codes"), 8))
+            .as("win8"))
         .orderBy(col("doc_id"))),
 
     // Brute-force cosine top-k (correctness baseline for ANN)
@@ -113,7 +117,7 @@ object LlmQueries {
              ORDER BY doc_id) AS rn FROM documents)
          WHERE rn = 1 ORDER BY doc_id""",
     "dd02_ngram_jaccard" ->
-      JaccardJoin.selfJoinSql("documents", "doc_id", "text"),
+      JaccardJoin.selfJoinWordsSql("documents", "doc_id", "text"),
     "dd03_minhash_lsh" ->
       MinHashLSH.nearDupPairsSql("documents", "doc_id", "text"),
     "dd04_simhash" ->

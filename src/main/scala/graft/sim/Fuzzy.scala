@@ -55,38 +55,64 @@ object Fuzzy {
     left.join(best, Seq(leftKey), "left")
   }
 
+  /** Thresholded ratio: the similarity when it is >= minScore, else null.
+    * The bound is exact: `ratio >= s ⇔ dist <= floor(len·(100−s)/100)`,
+    * so the 3-arg bounded levenshtein (banded DP with early exit,
+    * O(cap·n) instead of O(n²)) is the fast path whenever the pair's
+    * distance budget fits under `distCap`; longer strings take the rare
+    * full-DP branch, keeping the result exact for any input. */
+  def levenshteinRatioBounded(a: Column, b: Column, minScore: Int,
+                              distCap: Int = 8): Column = {
+    val maxLen = greatest(length(a), length(b))
+    val maxDist = floor((maxLen * (100 - minScore)) / 100).cast("int")
+    val fast = levenshtein(a, b, distCap)
+    val dist = when(maxDist <= distCap,
+        when(fast >= 0 && fast <= maxDist, fast))
+      .otherwise(when(levenshtein(a, b) <= maxDist, levenshtein(a, b)))
+    when(a.isNull || b.isNull, lit(null))
+      .when(maxLen === 0, lit(100))
+      .otherwise(floor(lit(100.0) * (maxLen - dist) / maxLen).cast("int"))
+  }
+
   /** Scale path for a right side too large to broadcast: candidate pairs
-    * are restricted to length-compatible bands before scoring.
+    * are restricted to length-compatible bands before scoring, and
+    * scoring itself is the bounded-DP ratio.
     *
     * Exactness: `ratio(a,b) >= minScore` implies
-    * `|len(a)-len(b)| <= (1-minScore/100)*max(len)`, so bucketing by
-    * `floor(length / bandWidth)` and probing the neighbouring buckets
-    * within the tolerance loses no pair at or above the threshold. Rows
-    * whose best match scores below `minScore` come back with a null match
-    * (the reference itself bands such rows as no-match downstream,
+    * `|len(a)-len(b)| <= (1-minScore/100)*max(len)`, so replicating each
+    * right key across its compatible integer lengths and equi-joining on
+    * the left length loses no pair at or above the threshold. Rows whose
+    * best match scores below `minScore` come back with a null match (the
+    * reference itself bands such rows as no-match downstream,
     * get_similarity.py:185-188).
     *
-    * Shuffles: one hash shuffle of each side on the band key (an equi-join
-    * Catalyst can plan as sort-merge at any scale), then the same
-    * partial-agg arg-max as [[fuzzyTop1Join]].
+    * Shuffles: one hash shuffle of each side on the band key (an
+    * equi-join Catalyst can plan as sort-merge at any scale), then the
+    * same partial-agg arg-max as [[fuzzyTop1Join]].
     */
   def fuzzyTop1JoinBanded(left: DataFrame, leftKey: String,
                           right: DataFrame, rightKey: String,
                           minScore: Int = 60,
                           scoreCol: String = "similarity"): DataFrame = {
+    require(minScore > 0 && minScore <= 100)
     val tol = 1.0 - minScore / 100.0
     val l = left.select(col(leftKey)).distinct()
       .withColumn("__llen", length(col(leftKey)))
-    // a pair (la, lb) with ratio >= minScore has |la-lb| <= tol*max(la,lb);
-    // replicate each right key into every integer length it may pair with
+    // a pair (la, lb) with ratio >= minScore has |la-lb| <= tol*max(la,lb)
     val r = right.select(col(rightKey)).distinct()
       .withColumn("__rlen", length(col(rightKey)))
       .withColumn("__band",
         explode(sequence(ceil(col("__rlen") * (1.0 - tol)).cast("int"),
                          floor(col("__rlen") / (1.0 - tol)).cast("int"))))
-    val scored = l.join(r, col("__llen") === col("__band"))
-      .withColumn(scoreCol, levenshteinRatio(col(leftKey), col(rightKey)))
-      .filter(col(scoreCol) >= minScore)
+    // broadcast the banded right side: the join degenerates to few hot
+    // band keys when lengths concentrate, and a shuffle join would put
+    // every pair of a hot band in one task. Broadcast-hash keeps the
+    // big left side streaming in parallel. (At a right side beyond
+    // broadcast scale: salt the band key instead.)
+    val scored = l.join(broadcast(r), col("__llen") === col("__band"))
+      .withColumn(scoreCol,
+        levenshteinRatioBounded(col(leftKey), col(rightKey), minScore))
+      .filter(col(scoreCol).isNotNull)
     val best = scored.groupBy(col(leftKey))
       .agg(max(struct(col(scoreCol), col(rightKey))).as("__best"))
       .select(col(leftKey),

@@ -1,50 +1,81 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Fence
 import graft.text.TextHash
 
-/** Exact n-gram Jaccard similarity self-join with PPJoin-style prefix
-  * filtering — the *exact* (not approximate) scale path for similarity
-  * dedup.
+/** Exact n-gram Jaccard similarity self-join with PPJoin-style filtering
+  * — the *exact* (not approximate) scale path for similarity dedup.
   *
-  * Shingles are ordered rarest-first (global doc-frequency, then hash);
-  * a pair with Jaccard >= t must share at least one element within each
-  * side's first `n - ceil(t*n) + 1` shingles (prefix-filter lemma), so
-  * joining on prefix shingles loses no qualifying pair while pruning the
-  * O(n²) pair space. Candidates are then exact-verified. The oracle runs
-  * the naive quadratic form — identical output, independent derivation.
+  * Candidate pruning, all provably lossless for pairs with J >= t:
+  *  - prefix filter: shingles ordered rarest-first (global doc-frequency,
+  *    then hash); a qualifying pair must share an element within both
+  *    sides' first `n - ceil(t·n) + 1` shingles;
+  *  - position filter: at the shared prefix element, the remaining
+  *    suffixes must still allow the required overlap
+  *    `α = ceil(t/(1+t)·(na+nb))`;
+  *  - size filter: `min(na,nb) >= t·max(na,nb)`.
+  * All thresholds use exact integer arithmetic (a floating ceil could
+  * shrink a prefix and break containment). Survivors are exact-verified.
+  * The oracle runs the naive quadratic form — identical output.
   *
   * Shuffles: doc-frequency aggregation, the prefix-token equi-join, pair
-  * dedup. Frequency ordering keeps hot shingles out of prefixes, which is
-  * what bounds candidate blow-up on skewed vocabularies at scale.
+  * dedup. Rarest-first ordering is what keeps hot shingles out of
+  * prefixes and bounds candidate blow-up on skewed vocabularies.
   */
 object JaccardJoin {
 
-  /** Pairs (doc_a < doc_b) with exact shingle-Jaccard >= threshold.
-    * Output: (doc_a, doc_b, jacc). */
+  /** Pairs (doc_a < doc_b) with exact char-q-gram Jaccard >= threshold.
+    * Output: (doc_a, doc_b, jacc). Threshold must have one decimal. */
   def selfJoin(docs: DataFrame, idCol: String, textCol: String,
-               q: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      TextHash.shingleHashes(col(textCol), q).as("sh"))
+               q: Int = 5, threshold: Double = 0.8): DataFrame =
+    selfJoinOnShingles(Fence(docs
+      .select(col(idCol).as("id"),
+        TextHash.charCodes(col(textCol)).as("__codes"))
+      .select(col("id"),
+        TextHash.shingleHashesFromCodes(col("__codes"), q).as("sh"))),
+      threshold)
+
+  /** Word-n-gram variant: on vocabularies where character q-grams appear
+    * in most documents, word shingles keep doc-frequencies low and the
+    * prefix filter selective. */
+  def selfJoinWords(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.8): DataFrame =
+    selfJoinOnShingles(Fence(docs
+      .select(col(idCol).as("id"),
+        TextHash.tokenHashes(col(textCol)).as("__th"))
+      .select(col("id"),
+        TextHash.wordShingleHashesFromTokenHashes(col("__th"), n).as("sh"))),
+      threshold)
+
+  /** Core prefix-filtered exact join over a prepared (id, sh) frame. */
+  private def selfJoinOnShingles(sh: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val tNum = math.round(threshold * 10).toInt
+    require(tNum > 0 && tNum <= 10)
     val ex = sh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
-    // rarest-first rank; prefix length n - ceil(t*n) + 1 via exact
-    // integer arithmetic (floating ceil could shrink the prefix by one
-    // and break the containment guarantee)
-    val tNum = math.round(threshold * 10).toInt
+    // prefix length n - ceil(t*n) + 1, rarest-first
     val ranked = ex.join(freq, "h")
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("f").asc, col("h").asc)))
       .withColumn("plen",
         col("n") - floor((col("n") * tNum + 9) / 10).cast("int") + 1)
     val prefix = ranked.filter(col("rnk") <= col("plen"))
-      .select(col("id"), col("h"))
+      .select(col("id"), col("h"), col("rnk"), col("n"))
+    // required overlap α = ceil(t/(1+t)·(na+nb)); with t = tNum/10 that
+    // is ceil(tNum·(na+nb) / (10+tNum)) — exact integers throughout
+    val na = col("a.n"); val nb = col("b.n")
+    val alpha = floor((lit(tNum) * (na + nb) + lit(9 + tNum)) /
+      (10 + tNum)).cast("int")
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          lit(10) * least(na, nb) >= lit(tNum) * greatest(na, nb) &&
+          least(na - col("a.rnk"), nb - col("b.rnk")) + 1 >= alpha)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
     val sa = sh.select(col("id").as("doc_a"), col("sh").as("sh_a"))
@@ -59,9 +90,23 @@ object JaccardJoin {
 
   /** Naive-quadratic oracle SQL — same output, independent plan. */
   def selfJoinSql(tbl: String, idCol: String, textCol: String,
-                  q: Int = 3, threshold: Double = 0.8): String =
-    s"""WITH sh AS (SELECT $idCol AS id,
-            ${TextHash.shingleHashesSql(textCol, q)} AS sh FROM $tbl),
+                  q: Int = 5, threshold: Double = 0.8): String =
+    oracleOnShingles(
+      s"""SELECT $idCol AS id,
+          ${TextHash.shingleHashesSql(textCol, q)} AS sh FROM $tbl""",
+      threshold)
+
+  def selfJoinWordsSql(tbl: String, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8): String =
+    oracleOnShingles(
+      s"""SELECT id, ${TextHash.wordShingleHashesSql("th", n)} AS sh
+          FROM (SELECT $idCol AS id,
+            ${TextHash.tokenHashesSql(textCol)} AS th FROM $tbl)""",
+      threshold)
+
+  private def oracleOnShingles(shSelect: String,
+                               threshold: Double): String =
+    s"""WITH sh AS ($shSelect),
           p AS (SELECT a.id AS doc_a, b.id AS doc_b,
               len(list_intersect(a.sh, b.sh)) AS inter,
               len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un

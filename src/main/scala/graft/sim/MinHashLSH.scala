@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Fence
 import graft.text.TextHash
 
 /** MinHash + banded LSH near-duplicate detection over a text column
@@ -22,9 +23,9 @@ import graft.text.TextHash
   */
 object MinHashLSH {
   val P: Long = 2147483647L
-  val NumPerm = 16
+  val NumPerm = 20
   val Bands = 4
-  val Rows = 4
+  val Rows = 5
 
   /** Fixed LCG-derived permutation constants (public, shared with the
     * oracle SQL). */
@@ -47,8 +48,11 @@ object MinHashLSH {
     * among LSH band-collision candidates. Output: (doc_a, doc_b, jacc). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    q: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      TextHash.shingleHashes(col(textCol), q).as("sh"))
+    val sh = Fence(docs
+      .select(col(idCol).as("id"),
+        TextHash.charCodes(col(textCol)).as("__codes"))
+      .select(col("id"),
+        TextHash.shingleHashesFromCodes(col("__codes"), q).as("sh")))
     val bands = sh.select(col("id"),
       posexplode(array((0 until Bands).map(b => bandKey(col("sh"), b)): _*))
         .as(Seq("band_idx", "band_key")))
@@ -63,7 +67,12 @@ object MinHashLSH {
     val sb = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    val tNum = math.round(threshold * 10)
     cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      // provably-safe size prune before the O(n) intersect: a size ratio
+      // below the threshold already bounds Jaccard below it
+      .filter(lit(10) * least(size(col("sh_a")), size(col("sh_b"))) >=
+        lit(tNum) * greatest(size(col("sh_a")), size(col("sh_b"))))
       .withColumn("jacc", inter.cast("double") / union)
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))

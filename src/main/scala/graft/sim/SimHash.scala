@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Fence
 import graft.text.TextHash
 
 /** 32-bit SimHash near-duplicate detection over whitespace tokens.
@@ -23,15 +24,20 @@ object SimHash {
   val ChunkBits = 8
   val MaxHamming = 3
 
-  /** 32-bit simhash of a text column. */
-  def simhash(text: Column): Column = {
-    val th = TextHash.tokenHashes32(text)
+  /** 32-bit simhash over a *materialized* token-hash array column (the
+    * 32 per-bit aggregates re-evaluate their input per reference —
+    * interpreted higher-order functions — so the token hashing must be
+    * computed once in a prior projection, not inlined 32 times). */
+  def simhashFromTokenHashes(th: Column): Column =
     (0 until Bits).map { j =>
       val weight = aggregate(th, lit(0L),
         (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)
       when(weight > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** One-shot convenience form for short texts / tests. */
+  def simhash(text: Column): Column =
+    simhashFromTokenHashes(TextHash.tokenHashes32(text))
 
   /** Oracle SQL rendering of [[simhash]] over SQL expression `e` naming a
     * precomputed token-hash list. */
@@ -46,8 +52,10 @@ object SimHash {
     * Output: (doc_a, doc_b, hamming). */
   def nearDupPairs(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sim"))
+    val sh = Fence(docs
+      .select(col(idCol).as("id"),
+        TextHash.tokenHashes32(col(textCol)).as("__th"))
+      .select(col("id"), simhashFromTokenHashes(col("__th")).as("sim")))
     val chunks = sh.select(col("id"), col("sim"),
       posexplode(array((0 until Chunks).map { c =>
         shiftright(col("sim"), c * ChunkBits).bitwiseAND(lit(255L))

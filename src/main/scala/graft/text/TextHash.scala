@@ -39,19 +39,34 @@ object TextHash {
       s"ascii(substring($e, ${i + 1}, 1))::BIGINT * ${pow31(MaxChars - 1 - i)}"
     }.mkString("(", " + ", ")")
 
-  /** Distinct character q-gram hashes of a text column (the shingle set
-    * of MinHash/Jaccard dedup). Empty array when the text is shorter
-    * than q. */
-  def shingleHashes(text: Column, q: Int): Column = {
+  /** Character codes of a text column as an int array. Used to
+    * materialize codes ONCE per row (`withColumn`) before windowed
+    * hashing: higher-order functions are interpreted (CodegenFallback),
+    * so any subtree referenced inside a lambda re-evaluates per element —
+    * and per-character `substr` on a long string is an O(n) UTF-8 scan,
+    * making naive per-gram hashing O(n²·q) per row. Codes + `element_at`
+    * is O(1) per access. The `slice` drops the trailing empty token Java
+    * regex split appends. */
+  def charCodes(text: Column): Column =
+    slice(transform(split(text, ""), ch => ascii(ch)), lit(1), length(text))
+
+  /** Distinct character q-gram hashes over a *materialized* codes column
+    * (see [[charCodes]]). Empty array when shorter than q. */
+  def shingleHashesFromCodes(codes: Column, q: Int): Column = {
     require(q >= 2 && q <= MaxChars)
     val grams = transform(
-      sequence(lit(1), length(text) - (q - 1)),
+      sequence(lit(1), size(codes) - (q - 1)),
       i => (0 until q).map { j =>
-        ascii(text.substr(i + lit(j), lit(1))) * lit(pow31(q - 1 - j))
+        element_at(codes, i + lit(j)).cast("bigint") * lit(pow31(q - 1 - j))
       }.reduce(_ + _))
-    when(length(text) < q, array().cast("array<bigint>"))
+    when(size(codes) < q, array().cast("array<bigint>"))
       .otherwise(array_distinct(grams))
   }
+
+  /** Convenience one-shot form — only for small/one-off expressions;
+    * operators over long text should materialize [[charCodes]] first. */
+  def shingleHashes(text: Column, q: Int): Column =
+    shingleHashesFromCodes(charCodes(text), q)
 
   /** DuckDB rendering of [[shingleHashes]]. `range` is end-exclusive
     * where Spark's `sequence` is inclusive, hence the q-2 offset. */
@@ -66,6 +81,41 @@ object TextHash {
 
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-token full base-31 hashes (12-char cap). Materialize before
+    * windowed use, like [[charCodes]]. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => charHash(t))
+
+  def tokenHashesSql(e: String): String =
+    s"list_transform(string_split($e, ' '), t -> ${charHashSql("t")})"
+
+  /** Distinct word n-gram hashes over a *materialized* token-hash array:
+    * each token hash reduced mod p (fits 31^(n-1) scaling in Int64), then
+    * base-31 combined. Word shingles stay selective on vocabularies where
+    * character q-grams are ubiquitous — the shape that keeps prefix-
+    * filtered similarity joins prunable at scale. */
+  def wordShingleHashesFromTokenHashes(th: Column, n: Int): Column = {
+    require(n >= 2 && n <= 6)
+    val p = 2147483647L
+    val grams = transform(
+      sequence(lit(1), size(th) - (n - 1)),
+      i => (0 until n).map { j =>
+        (element_at(th, i + lit(j)) % p) * lit(pow31(n - 1 - j))
+      }.reduce(_ + _))
+    when(size(th) < n, array().cast("array<bigint>"))
+      .otherwise(array_distinct(grams))
+  }
+
+  def wordShingleHashesSql(th: String, n: Int): String = {
+    val p = 2147483647L
+    val term = (0 until n).map { j =>
+      s"($th[i + $j] % $p) * ${pow31(n - 1 - j)}"
+    }.mkString(" + ")
+    s"""CASE WHEN len($th) < $n THEN []::BIGINT[]
+        ELSE list_distinct(list_transform(
+          range(1, len($th) - ${n - 2}), i -> $term)) END"""
+  }
 
   /** Per-token 12-char-capped hashes folded into 32 bits (for SimHash). */
   def tokenHashes32(text: Column): Column =
