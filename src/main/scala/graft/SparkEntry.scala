@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.Dedup
 import graft.queries.{AggWindowQueries, CondQueries, DateQueries,
-  EventQueries, FilterQueries, JoinQueries, LlmQueries, StringQueries}
+  EventQueries, FilterQueries, IoQueries, JoinQueries, LlmQueries,
+  StringQueries}
 import graft.sim.Fuzzy
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -24,13 +25,13 @@ object SparkEntry {
     base ++ StringQueries.queries ++ DateQueries.queries ++
       CondQueries.queries ++ FilterQueries.queries ++
       JoinQueries.queries ++ AggWindowQueries.queries ++
-      LlmQueries.queries ++ EventQueries.queries
+      LlmQueries.queries ++ EventQueries.queries ++ IoQueries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++ StringQueries.oracle ++ DateQueries.oracle ++
       CondQueries.oracle ++ FilterQueries.oracle ++
       JoinQueries.oracle ++ AggWindowQueries.oracle ++
-      LlmQueries.oracle ++ EventQueries.oracle
+      LlmQueries.oracle ++ EventQueries.oracle ++ IoQueries.oracle
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 group-aggregate (reference wp_export_data.py:39 group-count,

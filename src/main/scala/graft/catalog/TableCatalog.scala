@@ -1,0 +1,76 @@
+package graft.catalog
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Path-based table catalog over a parquet warehouse directory — the
+  * Spark mirror of the reference's gitignored BigQuery layer (SURVEY
+  * §3.1: write / exist / create_from_schema_partition_table /
+  * write_partition_table, reconstructed from call sites like
+  * custom_search_extraction.py:41-42,151,215-218).
+  *
+  * Partitioned tables use one `field=value` directory per partition;
+  * [[writePartition]] overwrites exactly that directory (dynamic
+  * partition overwrite), making the reference's partition-at-a-time
+  * daily loop idempotent by construction. At cluster scale the same
+  * layout is what `insertInto` with dynamic partitionOverwriteMode
+  * produces — partition pruning on `field` filters comes free.
+  */
+class TableCatalog(spark: SparkSession, warehouse: String) {
+
+  def tablePath(table: String): String = s"$warehouse/$table"
+
+  /** K3's exists-check (custom_search_extraction.py:151). */
+  def tableExists(table: String): Boolean =
+    new File(tablePath(table)).exists()
+
+  /** K1: full-table overwrite write (process_open_data.py:250-258). */
+  def writeFull(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").parquet(tablePath(table))
+
+  /** K3: write only when the table is absent
+    * (custom_search_extraction.py:147-155). Returns true if written. */
+  def writeIfAbsent(df: DataFrame, table: String): Boolean =
+    if (tableExists(table)) false
+    else { writeFull(df, table); true }
+
+  /** Create an empty partitioned table from a registry schema (K2's
+    * create_from_schema_partition_table). */
+  def createFromSchema(table: String, schema: StructType): Unit = {
+    if (!tableExists(table)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite")
+        .parquet(tablePath(table) + "/_schema_placeholder=true")
+    }
+  }
+
+  /** K2: idempotent single-partition overwrite
+    * (custom_search_extraction.py:215-218): rewriting the same partition
+    * value replaces it, other partitions untouched. */
+  def writePartition(df: DataFrame, table: String, partField: String,
+                     partValue: String): Unit =
+    df.filter(col(partField) === partValue).drop(partField)
+      .write.mode("overwrite")
+      .parquet(s"${tablePath(table)}/$partField=$partValue")
+
+  /** Read a table; partition columns are recovered from directory names. */
+  def read(table: String): DataFrame =
+    spark.read.option("basePath", tablePath(table))
+      .parquet(tablePath(table))
+
+  /** S7: partition-metadata scan (the `$__PARTITIONS_SUMMARY__` scans at
+    * custom_search_extraction.py:53-57) — directory listing only, no
+    * data read. */
+  def listPartitions(table: String, partField: String): Seq[String] = {
+    val dir = new File(tablePath(table))
+    val prefix = s"$partField="
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(_.getName.stripPrefix(prefix))
+      .sorted.toSeq
+  }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.TableCatalog
+import graft.core.Tables
+import graft.io.{CsvSink, FileFetcher, HttpCsvSource, ZipCsvSource}
+
+/** Oracle-checked queries for the source/sink layer (SURVEY §2.1 S1/S2/
+  * S4/S7, K1-K4). Each query round-trips testdata through the IO path
+  * under a fresh temp dir; the oracle reads the original parquet — so a
+  * lossy parse, a broken partition overwrite, or a non-idempotent write
+  * fails the gate.
+  */
+object IoQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 staged (HTTP-shaped) CSV scan: fetch → stage → `;`-CSV parse
+    "s01_http_csv" -> ((s, dir) => {
+      val stage = tmp("graft_s01_")
+      t(s, dir, "region").coalesce(1).orderBy(col("r_regionkey"))
+        .write.mode("overwrite").option("header", "true").option("sep", ";")
+        .csv(s"$stage/out")
+      val part = new File(s"$stage/out").listFiles()
+        .filter(_.getName.endsWith(".csv")).head
+      new HttpCsvSource(FileFetcher)
+        .read(s, part.getAbsolutePath)
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // S2 zip multi-CSV scan: two members, concatenated natively
+    "s02_zip_csv" -> ((s, dir) => {
+      val stage = tmp("graft_s02_")
+      val nation = t(s, dir, "nation")
+      def dump(df: DataFrame, name: String): File = {
+        df.coalesce(1).orderBy(col("n_nationkey"))
+          .write.mode("overwrite").option("header", "true")
+          .option("sep", ";").csv(s"$stage/$name")
+        new File(s"$stage/$name").listFiles()
+          .filter(_.getName.endsWith(".csv")).head
+      }
+      val a = dump(nation.filter(col("n_nationkey") < 12), "a")
+      val b = dump(nation.filter(col("n_nationkey") >= 12), "b")
+      val zipPath = s"$stage/nations.zip"
+      val zout = new ZipOutputStream(new FileOutputStream(zipPath))
+      Seq("a.csv" -> a, "b.csv" -> b).foreach { case (name, f) =>
+        zout.putNextEntry(new ZipEntry(name))
+        zout.write(Files.readAllBytes(f.toPath)); zout.closeEntry()
+      }
+      zout.close()
+      new ZipCsvSource(FileFetcher).read(s, zipPath)
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // S4 local CSV scan (update_open_data.py:68)
+    "s04_local_csv" -> ((s, dir) => {
+      val stage = tmp("graft_s04_")
+      t(s, dir, "supplier").coalesce(1).orderBy(col("s_suppkey"))
+        .write.mode("overwrite").option("header", "true").csv(s"$stage/out")
+      s.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"$stage/out").orderBy(col("s_suppkey"))
+    }),
+
+    // S7 partition-metadata scan over a partitioned catalog table
+    "s07_partitions" -> ((s, dir) => {
+      val cat = new TableCatalog(s, tmp("graft_s07_"))
+      val ev = t(s, dir, "events")
+        .withColumn("date_extract", col("ts").cast("date").cast("string"))
+      ev.select(col("date_extract")).distinct().collect()
+        .map(_.getString(0)).sorted
+        .foreach(d => cat.writePartition(ev, "events_p", "date_extract", d))
+      import s.implicits._
+      cat.listPartitions("events_p", "date_extract")
+        .toDF("date_extract")
+        .select(col("date_extract").cast("date").as("d"))
+        .orderBy(col("d"))
+    }),
+
+    // K1 full-table overwrite write, read back
+    "k01_overwrite_write" -> ((s, dir) => {
+      val cat = new TableCatalog(s, tmp("graft_k01_"))
+      cat.writeFull(t(s, dir, "region"), "region_copy")
+      cat.writeFull(t(s, dir, "region"), "region_copy") // overwrite = idempotent
+      cat.read("region_copy").orderBy(col("r_regionkey"))
+    }),
+
+    // K2 partitioned idempotent write: same partition written twice must
+    // not duplicate rows
+    "k02_partitioned_write" -> ((s, dir) => {
+      val cat = new TableCatalog(s, tmp("graft_k02_"))
+      val ev = t(s, dir, "events")
+        .withColumn("date_extract", col("ts").cast("date").cast("string"))
+      val days = ev.select(col("date_extract")).distinct().collect()
+        .map(_.getString(0)).sorted.take(2)
+      days.foreach(d => cat.writePartition(ev, "ev_p", "date_extract", d))
+      cat.writePartition(ev, "ev_p", "date_extract", days.head) // rerun
+      cat.read("ev_p")
+        .groupBy(col("date_extract").cast("string").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("d"))
+    }),
+
+    // K3 conditional write: second write must be a no-op
+    "k03_conditional_write" -> ((s, dir) => {
+      val cat = new TableCatalog(s, tmp("graft_k03_"))
+      cat.writeIfAbsent(t(s, dir, "region"), "cond_tbl")
+      cat.writeIfAbsent(t(s, dir, "region").limit(1), "cond_tbl")
+      cat.read("cond_tbl").orderBy(col("r_regionkey"))
+    }),
+
+    // K4 `;`-CSV sink with pandas-style index column, read back
+    "k04_csv_sink" -> ((s, dir) => {
+      val stage = tmp("graft_k04_")
+      CsvSink.write(t(s, dir, "supplier"), s"$stage/out",
+        Seq(col("s_suppkey")))
+      s.read.option("header", "true").option("sep", ";")
+        .option("inferSchema", "true").csv(s"$stage/out")
+        .orderBy(col("index"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s01_http_csv" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s02_zip_csv" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         ORDER BY n_nationkey""",
+    "s04_local_csv" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+         ORDER BY s_suppkey""",
+    "s07_partitions" ->
+      """SELECT DISTINCT ts::DATE AS d FROM events ORDER BY d""",
+    "k01_overwrite_write" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "k02_partitioned_write" ->
+      """SELECT d, COUNT(*) AS n FROM (
+           SELECT CAST(ts::DATE AS VARCHAR) AS d FROM events)
+         WHERE d IN (SELECT DISTINCT CAST(ts::DATE AS VARCHAR) AS dd
+                     FROM events ORDER BY dd LIMIT 2)
+         GROUP BY d ORDER BY d""",
+    "k03_conditional_write" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "k04_csv_sink" ->
+      """SELECT CAST(row_number() OVER (ORDER BY s_suppkey) - 1 AS INT)
+           AS "index", s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier ORDER BY "index""""
+  )
+}
