@@ -42,14 +42,19 @@ object UrlFetcher extends Fetcher {
 /** S1: HTTP CSV scan (process_open_data.py:34-36 — `;`-separated UTF-8,
   * bad lines dropped). */
 class HttpCsvSource(fetcher: Fetcher) {
+  /** Without `schema` the types are inferred; note DROPMALFORMED only
+    * drops type-unparseable rows under an explicit schema (Spark CSV
+    * semantics — extra/missing tokens are truncated/null-filled). */
   def read(spark: SparkSession, url: String, sep: String = ";",
-           encoding: String = "UTF-8"): DataFrame = {
+           encoding: String = "UTF-8",
+           schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val staged = Files.createTempFile("graft_csv_", ".csv")
     Files.write(staged, fetcher.fetch(url))
-    spark.read
+    val base = spark.read
       .option("header", "true").option("sep", sep)
       .option("encoding", encoding).option("mode", "DROPMALFORMED")
-      .option("inferSchema", "true")
+    schema.fold(base.option("inferSchema", "true"))(base.schema)
       .csv(staged.toString)
   }
 }

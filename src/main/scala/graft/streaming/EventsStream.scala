@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream — the streaming
+  * twins of the batch ev01/ev02 queries: same logical aggregation, plus
+  * watermark/state management. Works identically on a batch frame (the
+  * functions only use streaming-legal operations), which is how the
+  * batch oracle gates their logic.
+  */
+object EventsStream {
+
+  /** Hourly tumbling counts/sums per event type, 2h watermark for late
+    * data. Streaming twin of ev01_hourly_agg. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+             .as("total"))
+      .select(col("window.start").as("hour"), col("event_type"),
+              col("n"), col("total"))
+
+  final case class Ev(user_id: Long, event_id: Long,
+                      ts: java.sql.Timestamp)
+  final case class SessState(lastMs: Long, sessionId: Long)
+  final case class SessOut(user_id: Long, event_id: Long, session_id: Long)
+
+  /** Gap-based sessionization with explicit per-user state
+    * (flatMapGroupsWithState) — streaming twin of ev02_sessionize.
+    * Events within a micro-batch are ordered by (ts, event_id); state
+    * carries the last-seen timestamp and running session index across
+    * batches. */
+  def sessionize(events: Dataset[Ev],
+                 gapSeconds: Long = 1800): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val ms = e.ts.getTime
+            val isNew = st.lastMs == Long.MinValue ||
+              (ms / 1000 - st.lastMs / 1000) > gapSeconds
+            st = SessState(ms,
+              if (isNew) st.sessionId + 1 else st.sessionId)
+            SessOut(uid, e.event_id, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.multimodal.Multimodal
+
+class AnnMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by exact cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", 2)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("lshBucketNeighbors: same-direction vectors share a bucket") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.51f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.lshBucketNeighbors(vecs, "vec_id", "embedding")
+      .orderBy($"vec_id")
+      .select($"vec_id", $"neighbor").as[(Long, Long)].collect()
+    // 0 and 1 are near-parallel -> same bucket, mutual neighbors
+    assert(out.toSeq.contains((0L, 1L)) && out.toSeq.contains((1L, 0L)))
+  }
+
+  test("multimodal fake features + frame sampling are deterministic") {
+    val df = Seq((1L, "abcdefgh" * 8)).toDF("doc_id", "text")
+    val bin = Multimodal.toBinary($"text")
+    val (nb, dig, h8) = Multimodal.fakeFeatures(bin)
+    val row = df.select(nb, dig, h8,
+      Multimodal.frameSample(bin, 2, 4).as("frames")).collect()(0)
+    assert(row.getInt(0) == 64)
+    assert(row.getString(2) == "6162636465666768") // 'abcdefgh' hex
+    assert(row.getSeq[String](3) ==
+      Seq("61626364", "65666768"))
+  }
+
+  test("batchFeaturize runs the decoder once per row, partition-preserving") {
+    import spark.implicits._
+    val ds = Seq((1L, "ab".getBytes("UTF-8")),
+                 (2L, Array.empty[Byte])).toDS()
+    val out = Multimodal.batchFeaturize(ds, Multimodal.FakeDecoder)
+      .collect().toMap
+    assert(out(1L).toSeq == Seq(2.0f, (97 + 98) / 2.0f,
+      (97 * 97 + 98 * 98) / 2.0f))
+    assert(out(2L).toSeq == Seq(0.0f, 0.0f, 0.0f))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.{SchemaRegistry, TableCatalog}
+import graft.io.{CsvSink, FileFetcher, HttpCsvSource, ZipCsvSource}
+import graft.io.Connectors
+import graft.ops.Enrich
+
+class CatalogIoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("SchemaRegistry parses the BigQuery-JSON format") {
+    val json =
+      """[{"name": "titre", "type": "STRING", "mode": "NULLABLE"},
+          {"name": "rank", "type": "FLOAT", "mode": "NULLABLE"},
+          {"name": "count", "type": "INTEGER", "mode": "REQUIRED"},
+          {"name": "date_extract", "type": "DATE", "mode": "NULLABLE"}]"""
+    val st = SchemaRegistry.fromJson(json)
+    assert(st == StructType(Seq(
+      StructField("titre", StringType, true),
+      StructField("rank", DoubleType, true),
+      StructField("count", LongType, false),
+      StructField("date_extract", DateType, true))))
+    val aligned = SchemaRegistry.align(
+      Seq(("a", 1, 2, "2020-01-01")).toDF("titre", "rank", "count",
+        "date_extract"), st)
+    assert(aligned.schema.map(_.dataType) ==
+      Seq(StringType, DoubleType, LongType, DateType))
+  }
+
+  test("TableCatalog partition overwrite is idempotent") {
+    val cat = new TableCatalog(spark, tmp("cat_"))
+    val df = Seq(("2020-01-01", 1), ("2020-01-01", 2), ("2020-01-02", 3))
+      .toDF("d", "v")
+    cat.writePartition(df, "t", "d", "2020-01-01")
+    cat.writePartition(df, "t", "d", "2020-01-02")
+    cat.writePartition(df, "t", "d", "2020-01-01") // rerun same day
+    assert(cat.read("t").count() == 3)
+    assert(cat.listPartitions("t", "d").map(_.toString) ==
+      Seq("2020-01-01", "2020-01-02"))
+  }
+
+  test("writeIfAbsent is a no-op when the table exists") {
+    val cat = new TableCatalog(spark, tmp("cat2_"))
+    assert(cat.writeIfAbsent(Seq(1, 2, 3).toDF("v"), "t"))
+    assert(!cat.writeIfAbsent(Seq(9).toDF("v"), "t"))
+    assert(cat.read("t").count() == 3)
+  }
+
+  test("CsvSink writes ';' CSV with a pandas-style index column") {
+    val dir = tmp("sink_") + "/out"
+    CsvSink.write(Seq(("b", 2), ("a", 1)).toDF("name", "v"), dir,
+      Seq(col("name")))
+    val back = spark.read.option("header", "true").option("sep", ";")
+      .option("inferSchema", "true").csv(dir)
+      .orderBy($"index").as[(Int, String, Int)].collect()
+    assert(back.toSeq == Seq((0, "a", 1), (1, "b", 2)))
+  }
+
+  test("ZipCsvSource concatenates all members") {
+    val stage = tmp("zip_")
+    def csvBytes(rows: Seq[String]) =
+      ("k;v" +: rows).mkString("\n").getBytes("UTF-8")
+    val zipPath = s"$stage/x.zip"
+    val z = new ZipOutputStream(new FileOutputStream(zipPath))
+    z.putNextEntry(new ZipEntry("a.csv")); z.write(csvBytes(Seq("1;a")))
+    z.closeEntry()
+    z.putNextEntry(new ZipEntry("b.csv")); z.write(csvBytes(Seq("2;b")))
+    z.closeEntry(); z.close()
+    val df = new ZipCsvSource(FileFetcher).read(spark, zipPath)
+    assert(df.orderBy($"k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
+  test("HttpCsvSource drops malformed lines under a declared schema") {
+    val p = Files.createTempFile("csv_", ".csv")
+    Files.write(p, "a;b\n1;x\nnot-an-int;y\n2;z".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("a", IntegerType, true),
+      StructField("b", StringType, true)))
+    val df = new HttpCsvSource(FileFetcher)
+      .read(spark, p.toString, schema = Some(schema))
+    // note: count() alone parses no columns (CSV column pruning), so
+    // malformed rows are only dropped when fields are actually read
+    assert(df.select($"a", $"b").collect().length == 2)
+  }
+
+  test("Enrich.viaService appends a service column per partition") {
+    val df = Seq((1, "addr one"), (2, "")).toDF("id", "addr")
+    val out = Enrich.viaService(df, "addr", "geo")(
+      () => Connectors.StubGeocoder.geocode _)
+      .orderBy($"id").select($"geo").as[String].collect()
+    assert(out(0).nonEmpty && out(0).contains(","))
+    assert(out(1) == "")
+  }
+}

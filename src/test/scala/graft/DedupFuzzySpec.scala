@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.ops.Dedup
+import graft.sim.Fuzzy
+
+class DedupFuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  def forAllSamples[T](gen: Gen[T], n: Int = 100)(f: T => Unit): Unit =
+    (1 to n).foreach(_ => gen.sample.foreach(f))
+
+  test("dedupKeepLast keeps the max-order row per key, ties by tieBreak") {
+    val df = Seq(
+      ("a", 1, 10), ("a", 3, 11), ("a", 3, 9),
+      ("b", 2, 20)).toDF("k", "prio", "id")
+    val out = Dedup.dedupKeepLast(df, Seq("k"), $"prio", $"id")
+      .orderBy($"k").as[(String, Int, Int)].collect()
+    assert(out.toSeq == Seq(("a", 3, 9), ("b", 2, 20)))
+  }
+
+  test("exactDedup keeps one representative per content, min id") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("id", "text")
+    val out = Dedup.exactDedup(df, $"text", $"id")
+      .orderBy($"id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "same"), (3L, "other")))
+  }
+
+  test("levenshteinRatio bounds and symmetry (property)") {
+    val gs = Gen.alphaNumStr.map(_.take(20))
+    forAllSamples(Gen.zip(gs, gs)) { case (a, b) =>
+      val Array(r1, r2) = Seq((a, b), (b, a)).toDF("a", "b")
+        .select(Fuzzy.levenshteinRatio($"a", $"b")).as[Int].collect()
+      assert(r1 == r2, s"symmetry for ($a,$b)")
+      assert(r1 >= 0 && r1 <= 100)
+      if (a == b) assert(r1 == 100)
+    }
+  }
+
+  test("bounded ratio equals plain ratio at-or-above threshold") {
+    val pairs = Seq(("kitten", "sitting"), ("abc", "abd"), ("same", "same"),
+      ("abcdefghij", "zzzzzzzzzz"), ("short", "a-much-longer-string"))
+    val df = pairs.toDF("a", "b")
+    val both = df.select(
+      Fuzzy.levenshteinRatio($"a", $"b").as("plain"),
+      Fuzzy.levenshteinRatioBounded($"a", $"b", 60).as("bounded"))
+      .as[(Int, Option[Int])].collect()
+    both.foreach { case (plain, bounded) =>
+      if (plain >= 60) assert(bounded.contains(plain))
+      else assert(bounded.isEmpty)
+    }
+  }
+
+  test("fuzzyTop1Join attaches best match to full left payload") {
+    val left = Seq((1, "alpha corp"), (2, "beta inc"), (3, "gamma llc"))
+      .toDF("id", "name")
+    val right = Seq("alpha corporation", "betta inc", "delta co").toDF("r")
+    val out = Fuzzy.fuzzyTop1Join(left, "name", right, "r")
+      .orderBy($"id")
+      .select($"id", $"name", $"r", $"similarity")
+      .as[(Int, String, String, Int)].collect()
+    assert(out.length == 3) // full left payload preserved
+    assert(out(0)._3 == "alpha corporation")
+    assert(out(1)._3 == "betta inc")
+  }
+
+  test("banded join: below-threshold rows get null match") {
+    // ratio("alpha corp","alpha corporation") = floor(100*(17-7)/17) = 58
+    val left = Seq((1, "alpha corp"), (2, "zzzzzz")).toDF("id", "name")
+    val right = Seq("alpha corporation").toDF("r")
+    val out = Fuzzy.fuzzyTop1JoinBanded(left, "name", right, "r", 50)
+      .orderBy($"id")
+      .select($"id", $"r", $"similarity")
+      .as[(Int, Option[String], Option[Int])].collect()
+    assert(out(0)._2.contains("alpha corporation"))
+    assert(out(0)._3.contains(58))
+    assert(out(1)._2.isEmpty && out(1)._3.isEmpty)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.ops.{Availability, CondOps, DateOps, StringOps}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Raw-scalacheck property loop (the scalatest bridge artifact is not
+    * in the offline cache). */
+  def forAllSamples[T](gen: Gen[T], n: Int = 200)(f: T => Unit): Unit =
+    (1 to n).foreach(_ => gen.sample.foreach(f))
+
+  test("slugify matches the reference normalization chain") {
+    assert(StringOps.slugify("Coordonnées géographiques") ==
+      "Coordonnees_geographiques")
+    assert(StringOps.slugify("Date de début") == "Date_de_debut")
+    assert(StringOps.slugify("a:b-c'd") == "a_b_c_d")
+  }
+
+  test("slugify is idempotent (property)") {
+    forAllSamples(Gen.asciiPrintableStr) { s =>
+      val once = StringOps.slugify(s)
+      assert(StringOps.slugify(once) == once)
+    }
+  }
+
+  test("normalizeColumns renames via slugify") {
+    val df = Seq((1, "x")).toDF("Date de début", "Titre é")
+    assert(StringOps.normalizeColumns(df).columns.toSeq ==
+      Seq("Date_de_debut", "Titre_e"))
+  }
+
+  test("capitalizeFirst is python capitalize, not initcap") {
+    val out = Seq("two words", "ABC").toDF("s")
+      .select(StringOps.capitalizeFirst($"s")).as[String].collect()
+    assert(out.toSeq == Seq("Two words", "Abc"))
+  }
+
+  test("cleanImage reproduces the reference chain") {
+    // update_open_data.py:32-47: first image, no extension, basename,
+    // storage prefix dropped at first dash
+    val out = Seq(
+      "https://s.example/b/abc123-my_image.png,second.jpg",
+      "plain-name.jpg").toDF("s")
+      .select(StringOps.cleanImage($"s")).as[String].collect()
+    assert(out.toSeq == Seq("my_image", "name"))
+  }
+
+  test("frenchLongDate expression matches the Locale.FRENCH formatter") {
+    val dates = Seq("2026-08-12", "1995-01-01", "2000-02-29", "2019-12-31")
+    val df = dates.toDF("s").select(to_date($"s").as("d"))
+    val expr = df.select(DateOps.frenchLongDate($"d")).as[String].collect()
+    val viaUdf = df.select(DateOps.frenchLongDateUdf($"d"))
+      .as[String].collect()
+    assert(expr.toSeq == viaUdf.toSeq)
+    assert(expr(0) == "mercredi 12 août 2026")
+  }
+
+  test("wpDateKey pads month but not day (SURVEY §7.4(5))") {
+    val out = Seq("2026-08-03").toDF("s")
+      .select(DateOps.wpDateKey(to_date($"s"))).as[String].collect()
+    assert(out.head == "3-08-2026")
+  }
+
+  test("band3 checks ==100 before >=70, null falls through") {
+    val out = Seq(Some(100), Some(70), Some(69), None).toDF("s")
+      .select(CondOps.band3($"s", "fb", "maybe", "no")).as[String].collect()
+    assert(out.toSeq == Seq("fb", "maybe", "no", "no"))
+  }
+
+  test("availability: unique / consecutive / sparse branches") {
+    val df = Seq(
+      Seq("2019-01-02"),
+      Seq("2019-01-02", "2019-01-03", "2019-01-04"),
+      Seq("2019-01-02", "2019-01-05")).toDF("ss")
+      .select(transform($"ss", s => to_date(s)).as("dates"))
+    val cal = Availability.calendar("2019-01-01", "2019-01-06")
+    val avail = df.select(Availability.availability(cal, $"dates"))
+      .as[String].collect()
+    assert(avail(0) == "1-01-2019|3-01-2019|4-01-2019|5-01-2019|6-01-2019")
+    assert(avail(1) == "1-01-2019|5-01-2019|6-01-2019")
+    val span = df.select(Availability.dateSpanPretty($"dates"))
+      .as[String].collect()
+    assert(span(0) == "mercredi 02 janvier 2019")
+    assert(span(1) ==
+      "Du mercredi 02 janvier 2019 au vendredi 04 janvier 2019")
+    assert(span(2) ==
+      "mercredi 02 janvier 2019, samedi 05 janvier 2019")
+    val dur = df.select(Availability.durationPretty($"dates"))
+      .as[String].collect()
+    assert(dur.toSeq == Seq("1 jour", "3 jours", "2 jours"))
+  }
+}

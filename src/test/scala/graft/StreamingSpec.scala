@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Ev, SessOut}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyAgg over a MemoryStream matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventsStream.hourlyAgg(events)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.5),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "click", 4.0),
+        (ts("2024-01-01 10:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .orderBy($"event_type", $"hour")
+        .select($"event_type", $"n", $"total".cast("string"))
+        .as[(String, Long, String)].collect()
+      assert(got.toSeq == Seq(
+        ("click", 2L, "3.50"), ("click", 1L, "4.00"),
+        ("view", 1L, "1.00")))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize over a MemoryStream spans micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventsStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(1L, 1L, ts("2024-01-01 10:00:00")),
+        Ev(1L, 2L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // second batch: within gap continues session 1; then a >30min gap
+      mem.addData(
+        Ev(1L, 3L, ts("2024-01-01 10:20:00")),
+        Ev(1L, 4L, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val got = spark.table("sessions").orderBy($"event_id")
+        .as[SessOut].collect().map(s => (s.event_id, s.session_id))
+      assert(got.toSeq ==
+        Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming and batch sessionize agree on the events table") {
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    val batch = graft.queries.EventQueries
+      .queries("ev02_sessionize")(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    val typed = ev.select($"user_id", $"event_id", $"ts").as[Ev]
+    val viaState = EventsStream.sessionize(typed)
+      .collect().map(s => s.event_id -> s.session_id).toMap
+    assert(viaState == batch)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{JaccardJoin, MinHashLSH, SimHash}
+import graft.text.{TextAnalysis, TextHash}
+
+class TextSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive Scala twin of the expression-side shingle hash. */
+  private def naiveShingles(s: String, q: Int): Set[Long] =
+    if (s.length < q) Set.empty
+    else (0 to s.length - q).map { i =>
+      (0 until q).map(j => s.charAt(i + j).toLong *
+        TextHash.pow31(q - 1 - j)).sum
+    }.toSet
+
+  test("shingleHashes matches a naive Scala implementation") {
+    val texts = Seq("key agg row scan", "ab", "abcd")
+    val out = texts.toDF("text")
+      .withColumn("c", TextHash.charCodes($"text"))
+      .select(TextHash.shingleHashesFromCodes($"c", 3))
+      .as[Seq[Long]].collect()
+    texts.zip(out).foreach { case (t, sh) =>
+      assert(sh.toSet == naiveShingles(t, 3), s"for '$t'")
+    }
+  }
+
+  test("planted near-dups are found by all three dedup paths") {
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the cat sleeps near the warm fire in winter evenings"
+    val nearDup = base.replace("winter", "summer")
+    val other = "completely different content about spark catalyst " +
+      "optimizer rules and whole stage code generation internals"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+
+    val jac = JaccardJoin.selfJoinWords(docs, "doc_id", "text",
+      threshold = 0.7).select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(jac.toSeq == Seq((1L, 2L)))
+
+    val mh = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.7).select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(mh.toSeq == Seq((1L, 2L)))
+
+    val sh = SimHash.nearDupPairs(docs, "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(sh.toSeq.contains((1L, 2L)))
+    assert(!sh.toSeq.exists(p => p._2 == 3L))
+  }
+
+  test("langId discriminates real sentences") {
+    val df = Seq(
+      "the cat is on the roof of the house",
+      "le chat est sur le toit et la maison des amis",
+      "el gato y los perros de las casas",
+      "der hund und die katze das haus",
+      "xyzzy plugh").toDF("text")
+    val out = df.select(TextAnalysis.langId(TextHash.tokens($"text")))
+      .as[String].collect()
+    assert(out.toSeq == Seq("en", "fr", "es", "de", "und"))
+  }
+
+  test("qualityScore is in [0,1] and rewards stopword-rich text") {
+    val out = Seq(
+      "the cat is on the mat and the dog is in the house",
+      "zz yy xx ww vv").toDF("text")
+      .select(TextAnalysis.qualityScore(TextHash.tokens($"text")))
+      .as[Double].collect()
+    assert(out.forall(s => s >= 0.0 && s <= 1.0))
+    assert(out(0) > out(1))
+  }
+}
