@@ -66,9 +66,16 @@ object Connectors {
     def download(spark: SparkSession, sheet: String, ws: String): DataFrame =
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(path(sheet, ws))
-    def upload(df: DataFrame, sheet: String, ws: String): Unit =
-      df.coalesce(1).write.mode("overwrite").option("header", "true")
+    /** Sheets are driver-scale by nature; materialize before writing so
+      * a worksheet can be rewritten from a frame derived from itself
+      * (the reference's clean=True replace semantics). */
+    def upload(df: DataFrame, sheet: String, ws: String): Unit = {
+      val spark = df.sparkSession
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      spark.createDataFrame(rows, df.schema)
+        .coalesce(1).write.mode("overwrite").option("header", "true")
         .csv(path(sheet, ws))
+    }
   }
 
   /** K6: notification sink (Slack postMessage at
