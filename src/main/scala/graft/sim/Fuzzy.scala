@@ -40,10 +40,12 @@ object Fuzzy {
     * Ties broken by the *greatest* right key at the max score (struct
     * ordering), deterministically.
     */
+  import graft.core.Par.fanOut
+
   def fuzzyTop1Join(left: DataFrame, leftKey: String,
                     right: DataFrame, rightKey: String,
                     scoreCol: String = "similarity"): DataFrame = {
-    val l = left.select(col(leftKey)).distinct()
+    val l = fanOut(left.select(col(leftKey)).distinct())
     val r = broadcast(right.select(col(rightKey)).distinct())
     val scored = l.crossJoin(r)
       .withColumn(scoreCol, levenshteinRatio(col(leftKey), col(rightKey)))
@@ -96,7 +98,7 @@ object Fuzzy {
                           scoreCol: String = "similarity"): DataFrame = {
     require(minScore > 0 && minScore <= 100)
     val tol = 1.0 - minScore / 100.0
-    val l = left.select(col(leftKey)).distinct()
+    val l = fanOut(left.select(col(leftKey)).distinct())
       .withColumn("__llen", length(col(leftKey)))
     // a pair (la, lb) with ratio >= minScore has |la-lb| <= tol*max(la,lb)
     val r = right.select(col(rightKey)).distinct()

@@ -65,8 +65,9 @@ object JaccardJoin {
         Window.partitionBy(col("id")).orderBy(col("f").asc, col("h").asc)))
       .withColumn("plen",
         col("n") - floor((col("n") * tNum + 9) / 10).cast("int") + 1)
-    val prefix = ranked.filter(col("rnk") <= col("plen"))
-      .select(col("id"), col("h"), col("rnk"), col("n"))
+    val prefix = graft.core.Par.fanOut(
+      ranked.filter(col("rnk") <= col("plen"))
+        .select(col("id"), col("h"), col("rnk"), col("n")))
     // required overlap α = ceil(t/(1+t)·(na+nb)); with t = tNum/10 that
     // is ceil(tNum·(na+nb) / (10+tNum)) — exact integers throughout
     val na = col("a.n"); val nb = col("b.n")

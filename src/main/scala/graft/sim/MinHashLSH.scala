@@ -53,9 +53,11 @@ object MinHashLSH {
         TextHash.charCodes(col(textCol)).as("__codes"))
       .select(col("id"),
         TextHash.shingleHashesFromCodes(col("__codes"), q).as("sh")))
-    val bands = sh.select(col("id"),
+    // pin parallelism: the band frame is tiny in bytes but fans out into
+    // the bucket self-join (graft.core.Par scaladoc)
+    val bands = graft.core.Par.fanOut(sh.select(col("id"),
       posexplode(array((0 until Bands).map(b => bandKey(col("sh"), b)): _*))
-        .as(Seq("band_idx", "band_key")))
+        .as(Seq("band_idx", "band_key"))))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

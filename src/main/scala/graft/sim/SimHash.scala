@@ -56,10 +56,10 @@ object SimHash {
       .select(col(idCol).as("id"),
         TextHash.tokenHashes32(col(textCol)).as("__th"))
       .select(col("id"), simhashFromTokenHashes(col("__th")).as("sim")))
-    val chunks = sh.select(col("id"), col("sim"),
+    val chunks = graft.core.Par.fanOut(sh.select(col("id"), col("sim"),
       posexplode(array((0 until Chunks).map { c =>
         shiftright(col("sim"), c * ChunkBits).bitwiseAND(lit(255L))
-      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      }: _*)).as(Seq("chunk_idx", "chunk_val"))))
     val cand = chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
