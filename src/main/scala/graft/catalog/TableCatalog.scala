@@ -57,6 +57,15 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
       .write.mode("overwrite")
       .parquet(s"${tablePath(table)}/$partField=$partValue")
 
+  /** Bulk form of [[writePartition]]: all partitions in one job via the
+    * native partitioned writer (same field=value layout, full
+    * overwrite). Use for backfills; the single-partition form is the
+    * daily incremental path. */
+  def writePartitioned(df: DataFrame, table: String,
+                       partField: String): Unit =
+    df.write.mode("overwrite").partitionBy(partField)
+      .parquet(tablePath(table))
+
   /** Read a table; partition columns are recovered from directory names. */
   def read(table: String): DataFrame =
     spark.read.option("basePath", tablePath(table))

@@ -72,13 +72,12 @@ object IoQueries {
     }),
 
     // S7 partition-metadata scan over a partitioned catalog table
+    // (bulk-partitioned backfill write, then directory-only listing)
     "s07_partitions" -> ((s, dir) => {
       val cat = new TableCatalog(s, tmp("graft_s07_"))
       val ev = t(s, dir, "events")
         .withColumn("date_extract", col("ts").cast("date").cast("string"))
-      ev.select(col("date_extract")).distinct().collect()
-        .map(_.getString(0)).sorted
-        .foreach(d => cat.writePartition(ev, "events_p", "date_extract", d))
+      cat.writePartitioned(ev, "events_p", "date_extract")
       import s.implicits._
       cat.listPartitions("events_p", "date_extract")
         .toDF("date_extract")
