@@ -97,6 +97,18 @@ object LlmQueries {
       Ann.lshBucketNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
 
+    // U5 token-sort ratio: word-order permutations score 100 where the
+    // plain ratio does not (fuzzywuzzy WRatio fidelity, SURVEY §7.4(6))
+    "u05_token_sort" -> ((s, dir) => {
+      val scrambled = array_join(reverse(split(col("p_name"), " ")), " ")
+      t(s, dir, "part").select(col("p_partkey"),
+          graft.sim.Fuzzy.levenshteinRatio(col("p_name"), scrambled)
+            .as("plain_ratio"),
+          graft.sim.Fuzzy.tokenSortRatio(col("p_name"), scrambled)
+            .as("token_sort_ratio"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Multimodal plumbing: binary payload + typed meta + fake decode +
     // frame sampling
     "mm01_multimodal" -> ((s, dir) => {
@@ -176,6 +188,23 @@ object LlmQueries {
               ORDER BY cos DESC, other DESC) AS rn FROM pairs)
         SELECT vec_id, bucket, other AS neighbor, cos FROM ranked
         WHERE rn = 1 ORDER BY vec_id"""
+    },
+    "u05_token_sort" -> {
+      def ratio(a: String, b: String) =
+        s"""(CASE WHEN GREATEST(LENGTH($a), LENGTH($b)) = 0 THEN 100
+            ELSE CAST(FLOOR(100.0 * (GREATEST(LENGTH($a), LENGTH($b))
+              - levenshtein($a, $b)) / GREATEST(LENGTH($a), LENGTH($b)))
+              AS INT) END)"""
+      def sorted(e: String) =
+        s"array_to_string(list_sort(string_split_regex($e, ' +')), ' ')"
+      s"""WITH b AS (SELECT p_partkey, p_name,
+            array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+              AS scrambled FROM part)
+          SELECT p_partkey,
+            ${ratio("p_name", "scrambled")} AS plain_ratio,
+            ${ratio(sorted("p_name"), sorted("scrambled"))}
+              AS token_sort_ratio
+          FROM b ORDER BY p_partkey"""
     },
     "mm01_multimodal" ->
       """SELECT doc_id,

@@ -42,6 +42,16 @@ object Fuzzy {
     */
   import graft.core.Par.fanOut
 
+  /** Token-sort ratio (SURVEY §7.4(6)): the levenshtein ratio over
+    * whitespace tokens sorted lexicographically — fuzzywuzzy's
+    * token_sort_ratio, the component of WRatio that makes word-order
+    * permutations score 100. Pure builtins, fully codegen-compatible. */
+  def tokenSortRatio(a: Column, b: Column): Column = {
+    def normalize(c: Column): Column =
+      array_join(sort_array(split(c, " +")), " ")
+    levenshteinRatio(normalize(a), normalize(b))
+  }
+
   def fuzzyTop1Join(left: DataFrame, leftKey: String,
                     right: DataFrame, rightKey: String,
                     scoreCol: String = "similarity"): DataFrame = {
@@ -55,6 +65,27 @@ object Fuzzy {
               col("__best").getField(rightKey).as(rightKey),
               col("__best").getField(scoreCol).as(scoreCol))
     left.join(best, Seq(leftKey), "left")
+  }
+
+  /** Generalized top-k: the k best right matches per left key (the
+    * reference's `process.extract(limit=k)` for k > 1). k is small by
+    * contract, so the per-key window is bounded; output keeps the full
+    * left payload, one row per (left row, rank). */
+  def fuzzyTopKJoin(left: DataFrame, leftKey: String,
+                    right: DataFrame, rightKey: String, k: Int,
+                    scoreCol: String = "similarity"): DataFrame = {
+    require(k >= 1)
+    val l = fanOut(left.select(col(leftKey)).distinct())
+    val r = broadcast(right.select(col(rightKey)).distinct())
+    val scored = l.crossJoin(r)
+      .withColumn(scoreCol, levenshteinRatio(col(leftKey), col(rightKey)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(leftKey))
+      .orderBy(col(scoreCol).desc, col(rightKey).desc)
+    val topK = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    left.join(topK, Seq(leftKey), "left")
   }
 
   /** Thresholded ratio: the similarity when it is >= minScore, else null.

@@ -54,6 +54,24 @@ class DedupFuzzySpec extends SparkSpec {
     }
   }
 
+  test("tokenSortRatio is word-order invariant") {
+    val out = Seq(("hello big world", "world big hello"))
+      .toDF("a", "b")
+      .select(Fuzzy.tokenSortRatio($"a", $"b").as("tsr"),
+        Fuzzy.levenshteinRatio($"a", $"b").as("plain"))
+      .as[(Int, Int)].collect()(0)
+    assert(out._1 == 100 && out._2 < 100)
+  }
+
+  test("fuzzyTopKJoin returns k ranked matches with payload") {
+    val left = Seq((1, "alpha")).toDF("id", "name")
+    val right = Seq("alphax", "alphayy", "zzzzz").toDF("r")
+    val out = Fuzzy.fuzzyTopKJoin(left, "name", right, "r", 2)
+      .orderBy($"rank")
+      .select($"id", $"rank", $"r").as[(Int, Int, String)].collect()
+    assert(out.toSeq == Seq((1, 1, "alphax"), (1, 2, "alphayy")))
+  }
+
   test("fuzzyTop1Join attaches best match to full left payload") {
     val left = Seq((1, "alpha corp"), (2, "beta inc"), (3, "gamma llc"))
       .toDF("id", "name")
