@@ -4,12 +4,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR on
   * local[cpus] and prints one JSON line.
   *
-  * Methodology (per round-1 findings): a warmup pass at the smallest scale
-  * factor absorbs JVM/session/codegen startup; timing forces full
+  * Methodology (per round-1/2 findings): a warmup pass at the smallest
+  * scale factor absorbs JVM/session/codegen startup; timing forces full
   * materialization through a noop write (`.count()` lets Catalyst prune
   * every column, so a scan query would bench parquet footer reads only);
   * failures propagate — a broken query must fail the bench run, not report
-  * a fake timing.
+  * a fake timing. Between measurements the session is scrubbed (cache
+  * clear + an explicit GC cycle so the ContextCleaner reclaims broadcast/
+  * shuffle blocks): 168 back-to-back query runs in one JVM otherwise
+  * accumulate enough heap pressure that late queries measure GC stalls,
+  * not plans (round-2 bench: q01 46 s after the dedup queries vs 0.7 s
+  * in a fresh session).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,6 +40,8 @@ object Bench {
     names.foreach(run(_, warmDir))
 
     val results = names.map { name =>
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       run(name, sfDir)
       name -> (System.nanoTime() - t0) / 1e9

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.Dedup
@@ -35,18 +35,26 @@ object SparkEntry {
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 group-aggregate (reference wp_export_data.py:39 group-count,
-    // generalized to the TPC-H Q1 shape). Decimal casts make the sums
-    // order-independent and oracle-exact.
+    // generalized to the TPC-H Q1 shape). Sums run over
+    // floor(x*scale + 0.5) integer cents: pure IEEE double arithmetic
+    // that every engine evaluates bit-identically, so the final decimal
+    // cast never lands on a rounding tie (double→DECIMAL tie-breaking
+    // differs between Spark's string-based HALF_UP and binary-value
+    // rounding). The scaled sums are exact integers far below 2^53 at
+    // gate scale.
     "q01_pricing_summary" -> ((s, dir) => {
+      def cents(c: Column, scale: Double): Column =
+        floor(c * lit(scale) + lit(0.5)).cast("long")
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)"))
+          (sum(cents(col("l_quantity"), 100.0)).cast("double") / 100.0)
             .cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
+          (sum(cents(col("l_extendedprice"), 100.0)).cast("double") / 100.0)
             .cast("decimal(18,2)").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("decimal(18,4)").as("sum_disc_price"),
+          (sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+                     10000.0)).cast("double") / 10000.0)
+            .cast("decimal(18,4)").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -114,9 +122,9 @@ object SparkEntry {
   private def baseOracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+         CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS DECIMAL(18,2)) AS sum_qty,
+         CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS DECIMAL(18,2)) AS sum_base_price,
+         CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS DECIMAL(18,4)) AS sum_disc_price,
          COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",

@@ -22,7 +22,11 @@ object EventQueries {
         .groupBy(col("event_type"),
                  date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,2)"))
+             // floor(x*100+0.5) cents keep the sum IEEE-exact in every
+             // engine so the decimal cast never hits a rounding tie
+             // (see q01 in SparkEntry)
+             (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+                .cast("double") / 100.0)
                .cast("decimal(18,2)").as("total"))
         .orderBy(col("event_type"), col("hour"))),
 
@@ -49,7 +53,8 @@ object EventQueries {
     "ev01_hourly_agg" ->
       """SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour,
          COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         CAST(CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 100.0 AS DECIMAL(18,2)) AS total
          FROM events GROUP BY event_type, hour
          ORDER BY event_type, hour""",
     "ev02_sessionize" ->

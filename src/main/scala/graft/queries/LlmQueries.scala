@@ -110,13 +110,17 @@ object LlmQueries {
     }),
 
     // Multimodal plumbing: binary payload + typed meta + fake decode +
-    // frame sampling
+    // frame sampling. The struct/array forms stay covered in OpsSpec;
+    // the gate serializes them (pandas canonicalization cannot sort
+    // struct/array cells): meta → its scalar fields, frames → '|'-join.
     "mm01_multimodal" -> ((s, dir) => {
       val bin = Multimodal.toBinary(col("text"))
       val (nb, dig, h8) = Multimodal.fakeFeatures(bin)
+      val meta = Multimodal.metaStruct(col("lang"), col("n_chars"))
       t(s, dir, "documents").select(col("doc_id"), nb, dig, h8,
-          Multimodal.metaStruct(col("lang"), col("n_chars")).as("meta"),
-          Multimodal.frameSample(bin, 3, 16).as("frames"))
+          meta.getField("lang").as("meta_lang"),
+          meta.getField("n_chars").as("meta_n_chars"),
+          array_join(Multimodal.frameSample(bin, 3, 16), "|").as("frames"))
         .orderBy(col("doc_id"))
     })
   )
@@ -211,10 +215,11 @@ object LlmQueries {
          CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
          md5(text) AS digest,
          lower(hex(substring(text, 1, 8)::BLOB)) AS head8,
-         {'lang': lang, 'n_chars': n_chars} AS meta,
-         [lower(hex(substring(text, 1, 16)::BLOB)),
+         lang AS meta_lang,
+         n_chars AS meta_n_chars,
+         array_to_string([lower(hex(substring(text, 1, 16)::BLOB)),
           lower(hex(substring(text, 17, 16)::BLOB)),
-          lower(hex(substring(text, 33, 16)::BLOB))] AS frames
+          lower(hex(substring(text, 33, 16)::BLOB))], '|') AS frames
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -35,11 +35,17 @@ object StringQueries {
             .as("s_num"))
         .orderBy(col("s_suppkey"))),
 
-    // X4 split → array (process_open_data.py:48)
-    "x04_split_array" -> ((s, dir) =>
+    // X4 split → array (process_open_data.py:48). The array itself is
+    // covered in OpsSpec; the gate serializes it (the driver's pandas
+    // canonicalization cannot sort array cells) and carries its size so
+    // the array shape still gates.
+    "x04_split_array" -> ((s, dir) => {
+      val words = split(col("p_name"), " ")
       t(s, dir, "part").select(col("p_partkey"),
-          split(col("p_name"), " ").as("words"))
-        .orderBy(col("p_partkey"))),
+          array_join(words, "|").as("words"),
+          size(words).as("n_words"))
+        .orderBy(col("p_partkey"))
+    }),
 
     // X5 split → positional columns (process_open_data.py:72-73 lat/lon)
     "x05_split_positional" -> ((s, dir) => {
@@ -121,7 +127,9 @@ object StringQueries {
          CAST(regexp_extract(s_name, '#([0-9]+)', 1) AS BIGINT) AS s_num
          FROM supplier ORDER BY s_suppkey""",
     "x04_split_array" ->
-      """SELECT p_partkey, string_split(p_name, ' ') AS words
+      """SELECT p_partkey,
+         array_to_string(string_split(p_name, ' '), '|') AS words,
+         CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
          FROM part ORDER BY p_partkey""",
     "x05_split_positional" ->
       """WITH b AS (SELECT c_custkey,

@@ -44,13 +44,29 @@ object MinHashLSH {
   def minhash(sh: Column, j: Int): Column =
     array_min(transform(sh, h => (lit(permA(j)) * h + lit(permB(j))) % P))
 
-  /** Band key b: '_'-joined minhashes of the band's rows. */
-  def bandKey(sh: Column, b: Int): Column =
-    concat_ws("_",
-      (0 until Rows).map(r => minhash(sh, b * Rows + r).cast("string")): _*)
+  /** Signature-agreement floor for the estimated-Jaccard pre-filter:
+    * candidates whose signatures agree on fewer than
+    * ceil((threshold − 0.05)·NumPerm) of the NumPerm minhashes skip the
+    * exact verify. A band collision already fixes Rows=6 agreeing
+    * permutations, so the prune bites on the other 18: at t=0.8 the
+    * floor is 18/24, a true J=0.8 pair fails with
+    * P[6 + Binom(18,.8) < 18] ≈ 4% (on top of LSH's own ~30% miss rate
+    * at exactly t — this is an approximate operator), a planted J≈0.93
+    * near-dup with ≈0.1%, while ~85% of the J≈0.55 collision tail (the
+    * verify cost driver on correlated corpora) is dropped before
+    * touching full shingle arrays. The oracle SQL applies the identical
+    * integer count, so the gate stays exact. */
+  def minAgree(threshold: Double): Int =
+    math.ceil((threshold - 0.05) * NumPerm).toInt
 
   /** Near-duplicate pairs (idA < idB) with exact Jaccard >= threshold
-    * among LSH band-collision candidates. Output: (doc_a, doc_b, jacc). */
+    * among LSH band-collision candidates. Output: (doc_a, doc_b, jacc).
+    *
+    * Verify is two-staged for scale: candidates first meet over the
+    * NumPerm-element signatures (fixed 24 longs/row — cheap to shuffle
+    * at any corpus size) and only signature-agreement survivors join the
+    * full shingle arrays for the exact intersect. This keeps the wide
+    * arrays out of the candidate-volume join entirely. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    q: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = Fence(docs
@@ -58,10 +74,17 @@ object MinHashLSH {
         TextHash.charCodes(col(textCol)).as("__codes"))
       .select(col("id"),
         TextHash.shingleHashesFromCodes(col("__codes"), q).as("sh")))
+    // compute all NumPerm minhashes once over the fenced shingles; fence
+    // again so band keys and the signature join don't re-derive them
+    val sig = Fence(sh.select(col("id"), size(col("sh")).as("n"),
+      array((0 until NumPerm).map(j => minhash(col("sh"), j)): _*).as("sig")))
+    def bandKey(b: Int): Column = concat_ws("_",
+      (0 until Rows).map(r =>
+        element_at(col("sig"), b * Rows + r + 1).cast("string")): _*)
     // pin parallelism: the band frame is tiny in bytes but fans out into
     // the bucket self-join (graft.core.Par scaladoc)
-    val bands = graft.core.Par.fanOut(sh.select(col("id"),
-      posexplode(array((0 until Bands).map(b => bandKey(col("sh"), b)): _*))
+    val bands = graft.core.Par.fanOut(sig.select(col("id"),
+      posexplode(array((0 until Bands).map(bandKey): _*))
         .as(Seq("band_idx", "band_key"))))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -70,16 +93,25 @@ object MinHashLSH {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+    val tNum = math.round(threshold * 10)
+    val ga = sig.select(col("id").as("doc_a"), col("n").as("n_a"),
+      col("sig").as("sig_a"))
+    val gb = sig.select(col("id").as("doc_b"), col("n").as("n_b"),
+      col("sig").as("sig_b"))
+    val agree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+    val survivors = cand.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
+      // provably-safe size prune: a size ratio below the threshold
+      // already bounds Jaccard below it
+      .filter(lit(10) * least(col("n_a"), col("n_b")) >=
+        lit(tNum) * greatest(col("n_a"), col("n_b")))
+      .filter(agree >= minAgree(threshold))
+      .select(col("doc_a"), col("doc_b"))
     val sa = sh.select(col("id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    val tNum = math.round(threshold * 10)
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      // provably-safe size prune before the O(n) intersect: a size ratio
-      // below the threshold already bounds Jaccard below it
-      .filter(lit(10) * least(size(col("sh_a")), size(col("sh_b"))) >=
-        lit(tNum) * greatest(size(col("sh_a")), size(col("sh_b"))))
+    survivors.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .withColumn("jacc", inter.cast("double") / union)
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc"))
@@ -97,6 +129,10 @@ object MinHashLSH {
         .mkString(" || '_' || ")
       s"SELECT id, $b AS band_idx, $key AS band_key FROM sig"
     }.mkString("\n            UNION ALL ")
+    val tNum = math.round(threshold * 10)
+    val agreeSum = (0 until NumPerm)
+      .map(j => s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
     s"""WITH sh AS (SELECT $idCol AS id,
             ${TextHash.shingleHashesSql(textCol, q)} AS sh FROM $tbl),
           sig AS (SELECT id, sh, $sigExprs FROM sh),
@@ -105,11 +141,17 @@ object MinHashLSH {
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                 AND a.id < b.id),
+          est AS (SELECT doc_a, doc_b
+            FROM cand JOIN sig x ON cand.doc_a = x.id
+                      JOIN sig y ON cand.doc_b = y.id
+            WHERE 10 * least(len(x.sh), len(y.sh)) >=
+                    $tNum * greatest(len(x.sh), len(y.sh))
+              AND ($agreeSum) >= ${minAgree(threshold)}),
           v AS (SELECT doc_a, doc_b,
               len(list_intersect(x.sh, y.sh)) AS inter,
               len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS un
-            FROM cand JOIN sh x ON cand.doc_a = x.id
-                      JOIN sh y ON cand.doc_b = y.id)
+            FROM est JOIN sh x ON est.doc_a = x.id
+                     JOIN sh y ON est.doc_b = y.id)
         SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jacc FROM v
         WHERE CAST(inter AS DOUBLE) / un >= $threshold
         ORDER BY doc_a, doc_b"""

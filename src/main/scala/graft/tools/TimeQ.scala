@@ -18,6 +18,8 @@ object TimeQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
+      spark.catalog.clearCache()
+      System.gc()
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       if (doExplain) df.explain("formatted")
       val t0 = System.nanoTime()
