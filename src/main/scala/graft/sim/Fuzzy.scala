@@ -122,11 +122,28 @@ object Fuzzy {
     * Shuffles: one hash shuffle of each side on the band key (an
     * equi-join Catalyst can plan as sort-merge at any scale), then the
     * same partial-agg arg-max as [[fuzzyTop1Join]].
+    *
+    * `saltBuckets` picks the physical strategy for the band join:
+    *  - 0 (default): broadcast the banded right side. The join
+    *    degenerates to few hot band keys when lengths concentrate, and a
+    *    plain shuffle join would put every pair of a hot band in one
+    *    task; broadcast-hash keeps the big left side streaming in
+    *    parallel.
+    *  - N > 0: the fallback when the banded right side exceeds broadcast
+    *    scale — salt the band key N ways: each left row takes a
+    *    deterministic salt `hash(leftKey) mod N`, each banded right row
+    *    is replicated across all N salts, and the join runs as a plain
+    *    shuffle equi-join on (band, salt). A hot band now spreads over N
+    *    tasks at the cost of an N× right-side replication (right is the
+    *    smaller side by contract). Output is identical to the broadcast
+    *    path: every (left, compatible-right) pair still meets exactly
+    *    once.
     */
   def fuzzyTop1JoinBanded(left: DataFrame, leftKey: String,
                           right: DataFrame, rightKey: String,
                           minScore: Int = 60,
-                          scoreCol: String = "similarity"): DataFrame = {
+                          scoreCol: String = "similarity",
+                          saltBuckets: Int = 0): DataFrame = {
     require(minScore > 0 && minScore <= 100)
     val tol = 1.0 - minScore / 100.0
     val l = fanOut(left.select(col(leftKey)).distinct())
@@ -137,12 +154,17 @@ object Fuzzy {
       .withColumn("__band",
         explode(sequence(ceil(col("__rlen") * (1.0 - tol)).cast("int"),
                          floor(col("__rlen") / (1.0 - tol)).cast("int"))))
-    // broadcast the banded right side: the join degenerates to few hot
-    // band keys when lengths concentrate, and a shuffle join would put
-    // every pair of a hot band in one task. Broadcast-hash keeps the
-    // big left side streaming in parallel. (At a right side beyond
-    // broadcast scale: salt the band key instead.)
-    val scored = l.join(broadcast(r), col("__llen") === col("__band"))
+    val joined =
+      if (saltBuckets <= 0) l.join(broadcast(r), col("__llen") === col("__band"))
+      else {
+        val ls = l.withColumn("__lsalt",
+          pmod(hash(col(leftKey)), lit(saltBuckets)))
+        val rs = r.withColumn("__rsalt",
+          explode(array((0 until saltBuckets).map(lit): _*)))
+        ls.join(rs, col("__llen") === col("__band") &&
+                    col("__lsalt") === col("__rsalt"))
+      }
+    val scored = joined
       .withColumn(scoreCol,
         levenshteinRatioBounded(col(leftKey), col(rightKey), minScore))
       .filter(col(scoreCol).isNotNull)

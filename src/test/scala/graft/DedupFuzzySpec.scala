@@ -85,6 +85,32 @@ class DedupFuzzySpec extends SparkSpec {
     assert(out(1)._3 == "betta inc")
   }
 
+  test("banded join: salted fallback matches broadcast output on a " +
+       "skewed-length corpus and needs no broadcast") {
+    // every name length 10 → one hot band key; salting must spread it
+    // without changing the result
+    val left = (1 to 60).map(i => (i, f"leftname$i%02d")).toDF("id", "name")
+    val right = (1 to 30).map(i => f"leftnam${i}%03d").toDF("r")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"r", $"similarity")
+        .as[(Int, Option[String], Option[Int])].collect().sortBy(_._1).toSeq
+    val plain = Fuzzy.fuzzyTop1JoinBanded(left, "name", right, "r", 60)
+    val salted = Fuzzy.fuzzyTop1JoinBanded(left, "name", right, "r", 60,
+      saltBuckets = 4)
+    assert(rows(plain) == rows(salted))
+    // the salted band join itself must not require a broadcast: with
+    // broadcast planning disabled the query still runs (and matches)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val saltedNoBc = Fuzzy.fuzzyTop1JoinBanded(left, "name", right, "r",
+        60, saltBuckets = 4)
+      assert(rows(saltedNoBc) == rows(plain))
+      assert(!saltedNoBc.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("banded join: below-threshold rows get null match") {
     // ratio("alpha corp","alpha corporation") = floor(100*(17-7)/17) = 58
     val left = Seq((1, "alpha corp"), (2, "zzzzzz")).toDF("id", "name")
