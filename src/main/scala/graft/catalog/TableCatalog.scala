@@ -38,13 +38,18 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
     else { writeFull(df, table); true }
 
   /** Create an empty partitioned table from a registry schema (K2's
-    * create_from_schema_partition_table). */
+    * create_from_schema_partition_table). The schema anchor is one empty
+    * footer-bearing parquet file under `_schema/` — an underscore prefix
+    * is invisible to Spark partition discovery, so a fresh table lists
+    * zero partitions and never shows a phantom partition value (the
+    * previous `_schema_placeholder=true` directory did). */
   def createFromSchema(table: String, schema: StructType): Unit = {
     if (!tableExists(table)) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .repartition(1) // one 0-row file that still carries the schema
         .write.mode("overwrite")
-        .parquet(tablePath(table) + "/_schema_placeholder=true")
+        .parquet(tablePath(table) + "/_schema")
     }
   }
 
@@ -66,10 +71,19 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
     df.write.mode("overwrite").partitionBy(partField)
       .parquet(tablePath(table))
 
-  /** Read a table; partition columns are recovered from directory names. */
-  def read(table: String): DataFrame =
-    spark.read.option("basePath", tablePath(table))
-      .parquet(tablePath(table))
+  /** Read a table; partition columns are recovered from directory names.
+    * A fresh schema-only table (no partitions written yet) reads as an
+    * empty frame with the declared schema from the `_schema` anchor. */
+  def read(table: String): DataFrame = {
+    val hasData = Option(new File(tablePath(table)).listFiles())
+      .getOrElse(Array.empty)
+      .exists(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    if (hasData)
+      spark.read.option("basePath", tablePath(table))
+        .parquet(tablePath(table))
+    else
+      spark.read.parquet(tablePath(table) + "/_schema")
+  }
 
   /** S7: partition-metadata scan (the `$__PARTITIONS_SUMMARY__` scans at
     * custom_search_extraction.py:53-57) — directory listing only, no

@@ -67,13 +67,22 @@ class ZipCsvSource(fetcher: Fetcher) {
            encoding: String = "UTF-8",
            columns: Seq[String] = Nil): DataFrame = {
     val dir = Files.createTempDirectory("graft_zip_").toFile
+    val dirPath = dir.toPath.toAbsolutePath.normalize()
     val zin = new ZipInputStream(
       new java.io.ByteArrayInputStream(fetcher.fetch(url)))
     try {
       var e = zin.getNextEntry
       while (e != null) {
         if (!e.isDirectory) {
-          val out = new FileOutputStream(new File(dir, e.getName))
+          // zip-slip guard: a crafted archive can carry '../' entry names
+          // that would escape the staging dir — resolve and verify before
+          // writing; nested entry paths need their parents created
+          val target = dirPath.resolve(e.getName).normalize()
+          if (!target.startsWith(dirPath))
+            throw new SecurityException(
+              s"zip entry escapes staging dir: ${e.getName}")
+          Files.createDirectories(target.getParent)
+          val out = new FileOutputStream(target.toFile)
           try out.write(zin.readAllBytes()) finally out.close()
         }
         zin.closeEntry(); e = zin.getNextEntry
@@ -83,6 +92,7 @@ class ZipCsvSource(fetcher: Fetcher) {
       .option("header", "true").option("sep", sep)
       .option("encoding", encoding).option("mode", "DROPMALFORMED")
       .option("inferSchema", "true")
+      .option("recursiveFileLookup", "true") // nested zip entries
       .csv(dir.toString)
     if (columns.isEmpty) df else df.select(columns.map(col).toIndexedSeq: _*)
   }

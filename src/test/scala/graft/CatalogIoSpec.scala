@@ -48,6 +48,49 @@ class CatalogIoSpec extends SparkSpec {
       Seq("2020-01-01", "2020-01-02"))
   }
 
+  test("createFromSchema yields an empty table with zero partitions") {
+    val cat = new TableCatalog(spark, tmp("cat3_"))
+    val schema = StructType(Seq(
+      StructField("titre", StringType, true),
+      StructField("rank", DoubleType, true),
+      StructField("date_extract", StringType, true)))
+    cat.createFromSchema("t", schema)
+    assert(cat.listPartitions("t", "date_extract").isEmpty)
+    val fresh = cat.read("t")
+    assert(fresh.schema == schema)
+    assert(fresh.count() == 0)
+    // first real partition write then behaves like any other table
+    val df = Seq(("a", 1.0, "2020-01-01")).toDF(
+      "titre", "rank", "date_extract")
+    cat.writePartition(df, "t", "date_extract", "2020-01-01")
+    assert(cat.read("t").count() == 1)
+    assert(cat.listPartitions("t", "date_extract").map(_.toString) ==
+      Seq("2020-01-01"))
+  }
+
+  test("ZipCsvSource rejects zip-slip entry names") {
+    val stage = tmp("zipslip_")
+    val zipPath = s"$stage/evil.zip"
+    val z = new ZipOutputStream(new FileOutputStream(zipPath))
+    z.putNextEntry(new ZipEntry("../../escape.csv"))
+    z.write("k;v\n1;a".getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+    intercept[SecurityException] {
+      new ZipCsvSource(FileFetcher).read(spark, zipPath)
+    }
+  }
+
+  test("ZipCsvSource reads nested entry paths") {
+    val stage = tmp("zipnest_")
+    val zipPath = s"$stage/n.zip"
+    val z = new ZipOutputStream(new FileOutputStream(zipPath))
+    z.putNextEntry(new ZipEntry("sub/dir/a.csv"))
+    z.write("k;v\n7;n".getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+    val df = new ZipCsvSource(FileFetcher).read(spark, zipPath)
+    assert(df.as[(Int, String)].collect().toSeq == Seq((7, "n")))
+  }
+
   test("writeIfAbsent is a no-op when the table exists") {
     val cat = new TableCatalog(spark, tmp("cat2_"))
     assert(cat.writeIfAbsent(Seq(1, 2, 3).toDF("v"), "t"))
