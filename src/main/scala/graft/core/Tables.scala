@@ -23,10 +23,19 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
     * rejects; read it as raw nanos and truncate to a microsecond
     * timestamp (exactly what DuckDB's `ts::TIMESTAMP` does, keeping the
-    * oracle comparable). */
+    * oracle comparable).
+    *
+    * Scoped, not session-global: the declared schema (ts LONG) skips
+    * footer schema inference — the one path that reads the legacy-nanos
+    * flag from the session conf — and the per-read option lands in this
+    * relation's hadoop conf for the execution-time schema converter. No
+    * shared-session parquet behavior is mutated. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    spark.read
+      .schema("event_id LONG, ts LONG, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
   }

@@ -76,12 +76,18 @@ class ValidationPipeline(
     val history = sheets.download(spark, sheet, "history")
       .withColumn("date_upload", to_date(col("date_upload")))
     // union + keep-last dedup: newest upload wins (:98-106; A3 with the
-    // implicit order made explicit, SURVEY §7.4(1))
+    // implicit order made explicit, SURVEY §7.4(1)). The tie-break is a
+    // source-precedence column — when a history row and a fresh geocoded
+    // row share the same date_upload (rerunning retreat the same day),
+    // pandas keep='last' keeps the freshly-appended row, so the geocoded
+    // side gets the smaller (asc-first) precedence value.
     val merged = Dedup.dedupKeepLast(
-      history.unionByName(
-        geocoded.select(history.columns.map(col).toIndexedSeq: _*),
+      history.withColumn("__src", lit(1)).unionByName(
+        geocoded.select(history.columns.map(col).toIndexedSeq: _*)
+          .withColumn("__src", lit(0)),
         allowMissingColumns = true),
-      Seq("titre"), col("date_upload"), col("titre"))
+      Seq("titre"), col("date_upload"), col("__src"))
+      .drop("__src")
       // arrondissement map (:108-135) + Paris filter (:139)
       .withColumn("arrondissement",
         CondOps.mapLookup(CondOps.arrondissementMap,

@@ -19,13 +19,21 @@ object Runner {
     val fired = scala.collection.mutable.ArrayBuffer[String]()
     def fire(url: String): Unit = fired += url
   }
-  /** Production impl: fire-and-forget GET (unused in tests). */
+  /** Production impl: fire-and-forget GET (unused in tests). Both
+    * timeouts are set — without a read timeout a hung endpoint would
+    * block the daily loop indefinitely — and IO failures are logged,
+    * never propagated: a dead trigger endpoint must not abort the run. */
   class HttpTrigger extends Trigger {
-    def fire(url: String): Unit = {
-      val conn = new java.net.URI(url).toURL.openConnection()
-      conn.setConnectTimeout(10000)
-      conn.getInputStream.close()
-    }
+    def fire(url: String): Unit =
+      try {
+        val conn = new java.net.URI(url).toURL.openConnection()
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(10000)
+        conn.getInputStream.close()
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[graft] trigger $url failed: ${e.getMessage}")
+      }
   }
 
   /** Idempotency guard: run `step` only when `today`'s partition of

@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   * source of truth on both sides of the correctness gate.
   *
   * Scale: everything here is a pure expression (whole-stage codegen, no
-  * UDF, no shuffle); the 12-char cap keeps every product within Int64 in
-  * both engines (31^11 * 122 < 2^63), since DuckDB errors on overflow.
+  * UDF, no shuffle). Character codes are reduced mod the prime 257 before
+  * the polynomial accumulation: `ascii` returns the full Unicode codepoint
+  * (up to 0x10FFFF) in both engines, and an unreduced codepoint times
+  * 31^11 overflows Int64 — Spark would wrap silently while DuckDB errors,
+  * so CJK/emoji/accented text would desync the oracle. Mod 257 leaves all
+  * single-byte codes (0-255) untouched and bounds the 12-term sum at
+  * 256 * (31^12-1)/30 < 2^63, keeping both engines exact on any input.
   */
 object TextHash {
 
@@ -24,19 +29,25 @@ object TextHash {
 
   val MaxChars = 12
 
+  /** Codepoint-reduction prime: > 255 so Latin-1 codes pass through,
+    * small enough that every polynomial sum here stays within Int64. */
+  val CodeMod = 257L
+
   /** Base-31 hash of (the first 12 chars of) a short string. Out-of-range
     * positions contribute 0 — `ascii('') = 0` in both engines — so short
     * strings hash consistently. */
   def charHash(c: Column): Column =
     (0 until MaxChars).map { i =>
-      ascii(c.substr(lit(i + 1), lit(1))) * lit(pow31(MaxChars - 1 - i))
+      ascii(c.substr(lit(i + 1), lit(1))).cast("bigint") % lit(CodeMod) *
+        lit(pow31(MaxChars - 1 - i))
     }.reduce(_ + _)
 
   /** DuckDB rendering of [[charHash]] over SQL expression `e` (ascii is
     * INT32 there and errors on overflow — hence the BIGINT cast). */
   def charHashSql(e: String): String =
     (0 until MaxChars).map { i =>
-      s"ascii(substring($e, ${i + 1}, 1))::BIGINT * ${pow31(MaxChars - 1 - i)}"
+      s"ascii(substring($e, ${i + 1}, 1))::BIGINT % $CodeMod * " +
+        s"${pow31(MaxChars - 1 - i)}"
     }.mkString("(", " + ", ")")
 
   /** Character codes of a text column as an int array. Used to
@@ -57,7 +68,8 @@ object TextHash {
     val grams = transform(
       sequence(lit(1), size(codes) - (q - 1)),
       i => (0 until q).map { j =>
-        element_at(codes, i + lit(j)).cast("bigint") * lit(pow31(q - 1 - j))
+        element_at(codes, i + lit(j)).cast("bigint") % lit(CodeMod) *
+          lit(pow31(q - 1 - j))
       }.reduce(_ + _))
     when(size(codes) < q, array().cast("array<bigint>"))
       .otherwise(array_distinct(grams))
@@ -72,7 +84,8 @@ object TextHash {
     * where Spark's `sequence` is inclusive, hence the q-2 offset. */
   def shingleHashesSql(e: String, q: Int): String = {
     val term = (0 until q).map { j =>
-      s"ascii(substring($e, i + $j, 1))::BIGINT * ${pow31(q - 1 - j)}"
+      s"ascii(substring($e, i + $j, 1))::BIGINT % $CodeMod * " +
+        s"${pow31(q - 1 - j)}"
     }.mkString(" + ")
     s"""CASE WHEN length($e) < $q THEN []::BIGINT[]
         ELSE list_distinct(list_transform(

@@ -28,5 +28,8 @@ class CoreSpec extends SparkSpec {
     assert(ev.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
     assert(ev.count() == 1000)
+    // the legacy nanos flag is scoped to the events read, not the session
+    assert(spark.conf.getOption(
+      "spark.sql.legacy.parquet.nanosAsLong").forall(_ == "false"))
   }
 }

@@ -12,7 +12,7 @@ class TextSimSpec extends SparkSpec {
   private def naiveShingles(s: String, q: Int): Set[Long] =
     if (s.length < q) Set.empty
     else (0 to s.length - q).map { i =>
-      (0 until q).map(j => s.charAt(i + j).toLong *
+      (0 until q).map(j => (s.charAt(i + j).toLong % TextHash.CodeMod) *
         TextHash.pow31(q - 1 - j)).sum
     }.toSet
 
@@ -24,6 +24,21 @@ class TextSimSpec extends SparkSpec {
       .as[Seq[Long]].collect()
     texts.zip(out).foreach { case (t, sh) =>
       assert(sh.toSet == naiveShingles(t, 3), s"for '$t'")
+    }
+  }
+
+  test("hashes stay within Int64 on non-Latin codepoints") {
+    // CJK + emoji codepoints are far above 255; unreduced they would
+    // overflow Long in the 31^11 term (silent wrap in Spark, error in
+    // DuckDB). charHash must stay positive and match charHashSql's math.
+    val texts = Seq("你好世界😀abc",
+      "café résumé über")
+    val out = texts.toDF("t")
+      .select(TextHash.charHash($"t"), TextHash.shingleHashes($"t", 5))
+      .as[(Long, Seq[Long])].collect()
+    out.foreach { case (h, sh) =>
+      assert(h >= 0L && h < Long.MaxValue)
+      assert(sh.forall(v => v >= 0L))
     }
   }
 
