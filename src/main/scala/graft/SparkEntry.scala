@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.Dedup
-import graft.queries.{AggWindowQueries, CondQueries, DateQueries,
-  EventQueries, FilterQueries, IoQueries, JoinQueries, LlmQueries,
-  StringQueries}
+import graft.queries.{AggWindowQueries, CondQueries, ConnectorQueries,
+  DateQueries, EventQueries, FilterQueries, IoQueries, JoinQueries,
+  LlmQueries, StringQueries}
 import graft.sim.Fuzzy
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -25,13 +25,15 @@ object SparkEntry {
     base ++ StringQueries.queries ++ DateQueries.queries ++
       CondQueries.queries ++ FilterQueries.queries ++
       JoinQueries.queries ++ AggWindowQueries.queries ++
-      LlmQueries.queries ++ EventQueries.queries ++ IoQueries.queries
+      LlmQueries.queries ++ EventQueries.queries ++ IoQueries.queries ++
+      ConnectorQueries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++ StringQueries.oracle ++ DateQueries.oracle ++
       CondQueries.oracle ++ FilterQueries.oracle ++
       JoinQueries.oracle ++ AggWindowQueries.oracle ++
-      LlmQueries.oracle ++ EventQueries.oracle ++ IoQueries.oracle
+      LlmQueries.oracle ++ EventQueries.oracle ++ IoQueries.oracle ++
+      ConnectorQueries.oracle
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 group-aggregate (reference wp_export_data.py:39 group-count,

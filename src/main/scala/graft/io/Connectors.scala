@@ -28,7 +28,11 @@ object Connectors {
     }
   }
 
-  /** U1/U2: Facebook id/url resolution (get_similarity.py:44-60). */
+  /** U1/U2: Facebook id/url resolution (get_similarity.py:44-60).
+    * Stub outputs derive from [[graft.text.TextHash.charHashStr]] — the
+    * same polynomial the DuckDB oracle can evaluate via `charHashSql` —
+    * so the enrichment plumbing itself is oracle-gated, not just
+    * suite-tested. */
   trait FbResolver extends Serializable {
     def resolveId(url: String): String
     def resolveUrl(id: String): String
@@ -36,13 +40,14 @@ object Connectors {
   object StubFbResolver extends FbResolver {
     def resolveId(url: String): String =
       if (url == null || url.isEmpty) "0"
-      else math.abs(url.hashCode).toString
+      else graft.text.TextHash.charHashStr(url).toString
     def resolveUrl(id: String): String =
       if (id == null || id == "0") "" else s"https://facebook.com/page-$id"
   }
 
   /** U3: geocoder (assos_validation_retreatment.py:32-39): "lat,lon" or
-    * empty on failure. */
+    * empty on failure. Deterministic coordinates from the same
+    * oracle-expressible charHash as the FB stub. */
   trait Geocoder extends Serializable {
     def geocode(address: String): String
   }
@@ -50,7 +55,7 @@ object Connectors {
     def geocode(address: String): String =
       if (address == null || address.isEmpty) ""
       else {
-        val h = math.abs(address.hashCode)
+        val h = graft.text.TextHash.charHashStr(address)
         f"48.8${h % 100}%02d,2.3${(h / 100) % 100}%02d"
       }
   }

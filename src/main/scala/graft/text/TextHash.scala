@@ -42,6 +42,18 @@ object TextHash {
         lit(pow31(MaxChars - 1 - i))
     }.reduce(_ + _)
 
+  /** Plain-Scala mirror of [[charHash]], for connector stubs that run
+    * inside `mapPartitions` (no Column in scope) but still need outputs
+    * the DuckDB oracle can recompute via [[charHashSql]]. Code points
+    * (not UTF-16 chars) match both engines' `ascii(substring(s,i,1))`. */
+  def charHashStr(s: String): Long = {
+    val cps = s.codePoints().toArray
+    (0 until MaxChars).map { i =>
+      val code = if (i < cps.length) cps(i).toLong % CodeMod else 0L
+      code * pow31(MaxChars - 1 - i)
+    }.sum
+  }
+
   /** DuckDB rendering of [[charHash]] over SQL expression `e` (ascii is
     * INT32 there and errors on overflow — hence the BIGINT cast). */
   def charHashSql(e: String): String =
