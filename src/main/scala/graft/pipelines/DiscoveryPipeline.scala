@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.TableCatalog
 import graft.io.Connectors.{FbResolver, Notifier, SearchApi}
-import graft.io.{Fetcher, ZipCsvSource}
+import graft.io.{ExcelSource, Fetcher, ZipCsvSource}
 import graft.ops.{CondOps, Enrich, StringOps}
 import graft.sim.Fuzzy
 
@@ -29,6 +29,19 @@ class DiscoveryPipeline(
     * nomenclature lookup → Paris filter → category flag → conditional
     * full write → remaining-keywords diff → seeded sample → search API →
     * partitioned write. */
+  /** Default nomenclature path: read the remote `.xlsx` lookup directly
+    * (custom_search_extraction.py:92-94 `pd.read_excel(url)`) and copy
+    * `Code Objet Social` to the join key, as the reference does. Headers
+    * are slug-normalized first — the raw ones contain spaces, which the
+    * parquet catalog (unlike pandas) rejects in field names. */
+  def runExtraction(spark: SparkSession, rnaZipUrl: String,
+                    nomenclatureXlsxUrl: String, fetcher: Fetcher): Unit =
+    runExtraction(spark, rnaZipUrl,
+      StringOps.normalizeColumns(
+        new ExcelSource(fetcher).read(spark, nomenclatureXlsxUrl))
+        .withColumn("objet_social1", col("code_objet_social")),
+      fetcher)
+
   def runExtraction(spark: SparkSession, rnaZipUrl: String,
                     nomenclature: DataFrame, fetcher: Fetcher): Unit = {
     val rna = StringOps.normalizeColumns(

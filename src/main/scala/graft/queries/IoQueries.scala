@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.TableCatalog
 import graft.core.Tables
-import graft.io.{CsvSink, FileFetcher, HttpCsvSource, ZipCsvSource}
+import graft.io.{CsvSink, ExcelSource, ExcelXlsx, FileFetcher,
+  HttpCsvSource, ZipCsvSource}
 
 /** Oracle-checked queries for the source/sink layer (SURVEY §2.1 S1/S2/
   * S4/S7, K1-K4). Each query round-trips testdata through the IO path
@@ -60,6 +61,20 @@ object IoQueries {
       zout.close()
       new ZipCsvSource(FileFetcher).read(s, zipPath)
         .orderBy(col("n_nationkey"))
+    }),
+
+    // S3 Excel scan: region staged as a real .xlsx (shared strings +
+    // numeric cells), read back through ExcelSource. The collect is the
+    // fixture writer's, dim-table-bounded — the reader itself is the op
+    // under test (custom_search_extraction.py:92-94).
+    "s03_excel_scan" -> ((s, dir) => {
+      val stage = tmp("graft_s03_")
+      val rows = t(s, dir, "region").orderBy(col("r_regionkey")).collect()
+        .map(r => Seq[Any](r.getInt(0).toLong, r.getString(1))).toSeq
+      ExcelXlsx.write(s"$stage/nomenclature.xlsx", "Feuil1",
+        Seq("r_regionkey", "r_name"), rows)
+      new ExcelSource(FileFetcher).read(s, s"$stage/nomenclature.xlsx")
+        .orderBy(col("r_regionkey"))
     }),
 
     // S4 local CSV scan (update_open_data.py:68)
@@ -134,6 +149,8 @@ object IoQueries {
     "s02_zip_csv" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
          ORDER BY n_nationkey""",
+    "s03_excel_scan" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "s04_local_csv" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
          ORDER BY s_suppkey""",

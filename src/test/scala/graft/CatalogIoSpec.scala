@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.catalog.{SchemaRegistry, TableCatalog}
-import graft.io.{CsvSink, FileFetcher, HttpCsvSource, ZipCsvSource}
+import graft.io.{CsvSink, ExcelSource, ExcelXlsx, FileFetcher,
+  HttpCsvSource, ZipCsvSource}
 import graft.io.Connectors
 import graft.ops.Enrich
 
@@ -133,6 +134,52 @@ class CatalogIoSpec extends SparkSpec {
     // note: count() alone parses no columns (CSV column pruning), so
     // malformed rows are only dropped when fields are actually read
     assert(df.select($"a", $"b").collect().length == 2)
+  }
+
+  test("ExcelSource round-trips a written xlsx with type inference") {
+    val p = s"${tmp("xlsx_")}/t.xlsx"
+    ExcelXlsx.write(p, "Feuil1", Seq("Code Objet Social", "famille", "w"),
+      Seq(Seq(9220L, "culture", 1.5), Seq(9240L, "chant & \"choral\"", 2.0),
+          Seq(11235L, null, 3.5)))
+    val df = new ExcelSource(FileFetcher).read(spark, p)
+    assert(df.schema.map(_.dataType) ==
+      Seq(LongType, StringType, DoubleType))
+    assert(df.columns.toSeq == Seq("Code Objet Social", "famille", "w"))
+    val rows = df.orderBy($"`Code Objet Social`")
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSeq
+    assert(rows == Seq((9220L, "culture", 1.5),
+      (9240L, "chant & \"choral\"", 2.0), (11235L, null, 3.5)))
+  }
+
+  test("ExcelSource handles sparse cells, inline strings, sheet names") {
+    // hand-built workbook: the writer only emits the dense shared-string
+    // layout, so craft the parts Excel itself can produce — a second
+    // sheet, inlineStr cells, and a row that skips column B entirely
+    val dir = tmp("xlsx_raw_")
+    val z = new ZipOutputStream(new FileOutputStream(s"$dir/r.xlsx"))
+    def put(n: String, s: String): Unit = {
+      z.putNextEntry(new ZipEntry(n)); z.write(s.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns:r="x"><sheets>
+        |<sheet name="first" sheetId="1" r:id="rId1"/>
+        |<sheet name="second" sheetId="2" r:id="rId2"/>
+        |</sheets></workbook>""".stripMargin)
+    put("xl/worksheets/sheet1.xml", "<worksheet><sheetData/></worksheet>")
+    put("xl/worksheets/sheet2.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>
+        |  <c r="B1" t="inlineStr"><is><t>b</t></is></c></row>
+        |<row r="2"><c r="A2"><v>7</v></c></row>
+        |<row r="3"><c r="B3" t="inlineStr"><is><t>only-b</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    val df = new ExcelSource(FileFetcher)
+      .read(spark, s"$dir/r.xlsx", sheet = Some("second"))
+    val rows = df.collect().map(r => (r.get(0), r.get(1))).toSeq
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(rows == Seq((7L, null), (null, "only-b")))
   }
 
   test("Enrich.viaService appends a service column per partition") {

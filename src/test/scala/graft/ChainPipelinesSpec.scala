@@ -37,14 +37,18 @@ class ChainPipelinesSpec extends SparkSpec {
         |CHORALE DE PARIS;9240;chant choral;75005""".stripMargin
     val zipPath = stage.resolve("rna.zip").toString
     writeZip(zipPath, "rna1.csv" -> rnaCsv)
-    val nomenclature = Seq((9220, "culture"), (9240, "culture"))
-      .toDF("objet_social1", "famille")
+    // the nomenclature lookup travels as a real .xlsx, as in the
+    // reference (custom_search_extraction.py:92-94)
+    val xlsxPath = stage.resolve("nomenclature.xlsx").toString
+    graft.io.ExcelXlsx.write(xlsxPath, "Feuil1",
+      Seq("Code Objet Social", "famille"),
+      Seq(Seq(9220L, "culture"), Seq(9240L, "culture")))
     val notifier = new CollectingNotifier
     val pipe = new DiscoveryPipeline(cat, StubSearchApi, StubFbResolver,
       notifier, today = "2021-06-01",
       categories = Seq("théâtre", "chant choral"))
 
-    pipe.runExtraction(spark, zipPath, nomenclature, FileFetcher)
+    pipe.runExtraction(spark, zipPath, xlsxPath, FileFetcher)
     assert(cat.tableExists("rna_waldec_filtered"))
     // Paris filter dropped the 93100 row; both Paris rows flagged yes
     val rna = cat.read("rna_waldec_filtered")
