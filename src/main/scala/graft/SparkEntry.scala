@@ -75,6 +75,25 @@ object SparkEntry {
                 col("o_orderpriority").as("priority"))
         .orderBy(col("key"))),
 
+    // S6 via the SQL-template path: the same parameterized scan executed
+    // from a template file with {0} substitution and warehouse-id
+    // translation (sql/get_products_id.sql:1-3 + update_open_data.py:
+    // 59-61) — must be byte-identical to s06_param_scan's DataFrame form.
+    "s06_template_scan" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft_s06t_").toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$stage/get_open_orders.sql"),
+        """SELECT o_orderkey AS key, o_totalprice AS price, o_orderpriority AS priority
+          |FROM `graft.main.orders`
+          |WHERE o_orderstatus = '{0}'""".stripMargin.getBytes("UTF-8"))
+      graft.sql.SqlTemplates.registerTable(s, "orders",
+        t(s, dir, "orders"))
+      graft.sql.SqlTemplates
+        .runFile(s, s"$stage/get_open_orders.sql", "O")
+        .orderBy(col("key"))
+    }),
+
     // F3 regex contains + negated contains with na=false semantics
     // (custom_search_extraction.py:101; assos_..._to_spreadsheets.py:88).
     "f03_regex_filter" -> ((s, dir) =>
@@ -133,6 +152,10 @@ object SparkEntry {
     "s05_table_scan" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "s06_param_scan" ->
+      """SELECT o_orderkey AS key, o_totalprice AS price,
+         o_orderpriority AS priority
+         FROM orders WHERE o_orderstatus = 'O' ORDER BY key""",
+    "s06_template_scan" ->
       """SELECT o_orderkey AS key, o_totalprice AS price,
          o_orderpriority AS priority
          FROM orders WHERE o_orderstatus = 'O' ORDER BY key""",
