@@ -53,17 +53,29 @@ object Ann {
   val Planes = 8
   val Dim = 64
 
+  /** Near-dup banding geometry: 8 bands × 4 planes over the same
+    * projection stream. Fewer planes per band than the ANN bucket (4 vs
+    * 8) because the near-dup threshold sits low on the cosine scale
+    * (t≈0.45 → per-plane collision ≈ 0.65, so 0.65⁴ per band × 8 bands
+    * ≈ 0.79 expected recall; 8-plane bands would collapse it to ~0.1). */
+  val NearDupBands = 8
+  val NearDupPlanes = 4
+
   /** Fixed projection matrix from a public LCG (x' = (1103515245x +
     * 12345) mod 2^31), quantized to multiples of 1/1024 in [-0.5, 0.5)
     * so every value has an exact finite decimal form — the SQL literal
-    * the oracle parses round-trips to the identical double. */
+    * the oracle parses round-trips to the identical double. The first
+    * [[Planes]] rows are the ANN bucket planes; the full
+    * NearDupBands×NearDupPlanes prefix feeds the near-dup bands (same
+    * stream, so extending the matrix never changes existing buckets). */
   val projections: IndexedSeq[IndexedSeq[Double]] = {
     var x = 42L
     def next(): Double = {
       x = (1103515245L * x + 12345L) % 2147483648L
       ((x >> 4) % 1024).toDouble / 1024.0 - 0.5
     }
-    IndexedSeq.fill(Planes)(IndexedSeq.fill(Dim)(next()))
+    IndexedSeq.fill(math.max(Planes, NearDupBands * NearDupPlanes))(
+      IndexedSeq.fill(Dim)(next()))
   }
 
   /** LSH bucket id: sign bits of the Planes projections. */
@@ -80,6 +92,65 @@ object Ann {
       s"(CASE WHEN ${dotSql(v, lits(projections(j)))} > 0 " +
         s"THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  }
+
+  /** Band-`b` near-dup bucket: sign bits of NearDupPlanes projections. */
+  def nearDupBandBucket(v: Column, band: Int): Column =
+    (0 until NearDupPlanes).map { j =>
+      when(dot(v, typedLit(projections(band * NearDupPlanes + j))) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def nearDupBandBucketSql(v: String, band: Int): String = {
+    def lits(p: IndexedSeq[Double]) =
+      p.map(d => s"$d").mkString("[", ", ", "]::DOUBLE[]")
+    (0 until NearDupPlanes).map { j =>
+      s"(CASE WHEN ${dotSql(v, lits(projections(band * NearDupPlanes + j)))} > 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Embedding-cosine near-dup, exact form: every unordered pair with
+    * cosine >= minCos. Quadratic by definition — this is the correctness
+    * baseline the LSH form is judged against (the ann01/ann02 split,
+    * applied to dedup). Output: (id_a, id_b, cos), id_a < id_b. */
+  def embeddingNearDupExact(data: DataFrame, idCol: String, vecCol: String,
+                            minCos: Column): DataFrame = {
+    val d = graft.core.Fence(data.select(col(idCol).as("id"),
+      toDouble(col(vecCol)).as("v")))
+    d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Embedding-cosine near-dup, scale path: candidates restricted to
+    * pairs sharing any of the NearDupBands band buckets (a plain
+    * (band, bucket) equi-join — sort-merge-able at any scale), deduped,
+    * then exact-cosine verified. Deterministic and oracle-replicable;
+    * approximate in recall by construction (the banding geometry above).
+    * One shuffle for the band join, one for the pair distinct, two
+    * id-equi-joins to fetch vectors for the verify. */
+  def embeddingNearDupLsh(data: DataFrame, idCol: String, vecCol: String,
+                          minCos: Column): DataFrame = {
+    val d = graft.core.Fence(data.select(col(idCol).as("id"),
+      toDouble(col(vecCol)).as("v")))
+    val bb = graft.core.Fence(d.select(col("id"), explode(array(
+        (0 until NearDupBands).map(b => struct(lit(b).as("band"),
+          nearDupBandBucket(col("v"), b).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"),
+              col("bb.bucket").as("bucket")))
+    val cand = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cand
+      .join(d.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(d.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+              cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   /** Within-bucket nearest neighbor (top-1 by cosine, ties to the

@@ -97,6 +97,23 @@ object LlmQueries {
       Ann.lshBucketNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
 
+    // Embedding-cosine near-dup, exact baseline: all pairs >= t. The
+    // threshold 460/1024 sits at this corpus's near-dup tail (max
+    // observed cosine ≈ 0.51) and is an exact binary fraction, so both
+    // engines compare identical doubles.
+    "dd05_embedding_neardup" -> ((s, dir) =>
+      Ann.embeddingNearDupExact(t(s, dir, "embeddings"), "vec_id",
+          "embedding", lit(460.0 / 1024.0))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Embedding-cosine near-dup, scale path: banded random-projection
+    // candidates (8 bands × 4 planes) + exact-cosine verify; the oracle
+    // replicates the banding from the same projection constants.
+    "dd06_embedding_neardup_lsh" -> ((s, dir) =>
+      Ann.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id",
+          "embedding", lit(460.0 / 1024.0))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // U5 token-sort ratio: word-order permutations score 100 where the
     // plain ratio does not (fuzzywuzzy WRatio fidelity, SURVEY §7.4(6))
     "u05_token_sort" -> ((s, dir) => {
@@ -176,6 +193,33 @@ object LlmQueries {
               ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM scored)
         SELECT q_id, rank, vec_id, cos FROM ranked
         WHERE rank <= 10 ORDER BY q_id, rank"""
+    },
+    "dd05_embedding_neardup" -> {
+      val cos = Ann.cosineSql("a.v", "b.v")
+      s"""WITH v AS (SELECT vec_id AS id,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+          SELECT a.id AS id_a, b.id AS id_b, $cos AS cos
+          FROM v a JOIN v b ON a.id < b.id
+          WHERE $cos >= (460::DOUBLE / 1024::DOUBLE)
+          ORDER BY id_a, id_b"""
+    },
+    "dd06_embedding_neardup_lsh" -> {
+      val cos = Ann.cosineSql("da.v", "db.v")
+      val bands = (0 until Ann.NearDupBands).map(b =>
+        s"""SELECT id, $b AS band,
+            CAST(${Ann.nearDupBandBucketSql("v", b)} AS BIGINT) AS bucket
+            FROM v""").mkString("\n UNION ALL ")
+      s"""WITH v AS (SELECT vec_id AS id,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          bb AS ($bands),
+          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bb a JOIN bb b ON a.band = b.band
+              AND a.bucket = b.bucket AND a.id < b.id)
+          SELECT id_a, id_b, $cos AS cos
+          FROM cand JOIN v da ON cand.id_a = da.id
+                    JOIN v db ON cand.id_b = db.id
+          WHERE $cos >= (460::DOUBLE / 1024::DOUBLE)
+          ORDER BY id_a, id_b"""
     },
     "ann02_lsh_neighbors" -> {
       val cos = Ann.cosineSql("a.v", "b.v")

@@ -33,6 +33,27 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(out.toSeq.contains((0L, 1L)) && out.toSeq.contains((1L, 0L)))
   }
 
+  test("embedding near-dup: LSH pairs are a subset of exact; planted " +
+      "near-identical pair found by both") {
+    val rnd = new scala.util.Random(7)
+    val noise = (0 until 20).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val planted = Seq(
+      (100L, base),
+      (101L, base.map(x => x * 1.01f + 0.001f))) // cosine ≈ 1
+    val vecs = (noise ++ planted).toDF("vec_id", "embedding")
+    val t = lit(460.0 / 1024.0)
+    val exact = Ann.embeddingNearDupExact(vecs, "vec_id", "embedding", t)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Ann.embeddingNearDupLsh(vecs, "vec_id", "embedding", t)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // exact verify ⇒ precision 1
+    assert(exact.contains((100L, 101L)))
+    // near-parallel vectors agree on every hyperplane sign ⇒ every band
+    assert(lsh.contains((100L, 101L)))
+  }
+
   test("multimodal fake features + frame sampling are deterministic") {
     val df = Seq((1L, "abcdefgh" * 8)).toDF("doc_id", "text")
     val bin = Multimodal.toBinary($"text")
