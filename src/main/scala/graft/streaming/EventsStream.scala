@@ -24,6 +24,22 @@ object EventsStream {
       .select(col("window.start").as("hour"), col("event_type"),
               col("n"), col("total"))
 
+  /** Streaming exact dedup on a content key, watermark-bounded state —
+    * the streaming twin of `Dedup.exactDedup` for an ingestion pipeline
+    * (duplicate events re-delivered within the lateness bound are
+    * dropped; state for keys older than the watermark is reclaimed, so
+    * state size tracks the window, not the stream).
+    * `dropDuplicatesWithinWatermark` is streaming-only (batch planning
+    * rejects it), so the batch twin is plain `dropDuplicates` — same
+    * key-set output, which is what the agreement test asserts. */
+  def dedupEvents(events: DataFrame,
+                  keyCols: Seq[String] = Seq("user_id", "event_type"),
+                  lateness: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   final case class Ev(user_id: Long, event_id: Long,
                       ts: java.sql.Timestamp)
   final case class SessState(lastMs: Long, sessionId: Long)

@@ -60,6 +60,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventsStream.dedupEvents(events)
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "click"),
+        (ts("2024-01-01 10:01:00"), 1L, "click"), // dup within batch
+        (ts("2024-01-01 10:02:00"), 2L, "view"))
+      q.processAllAvailable()
+      // re-delivery in a later micro-batch, still inside the watermark
+      mem.addData(
+        (ts("2024-01-01 10:03:00"), 1L, "click"),
+        (ts("2024-01-01 10:04:00"), 2L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("deduped")
+        .select($"user_id", $"event_type").as[(Long, String)]
+        .collect().toSeq
+      assert(got.size == got.distinct.size) // no key emitted twice
+      assert(got.toSet ==
+        Set((1L, "click"), (2L, "view"), (2L, "click")))
+    } finally q.stop()
+  }
+
+  test("streaming dedup on a batch frame equals plain dropDuplicates") {
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    val viaStream = EventsStream.dedupEvents(ev)
+      .select($"user_id", $"event_type").as[(Long, String)]
+      .collect().toSet
+    val viaBatch = ev.dropDuplicates(Seq("user_id", "event_type"))
+      .select($"user_id", $"event_type").as[(Long, String)]
+      .collect().toSet
+    assert(viaStream == viaBatch)
+  }
+
   test("streaming and batch sessionize agree on the events table") {
     val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
       "events")
