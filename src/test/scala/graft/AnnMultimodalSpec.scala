@@ -43,7 +43,7 @@ class AnnMultimodalSpec extends SparkSpec {
       (100L, base),
       (101L, base.map(x => x * 1.01f + 0.001f))) // cosine ≈ 1
     val vecs = (noise ++ planted).toDF("vec_id", "embedding")
-    val t = lit(460.0 / 1024.0)
+    val t = 460.0 / 1024.0
     val exact = Ann.embeddingNearDupExact(vecs, "vec_id", "embedding", t)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val lsh = Ann.embeddingNearDupLsh(vecs, "vec_id", "embedding", t)
