@@ -83,10 +83,13 @@ object JaccardJoin {
     val sb = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .withColumn("jacc", inter.cast("double") / union)
+    // fence before the threshold filter — otherwise Catalyst pushes it
+    // into the shingle join's condition and the array_intersect runs
+    // twice per candidate (see MinHashLSH.nearDupPairs)
+    Fence(cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (inter.cast("double") / union).as("jacc")))
       .filter(col("jacc") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jacc"))
   }
 
   /** Naive-quadratic oracle SQL — same output, independent plan. */
