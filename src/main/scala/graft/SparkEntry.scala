@@ -39,11 +39,10 @@ object SparkEntry {
     // A1 group-aggregate (reference wp_export_data.py:39 group-count,
     // generalized to the TPC-H Q1 shape). Sums run over
     // floor(x*scale + 0.5) integer cents: pure IEEE double arithmetic
-    // that every engine evaluates bit-identically, so the final decimal
-    // cast never lands on a rounding tie (double→DECIMAL tie-breaking
-    // differs between Spark's string-based HALF_UP and binary-value
-    // rounding). The scaled sums are exact integers far below 2^53 at
-    // gate scale.
+    // that every engine evaluates bit-identically (the scaled sums are
+    // exact integers far below 2^53 at gate scale), and the result is
+    // emitted as DOUBLE — decimal renderings differ across engines even
+    // when values agree, so gate outputs stay in binary floating point.
     "q01_pricing_summary" -> ((s, dir) => {
       def cents(c: Column, scale: Double): Column =
         floor(c * lit(scale) + lit(0.5)).cast("long")
@@ -51,12 +50,12 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           (sum(cents(col("l_quantity"), 100.0)).cast("double") / 100.0)
-            .cast("decimal(18,2)").as("sum_qty"),
+            .as("sum_qty"),
           (sum(cents(col("l_extendedprice"), 100.0)).cast("double") / 100.0)
-            .cast("decimal(18,2)").as("sum_base_price"),
+            .as("sum_base_price"),
           (sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
                      10000.0)).cast("double") / 10000.0)
-            .cast("decimal(18,4)").as("sum_disc_price"),
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -92,6 +91,20 @@ object SparkEntry {
       graft.sql.SqlTemplates
         .runFile(s, s"$stage/get_open_orders.sql", "O")
         .orderBy(col("key"))
+    }),
+
+    // S6 verbatim-corpus gate: the reference's own template asset
+    // (sql/get_rna_waldec_filtered_data.sql:1-3) runs UNMODIFIED — read,
+    // translated (three-part id → view name) and executed over a view
+    // carrying the column surface it expects; the oracle replicates the
+    // view derivation + filter in plain SQL.
+    "s10_template_verbatim" -> ((s, dir) => {
+      graft.sql.SqlTemplates.registerTable(s, "rna_waldec_filtered",
+        t(s, dir, "customer").withColumn("filtered_cat",
+          when(col("c_mktsegment") === "BUILDING", "yes").otherwise("no")))
+      graft.sql.SqlTemplates
+        .runFile(s, "/root/reference/sql/get_rna_waldec_filtered_data.sql")
+        .orderBy(col("c_custkey"))
     }),
 
     // F3 regex contains + negated contains with na=false semantics
@@ -143,9 +156,9 @@ object SparkEntry {
   private def baseOracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS DECIMAL(18,2)) AS sum_qty,
-         CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS DECIMAL(18,2)) AS sum_base_price,
-         CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS DECIMAL(18,4)) AS sum_disc_price,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS sum_disc_price,
          COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -159,6 +172,9 @@ object SparkEntry {
       """SELECT o_orderkey AS key, o_totalprice AS price,
          o_orderpriority AS priority
          FROM orders WHERE o_orderstatus = 'O' ORDER BY key""",
+    "s10_template_verbatim" ->
+      """SELECT *, 'yes' AS filtered_cat FROM customer
+         WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
     "f03_regex_filter" ->
       """SELECT p_partkey, p_name, p_type FROM part
          WHERE COALESCE(regexp_matches(p_type, '^ECO'), false)

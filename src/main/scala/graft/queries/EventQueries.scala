@@ -16,18 +16,18 @@ object EventQueries {
     Tables.load(s, dir, n)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Tumbling one-hour window per event type: count + decimal sum
+    // Tumbling one-hour window per event type: count + value sum
     "ev01_hourly_agg" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"),
                  date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n"),
              // floor(x*100+0.5) cents keep the sum IEEE-exact in every
-             // engine so the decimal cast never hits a rounding tie
-             // (see q01 in SparkEntry)
+             // engine; emitted as DOUBLE — decimal renderings differ
+             // across engines even when values agree (see q01)
              (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
                 .cast("double") / 100.0)
-               .cast("decimal(18,2)").as("total"))
+               .as("total"))
         .orderBy(col("event_type"), col("hour"))),
 
     // Gap-based sessionization (30-minute inactivity, per user):
@@ -53,8 +53,8 @@ object EventQueries {
     "ev01_hourly_agg" ->
       """SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour,
          COUNT(*) AS n,
-         CAST(CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
-              AS DOUBLE) / 100.0 AS DECIMAL(18,2)) AS total
+         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total
          FROM events GROUP BY event_type, hour
          ORDER BY event_type, hour""",
     "ev02_sessionize" ->

@@ -38,20 +38,20 @@ object JoinQueries {
 
     // J4 left join on an aggregated frame + zero-fill
     // (wp_export_data.py:39-49). Sum over floor(x*100+0.5) integer
-    // cents (IEEE-exact in every engine) so the decimal cast never
-    // hits a rounding tie — see q01 in SparkEntry.
+    // cents (IEEE-exact in every engine), emitted as DOUBLE — decimal
+    // renderings differ across engines even when values agree, so gate
+    // outputs stay in binary floating point (see q01 in SparkEntry).
     "j04_join_on_agg" -> ((s, dir) => {
       val perCust = t(s, dir, "orders").groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("nb_orders"),
              (sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
                   .cast("long")).cast("double") / 100.0)
-               .cast("decimal(18,2)").as("total_spent"))
+               .as("total_spent"))
       t(s, dir, "customer")
         .join(perCust, col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("c_name"),
                 coalesce(col("nb_orders"), lit(0L)).as("nb_orders"),
-                coalesce(col("total_spent"),
-                         lit(0).cast("decimal(18,2)")).as("total_spent"))
+                coalesce(col("total_spent"), lit(0.0)).as("total_spent"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -102,12 +102,12 @@ object JoinQueries {
          ORDER BY o_orderkey""",
     "j04_join_on_agg" ->
       """WITH agg AS (SELECT o_custkey, COUNT(*) AS nb_orders,
-           CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                AS DOUBLE) / 100.0 AS DECIMAL(18,2)) AS total_spent
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total_spent
            FROM orders GROUP BY o_custkey)
          SELECT c_custkey, c_name,
            COALESCE(nb_orders, 0) AS nb_orders,
-           COALESCE(total_spent, CAST(0 AS DECIMAL(18,2))) AS total_spent
+           COALESCE(total_spent, CAST(0 AS DOUBLE)) AS total_spent
          FROM customer LEFT JOIN agg ON c_custkey = o_custkey
          ORDER BY c_custkey""",
     "j06_union_append" ->

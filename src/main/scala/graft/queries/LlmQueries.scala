@@ -94,9 +94,13 @@ object LlmQueries {
         .select(col("doc_id"), md5(col("text")).as("fp"), col("text"))
         .mapPartitions { rows =>
           rows.map { r =>
-            val codes = r.getString(2).codePoints().toArray
+            // null text → null fingerprint window, matching both the
+            // Column form (charCodes of null is null) and the oracle SQL
+            val txt = r.getString(2)
+            val codes =
+              if (txt == null) Array.empty[Int] else txt.codePoints().toArray
             val win: java.lang.Long =
-              if (codes.length < 8) null
+              if (txt == null || codes.length < 8) null
               else {
                 var m = Long.MaxValue; var i = 0
                 while (i + 8 <= codes.length) {
@@ -154,6 +158,24 @@ object LlmQueries {
             .as("plain_ratio"),
           graft.sim.Fuzzy.tokenSortRatio(col("p_name"), scrambled)
             .as("token_sort_ratio"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // U7 token-set + partial ratios — the two remaining WRatio components
+    // (get_similarity.py:148-152): scored between unrelated columns for
+    // real variance, plus a word-subset pair (token_set must say 100)
+    // and a substring pair (partial must say 100)
+    "u07_tokenset_partial" -> ((s, dir) => {
+      val subset = array_join(slice(split(col("p_name"), " "), 1, 2), " ")
+      t(s, dir, "part").select(col("p_partkey"),
+          graft.sim.Fuzzy.tokenSetRatio(col("p_name"), col("p_type"))
+            .as("ts_cross"),
+          graft.sim.Fuzzy.partialRatio(col("p_name"), col("p_type"))
+            .as("pr_cross"),
+          graft.sim.Fuzzy.tokenSetRatio(col("p_name"), subset)
+            .as("ts_subset"),
+          graft.sim.Fuzzy.partialRatio(col("p_name"),
+              substring(col("p_name"), 3, 8)).as("pr_substr"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -284,6 +306,56 @@ object LlmQueries {
             ${ratio(sorted("p_name"), sorted("scrambled"))}
               AS token_sort_ratio
           FROM b ORDER BY p_partkey"""
+    },
+    "u07_tokenset_partial" -> {
+      def ratio(a: String, b: String) =
+        s"""(CASE WHEN GREATEST(LENGTH($a), LENGTH($b)) = 0 THEN 100
+            ELSE CAST(FLOOR(100.0 * (GREATEST(LENGTH($a), LENGTH($b))
+              - levenshtein($a, $b)) / GREATEST(LENGTH($a), LENGTH($b)))
+              AS INT) END)"""
+      // the shorter string slides over every same-length window of the
+      // longer; best window = min distance
+      def partial(a: String, b: String) = {
+        val s = s"(CASE WHEN LENGTH($a) <= LENGTH($b) THEN $a ELSE $b END)"
+        val l = s"(CASE WHEN LENGTH($a) <= LENGTH($b) THEN $b ELSE $a END)"
+        val n = s"LEAST(LENGTH($a), LENGTH($b))"
+        s"""(CASE WHEN $n = 0 THEN 100
+            ELSE CAST(FLOOR(100.0 * ($n - list_min(list_transform(
+              generate_series(1, GREATEST(LENGTH($a), LENGTH($b)) - $n + 1),
+              i -> levenshtein($s, substr($l, CAST(i AS INT), $n)))))
+              / $n) AS INT) END)"""
+      }
+      def tok(e: String) =
+        s"""list_sort(list_distinct(list_filter(
+            string_split_regex($e, ' +'), t -> t <> '')))"""
+      def inter(x: String, y: String) =
+        s"array_to_string(list_sort(list_intersect($x, $y)), ' ')"
+      def diff(x: String, y: String) =
+        s"""array_to_string(list_sort(list_filter($x,
+            t -> NOT list_contains($y, t))), ' ')"""
+      s"""WITH base AS (SELECT p_partkey, p_name, p_type,
+            array_to_string(string_split(p_name, ' ')[1:2], ' ') AS subset,
+            substr(p_name, 3, 8) AS sub8 FROM part),
+          tk AS (SELECT *, ${tok("p_name")} AS tn, ${tok("p_type")} AS tt,
+            ${tok("subset")} AS ts FROM base),
+          p1 AS (SELECT *,
+            ${inter("tn", "tt")} AS c_t0, ${diff("tn", "tt")} AS c_da,
+            ${diff("tt", "tn")} AS c_db,
+            ${inter("tn", "ts")} AS s_t0, ${diff("tn", "ts")} AS s_da,
+            ${diff("ts", "tn")} AS s_db FROM tk),
+          p2 AS (SELECT *,
+            trim(concat_ws(' ', c_t0, c_da)) AS c_t1,
+            trim(concat_ws(' ', c_t0, c_db)) AS c_t2,
+            trim(concat_ws(' ', s_t0, s_da)) AS s_t1,
+            trim(concat_ws(' ', s_t0, s_db)) AS s_t2 FROM p1)
+          SELECT p_partkey,
+            GREATEST(${ratio("c_t0", "c_t1")}, ${ratio("c_t0", "c_t2")},
+              ${ratio("c_t1", "c_t2")}) AS ts_cross,
+            ${partial("p_name", "p_type")} AS pr_cross,
+            GREATEST(${ratio("s_t0", "s_t1")}, ${ratio("s_t0", "s_t2")},
+              ${ratio("s_t1", "s_t2")}) AS ts_subset,
+            ${partial("p_name", "sub8")} AS pr_substr
+          FROM p2 ORDER BY p_partkey"""
     },
     "mm01_multimodal" ->
       """SELECT doc_id,

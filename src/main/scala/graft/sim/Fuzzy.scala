@@ -52,6 +52,84 @@ object Fuzzy {
     levenshteinRatio(normalize(a), normalize(b))
   }
 
+  /** Distinct sorted whitespace tokens (empty tokens dropped). */
+  private def tokenSet(c: Column): Column =
+    array_sort(array_distinct(filter(split(c, " +"), x => x =!= lit(""))))
+
+  /** The three token-set comparison strings of fuzzywuzzy's _token_set
+    * (get_similarity.py:148-152 uses WRatio, which blends this measure):
+    * t0 = sorted intersection, t1 = t0 + sorted(a-only), t2 = t0 +
+    * sorted(b-only). Sorting is applied after each set op so both
+    * engines emit identical strings regardless of set-op order. */
+  private def tokenSetParts(a: Column, b: Column): (Column, Column, Column) = {
+    val ta = tokenSet(a); val tb = tokenSet(b)
+    val t0 = array_join(array_sort(array_intersect(ta, tb)), " ")
+    val t1 = trim(concat_ws(" ", t0,
+      array_join(array_sort(array_except(ta, tb)), " ")))
+    val t2 = trim(concat_ws(" ", t0,
+      array_join(array_sort(array_except(tb, ta)), " ")))
+    (t0, t1, t2)
+  }
+
+  /** Token-set ratio — fuzzywuzzy's token_set_ratio: the max ratio among
+    * (intersection, intersection+a-rest, intersection+b-rest), which
+    * scores 100 whenever one side's word set contains the other's. Pure
+    * builtins; null if either side is null. */
+  def tokenSetRatio(a: Column, b: Column): Column = {
+    val (t0, t1, t2) = tokenSetParts(a, b)
+    when(a.isNull || b.isNull, lit(null))
+      .otherwise(greatest(levenshteinRatio(t0, t1),
+        levenshteinRatio(t0, t2), levenshteinRatio(t1, t2)))
+  }
+
+  /** Partial ratio — fuzzywuzzy's partial_ratio as the exact
+    * best-window form: the shorter string slides over every same-length
+    * window of the longer and keeps the best ratio, so a substring pair
+    * scores 100. O(|l|·|s|²) per pair via an interpreted HOF — meant for
+    * per-row scoring/banding, not pair-quadratic joins (pre-band there,
+    * as [[fuzzyTop1JoinBanded]] does). */
+  def partialRatio(a: Column, b: Column): Column = {
+    val s = when(length(a) <= length(b), a).otherwise(b)
+    val l = when(length(a) <= length(b), b).otherwise(a)
+    val n = length(s)
+    val minDist = array_min(transform(
+      sequence(lit(1), length(l) - n + lit(1)),
+      i => levenshtein(s, l.substr(i, n))))
+    when(a.isNull || b.isNull, lit(null))
+      .when(n === 0, lit(100))
+      .otherwise(floor(lit(100.0) * (n - minDist) / n).cast("int"))
+  }
+
+  /** WRatio — fuzzywuzzy's blended scorer (get_similarity.py:148-152),
+    * reproduced with its published decision tree: the plain ratio,
+    * token_sort and token_set scaled by 0.95, and — when the lengths
+    * diverge by >1.5× — the partial family scaled by 0.9 (0.6 beyond
+    * 8×). Ties to fuzzywuzzy up to rounding mode (HALF_UP here vs
+    * Python's banker's rounding on exact .5 — unreachable for most
+    * scale products). Null if either side is null. */
+  def wRatio(a: Column, b: Column): Column = {
+    def sortedTok(c: Column): Column =
+      array_join(sort_array(split(c, " +")), " ")
+    val base = levenshteinRatio(a, b).cast("double")
+    val la = length(a).cast("double"); val lb = length(b).cast("double")
+    val lensRatio = greatest(la, lb) / least(la, lb)
+    val unbase = lit(0.95)
+    val partialScale = when(lensRatio > 8.0, lit(0.6)).otherwise(lit(0.9))
+    val (t0, t1, t2) = tokenSetParts(a, b)
+    val partial = partialRatio(a, b).cast("double") * partialScale
+    val ptsor = partialRatio(sortedTok(a), sortedTok(b)).cast("double") *
+      unbase * partialScale
+    val ptser = greatest(partialRatio(t0, t1), partialRatio(t0, t2),
+      partialRatio(t1, t2)).cast("double") * unbase * partialScale
+    val tsor = tokenSortRatio(a, b).cast("double") * unbase
+    val tser = tokenSetRatio(a, b).cast("double") * unbase
+    val blended = when(lensRatio > 1.5,
+        greatest(base, partial, ptsor, ptser))
+      .otherwise(greatest(base, tsor, tser))
+    when(a.isNull || b.isNull, lit(null))
+      .otherwise(round(blended).cast("int"))
+  }
+
   def fuzzyTop1Join(left: DataFrame, leftKey: String,
                     right: DataFrame, rightKey: String,
                     scoreCol: String = "similarity"): DataFrame = {
@@ -164,12 +242,24 @@ object Fuzzy {
         ls.join(rs, col("__llen") === col("__band") &&
                     col("__lsalt") === col("__rsalt"))
       }
+    // No per-pair threshold filter: a filter on the scored projection gets
+    // pushed into the band join's condition and the bounded-DP levenshtein
+    // runs TWICE per candidate (the dd02/dd03 double-evaluation trap;
+    // BENCH r3 measured j05 at 21 s from exactly this). Instead
+    // below-threshold pairs score a -1 sentinel, the arg-max aggregate
+    // consumes every pair (map-side partial, so |pairs| rows collapse to
+    // |distinct L| before any shuffle), and the threshold is applied
+    // post-aggregate on |distinct L| rows — the levenshtein appears in
+    // exactly one expression, evaluated once per pair. Output is identical:
+    // adding below-threshold elements never changes an above-threshold max,
+    // and keys whose max is below threshold drop to a null match either way.
     val scored = joined
       .withColumn(scoreCol,
-        levenshteinRatioBounded(col(leftKey), col(rightKey), minScore))
-      .filter(col(scoreCol).isNotNull)
+        coalesce(levenshteinRatioBounded(col(leftKey), col(rightKey),
+                                         minScore), lit(-1)))
     val best = scored.groupBy(col(leftKey))
       .agg(max(struct(col(scoreCol), col(rightKey))).as("__best"))
+      .filter(col("__best").getField(scoreCol) >= minScore)
       .select(col(leftKey),
               col("__best").getField(rightKey).as(rightKey),
               col("__best").getField(scoreCol).as(scoreCol))

@@ -13,14 +13,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventsStream {
 
   /** Hourly tumbling counts/sums per event type, 2h watermark for late
-    * data. Streaming twin of ev01_hourly_agg. */
+    * data. Streaming twin of ev01_hourly_agg — same double-typed
+    * floor-cents sum as the batch form so batch/stream outputs agree
+    * bit-exactly. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
-             .as("total"))
+           (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+              .cast("double") / 100.0).as("total"))
       .select(col("window.start").as("hour"), col("event_type"),
               col("n"), col("total"))
 

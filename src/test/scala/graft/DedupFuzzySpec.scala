@@ -63,6 +63,75 @@ class DedupFuzzySpec extends SparkSpec {
     assert(out._1 == 100 && out._2 < 100)
   }
 
+  test("tokenSetRatio: word-subset pairs score 100 (property)") {
+    // any pair where one side's word set contains the other's must be 100
+    val word = Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty)
+    val words = Gen.nonEmptyListOf(word).map(_.take(5).distinct)
+    forAllSamples(words, 40) { ws =>
+      val full = ws.mkString(" ")
+      val sub = ws.take(1 + ws.size / 2).mkString(" ")
+      val (tsr, plain) = Seq((full, sub)).toDF("a", "b")
+        .select(Fuzzy.tokenSetRatio($"a", $"b"),
+          Fuzzy.levenshteinRatio($"a", $"b"))
+        .as[(Int, Int)].collect()(0)
+      assert(tsr == 100, s"token_set($full, $sub) = $tsr")
+      if (ws.size > 1 && sub != full) assert(plain < 100)
+    }
+  }
+
+  test("tokenSetRatio bounds and symmetry (property)") {
+    val gs = Gen.listOfN(3, Gen.alphaLowerStr.map(_.take(5)))
+      .map(_.mkString(" ").trim)
+    forAllSamples(Gen.zip(gs, gs), 40) { case (a, b) =>
+      val Array(r1, r2) = Seq((a, b), (b, a)).toDF("a", "b")
+        .select(Fuzzy.tokenSetRatio($"a", $"b")).as[Int].collect()
+      assert(r1 == r2, s"symmetry for ($a,$b)")
+      assert(r1 >= 0 && r1 <= 100)
+    }
+  }
+
+  test("partialRatio: substring pairs score 100 (property)") {
+    val gs = Gen.alphaNumStr.suchThat(_.length >= 4).map(_.take(20))
+    forAllSamples(gs, 40) { s =>
+      val sub = s.substring(1, 1 + s.length / 2)
+      val (pr, plain) = Seq((s, sub)).toDF("a", "b")
+        .select(Fuzzy.partialRatio($"a", $"b"),
+          Fuzzy.levenshteinRatio($"a", $"b"))
+        .as[(Int, Int)].collect()(0)
+      assert(pr == 100, s"partial($s, $sub) = $pr")
+      if (sub != s) assert(plain < 100)
+    }
+  }
+
+  test("partialRatio equals plain ratio on equal-length strings") {
+    val gs = Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString)
+    forAllSamples(Gen.zip(gs, gs), 30) { case (a, b) =>
+      val (pr, plain) = Seq((a, b)).toDF("a", "b")
+        .select(Fuzzy.partialRatio($"a", $"b"),
+          Fuzzy.levenshteinRatio($"a", $"b"))
+        .as[(Int, Int)].collect()(0)
+      assert(pr == plain, s"($a,$b): partial=$pr plain=$plain")
+    }
+  }
+
+  test("wRatio dominates its components' floors and spots subsets " +
+       "plain ratio misses") {
+    val rows = Seq(
+      ("alpha beta gamma", "gamma alpha beta"),   // permutation → ~95
+      ("alpha corp holdings intl", "corp"),       // word subset, len>1.5×
+      ("identical string", "identical string"),   // exact → 100
+      ("abcdef", "xyzuvw"))                       // unrelated → low
+      .toDF("a", "b")
+      .select(Fuzzy.wRatio($"a", $"b"), Fuzzy.levenshteinRatio($"a", $"b"))
+      .as[(Int, Int)].collect()
+    val (w0, p0) = rows(0); assert(w0 >= 95 && p0 < w0)
+    val (w1, p1) = rows(1); assert(w1 >= 85 && p1 < w1)
+    assert(rows(2)._1 == 100)
+    assert(rows(3)._1 < 50)
+    // blended score stays within [0, 100]
+    rows.foreach { case (w, _) => assert(w >= 0 && w <= 100) }
+  }
+
   test("fuzzyTopKJoin returns k ranked matches with payload") {
     val left = Seq((1, "alpha")).toDF("id", "name")
     val right = Seq("alphax", "alphayy", "zzzzz").toDF("r")

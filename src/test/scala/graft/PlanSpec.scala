@@ -44,4 +44,44 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
     }
   }
+
+  test("j05: the bounded levenshtein is evaluated once per pair — " +
+       "never inside a join condition") {
+    // the dd02/dd03 double-evaluation trap: a threshold filter over the
+    // scored projection gets pushed into the band join's condition and
+    // the DP runs twice per candidate (BENCH r3: j05 at 21 s)
+    val qe = SparkEntry.queries("j05_fuzzy_top1")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    joins.foreach { j =>
+      val cond = j.condition.map(_.toString).getOrElse("")
+      assert(!cond.toLowerCase.contains("levenshtein"),
+        s"scoring leaked into a join condition: $cond")
+    }
+    // and no Filter node evaluates the DP either (threshold is applied
+    // post-aggregate on the arg-max struct, not per pair)
+    qe.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.foreach { f =>
+      assert(!f.condition.toString.toLowerCase.contains("levenshtein"),
+        s"per-pair threshold filter resurfaced: ${f.condition}")
+    }
+  }
+
+  test("dd06: the LSH near-dup verify is join-based — no driver-side " +
+       "vector table in the plan") {
+    // scorePairs must attach vectors via id-equi-joins; a
+    // LocalTableScan/LocalRelation would mean a collect()ed copy of the
+    // vector table was shipped from the driver (OOM at corpus scale)
+    val p = sparkPlan("dd06_embedding_neardup_lsh")
+    assert(!p.contains("LocalTableScan"), p.take(800))
+  }
+
+  test("s07: the partition-metadata scan reads no parquet data") {
+    // S7's contract (the $__PARTITIONS_SUMMARY__ scan): directory names
+    // only — the plan must not contain a parquet file scan
+    val p = sparkPlan("s07_partitions")
+    assert(!p.contains("FileScan parquet"), p.take(800))
+  }
 }

@@ -29,11 +29,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("hourly")
         .orderBy($"event_type", $"hour")
-        .select($"event_type", $"n", $"total".cast("string"))
-        .as[(String, Long, String)].collect()
+        .select($"event_type", $"n", $"total")
+        .as[(String, Long, Double)].collect()
       assert(got.toSeq == Seq(
-        ("click", 2L, "3.50"), ("click", 1L, "4.00"),
-        ("view", 1L, "1.00")))
+        ("click", 2L, 3.5), ("click", 1L, 4.0),
+        ("view", 1L, 1.0)))
     } finally q.stop()
   }
 
