@@ -43,7 +43,15 @@ object Bench {
     names.foreach(run(_, warmDir))
 
     val results = names.map { name =>
+      // clearCache only drops the SQL cache — the localCheckpoint blocks
+      // every Fence persists stay in the BlockManager until the async
+      // ContextCleaner reclaims them, and 99 queries of backlog turns
+      // late measurements into block-eviction benchmarks (dd03 measured
+      // 73 s mid-run vs 5.3 s in a fresh JVM). Unpersist them
+      // synchronously, then GC so the cleaner drops broadcasts too.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       val t0 = System.nanoTime()
       run(name, sfDir)

@@ -164,18 +164,23 @@ object LlmQueries {
     // U7 token-set + partial ratios — the two remaining WRatio components
     // (get_similarity.py:148-152): scored between unrelated columns for
     // real variance, plus a word-subset pair (token_set must say 100)
-    // and a substring pair (partial must say 100)
+    // and a substring pair (partial must say 100). The token triples are
+    // projected once and fenced: inlining tokenSetRatio clones its
+    // interpreted HOF token pipeline ~20× per row (measured 17 s → ~1 s
+    // at sf0.1).
     "u07_tokenset_partial" -> ((s, dir) => {
+      import graft.sim.Fuzzy
       val subset = array_join(slice(split(col("p_name"), " "), 1, 2), " ")
-      t(s, dir, "part").select(col("p_partkey"),
-          graft.sim.Fuzzy.tokenSetRatio(col("p_name"), col("p_type"))
-            .as("ts_cross"),
-          graft.sim.Fuzzy.partialRatio(col("p_name"), col("p_type"))
-            .as("pr_cross"),
-          graft.sim.Fuzzy.tokenSetRatio(col("p_name"), subset)
-            .as("ts_subset"),
-          graft.sim.Fuzzy.partialRatio(col("p_name"),
-              substring(col("p_name"), 3, 8)).as("pr_substr"))
+      val staged = graft.core.Fence(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_type"),
+          Fuzzy.tokenSetTriple(col("p_name"), col("p_type")).as("ct"),
+          Fuzzy.tokenSetTriple(col("p_name"), subset).as("st"),
+          substring(col("p_name"), 3, 8).as("sub8")))
+      staged.select(col("p_partkey"),
+          Fuzzy.tokenSetScore(col("ct")).as("ts_cross"),
+          Fuzzy.partialRatio(col("p_name"), col("p_type")).as("pr_cross"),
+          Fuzzy.tokenSetScore(col("st")).as("ts_subset"),
+          Fuzzy.partialRatio(col("p_name"), col("sub8")).as("pr_substr"))
         .orderBy(col("p_partkey"))
     }),
 

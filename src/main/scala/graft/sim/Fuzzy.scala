@@ -74,12 +74,37 @@ object Fuzzy {
   /** Token-set ratio — fuzzywuzzy's token_set_ratio: the max ratio among
     * (intersection, intersection+a-rest, intersection+b-rest), which
     * scores 100 whenever one side's word set contains the other's. Pure
-    * builtins; null if either side is null. */
+    * builtins; null if either side is null.
+    *
+    * Bulk-scoring note: the three comparison strings share the token
+    * arrays, and Catalyst clones (not shares) subtrees while the HOF
+    * set ops run interpreted — one inline call expands to ~20
+    * evaluations of each token pipeline per row. For scoring whole
+    * columns, project [[tokenSetTriple]] first, fence it, and compare
+    * the materialized fields (as the u07 gate does). */
   def tokenSetRatio(a: Column, b: Column): Column = {
     val (t0, t1, t2) = tokenSetParts(a, b)
     when(a.isNull || b.isNull, lit(null))
       .otherwise(greatest(levenshteinRatio(t0, t1),
         levenshteinRatio(t0, t2), levenshteinRatio(t1, t2)))
+  }
+
+  /** The three token-set comparison strings as one struct column
+    * (`t0`/`t1`/`t2`), so bulk pipelines can compute the token set ops
+    * once per row, fence the result, and run the cheap levenshtein
+    * comparisons on materialized strings. [[tokenSetScore]] is the
+    * matching comparison step. */
+  def tokenSetTriple(a: Column, b: Column): Column = {
+    val (t0, t1, t2) = tokenSetParts(a, b)
+    struct(t0.as("t0"), t1.as("t1"), t2.as("t2"))
+  }
+
+  /** Max pairwise ratio over a materialized [[tokenSetTriple]]. */
+  def tokenSetScore(triple: Column): Column = {
+    val (t0, t1, t2) = (triple.getField("t0"), triple.getField("t1"),
+      triple.getField("t2"))
+    greatest(levenshteinRatio(t0, t1), levenshteinRatio(t0, t2),
+      levenshteinRatio(t1, t2))
   }
 
   /** Partial ratio — fuzzywuzzy's partial_ratio as the exact
@@ -242,27 +267,113 @@ object Fuzzy {
         ls.join(rs, col("__llen") === col("__band") &&
                     col("__lsalt") === col("__rsalt"))
       }
-    // No per-pair threshold filter: a filter on the scored projection gets
-    // pushed into the band join's condition and the bounded-DP levenshtein
-    // runs TWICE per candidate (the dd02/dd03 double-evaluation trap;
-    // BENCH r3 measured j05 at 21 s from exactly this). Instead
-    // below-threshold pairs score a -1 sentinel, the arg-max aggregate
-    // consumes every pair (map-side partial, so |pairs| rows collapse to
-    // |distinct L| before any shuffle), and the threshold is applied
-    // post-aggregate on |distinct L| rows — the levenshtein appears in
-    // exactly one expression, evaluated once per pair. Output is identical:
-    // adding below-threshold elements never changes an above-threshold max,
-    // and keys whose max is below threshold drop to a null match either way.
-    val scored = joined
-      .withColumn(scoreCol,
-        coalesce(levenshteinRatioBounded(col(leftKey), col(rightKey),
-                                         minScore), lit(-1)))
-    val best = scored.groupBy(col(leftKey))
+    // Score + threshold + per-key arg-max run as a JIT'd mapPartitions
+    // kernel over the joined pairs, for the same reason as ts04 and
+    // Ann.scorePairs: every declarative shape measured slower by 4-10×
+    // at sf0.1 (15M pairs) —
+    //  - a threshold filter over the scored projection folds into the
+    //    band join's condition → the DP runs twice per pair (BENCH r3:
+    //    21 s);
+    //  - feeding the score expression straight into the arg-max
+    //    aggregate re-evaluates it on the aggregate's non-codegen input
+    //    path (probed 17 s vs 4 s for the identical scoring as a plain
+    //    projection);
+    //  - fencing the scored pairs first materializes |L|·|R| rows,
+    //    which is exactly what the partial-agg design exists to avoid.
+    // The kernel scores each pair once, keeps one running best per left
+    // key per partition (memory ≤ |distinct L per partition|, same as a
+    // partial aggregate), and only those partial winners reach the final
+    // shuffle — the band join stays a declarative equi-join, so the
+    // whole operator remains distributed at any scale.
+    // Integer math is identical to the SQL oracle: ratio >= s ⇔
+    // dist <= floor(maxLen·(100−s)/100), banded DP with early exit, and
+    // the UTF-8-byte tie-break matches Spark/DuckDB string max ordering.
+    val spark = left.sparkSession
+    import spark.implicits._
+    val partialBest = joined
+      .select(col(leftKey).cast("string"), col(rightKey).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val best = new java.util.HashMap[String, (Int, String)]()
+        it.foreach { case (lk, rk) =>
+          if (lk != null && rk != null) {
+            val sc = ratioAtLeast(lk, rk, minScore)
+            if (sc >= 0) {
+              val cur = best.get(lk)
+              if (cur == null || sc > cur._1 ||
+                  (sc == cur._1 && utf8Gt(rk, cur._2)))
+                best.put(lk, (sc, rk))
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        best.entrySet().iterator().asScala
+          .map(e => (e.getKey, e.getValue._2, e.getValue._1))
+      }.toDF(leftKey, rightKey, scoreCol)
+    val best = partialBest.groupBy(col(leftKey))
       .agg(max(struct(col(scoreCol), col(rightKey))).as("__best"))
-      .filter(col("__best").getField(scoreCol) >= minScore)
       .select(col(leftKey),
               col("__best").getField(rightKey).as(rightKey),
               col("__best").getField(scoreCol).as(scoreCol))
     left.join(best, Seq(leftKey), "left")
+  }
+
+  /** Kernel twin of [[levenshteinRatioBounded]]: the ratio when it is
+    * >= minScore, else -1. `ratio >= s ⇔ dist <= floor(len·(100−s)/100)`
+    * (integers, so the equivalence is exact), and
+    * `floor(100·(len−d)/len)` equals integer division for non-negative
+    * ints — bit-identical to the Column form and the SQL oracle on BMP
+    * strings (all engines count UTF-16/codepoint units identically
+    * there). */
+  private def ratioAtLeast(a: String, b: String, minScore: Int): Int = {
+    val la = a.length; val lb = b.length
+    val maxLen = math.max(la, lb)
+    if (maxLen == 0) return 100
+    val maxDist = maxLen * (100 - minScore) / 100
+    if (math.abs(la - lb) > maxDist) return -1
+    val d = boundedLev(a, b, maxDist)
+    if (d > maxDist) -1 else 100 * (maxLen - d) / maxLen
+  }
+
+  /** Two-row Levenshtein DP with row-min early exit: returns the exact
+    * distance when it is <= cap, else any value > cap. */
+  private def boundedLev(a: String, b: String, cap: Int): Int = {
+    val n = a.length; val m = b.length
+    var prev = Array.tabulate(m + 1)(identity)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= m) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > cap) return cap + 1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Unsigned UTF-8 byte comparison — the order Spark's string max (and
+    * the oracle's) uses, so partial winners tie-break identically to the
+    * final `max(struct(...))` merge. */
+  private def utf8Gt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c > 0
+      i += 1
+    }
+    a.length > b.length
   }
 }

@@ -180,6 +180,30 @@ class DedupFuzzySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("banded kernel equals the expression-based broadcast join " +
+       "(property)") {
+    // the banded form scores pairs in a mapPartitions kernel; it must
+    // agree with the pure-expression crossJoin arg-max (thresholded)
+    // on winner, score, and tie-break
+    val word = Gen.choose(4, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    forAllSamples(Gen.zip(Gen.listOfN(30, word), Gen.listOfN(10, word)), 5) {
+      case (ls, rs) =>
+        val left = ls.distinct.zipWithIndex
+          .map { case (n, i) => (i, n) }.toDF("id", "name")
+        val right = rs.distinct.toDF("r")
+        val banded = Fuzzy.fuzzyTop1JoinBanded(left, "name", right, "r", 60)
+          .select($"name", $"r", $"similarity")
+          .as[(String, Option[String], Option[Int])].collect().toSet
+        val expr = Fuzzy.fuzzyTop1Join(left, "name", right, "r")
+          .select($"name", $"r", $"similarity")
+          .as[(String, Option[String], Option[Int])].collect()
+          .map { case (n, r, s) =>
+            if (s.exists(_ >= 60)) (n, r, s) else (n, None, None) }.toSet
+        assert(banded == expr)
+    }
+  }
+
   test("banded join: below-threshold rows get null match") {
     // ratio("alpha corp","alpha corporation") = floor(100*(17-7)/17) = 58
     val left = Seq((1, "alpha corp"), (2, "zzzzzz")).toDF("id", "name")
