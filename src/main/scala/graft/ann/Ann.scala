@@ -252,6 +252,60 @@ object Ann {
     scorePairs(d, cand, minCos)
   }
 
+  /** IVF-Flat ANN — the inverted-file scale path beside the LSH one:
+    * `numCells` deterministic coarse centroids (the smallest-id vectors,
+    * a deterministic data sample standing in for trained k-means means —
+    * training iterations would not be oracle-replicable), every vector
+    * assigned to its nearest centroid by cosine, and each query probing
+    * only its `nprobe` nearest cells' members.
+    *
+    * Scale shape: centroids are a numCells-row driver-side constant (the
+    * same bound as any broadcast build side); assignment is one linear
+    * scan with no shuffle; the probe is a plain (cell) equi-join, so
+    * per-query work is ~nprobe/numCells of the corpus — the IVF
+    * contract. Assignment/probe dots use the interpreted HOF [[dot]]
+    * deliberately: numCells×Dim unrolled terms in one projection
+    * overflows Janino's 64 KB limit (see [[nearDupBandBucket]]), and
+    * they run once per ROW, never per pair. Pair scoring inside the
+    * probed cells is the codegen [[dotUnrolled]] + precomputed norms.
+    * Ties: cell assignment/probing to the larger cell id, neighbor
+    * ranking to the smaller vec_id (mirrored in the oracle).
+    * Output: (q_id, rank, vec_id, cos) as [[bruteForceTopK]]. */
+  def ivfTopK(data: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCells: Int = 16,
+              nprobe: Int = 2): DataFrame = {
+    require(numCells >= 1 && nprobe >= 1 && k >= 1)
+    val d = withNorms(data, idCol, vecCol)
+    val cents: Array[(Seq[Double], Double)] = d.orderBy(col("id"))
+      .limit(numCells).select(col("v"), col("nrm"))
+      .collect().map(r => (r.getSeq[Double](0), r.getDouble(1)))
+    def cellScores(v: Column, nrm: Column): Column =
+      array(cents.indices.map(j => struct(
+        (dot(v, typedLit(cents(j)._1)) / (nrm * lit(cents(j)._2)))
+          .as("cos"),
+        lit(j).as("cell"))): _*)
+    val assigned = graft.core.Fence(d.withColumn("cell",
+      array_max(cellScores(col("v"), col("nrm"))).getField("cell")))
+    val q = withNorms(queries, idCol, vecCol)
+      .select(col("id").as("q_id"), col("v").as("qv"),
+              col("nrm").as("qnrm"))
+    val probes = graft.core.Fence(q.withColumn("probe",
+        explode(slice(reverse(array_sort(
+          cellScores(col("qv"), col("qnrm")))), 1, nprobe)))
+      .select(col("q_id"), col("qv"), col("qnrm"),
+              col("probe").getField("cell").as("cell")))
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("vec_id"),
+        (dotUnrolled(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Within-bucket nearest neighbor (top-1 by cosine, ties to the
     * greatest vec_id) — the bucketed ANN scale path. Vectors alone in
     * their bucket drop out. Output: (vec_id, bucket, neighbor, cos). */

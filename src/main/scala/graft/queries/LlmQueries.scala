@@ -132,6 +132,15 @@ object LlmQueries {
       Ann.lshBucketNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
 
+    // IVF-Flat: 16 sampled centroids, nprobe=2 — the inverted-file ANN
+    // scale path beside LSH; same query set as ann01 so recall is
+    // directly comparable
+    "ann03_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup, exact baseline: all pairs >= t. The
     // threshold 460/1024 sits at this corpus's near-dup tail (max
     // observed cosine ≈ 0.51) and is an exact binary fraction, so both
@@ -158,6 +167,35 @@ object LlmQueries {
             .as("plain_ratio"),
           graft.sim.Fuzzy.tokenSortRatio(col("p_name"), scrambled)
             .as("token_sort_ratio"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // U8 WRatio end-to-end — the full fuzzywuzzy decision tree
+    // (get_similarity.py:148-152) gated against an oracle that
+    // replicates every branch (0.95/0.9/0.6 scales, partial family on
+    // >1.5× length gap). Runs as the staged form: token/sorted
+    // components projected once and fenced, then the blended formula
+    // over materialized fields (wRatioStaged ≡ wRatio, pinned by
+    // DedupFuzzySpec — the inline form's cloned interpreted pipelines
+    // cost ~10 ms/row plus seconds of plan compilation).
+    "u08_wratio" -> ((s, dir) => {
+      import graft.sim.Fuzzy
+      def srt(c: org.apache.spark.sql.Column) =
+        array_join(sort_array(split(c, " +")), " ")
+      val short = split(col("p_type"), " ").getItem(0)
+      val staged = graft.core.Fence(t(s, dir, "part")
+        .filter(col("p_partkey") <= 2000)
+        .select(col("p_partkey"),
+          col("p_name").as("c_a"), col("p_type").as("c_b"),
+          srt(col("p_name")).as("c_sa"), srt(col("p_type")).as("c_sb"),
+          Fuzzy.tokenSetTriple(col("p_name"), col("p_type")).as("c_t"),
+          short.as("s_b"), srt(short).as("s_sb"),
+          Fuzzy.tokenSetTriple(col("p_name"), short).as("s_t")))
+      staged.select(col("p_partkey"),
+          Fuzzy.wRatioStaged(col("c_a"), col("c_b"), col("c_sa"),
+            col("c_sb"), col("c_t")).as("wr_cross"),
+          Fuzzy.wRatioStaged(col("c_a"), col("s_b"), col("c_sa"),
+            col("s_sb"), col("s_t")).as("wr_short"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -252,6 +290,35 @@ object LlmQueries {
         SELECT q_id, rank, vec_id, cos FROM ranked
         WHERE rank <= 10 ORDER BY q_id, rank"""
     },
+    "ann03_ivf_topk" -> {
+      def dt(a: String, b: String) = Ann.dotSql(a, b)
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm FROM v),
+          cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+              - 1 AS cell, v AS cv, nrm AS cnrm
+            FROM vn ORDER BY vec_id LIMIT 16),
+          asg AS (SELECT vec_id, v, nrm, cell FROM (
+            SELECT vn.vec_id, vn.v, vn.nrm, cent.cell,
+              row_number() OVER (PARTITION BY vn.vec_id
+                ORDER BY ${dt("vn.v", "cent.cv")} / (vn.nrm * cent.cnrm)
+                  DESC, cent.cell DESC) AS rn
+            FROM vn CROSS JOIN cent) WHERE rn = 1),
+          qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell FROM (
+            SELECT vn.vec_id, vn.v, vn.nrm, cent.cell,
+              row_number() OVER (PARTITION BY vn.vec_id
+                ORDER BY ${dt("vn.v", "cent.cv")} / (vn.nrm * cent.cnrm)
+                  DESC, cent.cell DESC) AS rn
+            FROM vn CROSS JOIN cent WHERE vn.vec_id < 5) WHERE rn <= 2),
+          cand AS (SELECT qp.q_id, a.vec_id,
+              ${dt("qp.qv", "a.v")} / (qp.qnrm * a.nrm) AS cos
+            FROM qp JOIN asg a USING (cell) WHERE a.vec_id <> qp.q_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM cand)
+        SELECT q_id, rank, vec_id, cos FROM ranked
+        WHERE rank <= 10 ORDER BY q_id, rank"""
+    },
     "dd05_embedding_neardup" -> {
       val cos = Ann.cosineSql("a.v", "b.v")
       s"""WITH v AS (SELECT vec_id AS id,
@@ -312,6 +379,78 @@ object LlmQueries {
               AS token_sort_ratio
           FROM b ORDER BY p_partkey"""
     },
+    "u08_wratio" -> {
+      def ratio(a: String, b: String) =
+        s"""(CASE WHEN GREATEST(LENGTH($a), LENGTH($b)) = 0 THEN 100
+            ELSE CAST(FLOOR(100.0 * (GREATEST(LENGTH($a), LENGTH($b))
+              - levenshtein($a, $b)) / GREATEST(LENGTH($a), LENGTH($b)))
+              AS INT) END)"""
+      def partial(a: String, b: String) = {
+        val s = s"(CASE WHEN LENGTH($a) <= LENGTH($b) THEN $a ELSE $b END)"
+        val l = s"(CASE WHEN LENGTH($a) <= LENGTH($b) THEN $b ELSE $a END)"
+        val n = s"LEAST(LENGTH($a), LENGTH($b))"
+        s"""(CASE WHEN $n = 0 THEN 100
+            ELSE CAST(FLOOR(100.0 * ($n - list_min(list_transform(
+              generate_series(1, GREATEST(LENGTH($a), LENGTH($b)) - $n + 1),
+              i -> levenshtein($s, substr($l, CAST(i AS INT), $n)))))
+              / $n) AS INT) END)"""
+      }
+      def tok(e: String) =
+        s"""list_sort(list_distinct(list_filter(
+            string_split_regex($e, ' +'), t -> t <> '')))"""
+      def srt(e: String) =
+        s"array_to_string(list_sort(string_split_regex($e, ' +')), ' ')"
+      // DuckDB's array_to_string([]) is NULL, not '' — coalesce so empty
+      // intersections/differences compare like Spark's empty string
+      def inter(x: String, y: String) =
+        s"COALESCE(array_to_string(list_sort(list_intersect($x, $y)), ' '), '')"
+      def diff(x: String, y: String) =
+        s"""COALESCE(array_to_string(list_sort(list_filter($x,
+            t -> NOT list_contains($y, t))), ' '), '')"""
+      // one WRatio per staged pair p ∈ {c, s}: pX_a/pX_b raw strings,
+      // pX_t0/t1/t2 token-set strings, pX_sa/sb sorted-token strings
+      def wr(p: String) = {
+        val (a, b) = (s"${p}_a", s"${p}_b")
+        val lensr = s"(GREATEST(LENGTH($a), LENGTH($b))::DOUBLE " +
+          s"/ LEAST(LENGTH($a), LENGTH($b))::DOUBLE)"
+        val ps = s"(CASE WHEN $lensr > 8.0::DOUBLE THEN 0.6::DOUBLE " +
+          "ELSE 0.9::DOUBLE END)"
+        val base = s"${ratio(a, b)}::DOUBLE"
+        val part = s"${partial(a, b)}::DOUBLE * $ps"
+        val ptsor =
+          s"${partial(s"${p}_sa", s"${p}_sb")}::DOUBLE * 0.95::DOUBLE * $ps"
+        val ptser = s"""GREATEST(${partial(s"${p}_t0", s"${p}_t1")},
+          ${partial(s"${p}_t0", s"${p}_t2")},
+          ${partial(s"${p}_t1", s"${p}_t2")})::DOUBLE
+          * 0.95::DOUBLE * $ps"""
+        val tsor = s"${ratio(s"${p}_sa", s"${p}_sb")}::DOUBLE * 0.95::DOUBLE"
+        val tser = s"""GREATEST(${ratio(s"${p}_t0", s"${p}_t1")},
+          ${ratio(s"${p}_t0", s"${p}_t2")},
+          ${ratio(s"${p}_t1", s"${p}_t2")})::DOUBLE * 0.95::DOUBLE"""
+        s"""CAST(round(CASE WHEN $lensr > 1.5::DOUBLE
+            THEN GREATEST($base, $part, $ptsor, $ptser)
+            ELSE GREATEST($base, $tsor, $tser) END) AS INT)"""
+      }
+      s"""WITH base AS (SELECT p_partkey, p_name AS c_a, p_type AS c_b,
+            p_name AS s_a, string_split(p_type, ' ')[1] AS s_b
+            FROM part WHERE p_partkey <= 2000),
+          tk AS (SELECT *, ${tok("c_a")} AS c_ta, ${tok("c_b")} AS c_tb,
+            ${tok("s_a")} AS s_ta, ${tok("s_b")} AS s_tb,
+            ${srt("c_a")} AS c_sa, ${srt("c_b")} AS c_sb,
+            ${srt("s_a")} AS s_sa, ${srt("s_b")} AS s_sb FROM base),
+          p1 AS (SELECT *,
+            ${inter("c_ta", "c_tb")} AS c_t0, ${diff("c_ta", "c_tb")} AS c_da,
+            ${diff("c_tb", "c_ta")} AS c_db,
+            ${inter("s_ta", "s_tb")} AS s_t0, ${diff("s_ta", "s_tb")} AS s_da,
+            ${diff("s_tb", "s_ta")} AS s_db FROM tk),
+          p2 AS (SELECT *,
+            trim(concat_ws(' ', c_t0, c_da)) AS c_t1,
+            trim(concat_ws(' ', c_t0, c_db)) AS c_t2,
+            trim(concat_ws(' ', s_t0, s_da)) AS s_t1,
+            trim(concat_ws(' ', s_t0, s_db)) AS s_t2 FROM p1)
+          SELECT p_partkey, ${wr("c")} AS wr_cross, ${wr("s")} AS wr_short
+          FROM p2 ORDER BY p_partkey"""
+    },
     "u07_tokenset_partial" -> {
       def ratio(a: String, b: String) =
         s"""(CASE WHEN GREATEST(LENGTH($a), LENGTH($b)) = 0 THEN 100
@@ -333,11 +472,13 @@ object LlmQueries {
       def tok(e: String) =
         s"""list_sort(list_distinct(list_filter(
             string_split_regex($e, ' +'), t -> t <> '')))"""
+      // DuckDB's array_to_string([]) is NULL, not '' — coalesce so empty
+      // intersections/differences compare like Spark's empty string
       def inter(x: String, y: String) =
-        s"array_to_string(list_sort(list_intersect($x, $y)), ' ')"
+        s"COALESCE(array_to_string(list_sort(list_intersect($x, $y)), ' '), '')"
       def diff(x: String, y: String) =
-        s"""array_to_string(list_sort(list_filter($x,
-            t -> NOT list_contains($y, t))), ' ')"""
+        s"""COALESCE(array_to_string(list_sort(list_filter($x,
+            t -> NOT list_contains($y, t))), ' '), '')"""
       s"""WITH base AS (SELECT p_partkey, p_name, p_type,
             array_to_string(string_split(p_name, ' ')[1:2], ' ') AS subset,
             substr(p_name, 3, 8) AS sub8 FROM part),

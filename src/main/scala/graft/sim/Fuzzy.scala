@@ -114,11 +114,17 @@ object Fuzzy {
     * per-row scoring/banding, not pair-quadratic joins (pre-band there,
     * as [[fuzzyTop1JoinBanded]] does). */
   def partialRatio(a: Column, b: Column): Column = {
+    // n/m from least/greatest of lengths (not length(s)/length(l)):
+    // Catalyst clones subtrees per reference, so every reference to the
+    // conditional s/l would copy the full argument trees — with
+    // composite arguments (wRatio's token-set strings) that turned plan
+    // compilation itself into the dominant cost
+    val n = least(length(a), length(b))
+    val m = greatest(length(a), length(b))
     val s = when(length(a) <= length(b), a).otherwise(b)
     val l = when(length(a) <= length(b), b).otherwise(a)
-    val n = length(s)
     val minDist = array_min(transform(
-      sequence(lit(1), length(l) - n + lit(1)),
+      sequence(lit(1), m - n + lit(1)),
       i => levenshtein(s, l.substr(i, n))))
     when(a.isNull || b.isNull, lit(null))
       .when(n === 0, lit(100))
@@ -148,6 +154,38 @@ object Fuzzy {
       partialRatio(t1, t2)).cast("double") * unbase * partialScale
     val tsor = tokenSortRatio(a, b).cast("double") * unbase
     val tser = tokenSetRatio(a, b).cast("double") * unbase
+    val blended = when(lensRatio > 1.5,
+        greatest(base, partial, ptsor, ptser))
+      .otherwise(greatest(base, tsor, tser))
+    when(a.isNull || b.isNull, lit(null))
+      .otherwise(round(blended).cast("int"))
+  }
+
+  /** [[wRatio]] over pre-staged components — the bulk-scoring path.
+    * Callers project the sorted-token strings and [[tokenSetTriple]]
+    * once, fence them, and assemble the blended score from the
+    * materialized fields: the inline [[wRatio]] clones its interpreted
+    * token pipelines ~20× per row (Catalyst copies subtrees, HOFs get
+    * no CSE) and its expression tree is large enough that plan
+    * compilation alone costs seconds. Formula-identical to [[wRatio]]
+    * (asserted by DedupFuzzySpec). */
+  def wRatioStaged(a: Column, b: Column, sortedA: Column, sortedB: Column,
+                   triple: Column): Column = {
+    val base = levenshteinRatio(a, b).cast("double")
+    val la = length(a).cast("double"); val lb = length(b).cast("double")
+    val lensRatio = greatest(la, lb) / least(la, lb)
+    val unbase = lit(0.95)
+    val partialScale = when(lensRatio > 8.0, lit(0.6)).otherwise(lit(0.9))
+    val (t0, t1, t2) = (triple.getField("t0"), triple.getField("t1"),
+      triple.getField("t2"))
+    val partial = partialRatio(a, b).cast("double") * partialScale
+    val ptsor = partialRatio(sortedA, sortedB).cast("double") *
+      unbase * partialScale
+    val ptser = greatest(partialRatio(t0, t1), partialRatio(t0, t2),
+      partialRatio(t1, t2)).cast("double") * unbase * partialScale
+    val tsor = levenshteinRatio(sortedA, sortedB).cast("double") * unbase
+    val tser = greatest(levenshteinRatio(t0, t1), levenshteinRatio(t0, t2),
+      levenshteinRatio(t1, t2)).cast("double") * unbase
     val blended = when(lensRatio > 1.5,
         greatest(base, partial, ptsor, ptser))
       .otherwise(greatest(base, tsor, tser))

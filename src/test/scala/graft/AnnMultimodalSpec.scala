@@ -54,6 +54,46 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(lsh.contains((100L, 101L)))
   }
 
+  test("ivfTopK with one cell equals the brute-force baseline") {
+    // numCells=1, nprobe=1 degenerates to scanning the full corpus —
+    // the output (ranks, ids, bit-exact cosines) must equal bruteForce
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val ivf = Ann.ivfTopK(e, q, "vec_id", "embedding", 5,
+        numCells = 1, nprobe = 1)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("ivfTopK: contiguous ranks and exact cosines on probed cells") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val ivf = Ann.ivfTopK(e, q, "vec_id", "embedding", 10,
+        numCells = 8, nprobe = 2)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect()
+    // per query: ranks are 1..n with no gaps
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    // every reported cosine equals the exact brute-force cosine for
+    // that (query, neighbor) pair — probing narrows candidates, never
+    // perturbs scores
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 1000000)
+      .select($"q_id", $"vec_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    ivf.foreach { case (qid, _, vid, cos) =>
+      assert(exact((qid, vid)) == cos, s"cos mismatch for ($qid,$vid)")
+    }
+  }
+
   test("multimodal fake features + frame sampling are deterministic") {
     val df = Seq((1L, "abcdefgh" * 8)).toDF("doc_id", "text")
     val bin = Multimodal.toBinary($"text")

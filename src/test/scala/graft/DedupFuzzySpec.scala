@@ -132,6 +132,27 @@ class DedupFuzzySpec extends SparkSpec {
     rows.foreach { case (w, _) => assert(w >= 0 && w <= 100) }
   }
 
+  test("wRatioStaged is formula-identical to wRatio") {
+    val pairs = Seq(
+      ("alpha beta gamma", "gamma alpha beta"),
+      ("alpha corp holdings intl", "corp"),
+      ("identical string", "identical string"),
+      ("abcdef", "xyzuvw"),
+      ("blue bolt", "SMALL"),              // disjoint tokens, >1.5× gap
+      ("a much longer sentence here", "x") // >8× gap → 0.6 scale
+    )
+    def srt(c: org.apache.spark.sql.Column) =
+      array_join(sort_array(split(c, " +")), " ")
+    val out = pairs.toDF("a", "b")
+      .select(Fuzzy.wRatio($"a", $"b"),
+        Fuzzy.wRatioStaged($"a", $"b", srt($"a"), srt($"b"),
+          Fuzzy.tokenSetTriple($"a", $"b")))
+      .as[(Int, Int)].collect()
+    out.zip(pairs).foreach { case ((w, ws), p) =>
+      assert(w == ws, s"divergence on $p: inline=$w staged=$ws")
+    }
+  }
+
   test("fuzzyTopKJoin returns k ranked matches with payload") {
     val left = Seq((1, "alpha")).toDF("id", "name")
     val right = Seq("alphax", "alphayy", "zzzzz").toDF("r")
