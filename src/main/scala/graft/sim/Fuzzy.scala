@@ -414,4 +414,124 @@ object Fuzzy {
     }
     a.length > b.length
   }
+
+  private val utf8Ordering: Ordering[String] =
+    (x: String, y: String) =>
+      if (x == y) 0 else if (utf8Gt(x, y)) 1 else -1
+
+  /** Spark's `trim()` removes 0x20 spaces only — Java's `String.trim`
+    * also strips control chars, which would diverge on tokens like
+    * "\t". */
+  private def trimSpaces(s: String): String = {
+    var i = 0; var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
+  /** Per-key precomputation for the kernel WRatio: the raw string, the
+    * token-sorted form, and the sorted distinct token set — everything
+    * per-SIDE so the per-pair work is only set merge + levenshteins. */
+  private[graft] final case class FuzzKey(raw: String, sorted: String,
+                                          set: Array[String])
+
+  private[graft] def prepKey(s: String): FuzzKey = {
+    val toks = s.split(" +", -1) // -1: Spark's split keeps trailing ""
+    FuzzKey(s, toks.sorted(utf8Ordering).mkString(" "),
+      toks.filter(_.nonEmpty).distinct.sorted(utf8Ordering))
+  }
+
+  /** Kernel twin of [[wRatio]] — semantics pinned identical by
+    * DedupFuzzySpec on random pairs: same integer ratio/partial math,
+    * same UTF-8 token ordering, same 0.95/0.9/0.6 scale tree, same
+    * HALF_UP rounding (via the toString-based BigDecimal Spark's
+    * `round` uses). Built for pair-quadratic positions where the
+    * Column form's interpreted pipelines are ruinous. */
+  private[graft] def wRatioKernel(lp: FuzzKey, rp: FuzzKey): Int = {
+    def ratio(x: String, y: String): Int = {
+      val m = math.max(x.length, y.length)
+      if (m == 0) 100 else 100 * (m - boundedLev(x, y, m)) / m
+    }
+    def partialR(x: String, y: String): Int = {
+      val (s, l) = if (x.length <= y.length) (x, y) else (y, x)
+      val n = s.length
+      if (n == 0) return 100
+      var best = Int.MaxValue; var i = 0
+      while (i + n <= l.length) {
+        val d = boundedLev(s, l.substring(i, i + n), n)
+        if (d < best) best = d
+        i += 1
+      }
+      100 * (n - best) / n
+    }
+    val a = lp.raw; val b = rp.raw
+    val inter = lp.set.filter(t => rp.set.contains(t))
+    val dA = lp.set.filterNot(t => rp.set.contains(t))
+    val dB = rp.set.filterNot(t => lp.set.contains(t))
+    val t0 = inter.mkString(" ")
+    val t1 = trimSpaces(t0 + " " + dA.mkString(" "))
+    val t2 = trimSpaces(t0 + " " + dB.mkString(" "))
+    val lensRatio = math.max(a.length, b.length).toDouble /
+      math.min(a.length, b.length).toDouble
+    val ps = if (lensRatio > 8.0) 0.6 else 0.9
+    val base = ratio(a, b).toDouble
+    val blended =
+      if (lensRatio > 1.5) {
+        val partial = partialR(a, b).toDouble * ps
+        val ptsor = partialR(lp.sorted, rp.sorted).toDouble * 0.95 * ps
+        val ptser = math.max(partialR(t0, t1),
+          math.max(partialR(t0, t2), partialR(t1, t2))).toDouble *
+          0.95 * ps
+        math.max(math.max(base, partial), math.max(ptsor, ptser))
+      } else {
+        val tsor = ratio(lp.sorted, rp.sorted).toDouble * 0.95
+        val tser = math.max(ratio(t0, t1),
+          math.max(ratio(t0, t2), ratio(t1, t2))).toDouble * 0.95
+        math.max(base, math.max(tsor, tser))
+      }
+    java.math.BigDecimal.valueOf(blended)
+      .setScale(0, java.math.RoundingMode.HALF_UP).intValue
+  }
+
+  /** Fuzzy top-1 join under full WRatio — the reference's actual scorer
+    * (`process.extract` defaults to WRatio, get_similarity.py:148-152).
+    * WRatio admits no lossless length band (token_set scores 100 across
+    * any length gap), so candidates are the full distinct-left ×
+    * broadcast-right product — the reference's own O(|L|·|R|) contract,
+    * distributed: the right side is a broadcast-scale constant (same
+    * bound as any broadcast build side), left keys stream through
+    * executors, and the kernel keeps one best per left key per
+    * partition. Per-side token prep runs once per key, not per pair.
+    * Rows whose best is below `minScore` keep a null match. */
+  def fuzzyTop1JoinWRatio(left: DataFrame, leftKey: String,
+                          right: DataFrame, rightKey: String,
+                          minScore: Int = 60,
+                          scoreCol: String = "similarity"): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val rKeys = right.select(col(rightKey).cast("string"))
+      .distinct().as[String].collect().filter(_ != null)
+    val bc = spark.sparkContext.broadcast(rKeys)
+    val l = fanOut(left.select(col(leftKey).cast("string")).distinct())
+    val best = l.as[String].mapPartitions { it =>
+      val rs = bc.value.map(r => (r, prepKey(r)))
+      it.flatMap { lk =>
+        if (lk == null) Iterator.empty
+        else {
+          val lp = prepKey(lk)
+          var bestScore = -1; var bestR: String = null
+          rs.foreach { case (rk, rp) =>
+            val sc = wRatioKernel(lp, rp)
+            if (sc > bestScore ||
+                (sc == bestScore && (bestR == null || utf8Gt(rk, bestR)))) {
+              bestScore = sc; bestR = rk
+            }
+          }
+          if (bestScore >= minScore) Iterator.single((lk, bestR, bestScore))
+          else Iterator.empty
+        }
+      }
+    }.toDF(leftKey, rightKey, scoreCol)
+    left.join(best, Seq(leftKey), "left")
+  }
 }

@@ -153,6 +153,40 @@ class DedupFuzzySpec extends SparkSpec {
     }
   }
 
+  test("wRatioKernel equals the Column wRatio (property)") {
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val phrase = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAllSamples(Gen.zip(phrase, phrase), 60) { case (a, b) =>
+      val viaColumn = Seq((a, b)).toDF("a", "b")
+        .select(Fuzzy.wRatio($"a", $"b")).as[Int].collect()(0)
+      val viaKernel = Fuzzy.wRatioKernel(Fuzzy.prepKey(a), Fuzzy.prepKey(b))
+      assert(viaColumn == viaKernel, s"($a, $b)")
+    }
+  }
+
+  test("fuzzyTop1JoinWRatio: word-subset matches win where plain " +
+       "levenshtein would miss them") {
+    val left = Seq((1, "alpha corp holdings intl"), (2, "zzz qqq vvv"))
+      .toDF("id", "name")
+    val right = Seq("corp", "unrelated words").toDF("r")
+    val out = Fuzzy.fuzzyTop1JoinWRatio(left, "name", right, "r", 60)
+      .orderBy($"id").select($"id", $"r", $"similarity")
+      .as[(Int, Option[String], Option[Int])].collect()
+    // "corp" ⊂ tokens of row 1 → partial-token-set drives a high score
+    assert(out(0)._2.contains("corp") && out(0)._3.exists(_ >= 60))
+    // fuzzywuzzy quirk faithfully reproduced: with a >1.5× length gap
+    // and disjoint token sets, partial_token_set is 100 (empty
+    // intersection slides anywhere), so WRatio = round(100·0.95·0.9)=86
+    assert(out(1)._2.contains("corp") && out(1)._3.contains(86))
+    // a stricter threshold turns the quirk-band into a null match
+    val strict = Fuzzy.fuzzyTop1JoinWRatio(left, "name", right, "r", 90)
+      .orderBy($"id").select($"id", $"r", $"similarity")
+      .as[(Int, Option[String], Option[Int])].collect()
+    assert(strict(1)._2.isEmpty && strict(1)._3.isEmpty)
+  }
+
   test("fuzzyTopKJoin returns k ranked matches with payload") {
     val left = Seq((1, "alpha")).toDF("id", "name")
     val right = Seq("alphax", "alphayy", "zzzzz").toDF("r")
