@@ -209,24 +209,40 @@ object Fuzzy {
   }
 
   /** Generalized top-k: the k best right matches per left key (the
-    * reference's `process.extract(limit=k)` for k > 1). k is small by
-    * contract, so the per-key window is bounded; output keeps the full
-    * left payload, one row per (left row, rank). */
+    * reference's `process.extract(limit=k)` for k > 1), ranked by
+    * (score desc, right key desc). Output keeps the full left payload,
+    * one row per (left row, rank); null right keys are not candidates.
+    *
+    * Scored in the same per-partition kernel as [[fuzzyTop1JoinBanded]]
+    * rather than a window: a window top-k shuffles every scored
+    * |L|·|R| pair, while the kernel emits only k rows per left key —
+    * the only shuffle left is the payload join. A property test pins
+    * the output to the declarative window form. */
   def fuzzyTopKJoin(left: DataFrame, leftKey: String,
                     right: DataFrame, rightKey: String, k: Int,
                     scoreCol: String = "similarity"): DataFrame = {
     require(k >= 1)
-    val l = fanOut(left.select(col(leftKey)).distinct())
-    val r = broadcast(right.select(col(rightKey)).distinct())
-    val scored = l.crossJoin(r)
-      .withColumn(scoreCol, levenshteinRatio(col(leftKey), col(rightKey)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(leftKey))
-      .orderBy(col(scoreCol).desc, col(rightKey).desc)
-    val topK = scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-    left.join(topK, Seq(leftKey), "left")
+    val spark = left.sparkSession
+    import spark.implicits._
+    val rKeys = right.select(col(rightKey).cast("string")).distinct()
+      .as[String].collect().filter(_ != null)
+    val bc = spark.sparkContext.broadcast(rKeys)
+    val l = fanOut(left.select(col(leftKey).cast("string")).distinct())
+    val ranked = l.as[String].mapPartitions { it =>
+      val rs = bc.value
+      it.flatMap { lk =>
+        if (lk == null) Iterator.empty
+        else {
+          val top = rs.map(rk => (ratioAtLeast(lk, rk, 0), rk))
+            .sortWith { case ((s1, r1), (s2, r2)) =>
+              s1 > s2 || (s1 == s2 && utf8Gt(r1, r2))
+            }.take(k)
+          top.iterator.zipWithIndex.map { case ((sc, rk), i) =>
+            (lk, rk, sc, i + 1) }
+        }
+      }
+    }.toDF(leftKey, rightKey, scoreCol, "rank")
+    left.join(ranked, Seq(leftKey), "left")
   }
 
   /** Thresholded ratio: the similarity when it is >= minScore, else null.

@@ -196,6 +196,30 @@ class DedupFuzzySpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 1, "alphax"), (1, 2, "alphayy")))
   }
 
+  test("fuzzyTopKJoin kernel matches the declarative window form " +
+       "(property)") {
+    val word = Gen.choose(3, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    forAllSamples(Gen.zip(Gen.listOfN(12, word), Gen.listOfN(6, word)), 5) {
+      case (ls, rs) =>
+        val left = ls.distinct.zipWithIndex
+          .map { case (n, i) => (i, n) }.toDF("id", "name")
+        val right = rs.distinct.toDF("r")
+        val viaKernel = Fuzzy.fuzzyTopKJoin(left, "name", right, "r", 3)
+          .select($"name", $"r", $"similarity", $"rank")
+          .as[(String, String, Int, Int)].collect().toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"name").orderBy($"similarity".desc, $"r".desc)
+        val viaWindow = left.select($"name").distinct()
+          .crossJoin(broadcast(right))
+          .withColumn("similarity", Fuzzy.levenshteinRatio($"name", $"r"))
+          .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+          .select($"name", $"r", $"similarity", $"rank")
+          .as[(String, String, Int, Int)].collect().toSet
+        assert(viaKernel == viaWindow)
+    }
+  }
+
   test("fuzzyTop1Join attaches best match to full left payload") {
     val left = Seq((1, "alpha corp"), (2, "beta inc"), (3, "gamma llc"))
       .toDF("id", "name")
