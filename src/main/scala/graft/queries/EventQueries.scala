@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.ops.AsOfJoin
 
 /** Oracle-checked queries over the `events` stream table: tumbling-window
   * aggregation and gap-based sessionization — the batch forms of the
@@ -46,6 +47,23 @@ object EventQueries {
         .select(col("user_id"), col("event_id"), col("ts"),
                 col("session_id"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // As-of join: each purchase picks up the latest preceding click of
+    // the same user (point-in-time enrichment; DuckDB's ASOF LEFT JOIN
+    // is the oracle). Union + running-window encoding: one shuffle on
+    // user_id, no per-key pair explosion.
+    "ev03_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "event_id",
+          Seq("ts", "value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("asof_ts"), col("asof_value"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -71,6 +89,19 @@ object EventQueries {
              ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS session_id
-         FROM m ORDER BY user_id, event_id"""
+         FROM m ORDER BY user_id, event_id""",
+    "ev03_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+           FROM events WHERE event_type = 'purchase'),
+         r0 AS (SELECT user_id, ts::TIMESTAMP AS ts, value,
+             row_number() OVER (PARTITION BY user_id, ts
+               ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1)
+         SELECT l.event_id, l.user_id, l.ts,
+                r.ts AS asof_ts, r.value AS asof_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id"""
   )
 }

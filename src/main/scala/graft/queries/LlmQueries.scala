@@ -119,6 +119,53 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition signals (the Gopher-style quality filters, adapted to
+    // token granularity): duplicate-token fraction and the share of the
+    // document covered by its most frequent word bigram. Tokens/bigrams
+    // are projected once and fenced — each signal references them
+    // several times and HOF pipelines get no CSE.
+    "ts05_repetition" -> ((s, dir) => {
+      val toks = TextHash.tokens(col("text"))
+      val staged = graft.core.Fence(t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"),
+          TextAnalysis.bigrams(toks).as("bg")))
+      val n = size(col("toks")).cast("double")
+      val top = TextAnalysis.modeCount(col("bg"))
+      staged.select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          (lit(1.0) - size(array_distinct(col("toks"))).cast("double") / n)
+            .as("dup_tok_frac"),
+          top.as("top_bigram_n"),
+          (top.cast("double") * lit(2.0) / n).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified deterministic sampling: per-language keep rates driven
+    // by an md5 bucket of the document id — reproducible on any engine,
+    // no shuffle, no RNG state (the corpus rebalancing step of
+    // training-data pipelines).
+    "ts06_stratified_sample" -> ((s, dir) => {
+      val bucket =
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val threshold = when(col("lang") === "en", "80")
+        .when(col("lang") === "fr", "40").otherwise("1a")
+      t(s, dir, "documents")
+        .filter(bucket < threshold)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level top-k n-gram terms: explode word bigrams, partial-agg
+    // count, global ordered limit (TakeOrdered — no full sort). The
+    // vocabulary-statistics pass of corpus analysis.
+    "ts07_topk_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.bigrams(TextHash.tokens(col("text"))))
+          .as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(20)),
+
     // Brute-force cosine top-k (correctness baseline for ANN)
     "ann01_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -272,6 +319,35 @@ object LlmQueries {
          CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INT)
            AS n_subwords
          FROM documents ORDER BY doc_id""",
+    "ts05_repetition" -> {
+      val toks = "string_split(text, ' ')"
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents),
+          g AS (SELECT doc_id, toks, ${TextAnalysis.bigramsSql("toks")} AS bg
+            FROM b),
+          m AS (SELECT doc_id, toks,
+            ${TextAnalysis.modeCountSql("bg")} AS topn FROM g)
+          SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+            (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)) AS dup_tok_frac,
+            CAST(topn AS INT) AS top_bigram_n,
+            (CAST(topn AS DOUBLE) * 2.0 / CAST(len(toks) AS DOUBLE))
+              AS top_bigram_frac
+          FROM m ORDER BY doc_id"""
+    },
+    "ts06_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+           (CASE WHEN lang = 'en' THEN '80'
+                 WHEN lang = 'fr' THEN '40' ELSE '1a' END)
+         ORDER BY doc_id""",
+    "ts07_topk_ngrams" -> {
+      val toks = "string_split(text, ' ')"
+      s"""WITH b AS (SELECT $toks AS toks FROM documents),
+          g AS (SELECT unnest(${TextAnalysis.bigramsSql("toks")}) AS gram
+            FROM b)
+          SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+          ORDER BY n DESC, gram ASC LIMIT 20"""
+    },
     "ts04_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp,
           list_aggregate(${TextHash.shingleHashesSql("text", 8)}, 'min')

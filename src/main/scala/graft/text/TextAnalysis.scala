@@ -67,4 +67,27 @@ object TextAnalysis {
     val ttr = s"(CAST(len(list_distinct($toks)) AS DOUBLE) / $n)"
     s"(least($n / 100.0, 1.0) * 0.4 + $stop * 0.3 + $ttr * 0.3)"
   }
+
+  /** Word bigrams of a token array: each adjacent pair joined with one
+    * space (the repetition-signal unit of training-data quality filters).
+    * Empty for single-token arrays; null for null input. */
+  def bigrams(toks: Column): Column =
+    zip_with(slice(toks, lit(1), size(toks) - 1),
+             slice(toks, lit(2), size(toks) - 1),
+             (a, b) => concat(a, lit(" "), b))
+
+  def bigramsSql(toks: String): String =
+    s"""list_transform(generate_series(1, len($toks) - 1),
+        i -> $toks[i] || ' ' || $toks[i + 1])"""
+
+  /** Highest element frequency in an array (the count of the modal
+    * value): null on empty input. O(distinct·n) per row — bounded by
+    * document token counts, not corpus size. */
+  def modeCount(arr: Column): Column =
+    array_max(transform(array_distinct(arr),
+      d => size(filter(arr, x => x === d))))
+
+  def modeCountSql(arr: String): String =
+    s"""list_max(list_transform(list_distinct($arr),
+        d -> len(list_filter($arr, x -> x = d))))"""
 }

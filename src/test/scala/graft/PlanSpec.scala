@@ -78,6 +78,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("LocalTableScan"), p.take(800))
   }
 
+  test("ev03: the as-of join is the window encoding, not a range join") {
+    // the union + running-window form must not plan any join at all —
+    // a BroadcastNestedLoop/Cartesian would mean the range predicate
+    // regressed to an O(|L|·|R|)-per-key pair explosion
+    val p = sparkPlan("ev03_asof_join")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("ts07: corpus top-k n-grams is a partial agg + ordered take") {
+    val p = sparkPlan("ts07_topk_ngrams")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("TakeOrdered"), p.take(800))
+  }
+
   test("s07: the partition-metadata scan reads no parquet data") {
     // S7's contract (the $__PARTITIONS_SUMMARY__ scan): directory names
     // only — the plan must not contain a parquet file scan

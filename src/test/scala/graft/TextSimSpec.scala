@@ -86,4 +86,21 @@ class TextSimSpec extends SparkSpec {
     assert(out.forall(s => s >= 0.0 && s <= 1.0))
     assert(out(0) > out(1))
   }
+
+  test("bigrams and modeCount compute the repetition signals") {
+    // "a b a b a": bigrams = [a b, b a, a b, b a] → mode count 2;
+    // distinct tokens 2 of 5 → dup_tok_frac 0.6
+    val df = Seq("a b a b a", "x", "p q r").toDF("text")
+    val toks = TextHash.tokens($"text")
+    val out = df.select(
+        TextAnalysis.bigrams(toks).as("bg"),
+        TextAnalysis.modeCount(TextAnalysis.bigrams(toks)).as("top"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double")).as("dup"))
+      .as[(Seq[String], Option[Int], Double)].collect()
+    assert(out(0) == ((Seq("a b", "b a", "a b", "b a"), Some(2), 0.6)))
+    // single token: no bigrams, null mode, all tokens distinct
+    assert(out(1) == ((Seq.empty, None, 0.0)))
+    assert(out(2) == ((Seq("p q", "q r"), Some(1), 0.0)))
+  }
 }
