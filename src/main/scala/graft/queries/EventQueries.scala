@@ -64,7 +64,21 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("ts"),
                 col("asof_ts"), col("asof_value"))
         .orderBy(col("event_id"))
-    })
+    }),
+
+    // Typed JSON extraction from the props payload column (schema-on-read
+    // over a semi-structured field), rolled up per event type. from_json
+    // with an explicit schema, not a UDF — stays in codegen.
+    "ev04_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+             max(col("k")).as("max_k"))
+        .orderBy(col("event_type")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -102,6 +116,12 @@ object EventQueries {
                 r.ts AS asof_ts, r.value AS asof_value
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts >= r.ts
-         ORDER BY l.event_id"""
+         ORDER BY l.event_id""",
+    "ev04_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+           AS BIGINT) AS sum_k,
+         MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

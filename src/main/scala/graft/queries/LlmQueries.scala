@@ -166,6 +166,26 @@ object LlmQueries {
         .orderBy(col("n").desc, col("gram").asc)
         .limit(20)),
 
+    // Composite corpus pipeline — the operators above chained the way a
+    // training-data run uses them: language + quality gate, exact dedup,
+    // stratified downsample, token stats. One oracle over the whole
+    // chain proves the stages compose without re-materialization.
+    "dp01_corpus_pipeline" -> ((s, dir) => {
+      val toks = TextHash.tokens(col("text"))
+      val gated = t(s, dir, "documents")
+        .filter(TextAnalysis.langId(toks) =!= "und" &&
+                TextAnalysis.qualityScore(toks) >= 0.42)
+      val deduped = Dedup.exactDedup(gated,
+        substring(col("text"), 1, 60), col("doc_id"))
+      val bucket =
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      val threshold = when(col("lang") === "en", "c0").otherwise("80")
+      deduped.filter(bucket < threshold)
+        .select(col("doc_id"), col("lang"),
+          size(TextHash.tokens(col("text"))).as("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Brute-force cosine top-k (correctness baseline for ANN)
     "ann01_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -333,6 +353,22 @@ object LlmQueries {
             (CAST(topn AS DOUBLE) * 2.0 / CAST(len(toks) AS DOUBLE))
               AS top_bigram_frac
           FROM m ORDER BY doc_id"""
+    },
+    "dp01_corpus_pipeline" -> {
+      val toks = "string_split(text, ' ')"
+      s"""WITH gated AS (SELECT * FROM documents
+            WHERE ${TextAnalysis.langIdSql(toks)} <> 'und'
+              AND ${TextAnalysis.qualityScoreSql(toks)} >= 0.42),
+          deduped AS (SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY md5(substring(text, 1, 60))
+              ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1)
+          SELECT doc_id, lang,
+            CAST(len($toks) AS INT) AS n_toks
+          FROM deduped
+          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            (CASE WHEN lang = 'en' THEN 'c0' ELSE '80' END)
+          ORDER BY doc_id"""
     },
     "ts06_stratified_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
