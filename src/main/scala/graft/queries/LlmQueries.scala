@@ -121,22 +121,51 @@ object LlmQueries {
 
     // Repetition signals (the Gopher-style quality filters, adapted to
     // token granularity): duplicate-token fraction and the share of the
-    // document covered by its most frequent word bigram. Tokens/bigrams
-    // are projected once and fenced — each signal references them
-    // several times and HOF pipelines get no CSE.
+    // document covered by its most frequent word bigram. Runs as a JIT
+    // mapPartitions kernel, not the bigrams/modeCount Column form: the
+    // interpreted nested-HOF mode count is O(distinct·n) per row
+    // (~3 s at sf0.1 → ~0.3 s); one hash pass per row computes the same
+    // values — split/distinct/mode identical, same IEEE op order — so
+    // the oracle SQL and the Column twins (TextSimSpec) are unchanged.
     "ts05_repetition" -> ((s, dir) => {
-      val toks = TextHash.tokens(col("text"))
-      val staged = graft.core.Fence(t(s, dir, "documents")
-        .select(col("doc_id"), toks.as("toks"),
-          TextAnalysis.bigrams(toks).as("bg")))
-      val n = size(col("toks")).cast("double")
-      val top = TextAnalysis.modeCount(col("bg"))
-      staged.select(col("doc_id"),
-          size(col("toks")).as("n_toks"),
-          (lit(1.0) - size(array_distinct(col("toks"))).cast("double") / n)
-            .as("dup_tok_frac"),
-          top.as("top_bigram_n"),
-          (top.cast("double") * lit(2.0) / n).as("top_bigram_frac"))
+      import org.apache.spark.sql.types.{DoubleType, IntegerType,
+        LongType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, true),
+        StructField("n_toks", IntegerType, true),
+        StructField("dup_tok_frac", DoubleType, true),
+        StructField("top_bigram_n", IntegerType, true),
+        StructField("top_bigram_frac", DoubleType, true)))
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val txt = if (r.isNullAt(1)) null else r.getString(1)
+            if (txt == null)
+              org.apache.spark.sql.Row(r.getLong(0), null, null, null, null)
+            else {
+              val toks = txt.split(" ", -1)
+              val n = toks.length
+              val dup = 1.0 - toks.distinct.length.toDouble / n.toDouble
+              // n < 2 → no bigrams → null mode, like array_max([])
+              var top: Integer = null
+              var frac: java.lang.Double = null
+              if (n >= 2) {
+                val counts = new java.util.HashMap[String, Int]()
+                var i = 0; var best = 0
+                while (i < n - 1) {
+                  val g = toks(i) + " " + toks(i + 1)
+                  val c = counts.getOrDefault(g, 0) + 1
+                  counts.put(g, c)
+                  if (c > best) best = c
+                  i += 1
+                }
+                top = best
+                frac = best.toDouble * 2.0 / n.toDouble
+              }
+              org.apache.spark.sql.Row(r.getLong(0), n, dup, top, frac)
+            }
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
         .orderBy(col("doc_id"))
     }),
 

@@ -103,4 +103,29 @@ class TextSimSpec extends SparkSpec {
     assert(out(1) == ((Seq.empty, None, 0.0)))
     assert(out(2) == ((Seq("p q", "q r"), Some(1), 0.0)))
   }
+
+  test("ts05 kernel equals the bigrams/modeCount Column form") {
+    val dir = "/root/testdata/sf0.001"
+    val viaKernel = graft.queries.LlmQueries
+      .queries("ts05_repetition")(spark, dir)
+      .as[(Long, Option[Int], Option[Double], Option[Int], Option[Double])]
+      .collect().toSeq
+    val toks = TextHash.tokens($"text")
+    val staged = graft.core.Fence(spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select($"doc_id", toks.as("toks"),
+        TextAnalysis.bigrams(toks).as("bg")))
+    val n = size($"toks").cast("double")
+    val top = TextAnalysis.modeCount($"bg")
+    val viaColumns = staged.select($"doc_id",
+        size($"toks").as("n_toks"),
+        (lit(1.0) - size(array_distinct($"toks")).cast("double") / n)
+          .as("dup_tok_frac"),
+        top.as("top_bigram_n"),
+        (top.cast("double") * lit(2.0) / n).as("top_bigram_frac"))
+      .orderBy($"doc_id")
+      .as[(Long, Option[Int], Option[Double], Option[Int], Option[Double])]
+      .collect().toSeq
+    assert(viaKernel == viaColumns)
+  }
 }
