@@ -237,6 +237,23 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Per-label embedding centroids: posexplode to (label, pos, value),
+    // map-side partial aggregate, element-wise mean — the distributed
+    // centroid reduction of k-means / IVF training. Values are summed as
+    // floor(v·2^20 + 0.5) integers so the sum is order-free (float
+    // addition is not associative; a shuffled double sum would not
+    // reproduce), then divided back out as DOUBLE on both sides.
+    "ann04_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5))
+              .cast("long")).cast("double") / 1048576.0 /
+            count(lit(1)).cast("double")).as("centroid"))
+        .orderBy(col("label"), col("pos"))),
+
     // Embedding-cosine near-dup, exact baseline: all pairs >= t. The
     // threshold 460/1024 sits at this corpus's near-dup tail (max
     // observed cosine ≈ 0.51) and is an exact binary fraction, so both
@@ -460,6 +477,15 @@ object LlmQueries {
         SELECT q_id, rank, vec_id, cos FROM ranked
         WHERE rank <= 10 ORDER BY q_id, rank"""
     },
+    "ann04_centroids" ->
+      """WITH e AS (SELECT label,
+           CAST(unnest(embedding) AS DOUBLE) AS v,
+           unnest(generate_series(1, len(embedding))) - 1 AS pos
+         FROM embeddings)
+         SELECT label, CAST(pos AS INT) AS pos, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(v * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1048576.0 / CAST(COUNT(*) AS DOUBLE) AS centroid
+         FROM e GROUP BY label, pos ORDER BY label, pos""",
     "dd05_embedding_neardup" -> {
       val cos = Ann.cosineSql("a.v", "b.v")
       s"""WITH v AS (SELECT vec_id AS id,

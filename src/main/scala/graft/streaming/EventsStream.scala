@@ -47,6 +47,46 @@ object EventsStream {
   final case class SessState(lastMs: Long, sessionId: Long)
   final case class SessOut(user_id: Long, event_id: Long, session_id: Long)
 
+  final case class AsOfEv(user_id: Long, event_id: Long,
+                          ts: java.sql.Timestamp, side: Int, value: Double)
+  final case class AsOfMatch(ms: Long, value: Double)
+  final case class AsOfOut(user_id: Long, event_id: Long,
+                           asof_ms: Option[Long], asof_value: Option[Double])
+
+  /** Streaming as-of enrichment — the stateful twin of
+    * [[graft.ops.AsOfJoin]]: per-key state carries the latest right row
+    * (side 0) seen so far; left rows (side 1) emit the state match at
+    * their timestamp. Within a micro-batch rows are ordered
+    * (ts, side, event_id) — right before left at equal ts, and a
+    * same-ts right overwrite keeps the highest event_id — matching the
+    * batch encoding's inclusive bound and collision tie-break. With
+    * per-key in-order delivery (or same-batch arrival) the output
+    * equals the batch operator's; on a batch frame each key arrives as
+    * one group, so agreement is exact. */
+  def asOfEnrich(events: Dataset[AsOfEv]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfMatch, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[AsOfEv], state: GroupState[AsOfMatch]) =>
+          val sorted = evs.toSeq
+            .sortBy(e => (e.ts.getTime, e.side, e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[AsOfOut]
+          sorted.foreach { e =>
+            if (e.side == 0) {
+              if (st.forall(_.ms <= e.ts.getTime))
+                st = Some(AsOfMatch(e.ts.getTime, e.value))
+            } else {
+              out += AsOfOut(uid, e.event_id, st.map(_.ms),
+                st.map(_.value))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization with explicit per-user state
     * (flatMapGroupsWithState) — streaming twin of ev02_sessionize.
     * Events within a micro-batch are ordered by (ts, event_id); state

@@ -110,4 +110,47 @@ class StreamingSpec extends SparkSpec {
       .collect().map(s => s.event_id -> s.session_id).toMap
     assert(viaState == batch)
   }
+
+  test("stateful as-of enrichment spans micro-batches") {
+    import graft.streaming.EventsStream.AsOfEv
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AsOfEv]
+    val q = EventsStream.asOfEnrich(mem.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    try {
+      // batch 1: a click at 10:00 and a purchase at 10:30 (matches it)
+      mem.addData(
+        AsOfEv(1L, 900L, ts("2024-01-01 10:00:00"), 0, 5.0),
+        AsOfEv(1L, 100L, ts("2024-01-01 10:30:00"), 1, 0.0))
+      q.processAllAvailable()
+      // batch 2: a purchase with no new click — state carries the match
+      mem.addData(AsOfEv(1L, 101L, ts("2024-01-01 11:00:00"), 1, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof").orderBy($"event_id")
+        .select($"event_id", $"asof_value")
+        .as[(Long, Option[Double])].collect().toSeq
+      assert(got == Seq((100L, Some(5.0)), (101L, Some(5.0))))
+    } finally q.stop()
+  }
+
+  test("stateful as-of enrichment agrees with the batch operator " +
+       "on the events table") {
+    import graft.streaming.EventsStream.AsOfEv
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.EventQueries
+      .queries("ev03_asof_join")(spark, dir)
+      .select($"event_id", $"asof_ts", $"asof_value")
+      .as[(Long, Option[Timestamp], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2.map(_.getTime), r._3))).toMap
+    val typed = graft.core.Tables.load(spark, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id", $"ts",
+        when($"event_type" === "click", 0).otherwise(1).as("side"),
+        $"value")
+      .as[AsOfEv]
+    val viaState = EventsStream.asOfEnrich(typed)
+      .collect().map(o => o.event_id -> ((o.asof_ms, o.asof_value))).toMap
+    assert(viaState == batch)
+  }
 }
