@@ -52,6 +52,18 @@ object AggWindowQueries {
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
         .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))),
 
+    // A9 exact discrete percentiles per group (ANSI percentile_disc:
+    // smallest value whose cumulative distribution >= p). Picking an
+    // element — not interpolating — keeps the result bit-exact across
+    // engines; distributed as a sort-based aggregate, no driver state.
+    "a09_percentiles" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("graft_a09_events")
+      s.sql("""SELECT event_type,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+        percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+        FROM graft_a09_events GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // W2 limit / head-k (custom_search_extraction.py:189-190)
     "w02_limit_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -88,6 +100,11 @@ object AggWindowQueries {
            SELECT * FROM orders
            ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 100)
          ORDER BY o_orderkey""",
+    "a09_percentiles" ->
+      """SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "w01_multikey_sort" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
          ORDER BY o_orderdate ASC, o_orderkey ASC""",
