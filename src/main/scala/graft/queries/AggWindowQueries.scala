@@ -64,6 +64,23 @@ object AggWindowQueries {
         FROM graft_a09_events GROUP BY event_type ORDER BY event_type""")
     }),
 
+    // W6 sliding-frame window aggregate: per-user rolling sum/count of
+    // the last 4 events (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW).
+    // Sums ride floor(x*100+0.5) integer cents — sliding-window sums
+    // are subtract-on-slide optimized in some engines, so a double sum
+    // would accumulate different rounding on each side.
+    "w06_rolling_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+            .over(w).cast("double") / 100.0).as("roll_sum"),
+          count(lit(1)).over(w).as("roll_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // W2 limit / head-k (custom_search_extraction.py:189-190)
     "w02_limit_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -105,6 +122,16 @@ object AggWindowQueries {
          percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
          percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "w06_rolling_sum" ->
+      """SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER w
+           AS DOUBLE) / CAST(100.0 AS DOUBLE) AS roll_sum,
+         COUNT(*) OVER w AS roll_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY ts::TIMESTAMP ASC, event_id ASC
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "w01_multikey_sort" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
          ORDER BY o_orderdate ASC, o_orderkey ASC""",

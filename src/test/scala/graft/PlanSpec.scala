@@ -94,6 +94,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrdered"), p.take(800))
   }
 
+  test("ann04: the centroid reduction has a map-side partial stage") {
+    val p = sparkPlan("ann04_centroids")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
   test("s07: the partition-metadata scan reads no parquet data") {
     // S7's contract (the $__PARTITIONS_SUMMARY__ scan): directory names
     // only — the plan must not contain a parquet file scan
