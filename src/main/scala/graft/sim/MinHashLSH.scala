@@ -69,15 +69,18 @@ object MinHashLSH {
     * arrays out of the candidate-volume join entirely. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    q: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = Fence(docs
-      .select(col(idCol).as("id"),
-        TextHash.charCodes(col(textCol)).as("__codes"))
-      .select(col("id"),
-        TextHash.shingleHashesFromCodes(col("__codes"), q).as("sh")))
-    // compute all NumPerm minhashes once over the fenced shingles; fence
-    // again so band keys and the signature join don't re-derive them
-    val sig = Fence(sh.select(col("id"), size(col("sh")).as("n"),
-      array((0 until NumPerm).map(j => minhash(col("sh"), j)): _*).as("sig")))
+    // Shingles + all NumPerm signatures in one JIT mapPartitions pass
+    // (the ts04/ts05 precedent): the Column form runs 24 interpreted HOF
+    // transforms over ~n-element shingle arrays per row — the dominant
+    // cost of the whole query (~40% at sf0.1). Identical integer math:
+    // codepoint mod 257, base-31 q-gram polynomial, first-occurrence
+    // distinct, (a*h+b) mod P minima; null text → null row, short text →
+    // empty shingles and null signature elements, exactly like
+    // [[TextHash.shingleHashesFromCodes]] + [[minhash]] (pinned by
+    // TextSimSpec). The oracle SQL is unchanged.
+    val all = Fence(signatureFrame(docs, idCol, textCol, q))
+    val sh = all.select(col("id"), col("sh"))
+    val sig = all.select(col("id"), col("n"), col("sig"))
     def bandKey(b: Int): Column = concat_ws("_",
       (0 until Rows).map(r =>
         element_at(col("sig"), b * Rows + r + 1).cast("string")): _*)
@@ -120,6 +123,66 @@ object MinHashLSH {
         .select(col("doc_a"), col("doc_b"),
           (inter.cast("double") / union).as("jacc")))
       .filter(col("jacc") >= threshold)
+  }
+
+  /** Kernel twin of shingling + [[minhash]]: one pass per row computing
+    * (id, distinct q-gram shingle hashes, their count, the NumPerm
+    * minhash signature). Exposed for the TextSimSpec pin against the
+    * Column form. */
+  def signatureFrame(docs: DataFrame, idCol: String, textCol: String,
+                     q: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
+      StructField, StructType}
+    val base = docs.select(col(idCol).as("id"),
+      col(textCol).cast("string").as("__t"))
+    val schema = StructType(Seq(base.schema.head,
+      StructField("sh", ArrayType(LongType, true), true),
+      StructField("n", IntegerType, true),
+      StructField("sig", ArrayType(LongType, true), true)))
+    val pow = TextHash.pow31.toArray
+    val cm = TextHash.CodeMod
+    val pa = permA.toArray
+    val pb = permB.toArray
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val txt = if (r.isNullAt(1)) null else r.getString(1)
+        if (txt == null)
+          org.apache.spark.sql.Row(r.get(0), null, null, null)
+        else {
+          val cps = txt.codePoints().toArray
+          val seen = new java.util.LinkedHashSet[java.lang.Long]()
+          var i = 0
+          while (i + q <= cps.length) {
+            var h = 0L; var j = 0
+            while (j < q) {
+              h += cps(i + j).toLong % cm * pow(q - 1 - j); j += 1
+            }
+            seen.add(h); i += 1
+          }
+          val sh = new Array[Long](seen.size)
+          val it = seen.iterator(); var k = 0
+          while (it.hasNext) { sh(k) = it.next(); k += 1 }
+          // minhash of an empty shingle set is null (array_min([]))
+          val sig: Array[java.lang.Long] =
+            if (sh.isEmpty) Array.fill[java.lang.Long](NumPerm)(null)
+            else {
+              val out = new Array[java.lang.Long](NumPerm)
+              var jj = 0
+              while (jj < NumPerm) {
+                var m = Long.MaxValue; var x = 0
+                while (x < sh.length) {
+                  val v = (pa(jj) * sh(x) + pb(jj)) % P
+                  if (v < m) m = v
+                  x += 1
+                }
+                out(jj) = m; jj += 1
+              }
+              out
+            }
+          org.apache.spark.sql.Row(r.get(0), sh, sh.length, sig)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Oracle SQL for [[nearDupPairs]] over table `tbl`, generated from the

@@ -104,6 +104,27 @@ class TextSimSpec extends SparkSpec {
     assert(out(2) == ((Seq("p q", "q r"), Some(1), 0.0)))
   }
 
+  test("minhash signature kernel equals the Column form") {
+    val texts = Seq("key agg row scan slow fast table value part",
+      "ab",                       // shorter than q: empty shingles
+      "aaaaaa",                   // heavy duplicate grams
+      "the quick brown fox jumps over the lazy dog")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val viaKernel = MinHashLSH.signatureFrame(docs, "doc_id", "text", 3)
+      .orderBy($"id")
+      .as[(Long, Seq[Long], Int, Seq[Option[Long]])].collect().toSeq
+    val sh = TextHash.shingleHashesFromCodes(
+      TextHash.charCodes($"text"), 3)
+    val viaColumns = docs.select($"doc_id", sh.as("sh"))
+      .select($"doc_id", $"sh", size($"sh").as("n"),
+        array((0 until MinHashLSH.NumPerm)
+          .map(j => MinHashLSH.minhash($"sh", j)): _*).as("sig"))
+      .orderBy($"doc_id")
+      .as[(Long, Seq[Long], Int, Seq[Option[Long]])].collect().toSeq
+    assert(viaKernel == viaColumns)
+  }
+
   test("ts05 kernel equals the bigrams/modeCount Column form") {
     val dir = "/root/testdata/sf0.001"
     val viaKernel = graft.queries.LlmQueries
