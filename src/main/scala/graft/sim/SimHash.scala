@@ -48,14 +48,52 @@ object SimHash {
           THEN ${1L << j} ELSE 0 END)"""
     }.mkString("(", " + ", ")")
 
+  /** Kernel twin of [[simhash]]: one pass over the tokens accumulating
+    * all 32 bit-weights at once, vs 32 interpreted `aggregate` HOFs per
+    * row in the Column form. Identical math ([[TextHash.charHashStr]] is
+    * the pinned plain-Scala mirror of `charHash`); a null text yields 0
+    * exactly like the Column form (null weights fall to the `otherwise`
+    * branch of every bit term). Pinned to the Column form by
+    * TextSimSpec. */
+  def simhashFrame(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = docs.select(col(idCol).as("id"),
+      col(textCol).cast("string").as("__t"))
+    val schema = StructType(Seq(base.schema.head,
+      StructField("sim", LongType, true)))
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val txt = if (r.isNullAt(1)) null else r.getString(1)
+        val sim: Long =
+          if (txt == null) 0L
+          else {
+            val toks = txt.split(" ", -1)
+            val w = new Array[Long](Bits)
+            var t = 0
+            while (t < toks.length) {
+              val h = TextHash.charHashStr(toks(t)) % 4294967296L
+              var j = 0
+              while (j < Bits) {
+                w(j) += ((h >> j) & 1L) * 2 - 1
+                j += 1
+              }
+              t += 1
+            }
+            var s = 0L; var j = 0
+            while (j < Bits) { if (w(j) > 0) s |= 1L << j; j += 1 }
+            s
+          }
+        org.apache.spark.sql.Row(r.get(0), sim)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Near-dup pairs (doc_a < doc_b) with Hamming distance <= maxHamming.
     * Output: (doc_a, doc_b, hamming). */
   def nearDupPairs(docs: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    val sh = Fence(docs
-      .select(col(idCol).as("id"),
-        TextHash.tokenHashes32(col(textCol)).as("__th"))
-      .select(col("id"), simhashFromTokenHashes(col("__th")).as("sim")))
+    val sh = Fence(simhashFrame(docs, idCol, textCol))
     val chunks = graft.core.Par.fanOut(sh.select(col("id"), col("sim"),
       posexplode(array((0 until Chunks).map { c =>
         shiftright(col("sim"), c * ChunkBits).bitwiseAND(lit(255L))

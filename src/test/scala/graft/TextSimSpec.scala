@@ -125,6 +125,19 @@ class TextSimSpec extends SparkSpec {
     assert(viaKernel == viaColumns)
   }
 
+  test("simhash kernel equals the Column form") {
+    val texts = Seq("key agg row scan slow fast table value part",
+      "", "a", "the quick brown fox jumps over the lazy dog again")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val viaKernel = SimHash.simhashFrame(docs, "doc_id", "text")
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    val viaColumns = docs
+      .select($"doc_id", SimHash.simhash($"text").as("sim"))
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(viaKernel == viaColumns)
+  }
+
   test("ts05 kernel equals the bigrams/modeCount Column form") {
     val dir = "/root/testdata/sf0.001"
     val viaKernel = graft.queries.LlmQueries
