@@ -97,13 +97,16 @@ object SparkEntry {
     // (sql/get_rna_waldec_filtered_data.sql:1-3) runs UNMODIFIED — read,
     // translated (three-part id → view name) and executed over a view
     // carrying the column surface it expects; the oracle replicates the
-    // view derivation + filter in plain SQL.
+    // view derivation + filter in plain SQL. The template resolves from
+    // the reference checkout when present (GRAFT_REFERENCE_ROOT), else
+    // from the vendored byte-identical fixture, so the gate runs on any
+    // machine.
     "s10_template_verbatim" -> ((s, dir) => {
       graft.sql.SqlTemplates.registerTable(s, "rna_waldec_filtered",
         t(s, dir, "customer").withColumn("filtered_cat",
           when(col("c_mktsegment") === "BUILDING", "yes").otherwise("no")))
       graft.sql.SqlTemplates
-        .runFile(s, "/root/reference/sql/get_rna_waldec_filtered_data.sql")
+        .runReferenceTemplate(s, "get_rna_waldec_filtered_data.sql")
         .orderBy(col("c_custkey"))
     }),
 

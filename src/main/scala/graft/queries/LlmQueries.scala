@@ -113,7 +113,9 @@ object LlmQueries {
                 }
                 m
               }
-            org.apache.spark.sql.Row(r.getLong(0), r.getString(1), win)
+            // id passes through untyped so a null doc_id survives the
+            // kernel (getLong would NPE in the executor)
+            org.apache.spark.sql.Row(r.get(0), r.getString(1), win)
           }
         }(org.apache.spark.sql.Encoders.row(schema))
         .orderBy(col("doc_id"))
@@ -141,7 +143,7 @@ object LlmQueries {
           rows.map { r =>
             val txt = if (r.isNullAt(1)) null else r.getString(1)
             if (txt == null)
-              org.apache.spark.sql.Row(r.getLong(0), null, null, null, null)
+              org.apache.spark.sql.Row(r.get(0), null, null, null, null)
             else {
               val toks = txt.split(" ", -1)
               val n = toks.length
@@ -162,7 +164,7 @@ object LlmQueries {
                 top = best
                 frac = best.toDouble * 2.0 / n.toDouble
               }
-              org.apache.spark.sql.Row(r.getLong(0), n, dup, top, frac)
+              org.apache.spark.sql.Row(r.get(0), n, dup, top, frac)
             }
           }
         }(org.apache.spark.sql.Encoders.row(schema))

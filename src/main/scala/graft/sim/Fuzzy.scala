@@ -372,27 +372,50 @@ object Fuzzy {
     left.join(best, Seq(leftKey), "left")
   }
 
+  /** Codepoint array for kernel DP work. The Column forms (`length`,
+    * `levenshtein`) and the DuckDB oracle both count Unicode codepoints,
+    * so the kernels must too — measuring in UTF-16 units (String.length /
+    * charAt) would silently diverge on non-BMP input (emoji,
+    * supplementary CJK). Fast path skips the surrogate decode when the
+    * string is pure BMP (the overwhelmingly common case). */
+  private def cps(s: String): Array[Int] = {
+    val n = s.length
+    var i = 0
+    while (i < n && !Character.isHighSurrogate(s.charAt(i))) i += 1
+    if (i == n) {
+      val a = new Array[Int](n)
+      var j = 0
+      while (j < n) { a(j) = s.charAt(j); j += 1 }
+      a
+    } else s.codePoints().toArray
+  }
+
   /** Kernel twin of [[levenshteinRatioBounded]]: the ratio when it is
     * >= minScore, else -1. `ratio >= s ⇔ dist <= floor(len·(100−s)/100)`
     * (integers, so the equivalence is exact), and
     * `floor(100·(len−d)/len)` equals integer division for non-negative
-    * ints — bit-identical to the Column form and the SQL oracle on BMP
-    * strings (all engines count UTF-16/codepoint units identically
-    * there). */
+    * ints — bit-identical to the Column form and the SQL oracle on any
+    * input (lengths and DP both run over codepoints, like both
+    * engines). */
   private def ratioAtLeast(a: String, b: String, minScore: Int): Int = {
-    val la = a.length; val lb = b.length
-    val maxLen = math.max(la, lb)
+    val ca = cps(a); val cb = cps(b)
+    val maxLen = math.max(ca.length, cb.length)
     if (maxLen == 0) return 100
     val maxDist = maxLen * (100 - minScore) / 100
-    if (math.abs(la - lb) > maxDist) return -1
-    val d = boundedLev(a, b, maxDist)
+    if (math.abs(ca.length - cb.length) > maxDist) return -1
+    val d = boundedLev(ca, cb, maxDist)
     if (d > maxDist) -1 else 100 * (maxLen - d) / maxLen
   }
 
-  /** Two-row Levenshtein DP with row-min early exit: returns the exact
-    * distance when it is <= cap, else any value > cap. */
-  private def boundedLev(a: String, b: String, cap: Int): Int = {
-    val n = a.length; val m = b.length
+  private def boundedLev(a: Array[Int], b: Array[Int], cap: Int): Int =
+    boundedLev(a, 0, a.length, b, 0, b.length, cap)
+
+  /** Two-row Levenshtein DP with row-min early exit over codepoint
+    * slices: returns the exact distance when it is <= cap, else any
+    * value > cap. Offset/length form so [[wRatioKernel]]'s partial-ratio
+    * windows slide without copying. */
+  private def boundedLev(a: Array[Int], aOff: Int, n: Int,
+                         b: Array[Int], bOff: Int, m: Int, cap: Int): Int = {
     var prev = Array.tabulate(m + 1)(identity)
     var cur = new Array[Int](m + 1)
     var i = 1
@@ -401,7 +424,7 @@ object Fuzzy {
       var rowMin = i
       var j = 1
       while (j <= m) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val cost = if (a(aOff + i - 1) == b(bOff + j - 1)) 0 else 1
         var v = prev(j - 1) + cost
         if (prev(j) + 1 < v) v = prev(j) + 1
         if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
@@ -445,48 +468,53 @@ object Fuzzy {
     s.substring(i, j)
   }
 
-  /** Per-key precomputation for the kernel WRatio: the raw string, the
-    * token-sorted form, and the sorted distinct token set — everything
-    * per-SIDE so the per-pair work is only set merge + levenshteins. */
-  private[graft] final case class FuzzKey(raw: String, sorted: String,
+  /** Per-key precomputation for the kernel WRatio: the raw and
+    * token-sorted forms as codepoint arrays, and the sorted distinct
+    * token set — everything per-SIDE so the per-pair work is only set
+    * merge + levenshteins, and all length/DP math counts codepoints
+    * like the Column forms and the oracle. */
+  private[graft] final case class FuzzKey(rawCp: Array[Int],
+                                          sortedCp: Array[Int],
                                           set: Array[String])
 
   private[graft] def prepKey(s: String): FuzzKey = {
     val toks = s.split(" +", -1) // -1: Spark's split keeps trailing ""
-    FuzzKey(s, toks.sorted(utf8Ordering).mkString(" "),
+    FuzzKey(cps(s), cps(toks.sorted(utf8Ordering).mkString(" ")),
       toks.filter(_.nonEmpty).distinct.sorted(utf8Ordering))
   }
 
   /** Kernel twin of [[wRatio]] — semantics pinned identical by
-    * DedupFuzzySpec on random pairs: same integer ratio/partial math,
-    * same UTF-8 token ordering, same 0.95/0.9/0.6 scale tree, same
-    * HALF_UP rounding (via the toString-based BigDecimal Spark's
-    * `round` uses). Built for pair-quadratic positions where the
-    * Column form's interpreted pipelines are ruinous. */
+    * DedupFuzzySpec on random pairs: same integer ratio/partial math
+    * (over codepoints, like `length`/`levenshtein`), same UTF-8 token
+    * ordering, same 0.95/0.9/0.6 scale tree, same HALF_UP rounding (via
+    * the toString-based BigDecimal Spark's `round` uses). Built for
+    * pair-quadratic positions where the Column form's interpreted
+    * pipelines are ruinous. */
   private[graft] def wRatioKernel(lp: FuzzKey, rp: FuzzKey): Int = {
-    def ratio(x: String, y: String): Int = {
+    def ratio(x: Array[Int], y: Array[Int]): Int = {
       val m = math.max(x.length, y.length)
       if (m == 0) 100 else 100 * (m - boundedLev(x, y, m)) / m
     }
-    def partialR(x: String, y: String): Int = {
+    def partialR(x: Array[Int], y: Array[Int]): Int = {
       val (s, l) = if (x.length <= y.length) (x, y) else (y, x)
       val n = s.length
       if (n == 0) return 100
       var best = Int.MaxValue; var i = 0
       while (i + n <= l.length) {
-        val d = boundedLev(s, l.substring(i, i + n), n)
+        val d = boundedLev(s, 0, n, l, i, n, n)
         if (d < best) best = d
         i += 1
       }
       100 * (n - best) / n
     }
-    val a = lp.raw; val b = rp.raw
+    val a = lp.rawCp; val b = rp.rawCp
     val inter = lp.set.filter(t => rp.set.contains(t))
     val dA = lp.set.filterNot(t => rp.set.contains(t))
     val dB = rp.set.filterNot(t => lp.set.contains(t))
-    val t0 = inter.mkString(" ")
-    val t1 = trimSpaces(t0 + " " + dA.mkString(" "))
-    val t2 = trimSpaces(t0 + " " + dB.mkString(" "))
+    val t0s = inter.mkString(" ")
+    val t0 = cps(t0s)
+    val t1 = cps(trimSpaces(t0s + " " + dA.mkString(" ")))
+    val t2 = cps(trimSpaces(t0s + " " + dB.mkString(" ")))
     val lensRatio = math.max(a.length, b.length).toDouble /
       math.min(a.length, b.length).toDouble
     val ps = if (lensRatio > 8.0) 0.6 else 0.9
@@ -494,13 +522,13 @@ object Fuzzy {
     val blended =
       if (lensRatio > 1.5) {
         val partial = partialR(a, b).toDouble * ps
-        val ptsor = partialR(lp.sorted, rp.sorted).toDouble * 0.95 * ps
+        val ptsor = partialR(lp.sortedCp, rp.sortedCp).toDouble * 0.95 * ps
         val ptser = math.max(partialR(t0, t1),
           math.max(partialR(t0, t2), partialR(t1, t2))).toDouble *
           0.95 * ps
         math.max(math.max(base, partial), math.max(ptsor, ptser))
       } else {
-        val tsor = ratio(lp.sorted, rp.sorted).toDouble * 0.95
+        val tsor = ratio(lp.sortedCp, rp.sortedCp).toDouble * 0.95
         val tser = math.max(ratio(t0, t1),
           math.max(ratio(t0, t2), ratio(t1, t2))).toDouble * 0.95
         math.max(base, math.max(tsor, tser))

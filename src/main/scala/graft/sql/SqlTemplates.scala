@@ -36,15 +36,48 @@ import graft.catalog.TableCatalog
   */
 object SqlTemplates {
 
+  private def substitute(raw: String, params: Seq[String]): String =
+    params.zipWithIndex.foldLeft(raw) { case (s, (p, i)) =>
+      s.replace(s"{$i}", p)
+    }
+
   /** The reference's `read_sql(path, p0, p1, p2)`: load the template and
     * substitute positional `{i}` markers. */
   def readSql(path: String, params: String*): String = {
     val raw = new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8)
-    params.zipWithIndex.foldLeft(raw) { case (s, (p, i)) =>
-      s.replace(s"{$i}", p)
+    substitute(raw, params)
+  }
+
+  /** Text of one of the reference's template assets, by file name.
+    * Prefers the live reference checkout when one is present (root
+    * overridable via `GRAFT_REFERENCE_ROOT`, default `/root/reference`);
+    * falls back to the byte-identical vendored copy under
+    * `resources/graft/reference_sql/`, so gates built on the corpus run
+    * on machines without the reference tree. SqlTemplatesSpec asserts
+    * fixture ≡ reference byte-for-byte whenever both exist. */
+  def referenceTemplate(
+      name: String,
+      root: String =
+        sys.env.getOrElse("GRAFT_REFERENCE_ROOT", "/root/reference"))
+      : String = {
+    val ref = Paths.get(root, "sql", name)
+    if (Files.isReadable(ref))
+      new String(Files.readAllBytes(ref), StandardCharsets.UTF_8)
+    else {
+      val in = getClass.getClassLoader
+        .getResourceAsStream(s"graft/reference_sql/$name")
+      require(in != null, s"no vendored copy of reference template $name")
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
     }
   }
+
+  /** Run a reference template asset by name (see [[referenceTemplate]]):
+    * substitute, translate, execute. */
+  def runReferenceTemplate(spark: SparkSession, name: String,
+                           params: String*): DataFrame =
+    run(spark, substitute(referenceTemplate(name), params))
 
   private val backtickId = "`[A-Za-z0-9_.-]+`".r
   private val partitionsSummary =

@@ -154,8 +154,13 @@ class DedupFuzzySpec extends SparkSpec {
   }
 
   test("wRatioKernel equals the Column wRatio (property)") {
+    // ~10% supplementary-plane codepoints: the kernel DP must count
+    // codepoints like length()/levenshtein() do, not UTF-16 units
+    val cp = Gen.frequency(
+      9 -> Gen.alphaLowerChar.map(_.toString),
+      1 -> Gen.oneOf("😀", "🤖", "𣎴"))
     val word = Gen.choose(1, 8).flatMap(n =>
-      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+      Gen.listOfN(n, cp).map(_.mkString))
     val phrase = Gen.choose(1, 4).flatMap(n =>
       Gen.listOfN(n, word).map(_.mkString(" ")))
     forAllSamples(Gen.zip(phrase, phrase), 60) { case (a, b) =>
@@ -218,6 +223,20 @@ class DedupFuzzySpec extends SparkSpec {
           .as[(String, String, Int, Int)].collect().toSet
         assert(viaKernel == viaWindow)
     }
+  }
+
+  test("banded kernel counts codepoints, not UTF-16 units (non-BMP)") {
+    // "😀😀😀😀a" is 5 codepoints / 9 UTF-16 units; a UTF-16 kernel
+    // would compute a different ratio and band than the Column form
+    val left = Seq((1, "😀😀😀😀a")).toDF("id", "name")
+    val right = Seq("😀😀😀😀b", "zzzzz").toDF("r")
+    val out = Fuzzy.fuzzyTop1JoinBanded(left, "name", right, "r", 60)
+      .select($"r", $"similarity")
+      .as[(Option[String], Option[Int])].collect()(0)
+    val expected = Seq(("😀😀😀😀a", "😀😀😀😀b")).toDF("a", "b")
+      .select(Fuzzy.levenshteinRatio($"a", $"b")).as[Int].collect()(0)
+    assert(expected == 80) // 1 edit over 5 codepoints
+    assert(out == (Some("😀😀😀😀b"), Some(expected)))
   }
 
   test("fuzzyTop1Join attaches best match to full left payload") {

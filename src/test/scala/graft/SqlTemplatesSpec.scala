@@ -58,6 +58,22 @@ class SqlTemplatesSpec extends SparkSpec {
     assert(parts == Seq("2021-06-01", "2021-06-02"))
   }
 
+  test("vendored template fixture matches the reference byte-for-byte " +
+       "and resolves without the reference tree") {
+    val name = "get_rna_waldec_filtered_data.sql"
+    // fallback path: a bogus root forces the vendored classpath copy
+    val vendored = SqlTemplates.referenceTemplate(name, "/nonexistent")
+    assert(vendored.contains("rna_waldec_filtered"))
+    // when the reference checkout exists, the two sources must agree
+    val ref = Paths.get("/root/reference/sql", name)
+    if (Files.isReadable(ref)) {
+      val live = new String(Files.readAllBytes(ref), "UTF-8")
+      assert(live == vendored,
+        s"vendored fixture for $name diverged from the reference copy")
+      assert(SqlTemplates.referenceTemplate(name) == live)
+    }
+  }
+
   test("the reference's full .sql template corpus runs verbatim") {
     import org.apache.spark.sql.functions.{col, date_format, lit, when}
     // the whole point of the template layer: every template asset from
