@@ -220,20 +220,28 @@ object Fuzzy {
     * the output to the declarative window form. */
   def fuzzyTopKJoin(left: DataFrame, leftKey: String,
                     right: DataFrame, rightKey: String, k: Int,
-                    scoreCol: String = "similarity"): DataFrame = {
+                    scoreCol: String = "similarity",
+                    maxRightKeys: Int = DefaultMaxRightKeys): DataFrame = {
     require(k >= 1)
     val spark = left.sparkSession
     import spark.implicits._
-    val rKeys = right.select(col(rightKey).cast("string")).distinct()
-      .as[String].collect().filter(_ != null)
+    val rKeys = collectRightKeys(right, rightKey, maxRightKeys,
+      "fuzzyTopKJoin")
     val bc = spark.sparkContext.broadcast(rKeys)
     val l = fanOut(left.select(col(leftKey).cast("string")).distinct())
     val ranked = l.as[String].mapPartitions { it =>
-      val rs = bc.value
+      // right-side codepoint arrays decoded once per partition, the
+      // left key's once per key, DP rows reused — per-pair work is the
+      // banded DP alone
+      val rs = bc.value.map(rk => (rk, cps(rk)))
+      val scratch = new LevScratch
       it.flatMap { lk =>
         if (lk == null) Iterator.empty
         else {
-          val top = rs.map(rk => (ratioAtLeast(lk, rk, 0), rk))
+          val lcp = cps(lk)
+          val top = rs.map { case (rk, rcp) =>
+              (ratioAtLeastCp(lcp, rcp, 0, scratch), rk)
+            }
             .sortWith { case ((s1, r1), (s2, r2)) =>
               s1 > s2 || (s1 == s2 && utf8Gt(r1, r2))
             }.take(k)
@@ -243,6 +251,30 @@ object Fuzzy {
       }
     }.toDF(leftKey, rightKey, scoreCol, "rank")
     left.join(ranked, Seq(leftKey), "left")
+  }
+
+  /** Bound on the distinct right keys the broadcast-contract joins
+    * ([[fuzzyTopKJoin]], [[fuzzyTop1JoinWRatio]]) will collect: these
+    * operators are O(|L|·|R|) by the reference's own lookup-table
+    * contract, so a right side past ~1M keys is a misuse, not a scale
+    * problem — fail fast instead of a silent driver OOM. */
+  val DefaultMaxRightKeys: Int = 1000000
+
+  /** Distinct right keys under the broadcast contract: takes at most
+    * `maxKeys + 1` rows and fails with the scale alternative named when
+    * the bound is exceeded. */
+  private def collectRightKeys(right: DataFrame, rightKey: String,
+                               maxKeys: Int, op: String): Array[String] = {
+    require(maxKeys >= 1, s"$op: maxRightKeys must be positive")
+    import right.sparkSession.implicits._
+    val keys = right.select(col(rightKey).cast("string")).distinct()
+      .as[String].take(maxKeys + 1)
+    if (keys.length > maxKeys)
+      throw new IllegalArgumentException(
+        s"$op: right side exceeds the lookup-table contract " +
+        s"(> $maxKeys distinct keys); use fuzzyTop1JoinBanded, whose " +
+        "length-banded equi-join scales past broadcast")
+    keys.filter(_ != null)
   }
 
   /** Thresholded ratio: the similarity when it is >= minScore, else null.
@@ -280,96 +312,168 @@ object Fuzzy {
     * equi-join Catalyst can plan as sort-merge at any scale), then the
     * same partial-agg arg-max as [[fuzzyTop1Join]].
     *
-    * `saltBuckets` picks the physical strategy for the band join:
-    *  - 0 (default): broadcast the banded right side. The join
-    *    degenerates to few hot band keys when lengths concentrate, and a
-    *    plain shuffle join would put every pair of a hot band in one
-    *    task; broadcast-hash keeps the big left side streaming in
-    *    parallel.
+    * `saltBuckets` picks the physical strategy for the band probe:
+    *  - 0 (default): the banded right side rides an executor broadcast
+    *    as a band → candidates hash map and the probe loop is FUSED
+    *    into the scoring kernel: one `mapPartitions` over the distinct
+    *    LEFT keys looks its band up and scores the candidates in place.
+    *    No |L|·|R| rows ever materialize (the prior shape — a broadcast
+    *    band equi-join feeding a pair kernel — decoded 15M two-string
+    *    tuples per run at sf0.1; that allocation storm, not the DP, was
+    *    the r3–r5 j05 bench variance), each distinct left key is scored
+    *    exactly once, so no arg-max shuffle is needed either, and hot
+    *    bands cost nothing: left keys spread uniformly over partitions
+    *    regardless of band. Memory bound = the banded right side fits
+    *    an executor — the identical bound the broadcast join had.
     *  - N > 0: the fallback when the banded right side exceeds broadcast
     *    scale — salt the band key N ways: each left row takes a
     *    deterministic salt `hash(leftKey) mod N`, each banded right row
     *    is replicated across all N salts, and the join runs as a plain
-    *    shuffle equi-join on (band, salt). A hot band now spreads over N
-    *    tasks at the cost of an N× right-side replication (right is the
-    *    smaller side by contract). Output is identical to the broadcast
-    *    path: every (left, compatible-right) pair still meets exactly
-    *    once.
+    *    shuffle equi-join on (band, salt), feeding a per-pair scoring
+    *    kernel whose partial winners collapse in a final arg-max
+    *    aggregate. A hot band now spreads over N tasks at the cost of
+    *    an N× right-side replication (right is the smaller side by
+    *    contract). Output is identical to the fused path: every
+    *    (left, compatible-right) pair still meets exactly once.
     */
   def fuzzyTop1JoinBanded(left: DataFrame, leftKey: String,
                           right: DataFrame, rightKey: String,
                           minScore: Int = 60,
                           scoreCol: String = "similarity",
-                          saltBuckets: Int = 0): DataFrame = {
+                          saltBuckets: Int = 0,
+                          maxRightKeys: Int = DefaultMaxRightKeys)
+      : DataFrame = {
     require(minScore > 0 && minScore <= 100)
     val tol = 1.0 - minScore / 100.0
-    val l = fanOut(left.select(col(leftKey)).distinct())
-      .withColumn("__llen", length(col(leftKey)))
-    // a pair (la, lb) with ratio >= minScore has |la-lb| <= tol*max(la,lb)
-    val r = right.select(col(rightKey)).distinct()
-      .withColumn("__rlen", length(col(rightKey)))
-      .withColumn("__band",
-        explode(sequence(ceil(col("__rlen") * (1.0 - tol)).cast("int"),
-                         floor(col("__rlen") / (1.0 - tol)).cast("int"))))
-    val joined =
-      if (saltBuckets <= 0) l.join(broadcast(r), col("__llen") === col("__band"))
-      else {
-        val ls = l.withColumn("__lsalt",
-          pmod(hash(col(leftKey)), lit(saltBuckets)))
-        val rs = r.withColumn("__rsalt",
-          explode(array((0 until saltBuckets).map(lit): _*)))
-        ls.join(rs, col("__llen") === col("__band") &&
-                    col("__lsalt") === col("__rsalt"))
-      }
-    // Score + threshold + per-key arg-max run as a JIT'd mapPartitions
-    // kernel over the joined pairs, for the same reason as ts04 and
-    // Ann.scorePairs: every declarative shape measured slower by 4-10×
-    // at sf0.1 (15M pairs) —
-    //  - a threshold filter over the scored projection folds into the
-    //    band join's condition → the DP runs twice per pair (BENCH r3:
-    //    21 s);
-    //  - feeding the score expression straight into the arg-max
-    //    aggregate re-evaluates it on the aggregate's non-codegen input
-    //    path (probed 17 s vs 4 s for the identical scoring as a plain
-    //    projection);
-    //  - fencing the scored pairs first materializes |L|·|R| rows,
-    //    which is exactly what the partial-agg design exists to avoid.
-    // The kernel scores each pair once, keeps one running best per left
-    // key per partition (memory ≤ |distinct L per partition|, same as a
-    // partial aggregate), and only those partial winners reach the final
-    // shuffle — the band join stays a declarative equi-join, so the
-    // whole operator remains distributed at any scale.
-    // Integer math is identical to the SQL oracle: ratio >= s ⇔
-    // dist <= floor(maxLen·(100−s)/100), banded DP with early exit, and
-    // the UTF-8-byte tie-break matches Spark/DuckDB string max ordering.
     val spark = left.sparkSession
     import spark.implicits._
-    val partialBest = joined
-      .select(col(leftKey).cast("string"), col(rightKey).cast("string"))
-      .as[(String, String)]
-      .mapPartitions { it =>
-        val best = new java.util.HashMap[String, (Int, String)]()
-        it.foreach { case (lk, rk) =>
-          if (lk != null && rk != null) {
-            val sc = ratioAtLeast(lk, rk, minScore)
-            if (sc >= 0) {
-              val cur = best.get(lk)
-              if (cur == null || sc > cur._1 ||
-                  (sc == cur._1 && utf8Gt(rk, cur._2)))
-                best.put(lk, (sc, rk))
+    val l = fanOut(left.select(col(leftKey)).distinct())
+      .withColumn("__llen", length(col(leftKey)))
+    if (saltBuckets <= 0) {
+      // Fused broadcast path. The band map replicates each right key
+      // across its compatible integer lengths with the same ceil/floor
+      // math as the salted explode below (lossless at the threshold:
+      // ratio >= s ⇒ |la-lb| <= (1-s/100)·max(la,lb)); lengths count
+      // codepoints, like `length()` and the oracle.
+      val rKeys = collectRightKeys(right, rightKey, maxRightKeys,
+        "fuzzyTop1JoinBanded(saltBuckets=0) [pass saltBuckets > 0 for a " +
+          "shuffle-scale right side]")
+      val byBand = {
+        val m = new java.util.HashMap[Int,
+          scala.collection.mutable.ArrayBuffer[(String, Array[Int])]]()
+        rKeys.foreach { rk =>
+          val rcp = cps(rk)
+          val lo = math.ceil(rcp.length * (1.0 - tol)).toInt
+          val hi = math.floor(rcp.length / (1.0 - tol)).toInt
+          var b = lo
+          while (b <= hi) {
+            var buf = m.get(b)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[
+                (String, Array[Int])]()
+              m.put(b, buf)
             }
+            buf += ((rk, rcp))
+            b += 1
           }
         }
-        import scala.jdk.CollectionConverters._
-        best.entrySet().iterator().asScala
-          .map(e => (e.getKey, e.getValue._2, e.getValue._1))
-      }.toDF(leftKey, rightKey, scoreCol)
-    val best = partialBest.groupBy(col(leftKey))
-      .agg(max(struct(col(scoreCol), col(rightKey))).as("__best"))
-      .select(col(leftKey),
-              col("__best").getField(rightKey).as(rightKey),
-              col("__best").getField(scoreCol).as(scoreCol))
-    left.join(best, Seq(leftKey), "left")
+        val out = new java.util.HashMap[Int, Array[(String, Array[Int])]]()
+        m.forEach((k, v) => out.put(k, v.toArray))
+        out
+      }
+      val bc = spark.sparkContext.broadcast(byBand)
+      // Integer math identical to the SQL oracle: ratio >= s ⇔
+      // dist <= floor(maxLen·(100−s)/100), banded DP with early exit;
+      // the UTF-8-byte tie-break matches Spark/DuckDB string max
+      // ordering. Left keys are distinct, so each kernel row emits its
+      // final winner directly — no downstream aggregate.
+      val best = l.select(col(leftKey).cast("string")).as[String]
+        .mapPartitions { it =>
+          val bands = bc.value
+          val scratch = new LevScratch
+          it.flatMap { lk =>
+            if (lk == null) Iterator.empty
+            else {
+              val lcp = cps(lk)
+              val cands = bands.get(lcp.length)
+              if (cands == null) Iterator.empty
+              else {
+                var bestScore = -1; var bestR: String = null
+                var i = 0
+                while (i < cands.length) {
+                  val (rk, rcp) = cands(i)
+                  val sc = ratioAtLeastCp(lcp, rcp, minScore, scratch)
+                  if (sc >= 0 && (sc > bestScore ||
+                      (sc == bestScore && utf8Gt(rk, bestR))))
+                    { bestScore = sc; bestR = rk }
+                  i += 1
+                }
+                if (bestScore >= 0) Iterator.single((lk, bestR, bestScore))
+                else Iterator.empty
+              }
+            }
+          }
+        }.toDF(leftKey, rightKey, scoreCol)
+      left.join(best, Seq(leftKey), "left")
+    } else {
+      // Salted shuffle path: pairs meet in a plain equi-join on
+      // (band, salt); the kernel keeps one running best per left key
+      // per partition (memory ≤ |distinct L per partition|, a partial
+      // aggregate), and only those partial winners reach the final
+      // arg-max shuffle. Declarative alternatives all measured 4-10×
+      // slower at sf0.1: a threshold filter folds into the join
+      // condition (the DP runs twice per pair — BENCH r3: 21 s), the
+      // score expression inside the aggregate re-evaluates on its
+      // non-codegen input path, and fencing the scored pairs
+      // materializes |L|·|R| rows.
+      val r = right.select(col(rightKey)).distinct()
+        .withColumn("__rlen", length(col(rightKey)))
+        .withColumn("__band",
+          explode(sequence(ceil(col("__rlen") * (1.0 - tol)).cast("int"),
+                           floor(col("__rlen") / (1.0 - tol)).cast("int"))))
+      val ls = l.withColumn("__lsalt",
+        pmod(hash(col(leftKey)), lit(saltBuckets)))
+      val rs = r.withColumn("__rsalt",
+        explode(array((0 until saltBuckets).map(lit): _*)))
+      val joined = ls.join(rs, col("__llen") === col("__band") &&
+                               col("__lsalt") === col("__rsalt"))
+      val partialBest = joined
+        .select(col(leftKey).cast("string"), col(rightKey).cast("string"))
+        .as[(String, String)]
+        .mapPartitions { it =>
+          val best = new java.util.HashMap[String, (Int, String)]()
+          // codepoint arrays memoized per key, DP rows reused across
+          // pairs — per-pair work is the DP loop alone; the map is
+          // bounded by distinct keys per partition
+          val cpCache = new java.util.HashMap[String, Array[Int]]()
+          def cpOf(s: String): Array[Int] = {
+            var a = cpCache.get(s)
+            if (a == null) { a = cps(s); cpCache.put(s, a) }
+            a
+          }
+          val scratch = new LevScratch
+          it.foreach { case (lk, rk) =>
+            if (lk != null && rk != null) {
+              val sc = ratioAtLeastCp(cpOf(lk), cpOf(rk), minScore, scratch)
+              if (sc >= 0) {
+                val cur = best.get(lk)
+                if (cur == null || sc > cur._1 ||
+                    (sc == cur._1 && utf8Gt(rk, cur._2)))
+                  best.put(lk, (sc, rk))
+              }
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          best.entrySet().iterator().asScala
+            .map(e => (e.getKey, e.getValue._2, e.getValue._1))
+        }.toDF(leftKey, rightKey, scoreCol)
+      val best = partialBest.groupBy(col(leftKey))
+        .agg(max(struct(col(scoreCol), col(rightKey))).as("__best"))
+        .select(col(leftKey),
+                col("__best").getField(rightKey).as(rightKey),
+                col("__best").getField(scoreCol).as(scoreCol))
+      left.join(best, Seq(leftKey), "left")
+    }
   }
 
   /** Codepoint array for kernel DP work. The Column forms (`length`,
@@ -397,27 +501,48 @@ object Fuzzy {
     * ints — bit-identical to the Column form and the SQL oracle on any
     * input (lengths and DP both run over codepoints, like both
     * engines). */
-  private def ratioAtLeast(a: String, b: String, minScore: Int): Int = {
-    val ca = cps(a); val cb = cps(b)
+  private def ratioAtLeast(a: String, b: String, minScore: Int): Int =
+    ratioAtLeastCp(cps(a), cps(b), minScore, new LevScratch)
+
+  /** Codepoint-array form of [[ratioAtLeast]] for the pair-quadratic
+    * kernels: the caller memoizes the arrays per key and reuses one
+    * [[LevScratch]] per partition, so scoring a pair allocates
+    * nothing. */
+  private def ratioAtLeastCp(ca: Array[Int], cb: Array[Int],
+                             minScore: Int, scratch: LevScratch): Int = {
     val maxLen = math.max(ca.length, cb.length)
     if (maxLen == 0) return 100
     val maxDist = maxLen * (100 - minScore) / 100
     if (math.abs(ca.length - cb.length) > maxDist) return -1
-    val d = boundedLev(ca, cb, maxDist)
+    val d = boundedLev(ca, 0, ca.length, cb, 0, cb.length, maxDist, scratch)
     if (d > maxDist) -1 else 100 * (maxLen - d) / maxLen
   }
 
-  private def boundedLev(a: Array[Int], b: Array[Int], cap: Int): Int =
-    boundedLev(a, 0, a.length, b, 0, b.length, cap)
+  /** Reusable DP rows for [[boundedLev]], grown on demand — one per
+    * partition/kernel instance, never shared across threads. */
+  private final class LevScratch {
+    var prev: Array[Int] = new Array[Int](64)
+    var cur: Array[Int] = new Array[Int](64)
+    def ensure(m: Int): Unit =
+      if (prev.length < m + 1) {
+        val n = math.max(m + 1, prev.length * 2)
+        prev = new Array[Int](n)
+        cur = new Array[Int](n)
+      }
+  }
 
   /** Two-row Levenshtein DP with row-min early exit over codepoint
     * slices: returns the exact distance when it is <= cap, else any
     * value > cap. Offset/length form so [[wRatioKernel]]'s partial-ratio
-    * windows slide without copying. */
+    * windows slide without copying; rows live in `scratch`. */
   private def boundedLev(a: Array[Int], aOff: Int, n: Int,
-                         b: Array[Int], bOff: Int, m: Int, cap: Int): Int = {
-    var prev = Array.tabulate(m + 1)(identity)
-    var cur = new Array[Int](m + 1)
+                         b: Array[Int], bOff: Int, m: Int, cap: Int,
+                         scratch: LevScratch): Int = {
+    scratch.ensure(m)
+    var prev = scratch.prev
+    var cur = scratch.cur
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
     var i = 1
     while (i <= n) {
       cur(0) = i
@@ -473,13 +598,17 @@ object Fuzzy {
     * token set — everything per-SIDE so the per-pair work is only set
     * merge + levenshteins, and all length/DP math counts codepoints
     * like the Column forms and the oracle. */
-  private[graft] final case class FuzzKey(rawCp: Array[Int],
-                                          sortedCp: Array[Int],
-                                          set: Array[String])
+  /** Plain final class, not a case class: the fields are arrays, so
+    * generated equals/hashCode would silently compare by reference —
+    * this type is a value holder only and must never be used as a key. */
+  private[graft] final class FuzzKey(val rawCp: Array[Int],
+                                     val sortedCp: Array[Int],
+                                     val set: Array[String])
+    extends Serializable
 
   private[graft] def prepKey(s: String): FuzzKey = {
     val toks = s.split(" +", -1) // -1: Spark's split keeps trailing ""
-    FuzzKey(cps(s), cps(toks.sorted(utf8Ordering).mkString(" ")),
+    new FuzzKey(cps(s), cps(toks.sorted(utf8Ordering).mkString(" ")),
       toks.filter(_.nonEmpty).distinct.sorted(utf8Ordering))
   }
 
@@ -490,10 +619,16 @@ object Fuzzy {
     * the toString-based BigDecimal Spark's `round` uses). Built for
     * pair-quadratic positions where the Column form's interpreted
     * pipelines are ruinous. */
-  private[graft] def wRatioKernel(lp: FuzzKey, rp: FuzzKey): Int = {
+  private[graft] def wRatioKernel(lp: FuzzKey, rp: FuzzKey): Int =
+    wRatioKernel(lp, rp, new LevScratch)
+
+  private[graft] def wRatioKernel(lp: FuzzKey, rp: FuzzKey,
+                                  scratch: LevScratch): Int = {
     def ratio(x: Array[Int], y: Array[Int]): Int = {
       val m = math.max(x.length, y.length)
-      if (m == 0) 100 else 100 * (m - boundedLev(x, y, m)) / m
+      if (m == 0) 100
+      else 100 * (m - boundedLev(x, 0, x.length, y, 0, y.length, m,
+        scratch)) / m
     }
     def partialR(x: Array[Int], y: Array[Int]): Int = {
       val (s, l) = if (x.length <= y.length) (x, y) else (y, x)
@@ -501,7 +636,7 @@ object Fuzzy {
       if (n == 0) return 100
       var best = Int.MaxValue; var i = 0
       while (i + n <= l.length) {
-        val d = boundedLev(s, 0, n, l, i, n, n)
+        val d = boundedLev(s, 0, n, l, i, n, n, scratch)
         if (d < best) best = d
         i += 1
       }
@@ -550,22 +685,25 @@ object Fuzzy {
   def fuzzyTop1JoinWRatio(left: DataFrame, leftKey: String,
                           right: DataFrame, rightKey: String,
                           minScore: Int = 60,
-                          scoreCol: String = "similarity"): DataFrame = {
+                          scoreCol: String = "similarity",
+                          maxRightKeys: Int = DefaultMaxRightKeys)
+      : DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
-    val rKeys = right.select(col(rightKey).cast("string"))
-      .distinct().as[String].collect().filter(_ != null)
+    val rKeys = collectRightKeys(right, rightKey, maxRightKeys,
+      "fuzzyTop1JoinWRatio")
     val bc = spark.sparkContext.broadcast(rKeys)
     val l = fanOut(left.select(col(leftKey).cast("string")).distinct())
     val best = l.as[String].mapPartitions { it =>
       val rs = bc.value.map(r => (r, prepKey(r)))
+      val scratch = new LevScratch
       it.flatMap { lk =>
         if (lk == null) Iterator.empty
         else {
           val lp = prepKey(lk)
           var bestScore = -1; var bestR: String = null
           rs.foreach { case (rk, rp) =>
-            val sc = wRatioKernel(lp, rp)
+            val sc = wRatioKernel(lp, rp, scratch)
             if (sc > bestScore ||
                 (sc == bestScore && (bestR == null || utf8Gt(rk, bestR)))) {
               bestScore = sc; bestR = rk

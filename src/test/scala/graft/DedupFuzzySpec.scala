@@ -192,6 +192,26 @@ class DedupFuzzySpec extends SparkSpec {
     assert(strict(1)._2.isEmpty && strict(1)._3.isEmpty)
   }
 
+  test("broadcast-contract joins fail fast past the right-key bound, " +
+       "naming the banded alternative") {
+    val left = Seq((1, "alpha")).toDF("id", "name")
+    val right = Seq("alpha", "alphb", "alphc").toDF("r_name")
+    Seq(
+      () => Fuzzy.fuzzyTopKJoin(left, "name", right, "r_name", 1,
+        maxRightKeys = 2).count(),
+      () => Fuzzy.fuzzyTop1JoinWRatio(left, "name", right, "r_name",
+        maxRightKeys = 2).count()
+    ).foreach { run =>
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("fuzzyTop1JoinBanded"))
+    }
+    // at the bound (3 keys <= 3) both still run
+    assert(Fuzzy.fuzzyTopKJoin(left, "name", right, "r_name", 1,
+      maxRightKeys = 3).count() == 1)
+    assert(Fuzzy.fuzzyTop1JoinWRatio(left, "name", right, "r_name",
+      maxRightKeys = 3).count() == 1)
+  }
+
   test("fuzzyTopKJoin returns k ranked matches with payload") {
     val left = Seq((1, "alpha")).toDF("id", "name")
     val right = Seq("alphax", "alphayy", "zzzzz").toDF("r")

@@ -64,8 +64,11 @@ class SqlTemplatesSpec extends SparkSpec {
     // fallback path: a bogus root forces the vendored classpath copy
     val vendored = SqlTemplates.referenceTemplate(name, "/nonexistent")
     assert(vendored.contains("rna_waldec_filtered"))
-    // when the reference checkout exists, the two sources must agree
-    val ref = Paths.get("/root/reference/sql", name)
+    // when the reference checkout exists, the two sources must agree —
+    // resolved through the same GRAFT_REFERENCE_ROOT default the s10
+    // gate uses, so the copy actually being served is the one checked
+    val root = sys.env.getOrElse("GRAFT_REFERENCE_ROOT", "/root/reference")
+    val ref = Paths.get(root, "sql", name)
     if (Files.isReadable(ref)) {
       val live = new String(Files.readAllBytes(ref), "UTF-8")
       assert(live == vendored,
