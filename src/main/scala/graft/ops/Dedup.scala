@@ -39,4 +39,99 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Connected components over an undirected pair list — the missing
+    * end-game of every near-dup family (dd02–dd06 emit PAIRS; removing
+    * duplicates transitively needs components: A~B and B~C must kill C
+    * even when A!~C). Generalizes the reference's 2-row degenerate case,
+    * pandas keep-last dedup (assos_validation_retreatment.py:106), to
+    * arbitrary similarity graphs.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labeled with its own id; each round every node takes the minimum of
+    * its own label and its neighbors' labels, until no label changes.
+    * Each round is one equi-join + one partial-aggregated min — pure
+    * shuffle work, no driver state beyond the convergence flag — and the
+    * per-round frame is `localCheckpoint`ed so lineage stays constant
+    * across rounds (the classic iterative-Spark trap). Rounds needed =
+    * the largest component's min-label eccentricity ≈ cluster diameter;
+    * near-dup clusters are shallow (dozens of rounds would already mean
+    * a pathological chain corpus — `maxRounds` fails loudly rather than
+    * looping forever).
+    *
+    * Input columns `idA`/`idB` (long-castable); output (id, label) for
+    * every id appearing in any pair, label = min id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxRounds: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val edges = fwd.union(fwd.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      require(round <= maxRounds,
+        s"connectedComponents: no fixpoint after $maxRounds rounds — " +
+          "component diameter exceeds the bound; raise maxRounds")
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("__nl"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nl"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      // labels are monotone non-increasing, so "any row decreased" is
+      // the full convergence condition
+      converged = next.as("n")
+        .join(labels.withColumnRenamed("label", "__prev").as("o"), "id")
+        .filter(col("label") < col("__prev"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** Near-dup cluster resolution: given the full corpus and a pair list
+    * from any near-dup operator, keep one canonical row per similarity
+    * cluster — the smallest id — and every row that appears in no pair.
+    * Components via [[connectedComponents]]; the removal itself is a
+    * single anti-join against the non-canonical ids, so the whole
+    * operator is shuffle-only at any corpus size.
+    */
+  def clusterDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   idA: String = "id_a", idB: String = "id_b",
+                   maxRounds: Int = 50): DataFrame = {
+    val losers = connectedComponents(pairs, idA, idB, maxRounds)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol).cast("long") === col("__loser"),
+      "left_anti")
+  }
+
+  /** Oracle twin of the cluster resolution, as a CTE chain: given a
+    * relation `pairsRel(idA, idB)`, defines `edges`, `reach` (the
+    * recursive transitive closure — min over reachable ids = the same
+    * fixpoint the label propagation converges to) and `losers` (every
+    * id that is not its component's minimum). The caller splices this
+    * after `WITH RECURSIVE` and anti-filters on `losers`. */
+  def clusterLosersSql(pairsRel: String, idA: String,
+                       idB: String): String =
+    s"""edges AS (SELECT $idA AS src, $idB AS dst FROM $pairsRel
+          UNION ALL SELECT $idB AS src, $idA AS dst FROM $pairsRel),
+        reach(id, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        losers AS (SELECT id FROM (
+          SELECT id, MIN(label) AS label FROM reach GROUP BY id)
+          WHERE label <> id)"""
 }

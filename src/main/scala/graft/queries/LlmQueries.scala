@@ -45,6 +45,19 @@ object LlmQueries {
       SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Cluster resolution — the dedup end-game: near-dup PAIRS (dd03's
+    // MinHash-LSH output) resolved to connected components, keeping one
+    // canonical doc (smallest id) per cluster plus every unpaired doc.
+    // Without this, A~B and B~C leaves C alive whenever A!~C. The oracle
+    // reaches the same fixpoint through a recursive CTE.
+    "dd07_cluster_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text")
+      Dedup.clusterDedup(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language ID: stopword-marker argmax
     "ts01_langid" -> ((s, dir) => {
       val toks = TextHash.tokens(col("text"))
@@ -199,8 +212,10 @@ object LlmQueries {
 
     // Composite corpus pipeline — the operators above chained the way a
     // training-data run uses them: language + quality gate, exact dedup,
-    // stratified downsample, token stats. One oracle over the whole
-    // chain proves the stages compose without re-materialization.
+    // near-dup CLUSTER dedup (MinHash pairs → connected components →
+    // canonical doc), stratified downsample, token stats. One oracle
+    // over the whole chain proves the stages compose without
+    // re-materialization.
     "dp01_corpus_pipeline" -> ((s, dir) => {
       val toks = TextHash.tokens(col("text"))
       val gated = t(s, dir, "documents")
@@ -208,10 +223,17 @@ object LlmQueries {
                 TextAnalysis.qualityScore(toks) >= 0.42)
       val deduped = Dedup.exactDedup(gated,
         substring(col("text"), 1, 60), col("doc_id"))
+      // threshold 0.7 (vs dd03's 0.8): the pipeline position where
+      // near-dup clustering earns its keep is the J-band the exact
+      // prefix dedup can't see
+      val pairs = MinHashLSH.nearDupPairs(deduped, "doc_id", "text",
+        threshold = 0.7)
+      val clustered = Dedup.clusterDedup(deduped, "doc_id", pairs,
+        "doc_a", "doc_b")
       val bucket =
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
       val threshold = when(col("lang") === "en", "c0").otherwise("80")
-      deduped.filter(bucket < threshold)
+      clustered.filter(bucket < threshold)
         .select(col("doc_id"), col("lang"),
           size(TextHash.tokens(col("text"))).as("n_toks"))
         .orderBy(col("doc_id"))
@@ -366,6 +388,13 @@ object LlmQueries {
       MinHashLSH.nearDupPairsSql("documents", "doc_id", "text"),
     "dd04_simhash" ->
       SimHash.nearDupPairsSql("documents", "doc_id", "text"),
+    "dd07_cluster_dedup" ->
+      s"""WITH RECURSIVE pairs AS (
+            ${MinHashLSH.nearDupPairsSql("documents", "doc_id", "text")}),
+          ${Dedup.clusterLosersSql("pairs", "doc_a", "doc_b")}
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM losers)
+          ORDER BY doc_id""",
     "ts01_langid" -> {
       val toks = "string_split(text, ' ')"
       s"""SELECT doc_id,
@@ -404,18 +433,23 @@ object LlmQueries {
     },
     "dp01_corpus_pipeline" -> {
       val toks = "string_split(text, ' ')"
-      s"""WITH gated AS (SELECT * FROM documents
+      s"""WITH RECURSIVE gated AS (SELECT * FROM documents
             WHERE ${TextAnalysis.langIdSql(toks)} <> 'und'
               AND ${TextAnalysis.qualityScoreSql(toks)} >= 0.42),
           deduped AS (SELECT * FROM (
             SELECT *, row_number() OVER (
               PARTITION BY md5(substring(text, 1, 60))
-              ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1)
+              ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
+          pairs AS (
+            ${MinHashLSH.nearDupPairsSql("deduped", "doc_id", "text",
+              threshold = 0.7)}),
+          ${Dedup.clusterLosersSql("pairs", "doc_a", "doc_b")}
           SELECT doc_id, lang,
             CAST(len($toks) AS INT) AS n_toks
           FROM deduped
-          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-            (CASE WHEN lang = 'en' THEN 'c0' ELSE '80' END)
+          WHERE doc_id NOT IN (SELECT id FROM losers)
+            AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              (CASE WHEN lang = 'en' THEN 'c0' ELSE '80' END)
           ORDER BY doc_id"""
     },
     "ts06_stratified_sample" ->

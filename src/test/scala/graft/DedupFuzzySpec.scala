@@ -29,6 +29,39 @@ class DedupFuzzySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "same"), (3L, "other")))
   }
 
+  test("connectedComponents: chains resolve transitively, components " +
+       "stay separate") {
+    // component {1,2,3,4} via a chain (A~B, B~C, C~D — no direct A~D),
+    // component {10,11}, and 7 appears in no pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(cc == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("clusterDedup keeps the smallest id per cluster and all " +
+       "unpaired rows") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (7L, "solo"), (10L, "x"), (11L, "y")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusterDedup(docs, "doc_id", pairs)
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (7L, "solo"), (10L, "x")))
+  }
+
+  test("connectedComponents fails loudly past maxRounds instead of " +
+       "looping") {
+    // a 5-chain needs ~4 rounds; cap at 1 to hit the guard
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(pairs, maxRounds = 1).count())
+    assert(e.getMessage.contains("maxRounds"))
+  }
+
   test("levenshteinRatio bounds and symmetry (property)") {
     val gs = Gen.alphaNumStr.map(_.take(20))
     forAllSamples(Gen.zip(gs, gs)) { case (a, b) =>

@@ -39,10 +39,17 @@ class PlanSpec extends SparkSpec {
 
   test("dedup/similarity candidate generation is never a cartesian") {
     Seq("dd03_minhash_lsh", "dd04_simhash", "dd06_embedding_neardup_lsh",
-        "j05_fuzzy_top1", "ann03_ivf_topk").foreach { q =>
+        "j05_fuzzy_top1", "ann03_ivf_topk", "dd07_cluster_dedup").foreach { q =>
       val p = sparkPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
     }
+  }
+
+  test("dd07: cluster resolution ships no driver-side table — the " +
+       "removal is an anti-join") {
+    val p = sparkPlan("dd07_cluster_dedup")
+    assert(!p.contains("LocalTableScan"), p.take(800))
+    assert(p.contains("LeftAnti"), p.take(800))
   }
 
   test("j05: the bounded levenshtein is evaluated once per pair — " +
