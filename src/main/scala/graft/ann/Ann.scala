@@ -273,17 +273,12 @@ object Ann {
     * Output: (q_id, rank, vec_id, cos) as [[bruteForceTopK]]. */
   def ivfTopK(data: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
-              nprobe: Int = 2): DataFrame = {
-    require(numCells >= 1 && nprobe >= 1 && k >= 1)
+              nprobe: Int = 2, trainIters: Int = 0): DataFrame = {
+    require(numCells >= 1 && nprobe >= 1 && k >= 1 && trainIters >= 0)
     val d = withNorms(data, idCol, vecCol)
-    val cents: Array[(Seq[Double], Double)] = d.orderBy(col("id"))
-      .limit(numCells).select(col("v"), col("nrm"))
-      .collect().map(r => (r.getSeq[Double](0), r.getDouble(1)))
+    val cents = kmeansCentroids(d, numCells, trainIters)
     def cellScores(v: Column, nrm: Column): Column =
-      array(cents.indices.map(j => struct(
-        (dot(v, typedLit(cents(j)._1)) / (nrm * lit(cents(j)._2)))
-          .as("cos"),
-        lit(j).as("cell"))): _*)
+      centroidScores(cents, v, nrm)
     val assigned = graft.core.Fence(d.withColumn("cell",
       array_max(cellScores(col("v"), col("nrm"))).getField("cell")))
     val q = withNorms(queries, idCol, vecCol)
@@ -304,6 +299,73 @@ object Ann {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Per-cell (cos, cell) score array against a centroid constant —
+    * `array_max` over it is the argmax assignment, ties to the larger
+    * cell id (struct ordering). Deliberately the interpreted HOF [[dot]]:
+    * numCells×Dim unrolled terms in one projection overflows Janino's
+    * 64 KB limit (see [[nearDupBandBucket]]), and assignment runs once
+    * per ROW, never per pair. */
+  private def centroidScores(cents: Array[(Seq[Double], Double)],
+                             v: Column, nrm: Column): Column =
+    array(cents.indices.map(j => struct(
+      (dot(v, typedLit(cents(j)._1)) / (nrm * lit(cents(j)._2)))
+        .as("cos"),
+      lit(j).as("cell"))): _*)
+
+  /** Deterministic spherical k-means for the IVF coarse quantizer:
+    * centroids start as the `numCells` smallest-id vectors (the
+    * oracle-replicable seed) and run exactly `iters` Lloyd rounds —
+    * cosine argmax assignment (ties to the larger cell), element-wise
+    * mean recomputation. The mean is the ann04 reduction: values sum as
+    * `floor(v·2^20 + 0.5)` integers so the per-cell sum is order-free
+    * (double addition is not associative — a shuffled double sum would
+    * not replicate), divided back out as DOUBLE; a cell that loses all
+    * members keeps its previous centroid. Fixed iterations instead of a
+    * convergence test keep the whole procedure a closed formula both
+    * engines evaluate bit-identically.
+    *
+    * Scale shape: each round is one linear assignment pass (no shuffle)
+    * + one partial-aggregated mean (`numCells·Dim` output rows — a
+    * driver-side constant, the same bound as the centroid broadcast
+    * itself). `iters` = 0 degrades to the untrained sample, so ann03's
+    * plan is unchanged. */
+  def kmeansCentroids(dWithNorms: DataFrame, numCells: Int,
+                      iters: Int): Array[(Seq[Double], Double)] = {
+    var cents: Array[(Seq[Double], Double)] = dWithNorms
+      .orderBy(col("id")).limit(numCells).select(col("v"), col("nrm"))
+      .collect().map(r => (r.getSeq[Double](0), r.getDouble(1)))
+    def normOf(v: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    var round = 0
+    while (round < iters) {
+      val assigned = dWithNorms.withColumn("cell",
+        array_max(centroidScores(cents, col("v"), col("nrm")))
+          .getField("cell"))
+      val meanRows = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(floor(col("val") * lit(1048576.0) + lit(0.5))
+            .cast("long")).cast("double") / 1048576.0 /
+          count(lit(1)).cast("double")).as("m"))
+        .collect()
+      val byCell = meanRows.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val v: Seq[Double] = rows.sortBy(_.getInt(1))
+              .map(_.getDouble(2)).toSeq
+            (v, normOf(v))
+          case None => cents(c)
+        }
+      }.toArray
+      round += 1
+    }
+    cents
   }
 
   /** Within-bucket nearest neighbor (top-1 by cosine, ties to the

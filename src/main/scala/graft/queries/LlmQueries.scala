@@ -261,6 +261,18 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF-Flat with a TRAINED coarse quantizer: two deterministic
+    // spherical-k-means rounds (smallest-id seed, integer-cents means —
+    // the ann04 reduction) before assignment/probing. Same query set as
+    // ann01/ann03, so recall is directly comparable; the oracle
+    // recomputes the identical fixed iterations.
+    "ann05_ivf_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          10, trainIters = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Per-label embedding centroids: posexplode to (label, pos, value),
     // map-side partial aggregate, element-wise mean — the distributed
     // centroid reduction of k-means / IVF training. Values are summed as
@@ -504,6 +516,63 @@ object LlmQueries {
                 ORDER BY ${dt("vn.v", "cent.cv")} / (vn.nrm * cent.cnrm)
                   DESC, cent.cell DESC) AS rn
             FROM vn CROSS JOIN cent WHERE vn.vec_id < 5) WHERE rn <= 2),
+          cand AS (SELECT qp.q_id, a.vec_id,
+              ${dt("qp.qv", "a.v")} / (qp.qnrm * a.nrm) AS cos
+            FROM qp JOIN asg a USING (cell) WHERE a.vec_id <> qp.q_id),
+          ranked AS (SELECT q_id, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM cand)
+        SELECT q_id, rank, vec_id, cos FROM ranked
+        WHERE rank <= 10 ORDER BY q_id, rank"""
+    },
+    "ann05_ivf_kmeans" -> {
+      def dt(a: String, b: String) = Ann.dotSql(a, b)
+      // one Lloyd round: argmax-cosine assignment against cent{i-1}
+      // (ties to the larger cell, like array_max over (cos, cell)),
+      // then the integer-cents element-wise mean; empty cells keep
+      // their previous centroid
+      def round(i: Int): String = {
+        val prev = s"cent${i - 1}"
+        s"""asg$i AS (SELECT vec_id, v, nrm, cell FROM (
+              SELECT vn.vec_id, vn.v, vn.nrm, c.cell,
+                row_number() OVER (PARTITION BY vn.vec_id
+                  ORDER BY ${dt("vn.v", "c.cv")} / (vn.nrm * c.cnrm)
+                    DESC, c.cell DESC) AS rn
+              FROM vn CROSS JOIN $prev c) WHERE rn = 1),
+            mean$i AS (SELECT cell, CAST(pos AS INT) AS pos,
+                CAST(SUM(CAST(FLOOR(val * 1048576.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1048576.0 / CAST(COUNT(*) AS DOUBLE) AS m
+              FROM (SELECT cell, CAST(unnest(v) AS DOUBLE) AS val,
+                      unnest(generate_series(1, len(v))) - 1 AS pos
+                    FROM asg$i)
+              GROUP BY cell, pos),
+            cm$i AS (SELECT cell, list(m ORDER BY pos) AS cv
+              FROM mean$i GROUP BY cell),
+            cent$i AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv,
+                CASE WHEN n.cv IS NULL THEN p.cnrm
+                     ELSE sqrt(${dt("n.cv", "n.cv")}) END AS cnrm
+              FROM $prev p LEFT JOIN cm$i n USING (cell))"""
+      }
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm FROM v),
+          cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+              - 1 AS cell, v AS cv, nrm AS cnrm
+            FROM vn ORDER BY vec_id LIMIT 16),
+          ${round(1)},
+          ${round(2)},
+          asg AS (SELECT vec_id, v, nrm, cell FROM (
+            SELECT vn.vec_id, vn.v, vn.nrm, cent2.cell,
+              row_number() OVER (PARTITION BY vn.vec_id
+                ORDER BY ${dt("vn.v", "cent2.cv")} / (vn.nrm * cent2.cnrm)
+                  DESC, cent2.cell DESC) AS rn
+            FROM vn CROSS JOIN cent2) WHERE rn = 1),
+          qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell FROM (
+            SELECT vn.vec_id, vn.v, vn.nrm, cent2.cell,
+              row_number() OVER (PARTITION BY vn.vec_id
+                ORDER BY ${dt("vn.v", "cent2.cv")} / (vn.nrm * cent2.cnrm)
+                  DESC, cent2.cell DESC) AS rn
+            FROM vn CROSS JOIN cent2 WHERE vn.vec_id < 5) WHERE rn <= 2),
           cand AS (SELECT qp.q_id, a.vec_id,
               ${dt("qp.qv", "a.v")} / (qp.qnrm * a.nrm) AS cos
             FROM qp JOIN asg a USING (cell) WHERE a.vec_id <> qp.q_id),

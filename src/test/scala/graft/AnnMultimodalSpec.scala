@@ -94,6 +94,45 @@ class AnnMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids: each Lloyd round improves the quantizer " +
+       "objective, deterministically") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val d = e.select($"vec_id".as("id"),
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (a, x) => a + x)))
+    def objective(cents: Array[(Seq[Double], Double)]): Double = {
+      val best = greatest(cents.map { case (c, n) =>
+        aggregate(zip_with($"v", typedLit(c), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x) / ($"nrm" * lit(n))
+      }: _*)
+      d.select(avg(best)).as[Double].head()
+    }
+    val rounds = (0 to 2).map(i => Ann.kmeansCentroids(d, 8, i))
+    val objs = rounds.map(objective)
+    assert(objs(1) > objs(0) && objs(2) >= objs(1),
+      s"objective did not improve: $objs")
+    // fixed seed + fixed iterations => bit-identical reruns
+    val again = Ann.kmeansCentroids(d, 8, 2)
+    assert(rounds(2).map(_._1) sameElements again.map(_._1))
+  }
+
+  test("kmeansCentroids: a cell that loses all members keeps its " +
+       "previous centroid") {
+    // two identical vectors seed both cells; assignment ties to the
+    // larger cell id, so cell 0 empties after round 1
+    val d = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)))
+      .toDF("id", "v")
+      .withColumn("nrm", lit(1.0))
+    val cents = Ann.kmeansCentroids(d, 2, 2)
+    assert(cents.length == 2)
+    assert(cents(0)._1 == Seq(1.0, 0.0) && cents(1)._1 == Seq(1.0, 0.0))
+    cents.foreach { case (v, n) =>
+      assert(!v.exists(_.isNaN) && !n.isNaN)
+    }
+  }
+
   test("multimodal fake features + frame sampling are deterministic") {
     val df = Seq((1L, "abcdefgh" * 8)).toDF("doc_id", "text")
     val bin = Multimodal.toBinary($"text")
