@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * metadata, deterministic feature extraction, and byte-range frame
   * sampling.
   *
-  * The decode step is a clearly-marked deterministic stub (image/audio
-  * codecs are not in this environment); everything Spark-side — schema,
-  * batch shape, partition-preserving per-row compute — is real. A
-  * production decoder replaces [[FakeDecoder]] only.
+  * Two decoders ride behind the [[Decoder]] trait: [[FakeDecoder]], the
+  * clearly-marked deterministic stub standing in for heavyweight codecs
+  * this environment lacks, and [[BmpDecoder]], a REAL pure-JVM 24-bit
+  * BMP parser ([[Bmp]]) the mm02 gate drives end-to-end (encode →
+  * stride-padded stream → header-validated decode). Everything
+  * Spark-side — schema, batch shape, partition-preserving per-row
+  * compute — is real either way.
   */
 object Multimodal {
 
@@ -60,5 +63,107 @@ object Multimodal {
                      decoder: Decoder): Dataset[(Long, Array[Float])] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it => it.map { case (id, b) => (id, decoder.decode(b)) } }
+  }
+
+  /** Minimal real image codec: 24-bit uncompressed Windows BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, 4-byte row
+    * stride). Pure JVM, no library — small enough to be exact and
+    * byte-honest: the encoder writes real padding, the decoder
+    * validates the header and walks the stride, so a round-trip proves
+    * actual codec work rather than a stub echo. */
+  object Bmp {
+    private val HeaderSize = 54 // 14-byte file header + 40-byte info
+
+    private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = (v & 0xff).toByte
+      a(off + 1) = ((v >> 8) & 0xff).toByte
+      a(off + 2) = ((v >> 16) & 0xff).toByte
+      a(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+
+    private def getIntLE(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8) |
+        ((a(off + 2) & 0xff) << 16) | ((a(off + 3) & 0xff) << 24)
+
+    private def getShortLE(a: Array[Byte], off: Int): Int =
+      (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8)
+
+    def stride(width: Int): Int = ((width * 3) + 3) / 4 * 4
+
+    /** Grayscale pixels (row-major, top-down, one byte each) → a valid
+      * 24-bit BMP (B=G=R=gray). `gray.length` must be width·height. */
+    def encode(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+      require(width > 0 && height > 0 && gray.length == width * height,
+        s"Bmp.encode: need ${width * height} pixels, got ${gray.length}")
+      val rowBytes = stride(width)
+      val out = new Array[Byte](HeaderSize + rowBytes * height)
+      out(0) = 'B'; out(1) = 'M'
+      putIntLE(out, 2, out.length)
+      putIntLE(out, 10, HeaderSize) // pixel-array offset
+      putIntLE(out, 14, 40) // info-header size
+      putIntLE(out, 18, width)
+      putIntLE(out, 22, height) // positive = bottom-up
+      out(26) = 1 // planes
+      out(28) = 24 // bits per pixel
+      putIntLE(out, 34, rowBytes * height)
+      var y = 0
+      while (y < height) {
+        val srcRow = height - 1 - y // bottom-up storage
+        var x = 0
+        while (x < width) {
+          val g = gray(srcRow * width + x)
+          val p = HeaderSize + y * rowBytes + x * 3
+          out(p) = g; out(p + 1) = g; out(p + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Header-validated decode of a 24-bit bottom-up BMP back to
+      * (width, height, row-major top-down gray pixels — blue channel). */
+    def decode(bmp: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bmp.length >= HeaderSize && bmp(0) == 'B' && bmp(1) == 'M',
+        "Bmp.decode: not a BMP stream")
+      val offset = getIntLE(bmp, 10)
+      val width = getIntLE(bmp, 18)
+      val height = getIntLE(bmp, 22)
+      val bpp = getShortLE(bmp, 28)
+      val compression = getIntLE(bmp, 30)
+      require(bpp == 24 && compression == 0,
+        s"Bmp.decode: unsupported bpp=$bpp/compression=$compression")
+      require(width > 0 && height > 0 &&
+        offset + stride(width) * height <= bmp.length,
+        "Bmp.decode: truncated pixel array")
+      val rowBytes = stride(width)
+      val gray = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        val srcRow = height - 1 - y
+        var x = 0
+        while (x < width) {
+          gray(y * width + x) = bmp(offset + srcRow * rowBytes + x * 3)
+          x += 1
+        }
+        y += 1
+      }
+      (width, height, gray)
+    }
+  }
+
+  /** Real-codec [[Decoder]]: parses the BMP stream and returns
+    * `[width, height, gray...]` (pixels row-major top-down). Exact for
+    * 8-bit grayscale content: every value is an integer ≤ 255, well
+    * inside Float precision. */
+  object BmpDecoder extends Decoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val (w, h, gray) = Bmp.decode(bytes)
+      val out = new Array[Float](2 + gray.length)
+      out(0) = w.toFloat; out(1) = h.toFloat
+      var i = 0
+      while (i < gray.length) { out(2 + i) = (gray(i) & 0xff).toFloat; i += 1 }
+      out
+    }
   }
 }

@@ -384,6 +384,54 @@ object LlmQueries {
           meta.getField("n_chars").as("meta_n_chars"),
           array_join(Multimodal.frameSample(bin, 3, 16), "|").as("frames"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Real codec through the multimodal path: text bytes become the
+    // pixels of an actual 24-bit BMP (6×8, stride-padded rows — w*3=18
+    // pads to 20, so the codec's stride logic is exercised, not
+    // bypassed), the stream is decoded back by the header-validating
+    // BmpDecoder, and the gate emits the RECONSTRUCTED pixels. The
+    // oracle computes the expected pixels from the text directly, so a
+    // decode that mis-walks the header, the bottom-up rows, or the
+    // padding hash-fails. Texts shorter than w*h zero-pad (pinned in
+    // AnnMultimodalSpec; absent at this gate's SF).
+    "mm02_bmp_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, LongType,
+        StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, true),
+        StructField("width", IntegerType, true),
+        StructField("height", IntegerType, true),
+        StructField("px", StringType, true)))
+      val (w, h) = (6, 8)
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .mapPartitions { rows =>
+          val hexDigits = "0123456789abcdef"
+          rows.map { r =>
+            val txt = if (r.isNullAt(1)) null else r.getString(1)
+            if (txt == null)
+              org.apache.spark.sql.Row(r.get(0), null, null, null)
+            else {
+              val bytes = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val gray = new Array[Byte](w * h)
+              System.arraycopy(bytes, 0, gray, 0,
+                math.min(bytes.length, gray.length))
+              val feats = Multimodal.BmpDecoder.decode(
+                Multimodal.Bmp.encode(w, h, gray))
+              val sb = new java.lang.StringBuilder(2 * (feats.length - 2))
+              var i = 2
+              while (i < feats.length) {
+                val v = feats(i).toInt
+                sb.append(hexDigits.charAt(v >> 4))
+                  .append(hexDigits.charAt(v & 0xf))
+                i += 1
+              }
+              org.apache.spark.sql.Row(r.get(0), feats(0).toInt,
+                feats(1).toInt, sb.toString)
+            }
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -785,6 +833,14 @@ object LlmQueries {
          array_to_string([lower(hex(substring(text, 1, 16)::BLOB)),
           lower(hex(substring(text, 17, 16)::BLOB)),
           lower(hex(substring(text, 33, 16)::BLOB))], '|') AS frames
+         FROM documents ORDER BY doc_id""",
+    "mm02_bmp_roundtrip" ->
+      """SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE 6 END AS width,
+         CASE WHEN text IS NULL THEN NULL ELSE 8 END AS height,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE rpad(lower(hex(substring(text, 1, 48)::BLOB)), 96, '0')
+         END AS px
          FROM documents ORDER BY doc_id"""
   )
 }

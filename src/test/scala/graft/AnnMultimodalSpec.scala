@@ -133,6 +133,39 @@ class AnnMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Bmp codec round-trips pixels through a real stride-padded " +
+       "stream and rejects corrupt headers") {
+    val gray = Array.tabulate(48)(i => (i * 5 % 256).toByte)
+    val bmp = Multimodal.Bmp.encode(6, 8, gray)
+    // real file structure: magic, stride 6*3=18 padded to 20, 24 bpp
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    assert(bmp.length == 54 + 20 * 8)
+    assert(bmp(28) == 24)
+    val (w, h, back) = Multimodal.Bmp.decode(bmp)
+    assert(w == 6 && h == 8 && back.sameElements(gray))
+    val notBmp = bmp.clone(); notBmp(0) = 'X'
+    intercept[IllegalArgumentException](Multimodal.Bmp.decode(notBmp))
+    val badBpp = bmp.clone(); badBpp(28) = 8
+    intercept[IllegalArgumentException](Multimodal.Bmp.decode(badBpp))
+    val truncated = bmp.take(54 + 19)
+    intercept[IllegalArgumentException](Multimodal.Bmp.decode(truncated))
+  }
+
+  test("BmpDecoder drives batchFeaturize with real decoding, " +
+       "zero-padded tails intact") {
+    // short content: only 10 of 48 pixels carry data, the rest must
+    // come back as genuine zero bytes (the mm02 short-text contract)
+    val gray = new Array[Byte](48)
+    (0 until 10).foreach(i => gray(i) = (100 + i).toByte)
+    val ds = Seq((1L, Multimodal.Bmp.encode(6, 8, gray))).toDS()
+    val out = Multimodal.batchFeaturize(ds, Multimodal.BmpDecoder)
+      .collect()
+    val feats = out.head._2
+    assert(feats(0) == 6.0f && feats(1) == 8.0f)
+    assert(feats.drop(2).map(_.toInt).sameElements(gray.map(_ & 0xff)))
+    assert(feats.drop(12).forall(_ == 0.0f))
+  }
+
   test("multimodal fake features + frame sampling are deterministic") {
     val df = Seq((1L, "abcdefgh" * 8)).toDF("doc_id", "text")
     val bin = Multimodal.toBinary($"text")
