@@ -111,6 +111,61 @@ class StreamingSpec extends SparkSpec {
     assert(viaState == batch)
   }
 
+  test("incremental corpus pipeline over ascending micro-batches " +
+       "equals batch dp01") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+      .orderBy($"doc_id").as[(Long, String, String)].collect()
+    val wh = java.nio.file.Files.createTempDirectory("corpus_wh_").toString
+    val cp = java.nio.file.Files.createTempDirectory("corpus_cp_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.CorpusStream.incremental(
+      mem.toDF().toDF("doc_id", "text", "lang"), cat, cp)
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(cat.listPartitions("corpus_sampled", "batch_id").size == 3)
+    val got = cat.read("corpus_sampled")
+      .select($"doc_id", $"lang", $"n_toks")
+      .as[(Long, String, Int)].collect().toSet
+    val want = graft.queries.LlmQueries
+      .queries("dp01_corpus_pipeline")(spark, dir)
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  test("incremental corpus pipeline: replaying a micro-batch " +
+       "overwrites its partition (idempotent)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    val first = docs.filter($"doc_id" < 250)
+    val second = docs.filter($"doc_id" >= 250)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_rp_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    graft.streaming.CorpusStream.processBatch(first, cat,
+      "corpus_seen", "corpus_sampled", 0L)
+    graft.streaming.CorpusStream.processBatch(second, cat,
+      "corpus_seen", "corpus_sampled", 1L)
+    val before = cat.read("corpus_sampled")
+      .select($"doc_id", $"lang", $"n_toks")
+      .as[(Long, String, Int)].collect().toSet
+    // replay batch 1 (e.g. after a failure past the seen-table write):
+    // its own partitions are excluded from `seen`, then overwritten
+    graft.streaming.CorpusStream.processBatch(second, cat,
+      "corpus_seen", "corpus_sampled", 1L)
+    val after = cat.read("corpus_sampled")
+      .select($"doc_id", $"lang", $"n_toks")
+      .as[(Long, String, Int)].collect().toSet
+    assert(after == before)
+  }
+
   test("stateful as-of enrichment spans micro-batches") {
     import graft.streaming.EventsStream.AsOfEv
     implicit val sqlCtx = spark.sqlContext
