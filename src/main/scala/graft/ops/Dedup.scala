@@ -84,18 +84,18 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("__nl"))
         .withColumnRenamed("src", "id")
+      // the previous label rides along in the checkpointed frame, so
+      // the convergence test is a scan of already-materialized blocks —
+      // no extra join or recompute per round (labels are monotone
+      // non-increasing, so "any row decreased" is the full condition)
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nl"), col("label")))
-            .as("label"))
+            .as("label"),
+          col("label").as("__prev"))
         .localCheckpoint(true)
-      // labels are monotone non-increasing, so "any row decreased" is
-      // the full convergence condition
-      converged = next.as("n")
-        .join(labels.withColumnRenamed("label", "__prev").as("o"), "id")
-        .filter(col("label") < col("__prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") < col("__prev")).isEmpty
+      labels = next.drop("__prev")
     }
     labels
   }

@@ -221,8 +221,11 @@ object LlmQueries {
       val gated = t(s, dir, "documents")
         .filter(TextAnalysis.langId(toks) =!= "und" &&
                 TextAnalysis.qualityScore(toks) >= 0.42)
-      val deduped = Dedup.exactDedup(gated,
-        substring(col("text"), 1, 60), col("doc_id"))
+      // fenced: the gate+dedup subtree feeds BOTH the minhash signature
+      // pass and the cluster anti-join — unfenced, the interpreted
+      // langId/quality HOFs re-evaluate per reference
+      val deduped = graft.core.Fence(Dedup.exactDedup(gated,
+        substring(col("text"), 1, 60), col("doc_id")))
       // threshold 0.7 (vs dd03's 0.8): the pipeline position where
       // near-dup clustering earns its keep is the J-band the exact
       // prefix dedup can't see
