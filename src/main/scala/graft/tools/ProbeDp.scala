@@ -121,3 +121,34 @@ object ProbeCc {
     spark.stop()
   }
 }
+// appended: operator-level timing with the kernel verify
+object ProbeDp2 {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val toks = graft.text.TextHash.tokens(col("text"))
+    val gated = docs.filter(
+      graft.text.TextAnalysis.langId(toks) =!= "und" &&
+      graft.text.TextAnalysis.qualityScore(toks) >= 0.42)
+    val deduped = graft.core.Fence(graft.ops.Dedup.exactDedup(gated,
+      substring(col("text"), 1, 60), col("doc_id")))
+    deduped.count()
+    def timeIt[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PART $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val pairs = graft.sim.MinHashLSH.nearDupPairs(deduped, "doc_id",
+      "text", threshold = 0.7).localCheckpoint(false)
+    println("pairs = " + timeIt("nearDupPairs@0.7 (kernel verify)")(
+      pairs.count()))
+    timeIt("clusterDedup") {
+      graft.ops.Dedup.clusterDedup(deduped, "doc_id", pairs,
+        "doc_a", "doc_b").write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
