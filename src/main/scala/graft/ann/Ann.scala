@@ -168,25 +168,56 @@ object Ann {
   private def scorePairs(d: DataFrame, pairs: DataFrame,
                          minCos: Double): DataFrame = {
     val spark = pairs.sparkSession
-    import spark.implicits._
     val a = d.select(col("id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"))
     val b = d.select(col("id").as("id_b"), col("v").as("vb"),
       col("nrm").as("nb"))
-    pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val joined = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
       .join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("va"), col("na"),
               col("vb"), col("nb"))
-      .as[(Long, Long, Seq[Double], Double, Seq[Double], Double)]
-      .mapPartitions { it =>
-        it.flatMap { case (idA, idB, vaS, na, vbS, nb) =>
-          val va = vaS.toArray; val vb = vbS.toArray
+    // Iterate the join's raw InternalRows (same pattern as the MinHash
+    // verify kernel): UnsafeRow array fields are zero-copy views and
+    // each doc's vector is materialized once per partition (memoized
+    // by id) — the earlier typed-Dataset form deserialized both
+    // vectors per pair through boxed Seq[Double], whose garbage
+    // GC-coupled dd06 to full-run JVM pressure. The accumulation is
+    // the identical left-to-right 0.0-seeded fold as [[dot]] and the
+    // oracle's list_aggregate, so scores stay bit-exact.
+    val scored = joined.queryExecution.toRdd.mapPartitions { it =>
+      val vecCache = new java.util.HashMap[Long, Array[Double]]()
+      it.flatMap { row =>
+        if ((0 to 5).exists(row.isNullAt)) Iterator.empty
+        else {
+          val idA = row.getLong(0); val idB = row.getLong(1)
+          def vecOf(id: Long, ord: Int): Array[Double] = {
+            var v = vecCache.get(id)
+            if (v == null) {
+              v = row.getArray(ord).toDoubleArray()
+              vecCache.put(id, v)
+            }
+            v
+          }
+          val va = vecOf(idA, 2); val na = row.getDouble(3)
+          val vb = vecOf(idB, 4); val nb = row.getDouble(5)
           var s = 0.0; var i = 0
           while (i < va.length) { s += va(i) * vb(i); i += 1 }
           val cos = s / (na * nb)
-          if (cos >= minCos) Some((idA, idB, cos)) else None
+          if (cos >= minCos)
+            Iterator.single(org.apache.spark.sql.Row(idA, idB, cos))
+          else Iterator.empty
         }
-      }.toDF("id_a", "id_b", "cos")
+      }
+    }
+    spark.createDataFrame(scored,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("cos",
+          org.apache.spark.sql.types.DoubleType, false))))
   }
 
   /** Exact brute-force near-dup: the full (id, vector, norm) table is

@@ -79,17 +79,10 @@ object JaccardJoin {
           least(na - col("a.rnk"), nb - col("b.rnk")) + 1 >= alpha)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    val sa = sh.select(col("id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    // fence before the threshold filter — otherwise Catalyst pushes it
-    // into the shingle join's condition and the array_intersect runs
-    // twice per candidate (see MinHashLSH.nearDupPairs)
-    Fence(cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (inter.cast("double") / union).as("jacc")))
-      .filter(col("jacc") >= threshold)
+    // exact verify: the shared allocation-free InternalRow merge kernel
+    // (scores, threshold semantics and the oracle SQL identical to the
+    // Column array_intersect form — see [[SetVerify]] for why)
+    SetVerify.jaccard(cand, sh, threshold)
   }
 
   /** Naive-quadratic oracle SQL — same output, independent plan. */

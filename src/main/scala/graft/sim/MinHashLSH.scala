@@ -110,70 +110,10 @@ object MinHashLSH {
         lit(tNum) * greatest(col("n_a"), col("n_b")))
       .filter(agree >= minAgree(threshold))
       .select(col("doc_a"), col("doc_b"))
-    val sa = sh.select(col("id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
-    // Exact verify as an allocation-free kernel over the join's raw
-    // InternalRows: `queryExecution.toRdd` hands back UnsafeRows whose
-    // array fields are zero-copy views, so the only materialization is
-    // one sorted long[] per (doc, partition) — memoized by id — and
-    // each pair is a linear merge-count over the cached arrays.
-    // Replaces the Column `array_intersect` projection, which built a
-    // hash set per evaluation (~24 µs/pair; on a correlated corpus the
-    // sub-threshold candidate tail is ~100k+ pairs at sf0.1, the
-    // dominant stage of dd03/dd07/dp01). A first kernel draft used the
-    // tuple encoder instead and copied BOTH ~4 KB arrays per pair —
-    // gigabytes of garbage that GC-coupled the query to full-run JVM
-    // pressure (the j05 lesson); the InternalRow form allocates only
-    // the 3-field output rows of surviving pairs. Intersection size is
-    // order-independent and the jaccard division takes the identical
-    // int operands, so scores and the oracle SQL are unchanged. The
-    // threshold lives inside the kernel, which also removes the
-    // historical fence-vs-double-evaluation trap (Catalyst used to
-    // push the filter into the join condition and run the intersect
-    // twice per pair).
-    val spark = docs.sparkSession
-    val joinedPairs = survivors.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
-        col("sh_a"), col("sh_b"))
-    val verified = joinedPairs.queryExecution.toRdd.mapPartitions { it =>
-      val sortedCache = new java.util.HashMap[Long, Array[Long]]()
-      it.flatMap { row =>
-        if (row.isNullAt(0) || row.isNullAt(1) ||
-            row.isNullAt(2) || row.isNullAt(3)) Iterator.empty
-        else {
-          val da = row.getLong(0); val db = row.getLong(1)
-          def sortedOf(id: Long, ord: Int): Array[Long] = {
-            var s = sortedCache.get(id)
-            if (s == null) {
-              s = row.getArray(ord).toLongArray()
-              java.util.Arrays.sort(s)
-              sortedCache.put(id, s)
-            }
-            s
-          }
-          val x = sortedOf(da, 2); val y = sortedOf(db, 3)
-          var i = 0; var j = 0; var inter = 0
-          while (i < x.length && j < y.length) {
-            if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
-            else if (x(i) < y(j)) i += 1
-            else j += 1
-          }
-          val union = x.length + y.length - inter
-          val jacc = inter.toDouble / union
-          if (jacc >= threshold)
-            Iterator.single(org.apache.spark.sql.Row(da, db, jacc))
-          else Iterator.empty
-        }
-      }
-    }
-    spark.createDataFrame(verified,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_a",
-          org.apache.spark.sql.types.LongType, false),
-        org.apache.spark.sql.types.StructField("doc_b",
-          org.apache.spark.sql.types.LongType, false),
-        org.apache.spark.sql.types.StructField("jacc",
-          org.apache.spark.sql.types.DoubleType, false))))
+    // exact verify: the shared allocation-free InternalRow merge kernel
+    // (scores, threshold semantics and the oracle SQL identical to the
+    // Column array_intersect form — see [[SetVerify]] for why)
+    SetVerify.jaccard(survivors, sh, threshold)
   }
 
   /** Kernel twin of shingling + [[minhash]]: one pass per row computing

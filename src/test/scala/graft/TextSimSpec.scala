@@ -125,6 +125,45 @@ class TextSimSpec extends SparkSpec {
     assert(viaKernel == viaColumns)
   }
 
+  test("the shared verify kernel equals the Column array_intersect " +
+       "form on random doc sets (property)") {
+    val rnd = new scala.util.Random(11)
+    // random texts with heavy shared vocabulary so candidates span the
+    // whole jaccard range, including exact threshold hits
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val base = (0L until 30L).map { i =>
+      val words = Seq.fill(6 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }
+    // planted near-dups: clones with one appended word land across the
+    // whole mid-to-high jaccard range, including >= 0.5 hits
+    val clones = (0L until 10L).map { i =>
+      (100L + i, base(i.toInt)._2 + " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    val docs = (base ++ clones).toDF("doc_id", "text")
+    val viaKernel = JaccardJoin
+      .selfJoinWords(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // independent Column-form twin of the verify over ALL pairs —
+    // no prefix filter, so it also re-checks filter losslessness
+    val sh = docs.select($"doc_id".as("id"),
+      TextHash.wordShingleHashesFromTokenHashes(
+        TextHash.tokenHashes($"text"), 2).as("sh"))
+    val a = sh.select($"id".as("doc_a"), $"sh".as("sh_a"))
+    val b = sh.select($"id".as("doc_b"), $"sh".as("sh_b"))
+    val inter = size(array_intersect($"sh_a", $"sh_b"))
+    val union = size($"sh_a") + size($"sh_b") - inter
+    val viaColumns = a.join(b, $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (inter.cast("double") / union).as("jacc"))
+      .filter($"jacc" >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaKernel == viaColumns)
+    assert(viaColumns.nonEmpty, "degenerate fixture: no pairs at all")
+  }
+
   test("simhash kernel equals the Column form") {
     val texts = Seq("key agg row scan slow fast table value part",
       "", "a", "the quick brown fox jumps over the lazy dog again")
