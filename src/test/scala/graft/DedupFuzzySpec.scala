@@ -52,6 +52,32 @@ class DedupFuzzySpec extends SparkSpec {
     assert(out == Seq((1L, "a"), (7L, "solo"), (10L, "x")))
   }
 
+  test("connectedComponents equals a local union-find on random " +
+       "graphs (property)") {
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val edges = Seq.fill(50)(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find merging the larger root under the smaller, so each
+      // root is its component's minimum id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a.toInt); val rb = find(b.toInt)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+    }
+  }
+
   test("connectedComponents fails loudly past maxRounds instead of " +
        "looping") {
     // a 5-chain needs ~4 rounds; cap at 1 to hit the guard
