@@ -79,16 +79,7 @@ object MinHashLSH {
     // [[TextHash.shingleHashesFromCodes]] + [[minhash]] (pinned by
     // TextSimSpec). The oracle SQL is unchanged.
     val all = Fence(signatureFrame(docs, idCol, textCol, q))
-    val sh = all.select(col("id"), col("sh"))
-    val sig = all.select(col("id"), col("n"), col("sig"))
-    def bandKey(b: Int): Column = concat_ws("_",
-      (0 until Rows).map(r =>
-        element_at(col("sig"), b * Rows + r + 1).cast("string")): _*)
-    // pin parallelism: the band frame is tiny in bytes but fans out into
-    // the bucket self-join (graft.core.Par scaladoc)
-    val bands = graft.core.Par.fanOut(sig.select(col("id"),
-      posexplode(array((0 until Bands).map(bandKey): _*))
-        .as(Seq("band_idx", "band_key"))))
+    val bands = bandFrame(all)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -96,6 +87,36 @@ object MinHashLSH {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+    verifyCandidates(cand, all, threshold)
+  }
+
+  /** Banding stage over a [[signatureFrame]]: (id, band_idx, band_key).
+    * Exposed so incremental pipelines can band new docs against STORED
+    * band frames instead of recomputing the seen corpus's signatures
+    * per batch ([[graft.streaming.CorpusStream]]). Parallelism is
+    * pinned: the band frame is tiny in bytes but fans out into the
+    * bucket join (graft.core.Par scaladoc). */
+  def bandFrame(sigFrame: DataFrame): DataFrame = {
+    def bandKey(b: Int): Column = concat_ws("_",
+      (0 until Rows).map(r =>
+        element_at(col("sig"), b * Rows + r + 1).cast("string")): _*)
+    graft.core.Par.fanOut(sigFrame.select(col("id"),
+      posexplode(array((0 until Bands).map(bandKey): _*))
+        .as(Seq("band_idx", "band_key"))))
+  }
+
+  /** Two-staged exact verify over candidate id-pairs and their
+    * [[signatureFrame]] rows: the provably-safe size prune and the
+    * signature-agreement floor run over the fixed-width (n, sig)
+    * columns first (cheap to shuffle at any corpus size), and only
+    * survivors touch the full shingle arrays in the shared
+    * [[SetVerify]] merge kernel. Scores, threshold semantics and the
+    * oracle SQL are identical to the inline form this was factored
+    * from. */
+  def verifyCandidates(cand: DataFrame, sigFrame: DataFrame,
+                       threshold: Double): DataFrame = {
+    val sh = sigFrame.select(col("id"), col("sh"))
+    val sig = sigFrame.select(col("id"), col("n"), col("sig"))
     val tNum = math.round(threshold * 10)
     val ga = sig.select(col("id").as("doc_a"), col("n").as("n_a"),
       col("sig").as("sig_a"))
@@ -110,9 +131,6 @@ object MinHashLSH {
         lit(tNum) * greatest(col("n_a"), col("n_b")))
       .filter(agree >= minAgree(threshold))
       .select(col("doc_a"), col("doc_b"))
-    // exact verify: the shared allocation-free InternalRow merge kernel
-    // (scores, threshold semantics and the oracle SQL identical to the
-    // Column array_intersect form — see [[SetVerify]] for why)
     SetVerify.jaccard(survivors, sh, threshold)
   }
 

@@ -17,27 +17,29 @@ import graft.text.{TextAnalysis, TextHash}
   * (`TableCatalog.writePartition`), so replaying a failed batch
   * overwrites its own partition instead of duplicating it.
   *
+  * Cross-batch state is one compact table of per-doc sketches —
+  * (id, exact-dedup fingerprint, shingle hashes, MinHash signature),
+  * one partition per batch. New docs are shingled/signed ONCE, on
+  * arrival; later batches band their new signatures against the stored
+  * ones (`MinHashLSH.bandFrame` over the state table is a cheap
+  * projection), so per-batch work is O(new docs + band collisions),
+  * never O(corpus). Raw text is not retained.
+  *
   * Cross-batch semantics (the part a row-local twin can't fake):
   *  - exact dedup: keep-first across batches — with ids ascending in
   *    arrival order (the ingestion contract; the reference's daily
   *    extracts have the same property) this equals dp01's global
   *    keep-smallest-id;
   *  - near-dup clustering: a batch-internal component dies WHOLE when
-  *    any member pairs with any previously-seen doc (seen = every
-  *    gated+exact-deduped doc, including cluster-dropped ones — a
-  *    dropped doc still bridges later arrivals to its component);
+  *    any member verifies against any previously-seen doc (seen =
+  *    every gated+exact-deduped doc, including cluster-dropped ones —
+  *    a dropped doc still bridges later arrivals to its component);
   *    otherwise its smallest id survives, like the batch operator.
   *    This is the strongest sound no-retraction semantics: the one
   *    divergence from global [[Dedup.clusterDedup]] is a component
   *    whose only bridge arrives in a LATER batch (the earlier doc is
   *    already emitted and cannot be retracted) — inherent to any
   *    streaming dedup, documented rather than hidden.
-  *
-  * Scale notes: the twin recomputes MinHash signatures of the seen
-  * corpus each batch by unioning it with the new docs (keeps
-  * [[MinHashLSH.nearDupPairs]] reusable unchanged); a production
-  * deployment would persist the signature/band table once per doc and
-  * join new bands against it — same joins, amortized prep.
   */
 object CorpusStream {
 
@@ -57,11 +59,13 @@ object CorpusStream {
     bucket < threshold
   }
 
+  private def fp = md5(substring(col("text"), 1, 60))
+
   /** One micro-batch through the full chain. Exposed (not inlined in
     * the foreachBatch closure) so the spec can drive batches directly
     * and assert intermediate semantics. */
   def processBatch(batch: DataFrame, catalog: TableCatalog,
-                   seenTable: String, outTable: String, batchId: Long,
+                   stateTable: String, outTable: String, batchId: Long,
                    threshold: Double = 0.7): Unit = {
     val batchKey = batchId.toString
     // 1. row-local gate + batch-local exact dedup (keep smallest id —
@@ -69,38 +73,53 @@ object CorpusStream {
     val localDeduped = Dedup.exactDedup(gate(batch),
       substring(col("text"), 1, 60), col("doc_id"))
       .select(col("doc_id"), col("text"), col("lang"))
-    // 2. drop re-arrivals: fingerprints already seen in EARLIER batches
-    //    (a replay of this batch excludes its own half-written partition,
-    //    so reprocessing is idempotent end-to-end)
-    val seen =
-      if (catalog.tableExists(seenTable))
-        catalog.read(seenTable)
+    // 2. sketch state from EARLIER batches (a replay of this batch
+    //    excludes its own half-written partition, so reprocessing is
+    //    idempotent end-to-end)
+    val state =
+      if (catalog.tableExists(stateTable))
+        catalog.read(stateTable)
           .filter(col("batch_id").cast("string") =!= batchKey)
-          .select(col("doc_id"), col("text"), col("lang"))
-      else localDeduped.limit(0)
-    val newDocs = graft.core.Fence(localDeduped.join(
-      seen.select(md5(substring(col("text"), 1, 60)).as("__fp")).distinct(),
-      md5(substring(col("text"), 1, 60)) === col("__fp"), "left_anti"))
-    // 3. near-dup pairs over seen ∪ new, classified by which side each
-    //    end lives on
-    val pairs = MinHashLSH.nearDupPairs(seen.unionByName(newDocs),
-      "doc_id", "text", threshold = threshold)
-    val newIds = newDocs.select(col("doc_id").as("__nid"))
-    val flagged = graft.core.Fence(pairs
-      .join(newIds.select(col("__nid").as("doc_a"),
-        lit(true).as("__a_new")), Seq("doc_a"), "left")
-      .join(newIds.select(col("__nid").as("doc_b"),
-        lit(true).as("__b_new")), Seq("doc_b"), "left")
-      .select(col("doc_a"), col("doc_b"),
-        coalesce(col("__a_new"), lit(false)).as("a_new"),
-        coalesce(col("__b_new"), lit(false)).as("b_new")))
-    val internal = flagged.filter(col("a_new") && col("b_new"))
-      .select(col("doc_a"), col("doc_b"))
-    val crossTouched = flagged.filter(col("a_new") =!= col("b_new"))
-      .select(when(col("a_new"), col("doc_a")).otherwise(col("doc_b"))
-        .as("doc_id"))
+          .select(col("id"), col("fp"), col("sh"), col("n"), col("sig"))
+      else null
+    // 3. drop exact re-arrivals by stored fingerprint
+    val newDocs = graft.core.Fence(
+      if (state == null) localDeduped
+      else localDeduped.join(state.select(col("fp").as("__seen_fp")),
+        fp === col("__seen_fp"), "left_anti"))
+    // 4. shingle + sign the NEW docs once; band them against their own
+    //    bands (internal pairs) and the STORED bands (cross pairs) —
+    //    seen docs are never re-shingled
+    val newSigs = graft.core.Fence(
+      MinHashLSH.signatureFrame(newDocs, "doc_id", "text", 3))
+    val newBands = MinHashLSH.bandFrame(newSigs)
+    val internalCand = newBands.as("a").join(newBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    // 4. component resolution within the batch; a component dies whole
+    val allSigs =
+      if (state == null) newSigs.select(col("id"), col("sh"), col("n"),
+        col("sig"))
+      else newSigs.select(col("id"), col("sh"), col("n"), col("sig"))
+        .unionByName(state.select(col("id"), col("sh"), col("n"),
+          col("sig")))
+    val internal = MinHashLSH.verifyCandidates(internalCand, allSigs,
+      threshold).select(col("doc_a"), col("doc_b"))
+    val crossTouched =
+      if (state == null) newDocs.select(col("doc_id")).limit(0)
+      else {
+        val seenBands = MinHashLSH.bandFrame(state)
+        val crossCand = newBands.as("a").join(seenBands.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_key") === col("b.band_key"))
+          .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+          .distinct()
+        MinHashLSH.verifyCandidates(crossCand, allSigs, threshold)
+          .select(col("doc_a").as("doc_id")).distinct()
+      }
+    // 5. component resolution within the batch; a component dies whole
     //    when any member touches the seen corpus
     val labels = Dedup.connectedComponents(internal, "doc_a", "doc_b")
     val labeled = newDocs.join(
@@ -114,12 +133,15 @@ object CorpusStream {
       .join(deadLabels.withColumnRenamed("label", "__dead"),
         col("label") === col("__dead"), "left_anti")
       .drop("label")
-    // 5. every new doc (kept or cluster-dropped) becomes part of the
-    //    seen corpus — dropped docs still bridge future arrivals
+    // 6. every new doc's sketch (kept or cluster-dropped) joins the
+    //    state — dropped docs still bridge future arrivals
     catalog.writePartition(
-      newDocs.withColumn("batch_id", lit(batchKey)),
-      seenTable, "batch_id", batchKey)
-    // 6. sample + project + idempotent partition write
+      newSigs.join(newDocs.select(col("doc_id").as("id"), fp.as("fp")),
+          Seq("id"))
+        .select(col("id"), col("fp"), col("sh"), col("n"), col("sig"))
+        .withColumn("batch_id", lit(batchKey)),
+      stateTable, "batch_id", batchKey)
+    // 7. sample + project + idempotent partition write
     catalog.writePartition(
       kept.filter(samplePredicate)
         .select(col("doc_id"), col("lang"),
@@ -130,16 +152,17 @@ object CorpusStream {
 
   /** Launch the incremental pipeline over a streaming document frame
     * (columns doc_id, text, lang). Output accumulates in `outTable`,
-    * one partition per micro-batch. */
+    * one partition per micro-batch; per-doc sketches accumulate in
+    * `stateTable`. */
   def incremental(docs: DataFrame, catalog: TableCatalog,
                   checkpointDir: String,
-                  seenTable: String = "corpus_seen",
+                  stateTable: String = "corpus_state",
                   outTable: String = "corpus_sampled",
                   threshold: Double = 0.7): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, catalog, seenTable, outTable, batchId,
+        processBatch(batch, catalog, stateTable, outTable, batchId,
           threshold)
       }
       .start()
