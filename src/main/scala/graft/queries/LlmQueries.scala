@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.multimodal.Multimodal
 import graft.ops.Dedup
 import graft.sim.{JaccardJoin, MinHashLSH, SimHash}
-import graft.text.{TextAnalysis, TextHash}
+import graft.text.{Decontaminate, TextAnalysis, TextHash}
 
 /** Oracle-checked queries for the LLM-training-data operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -55,6 +55,36 @@ object LlmQueries {
       val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text")
       Dedup.clusterDedup(docs, "doc_id", pairs, "doc_a", "doc_b")
         .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: corpus docs sharing any word 5-gram
+    // with the eval set (the doc_id % 97 slice stands in for a held-out
+    // benchmark) are removed — the test-set-leak hygiene step of every
+    // training-data pipeline, here as one gram-hash semi-join.
+    "dd08_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      Decontaminate.decontaminate(corpus, "doc_id", "text", bench,
+          "text", 5)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction: emails / dotted-quad IPs / phone digit runs become
+    // typed placeholders. The corpus carries no PII, so the gate plants
+    // a deterministic contact string per doc (identically on both
+    // engines) and redacts it — the redaction rules are what's tested.
+    "ts08_pii_redact" -> ((s, dir) => {
+      val synth = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ip 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".7 call +331"), (col("doc_id") % 100).cast("string"),
+        lit("5512 done"))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.piiRedact(synth).as("redacted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -458,6 +488,32 @@ object LlmQueries {
           SELECT doc_id, lang, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM losers)
           ORDER BY doc_id""",
+    "dd08_decontaminate" ->
+      s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+          corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+          bth AS (SELECT ${TextHash.tokenHashesSql("text")} AS th
+            FROM bench),
+          bsh AS (SELECT ${TextHash.wordShingleHashesSql("th", 5)} AS sh
+            FROM bth),
+          bg AS (SELECT DISTINCT unnest(sh) AS g FROM bsh),
+          cth AS (SELECT doc_id, ${TextHash.tokenHashesSql("text")} AS th
+            FROM corpus),
+          csh AS (SELECT doc_id,
+            ${TextHash.wordShingleHashesSql("th", 5)} AS sh FROM cth),
+          cg AS (SELECT doc_id, unnest(sh) AS g FROM csh),
+          bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
+          SELECT doc_id, lang, n_chars FROM corpus
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+          ORDER BY doc_id""",
+    "ts08_pii_redact" -> {
+      val synth = """substring(text, 1, 40) || ' contact user' ||
+        CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.0.' ||
+        CAST(doc_id % 256 AS VARCHAR) || '.7 call +331' ||
+        CAST(doc_id % 100 AS VARCHAR) || '5512 done'"""
+      s"""SELECT doc_id, ${TextAnalysis.piiRedactSql(s"($synth)")}
+            AS redacted
+          FROM documents ORDER BY doc_id"""
+    },
     "ts01_langid" -> {
       val toks = "string_split(text, ' ')"
       s"""SELECT doc_id,

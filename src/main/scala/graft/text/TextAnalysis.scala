@@ -90,4 +90,30 @@ object TextAnalysis {
   def modeCountSql(arr: String): String =
     s"""list_max(list_transform(list_distinct($arr),
         d -> len(list_filter($arr, x -> x = d))))"""
+
+  /** PII redaction — the privacy pass of a training-data pipeline:
+    * emails, dotted-quad IPs and +-prefixed phone digit runs become
+    * typed placeholders. Patterns deliberately stay in the regex
+    * subset both engines (Java regex / RE2) interpret identically;
+    * replacement order matters (IPs before phones, so an address's
+    * digit runs are not half-eaten by the phone rule) and is fixed
+    * here and in [[piiRedactSql]]. */
+  def piiRedact(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "(\\d{1,3}\\.){3}\\d{1,3}", "<IP>")
+    regexp_replace(ip, "\\+\\d{7,}", "<PHONE>")
+  }
+
+  def piiRedactSql(e: String): String = {
+    // raw interpolator: the SQL string carries exactly one backslash
+    // per regex escape — identical to the escape-processed Java-regex
+    // strings in [[piiRedact]]
+    val email = raw"""regexp_replace($e,
+      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')"""
+    val ip = raw"""regexp_replace($email,
+      '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g')"""
+    raw"""regexp_replace($ip, '\+\d{7,}', '<PHONE>', 'g')"""
+  }
 }

@@ -65,6 +65,41 @@ class TextSimSpec extends SparkSpec {
     assert(!sh.toSeq.exists(p => p._2 == 3L))
   }
 
+  test("decontaminate removes exactly the corpus docs sharing a " +
+       "benchmark word n-gram") {
+    import graft.text.Decontaminate
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 5-gram "alpha beta gamma delta epsilon"
+      (1L, "alpha beta gamma delta epsilon other tail words here"),
+      (2L, "completely different words with no overlap at all"),
+      // shares the shifted 5-gram "beta gamma delta epsilon zeta"
+      (3L, "prefix beta gamma delta epsilon zeta trailing"),
+      (4L, "tiny doc")) // shorter than n: no grams, always survives
+      .toDF("doc_id", "text")
+    val out = Decontaminate
+      .decontaminate(corpus, "doc_id", "text", bench, "text", 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 4L))
+  }
+
+  test("piiRedact masks emails, IPs and phone runs; clean text is " +
+       "untouched") {
+    val df = Seq(
+      "write to jane.doe+x@corp.example.org today",
+      "server at 10.0.42.7 responded",
+      "call +331425512 now",
+      "two hits a@b.io and 1.2.3.4 together",
+      "nothing sensitive here").toDF("t")
+    val out = df.select(TextAnalysis.piiRedact($"t")).as[String].collect()
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "server at <IP> responded")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "two hits <EMAIL> and <IP> together")
+    assert(out(4) == "nothing sensitive here")
+  }
+
   test("langId discriminates real sentences") {
     val df = Seq(
       "the cat is on the roof of the house",
