@@ -44,12 +44,54 @@ object JaccardJoin {
     * prefix filter selective. */
   def selfJoinWords(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, threshold: Double = 0.8): DataFrame =
-    selfJoinOnShingles(Fence(docs
-      .select(col(idCol).as("id"),
-        TextHash.tokenHashes(col(textCol)).as("__th"))
-      .select(col("id"),
-        TextHash.wordShingleHashesFromTokenHashes(col("__th"), n).as("sh"))),
+    selfJoinOnShingles(Fence(wordShingleFrame(docs, idCol, textCol, n)),
       threshold)
+
+  /** Kernel twin of `TextHash.tokenHashes` →
+    * `wordShingleHashesFromTokenHashes`: one JIT pass per row computing
+    * (id, distinct word-n-gram hashes) — the ts04/ts05/signatureFrame
+    * precedent; the Column form runs two interpreted HOF transforms per
+    * row. Identical integer math (codepoint charHash over the first 12
+    * chars, mod-p scaling, base-31 combination, first-occurrence
+    * distinct, empty array under n tokens, null text → null), pinned to
+    * the Column form by TextSimSpec; the oracle SQL is unchanged. */
+  def wordShingleFrame(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 2 && n <= 6)
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField,
+      StructType}
+    val base = docs.select(col(idCol).as("id"),
+      col(textCol).cast("string").as("__t"))
+    val schema = StructType(Seq(base.schema.head,
+      StructField("sh", ArrayType(LongType, true), true)))
+    val p = 2147483647L
+    val pw = TextHash.pow31.toArray
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val txt = if (r.isNullAt(1)) null else r.getString(1)
+        if (txt == null) org.apache.spark.sql.Row(r.get(0), null)
+        else {
+          // Spark's split(text, " ") keeps trailing empties (limit -1)
+          val th = txt.split(" ", -1).map(TextHash.charHashStr)
+          if (th.length < n)
+            org.apache.spark.sql.Row(r.get(0), Array.empty[Long])
+          else {
+            val seen = new java.util.LinkedHashSet[java.lang.Long]()
+            var i = 0
+            while (i + n <= th.length) {
+              var h = 0L; var j = 0
+              while (j < n) { h += th(i + j) % p * pw(n - 1 - j); j += 1 }
+              seen.add(h); i += 1
+            }
+            val sh = new Array[Long](seen.size)
+            val it = seen.iterator(); var k = 0
+            while (it.hasNext) { sh(k) = it.next(); k += 1 }
+            org.apache.spark.sql.Row(r.get(0), sh)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 
   /** Core prefix-filtered exact join over a prepared (id, sh) frame. */
   private def selfJoinOnShingles(sh: DataFrame,

@@ -29,20 +29,15 @@ object Decontaminate {
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
                     n: Int = 5): DataFrame = {
-    def grams(df: DataFrame, id: Option[String], text: String) = {
-      val base = df.select(
-        (id.map(c => Seq(col(c).as("__id"))).getOrElse(Seq.empty) :+
-          TextHash.tokenHashes(col(text)).as("__th")): _*)
-      val sh = Fence(base.select(
-        (id.map(_ => Seq(col("__id"))).getOrElse(Seq.empty) :+
-          TextHash.wordShingleHashesFromTokenHashes(col("__th"), n)
-            .as("__sh")): _*))
-      sh.select((id.map(_ => Seq(col("__id"))).getOrElse(Seq.empty) :+
-        explode(col("__sh")).as("__g")): _*)
-    }
-    val corpusGrams = grams(corpus, Some(idCol), textCol)
-    val benchGrams = grams(benchmark, None, benchTextCol)
-      .select(col("__g")).distinct()
+    // gram hashing via the one-pass shingle kernel (Column-form twin
+    // pinned by TextSimSpec; the oracle recomputes the Column form)
+    val corpusGrams = graft.sim.JaccardJoin
+      .wordShingleFrame(corpus, idCol, textCol, n)
+      .select(col("id").as("__id"), explode(col("sh")).as("__g"))
+    val benchGrams = graft.sim.JaccardJoin
+      .wordShingleFrame(benchmark.withColumn("__bid", lit(0L)),
+        "__bid", benchTextCol, n)
+      .select(explode(col("sh")).as("__g")).distinct()
     val contaminated = corpusGrams.join(benchGrams, Seq("__g"), "left_semi")
       .select(col("__id")).distinct()
     corpus.join(contaminated, corpus(idCol) === contaminated("__id"),

@@ -199,6 +199,24 @@ class TextSimSpec extends SparkSpec {
     assert(viaColumns.nonEmpty, "degenerate fixture: no pairs at all")
   }
 
+  test("word-shingle kernel equals the Column form") {
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "two words",                    // under n: empty gram array
+      "dup dup dup dup dup",          // collapses to one distinct gram
+      "trailing space  double",       // empty token from the double space
+      null.asInstanceOf[String])      // null text -> null grams
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val viaKernel = JaccardJoin.wordShingleFrame(docs, "doc_id", "text", 3)
+      .orderBy($"id").as[(Long, Option[Seq[Long]])].collect().toSeq
+    val viaColumns = docs.select($"doc_id".as("id"),
+        TextHash.wordShingleHashesFromTokenHashes(
+          TextHash.tokenHashes($"text"), 3).as("sh"))
+      .orderBy($"id").as[(Long, Option[Seq[Long]])].collect().toSeq
+    assert(viaKernel == viaColumns)
+  }
+
   test("simhash kernel equals the Column form") {
     val texts = Seq("key agg row scan slow fast table value part",
       "", "a", "the quick brown fox jumps over the lazy dog again")
