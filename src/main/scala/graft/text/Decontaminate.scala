@@ -3,8 +3,6 @@ package graft.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.Fence
-
 /** Benchmark decontamination — the training-corpus hygiene step next to
   * dedup: remove every corpus document that shares a word n-gram with
   * the evaluation/benchmark set, so test data cannot leak into
