@@ -31,19 +31,13 @@ object ProbeDp {
       substring(col("text"), 1, 60), col("doc_id")))
     println("deduped = " + timeIt("gate+dedup")(deduped.count()))
 
+    // stage timing via the operator's own composable pieces, so the
+    // probe can never drift from what the gate actually runs
     val threshold = 0.7
     val q = 3
     val all = Fence(MinHashLSH.signatureFrame(deduped, "doc_id", "text", q))
     timeIt("signatures")(all.write.format("noop").mode("overwrite").save())
-    val sh = all.select(col("id"), col("sh"))
-    val sig = all.select(col("id"), col("n"), col("sig"))
-    def bandKey(b: Int) = concat_ws("_",
-      (0 until MinHashLSH.Rows).map(r =>
-        element_at(col("sig"), b * MinHashLSH.Rows + r + 1)
-          .cast("string")): _*)
-    val bands = Par.fanOut(sig.select(col("id"),
-      posexplode(array((0 until MinHashLSH.Bands).map(bandKey): _*))
-        .as(Seq("band_idx", "band_key"))))
+    val bands = MinHashLSH.bandFrame(all)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
@@ -51,29 +45,8 @@ object ProbeDp {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b")).distinct()
     val candF = Fence(cand)
     println("cand = " + timeIt("candidates")(candF.count()))
-    val tNum = math.round(threshold * 10)
-    val ga = sig.select(col("id").as("doc_a"), col("n").as("n_a"),
-      col("sig").as("sig_a"))
-    val gb = sig.select(col("id").as("doc_b"), col("n").as("n_b"),
-      col("sig").as("sig_b"))
-    val agree = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-    val survivors = Fence(candF.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
-      .filter(lit(10) * least(col("n_a"), col("n_b")) >=
-        lit(tNum) * greatest(col("n_a"), col("n_b")))
-      .filter(agree >= MinHashLSH.minAgree(threshold))
-      .select(col("doc_a"), col("doc_b")))
-    println("survivors = " + timeIt("sig-agree filter")(survivors.count()))
-    val sa = sh.select(col("id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    val pairs = Fence(survivors.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (inter.cast("double") / union).as("jacc")))
-      .filter(col("jacc") >= threshold)
-    val pairsF = Fence(pairs)
-    println("pairs = " + timeIt("exact verify")(pairsF.count()))
+    val pairsF = Fence(MinHashLSH.verifyCandidates(candF, all, threshold))
+    println("pairs = " + timeIt("two-stage verify")(pairsF.count()))
     timeIt("cc + anti-join") {
       Dedup.clusterDedup(deduped, "doc_id", pairsF, "doc_a", "doc_b")
         .write.format("noop").mode("overwrite").save()
