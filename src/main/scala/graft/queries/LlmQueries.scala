@@ -272,6 +272,30 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus quality report — the per-language summary artifact every
+    // corpus build emits: doc/token volumes, mean quality (scaled to
+    // integer micro-units so the double sum is order-free) and exact
+    // char-count percentiles (percentile_disc picks an element, so the
+    // result is bit-exact and the aggregate distributes sort-based —
+    // the a09 rule applied to corpus reporting).
+    "dp02_corpus_report" -> ((s, dir) => {
+      val toks = TextHash.tokens(col("text"))
+      t(s, dir, "documents").select(col("lang"), col("n_chars"),
+          size(toks).as("n_toks"),
+          floor(TextAnalysis.qualityScore(toks) * lit(1000000.0) +
+            lit(0.5)).cast("long").as("q6"))
+        .createOrReplaceTempView("graft_dp02")
+      s.sql("""SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        CAST(SUM(q6) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+          AS mean_quality,
+        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+          AS BIGINT) AS p50_chars,
+        CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
+          AS BIGINT) AS p95_chars
+        FROM graft_dp02 GROUP BY lang ORDER BY lang""")
+    }),
+
     // Brute-force cosine top-k (correctness baseline for ANN)
     "ann01_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -570,6 +594,23 @@ object LlmQueries {
             AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
               (CASE WHEN lang = 'en' THEN 'c0' ELSE '80' END)
           ORDER BY doc_id"""
+    },
+    "dp02_corpus_report" -> {
+      val toks = "string_split(text, ' ')"
+      s"""WITH perdoc AS (SELECT lang, n_chars,
+            CAST(len($toks) AS INT) AS n_toks,
+            CAST(FLOOR((${TextAnalysis.qualityScoreSql(toks)})
+              * 1000000.0 + 0.5) AS BIGINT) AS q6
+          FROM documents)
+          SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+            CAST(SUM(q6) AS DOUBLE) / 1000000.0
+              / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+            CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS p50_chars,
+            CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS p95_chars
+          FROM perdoc GROUP BY lang ORDER BY lang"""
     },
     "ts06_stratified_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
