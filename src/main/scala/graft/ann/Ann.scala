@@ -188,7 +188,11 @@ object Ann {
     val scored = joined.queryExecution.toRdd.mapPartitions { it =>
       val vecCache = new java.util.HashMap[Long, Array[Double]]()
       it.flatMap { row =>
-        if ((0 to 5).exists(row.isNullAt)) Iterator.empty
+        // spelled-out null tests: a Range+closure here would allocate
+        // per pair, in the kernel that exists to not allocate per pair
+        if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2) ||
+            row.isNullAt(3) || row.isNullAt(4) || row.isNullAt(5))
+          Iterator.empty
         else {
           val idA = row.getLong(0); val idB = row.getLong(1)
           def vecOf(id: Long, ord: Int): Array[Double] = {

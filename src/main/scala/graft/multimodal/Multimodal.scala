@@ -133,8 +133,11 @@ object Multimodal {
       val compression = getIntLE(bmp, 30)
       require(bpp == 24 && compression == 0,
         s"Bmp.decode: unsupported bpp=$bpp/compression=$compression")
+      // bounds math in Long: header-supplied dims are attacker-ish
+      // input, and stride(w)*h overflows Int for w=h=65536 — an Int
+      // check would wrap to "fits" and crash past the validation
       require(width > 0 && height > 0 &&
-        offset + stride(width) * height <= bmp.length,
+        offset.toLong + stride(width).toLong * height <= bmp.length,
         "Bmp.decode: truncated pixel array")
       val rowBytes = stride(width)
       val gray = new Array[Byte](width * height)

@@ -95,6 +95,10 @@ object Dedup {
           col("label").as("__prev"))
         .localCheckpoint(true)
       converged = next.filter(col("label") < col("__prev")).isEmpty
+      // the superseded round's checkpoint blocks are reclaimed by the
+      // ContextCleaner once this reassignment drops the last reference
+      // (the Fence story); with near-dup components' shallow diameters
+      // at most a handful of label snapshots ever coexist
       labels = next.drop("__prev")
     }
     labels

@@ -510,7 +510,8 @@ object LlmQueries {
             ${MinHashLSH.nearDupPairsSql("documents", "doc_id", "text")}),
           ${Dedup.clusterLosersSql("pairs", "doc_a", "doc_b")}
           SELECT doc_id, lang, n_chars FROM documents
-          WHERE doc_id NOT IN (SELECT id FROM losers)
+          WHERE NOT EXISTS (SELECT 1 FROM losers
+            WHERE losers.id = documents.doc_id)
           ORDER BY doc_id""",
     "dd08_decontaminate" ->
       s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
@@ -527,7 +528,8 @@ object LlmQueries {
           cg AS (SELECT doc_id, unnest(sh) AS g FROM csh),
           bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
           SELECT doc_id, lang, n_chars FROM corpus
-          WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+          WHERE NOT EXISTS (SELECT 1 FROM bad
+            WHERE bad.doc_id = corpus.doc_id)
           ORDER BY doc_id""",
     "ts08_pii_redact" -> {
       val synth = """substring(text, 1, 40) || ' contact user' ||
@@ -590,7 +592,8 @@ object LlmQueries {
           SELECT doc_id, lang,
             CAST(len($toks) AS INT) AS n_toks
           FROM deduped
-          WHERE doc_id NOT IN (SELECT id FROM losers)
+          WHERE NOT EXISTS (SELECT 1 FROM losers
+              WHERE losers.id = deduped.doc_id)
             AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
               (CASE WHEN lang = 'en' THEN 'c0' ELSE '80' END)
           ORDER BY doc_id"""

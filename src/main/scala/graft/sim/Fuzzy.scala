@@ -267,14 +267,18 @@ object Fuzzy {
                                maxKeys: Int, op: String): Array[String] = {
     require(maxKeys >= 1, s"$op: maxRightKeys must be positive")
     import right.sparkSession.implicits._
-    val keys = right.select(col(rightKey).cast("string")).distinct()
+    // nulls are dropped BEFORE the bound is counted — a null key is not
+    // a candidate and must not push a right side at exactly the bound
+    // over it
+    val keys = right.select(col(rightKey).cast("string"))
+      .where(col(rightKey).isNotNull).distinct()
       .as[String].take(maxKeys + 1)
     if (keys.length > maxKeys)
       throw new IllegalArgumentException(
         s"$op: right side exceeds the lookup-table contract " +
         s"(> $maxKeys distinct keys); use fuzzyTop1JoinBanded, whose " +
         "length-banded equi-join scales past broadcast")
-    keys.filter(_ != null)
+    keys
   }
 
   /** Thresholded ratio: the similarity when it is >= minScore, else null.

@@ -100,7 +100,7 @@ object TextAnalysis {
     * here and in [[piiRedactSql]]. */
   def piiRedact(c: Column): Column = {
     val email = regexp_replace(c,
-      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>")
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
     val ip = regexp_replace(email,
       "(\\d{1,3}\\.){3}\\d{1,3}", "<IP>")
     regexp_replace(ip, "\\+\\d{7,}", "<PHONE>")
@@ -111,7 +111,7 @@ object TextAnalysis {
     // per regex escape — identical to the escape-processed Java-regex
     // strings in [[piiRedact]]
     val email = raw"""regexp_replace($e,
-      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')"""
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g')"""
     val ip = raw"""regexp_replace($email,
       '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g')"""
     raw"""regexp_replace($ip, '\+\d{7,}', '<PHONE>', 'g')"""

@@ -54,74 +54,3 @@ object ProbeDp {
     spark.stop()
   }
 }
-// appended probe: round counting for CC on the dp01 pairs
-object ProbeCc {
-  def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.functions._
-    val sfDir = "/root/testdata/sf0.1"
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val pairs = graft.sim.MinHashLSH.nearDupPairs(docs, "doc_id", "text")
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    println("edges = " + pairs.count())
-    val t0 = System.nanoTime()
-    val fwd = pairs.select(col("doc_a").cast("long").as("src"),
-      col("doc_b").cast("long").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"),
-      col("src").as("dst"))).localCheckpoint(false)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(false)
-    var round = 0; var converged = false
-    while (!converged) {
-      round += 1
-      val r0 = System.nanoTime()
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("__nl"))
-        .withColumnRenamed("src", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"),
-          col("label").as("__prev"))
-        .localCheckpoint(true)
-      converged = next.filter(col("label") < col("__prev")).isEmpty
-      labels = next.drop("__prev")
-      println(f"round $round ${(System.nanoTime() - r0) / 1e9}%.2f s")
-    }
-    println(f"cc total ${(System.nanoTime() - t0) / 1e9}%.2f s, rounds = $round")
-    spark.stop()
-  }
-}
-// appended: operator-level timing with the kernel verify
-object ProbeDp2 {
-  def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.functions._
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val toks = graft.text.TextHash.tokens(col("text"))
-    val gated = docs.filter(
-      graft.text.TextAnalysis.langId(toks) =!= "und" &&
-      graft.text.TextAnalysis.qualityScore(toks) >= 0.42)
-    val deduped = graft.core.Fence(graft.ops.Dedup.exactDedup(gated,
-      substring(col("text"), 1, 60), col("doc_id")))
-    deduped.count()
-    def timeIt[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"PART $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    val pairs = graft.sim.MinHashLSH.nearDupPairs(deduped, "doc_id",
-      "text", threshold = 0.7).localCheckpoint(false)
-    println("pairs = " + timeIt("nearDupPairs@0.7 (kernel verify)")(
-      pairs.count()))
-    timeIt("clusterDedup") {
-      graft.ops.Dedup.clusterDedup(deduped, "doc_id", pairs,
-        "doc_a", "doc_b").write.format("noop").mode("overwrite").save()
-    }
-    spark.stop()
-  }
-}

@@ -149,6 +149,12 @@ class AnnMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.Bmp.decode(badBpp))
     val truncated = bmp.take(54 + 19)
     intercept[IllegalArgumentException](Multimodal.Bmp.decode(truncated))
+    // forged 65536x65536 dims: stride*height wraps Int to 0, so a
+    // 32-bit bounds check would pass and crash past the validation
+    val forged = bmp.clone()
+    forged(18) = 0; forged(19) = 0; forged(20) = 1; forged(21) = 0
+    forged(22) = 0; forged(23) = 0; forged(24) = 1; forged(25) = 0
+    intercept[IllegalArgumentException](Multimodal.Bmp.decode(forged))
   }
 
   test("BmpDecoder drives batchFeaturize with real decoding, " +

@@ -91,13 +91,15 @@ class TextSimSpec extends SparkSpec {
       "server at 10.0.42.7 responded",
       "call +331425512 now",
       "two hits a@b.io and 1.2.3.4 together",
+      "mixed case John.Doe@Corp.Example.COM leaks otherwise",
       "nothing sensitive here").toDF("t")
     val out = df.select(TextAnalysis.piiRedact($"t")).as[String].collect()
     assert(out(0) == "write to <EMAIL> today")
     assert(out(1) == "server at <IP> responded")
     assert(out(2) == "call <PHONE> now")
     assert(out(3) == "two hits <EMAIL> and <IP> together")
-    assert(out(4) == "nothing sensitive here")
+    assert(out(4) == "mixed case <EMAIL> leaks otherwise")
+    assert(out(5) == "nothing sensitive here")
   }
 
   test("langId discriminates real sentences") {
