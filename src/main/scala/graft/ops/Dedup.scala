@@ -65,9 +65,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxRounds: Int = 50): DataFrame = {
+    // fwd is checkpointed BEFORE the symmetric union: both union
+    // branches reference it, and without the pin the entire upstream
+    // pair-generation pipeline (e.g. dd07's MinHash banding + verify)
+    // evaluates twice
     val fwd = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(false)
     val edges = fwd.union(fwd.select(col("dst").as("src"),
         col("src").as("dst")))
       .localCheckpoint(false)
