@@ -66,11 +66,19 @@ object CorpusStream {
     * and assert intermediate semantics. */
   def processBatch(batch: DataFrame, catalog: TableCatalog,
                    stateTable: String, outTable: String, batchId: Long,
-                   threshold: Double = 0.7): Unit = {
+                   threshold: Double = 0.7,
+                   benchmark: Option[DataFrame] = None): Unit = {
     val batchKey = batchId.toString
     // 1. row-local gate + batch-local exact dedup (keep smallest id —
-    //    the same rule dp01 applies globally)
-    val localDeduped = Dedup.exactDedup(gate(batch),
+    //    the same rule dp01 applies globally); when a benchmark set is
+    //    configured, decontaminate each batch against it before any
+    //    state is written (eval-set leaks must never enter the corpus)
+    val gated = benchmark match {
+      case Some(b) => graft.text.Decontaminate
+        .decontaminate(gate(batch), "doc_id", "text", b, "text")
+      case None => gate(batch)
+    }
+    val localDeduped = Dedup.exactDedup(gated,
       substring(col("text"), 1, 60), col("doc_id"))
       .select(col("doc_id"), col("text"), col("lang"))
     // 2. sketch state from EARLIER batches (a replay of this batch
@@ -158,12 +166,13 @@ object CorpusStream {
                   checkpointDir: String,
                   stateTable: String = "corpus_state",
                   outTable: String = "corpus_sampled",
-                  threshold: Double = 0.7): StreamingQuery =
+                  threshold: Double = 0.7,
+                  benchmark: Option[DataFrame] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, catalog, stateTable, outTable, batchId,
-          threshold)
+          threshold, benchmark)
       }
       .start()
 }

@@ -166,6 +166,33 @@ class StreamingSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("incremental corpus pipeline decontaminates each batch against " +
+       "a benchmark set before state is written") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    // held-out set = the same slice dd08 uses
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_dc_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    graft.streaming.CorpusStream.processBatch(corpus, cat,
+      "corpus_state", "corpus_sampled", 0L, benchmark = Some(bench))
+    val streamed = cat.read("corpus_sampled")
+      .select($"doc_id").as[Long].collect().toSet
+    // no contaminated doc may appear in the output OR the sketch state
+    val contaminated = corpus.join(
+        graft.text.Decontaminate.decontaminate(corpus, "doc_id", "text",
+          bench, "text"),
+        Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(contaminated.nonEmpty, "degenerate fixture: nothing overlaps")
+    assert(streamed.intersect(contaminated).isEmpty)
+    val state = cat.read("corpus_state")
+      .select($"id").as[Long].collect().toSet
+    assert(state.intersect(contaminated).isEmpty)
+  }
+
   test("stateful as-of enrichment spans micro-batches") {
     import graft.streaming.EventsStream.AsOfEv
     implicit val sqlCtx = spark.sqlContext
