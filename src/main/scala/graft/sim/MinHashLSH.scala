@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.core.Fence
 import graft.text.TextHash
 
+/** Banded-LSH geometry: `bands` bands of `rows` minhashes each
+  * (`numPerm = bands * rows` permutations total). The S-curve
+  * `P[collide] = 1-(1-J^rows)^bands` has its 50%-collision point at
+  * `J ≈ (1/bands)^(1/rows)` — [[MinHashLSH.geometryFor]] picks the
+  * geometry so that point brackets the requested threshold. */
+final case class LshGeometry(bands: Int, rows: Int) {
+  require(bands >= 1 && rows >= 1, s"bad LSH geometry ($bands x $rows)")
+  def numPerm: Int = bands * rows
+}
+
 /** MinHash + banded LSH near-duplicate detection over a text column
   * (shingle → minhash → band → bucket-join → exact-Jaccard verify).
   *
@@ -22,23 +32,51 @@ import graft.text.TextHash
   * bucket, which banding keeps small.
   */
 object MinHashLSH {
-  /** 4 bands × 6 rows: collision probability 1-(1-J^6)^4 keeps ~98%
-    * recall at J=0.93 (the planted-near-dup scale) while halving
-    * mid-similarity (J≈0.5) band collisions vs 5-row bands — the
-    * candidate volume that dominates verify cost on correlated
-    * corpora. */
   val P: Long = 2147483647L
-  val NumPerm = 24
-  val Bands = 4
+
+  /** Band rows are fixed at 6: the per-band selectivity J^6 is steep
+    * enough that mid-similarity collisions stay bounded, while the band
+    * key remains 6 longs — cheap to concat and shuffle. Band COUNT is
+    * the threshold-adaptive knob ([[geometryFor]]). */
   val Rows = 6
 
+  /** The t=0.8 geometry (= `geometryFor(0.8)`), kept as named constants
+    * because dd03's oracle and the default operator setting are frozen
+    * to it: 4 bands × 6 rows, collision probability 1-(1-J^6)^4 keeps
+    * ~98% recall at J=0.93 (the planted-near-dup scale) while halving
+    * mid-similarity (J≈0.5) band collisions vs 5-row bands. */
+  val Bands = 4
+  val NumPerm: Int = Bands * Rows
+  val DefaultGeometry: LshGeometry = LshGeometry(Bands, Rows)
+
+  /** Threshold-fitted geometry: bands = round((1/t)^rows), the bands
+    * count whose S-curve 50%-collision point `(1/bands)^(1/rows)`
+    * brackets the requested threshold. t=0.8 → 4×6 (the frozen dd03
+    * default, reproduced by the formula, not special-cased); t=0.7 →
+    * 8×6 (t50≈0.707); t=0.9 → 2×6. Without the fit, running the t≥0.8
+    * geometry at a lower threshold lets the signature-agreement floor
+    * collapse: at t=0.7 on a template-correlated corpus the 24-perm
+    * floor passed ~81% of band candidates to the exact verify
+    * (measured, COVERAGE); the fitted 48-perm floor concentrates the
+    * agreement estimate and restores the prune. Clamped to [2, 32]
+    * bands (t≲0.56 saturates the clamp — below that, banded MinHash
+    * stops being the right tool and [[SimHash]]/embedding operators
+    * take over). */
+  def geometryFor(threshold: Double): LshGeometry = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val b = math.round(math.pow(1.0 / threshold, Rows.toDouble))
+    LshGeometry(math.max(2L, math.min(32L, b)).toInt, Rows)
+  }
+
   /** Fixed LCG-derived permutation constants (public, shared with the
-    * oracle SQL). */
-  val permA: IndexedSeq[Long] =
-    (1 to NumPerm).map(j => (1103515245L * j + 1013904223L) % P)
-      .map(a => if (a == 0L) 1L else a).toIndexedSeq
-  val permB: IndexedSeq[Long] =
-    (1 to NumPerm).map(j => (2654435761L * j + 12345L) % P).toIndexedSeq
+    * oracle SQL); `j` is 0-based, values identical to the original
+    * 24-element tables for j < 24, defined for any geometry width. */
+  def permA(j: Int): Long = {
+    val a = (1103515245L * (j + 1) + 1013904223L) % P
+    if (a == 0L) 1L else a
+  }
+  def permB(j: Int): Long = (2654435761L * (j + 1) + 12345L) % P
 
   /** MinHash value for permutation j over a shingle-hash array column. */
   def minhash(sh: Column, j: Int): Column =
@@ -46,40 +84,63 @@ object MinHashLSH {
 
   /** Signature-agreement floor for the estimated-Jaccard pre-filter:
     * candidates whose signatures agree on fewer than
-    * ceil((threshold − 0.05)·NumPerm) of the NumPerm minhashes skip the
-    * exact verify. A band collision already fixes Rows=6 agreeing
-    * permutations, so the prune bites on the other 18: at t=0.8 the
+    * ceil((threshold − 0.05)·numPerm) of the numPerm minhashes skip the
+    * exact verify. A band collision already fixes `Rows` agreeing
+    * permutations, so the prune bites on the rest: at t=0.8 (n=24) the
     * floor is 18/24, a true J=0.8 pair fails with
     * P[6 + Binom(18,.8) < 18] ≈ 4% (on top of LSH's own ~30% miss rate
     * at exactly t — this is an approximate operator), a planted J≈0.93
     * near-dup with ≈0.1%, while ~85% of the J≈0.55 collision tail (the
     * verify cost driver on correlated corpora) is dropped before
-    * touching full shingle arrays. The oracle SQL applies the identical
-    * integer count, so the gate stays exact. */
-  def minAgree(threshold: Double): Int =
-    math.ceil((threshold - 0.05) * NumPerm).toInt
+    * touching full shingle arrays. The floor's discriminating power
+    * grows with numPerm (the estimator std is √(J(1−J)/n)), which is
+    * why [[geometryFor]] widens the signature as the threshold drops.
+    * The oracle SQL applies the identical integer count, so the gate
+    * stays exact. */
+  def minAgree(threshold: Double, numPerm: Int = NumPerm): Int =
+    math.ceil((threshold - 0.05) * numPerm).toInt
+
+  /** Bottom-k sketch width for the sampled-Jaccard cascade stage
+    * ([[SetVerify.samplePrune]]): each doc's 128 smallest shingle
+    * hashes. 128 keeps the per-pair prune an O(128) merge while the
+    * estimator std √(J(1−J)/128) (≤0.045, further shrunk by the
+    * finite-population factor, exact for unions ≤ 128) separates a
+    * correlated corpus's below-threshold shoulder from true pairs. */
+  val BottomK = 128
+
+  /** The sampled-Jaccard cascade stage engages below this threshold.
+    * At t ≥ 0.8 the signature-agreement floor alone already passes only
+    * ~2% of band candidates (dd03's measured profile) — adding the
+    * sample stage there would change dd03's frozen oracle for no
+    * pruning gain. Below it, the floor's estimator (a few dozen
+    * permutations, std ≈ 0.07) cannot separate a shoulder sitting
+    * 0.05–0.10 under the threshold, and the bottom-k stage carries the
+    * pruning contract (measured: COVERAGE, dp01 profile). */
+  val SampleCutoff = 0.75
 
   /** Near-duplicate pairs (idA < idB) with exact Jaccard >= threshold
-    * among LSH band-collision candidates. Output: (doc_a, doc_b, jacc).
+    * among LSH band-collision candidates, at the threshold-fitted
+    * [[geometryFor]] band geometry. Output: (doc_a, doc_b, jacc).
     *
     * Verify is two-staged for scale: candidates first meet over the
-    * NumPerm-element signatures (fixed 24 longs/row — cheap to shuffle
-    * at any corpus size) and only signature-agreement survivors join the
-    * full shingle arrays for the exact intersect. This keeps the wide
-    * arrays out of the candidate-volume join entirely. */
+    * numPerm-element signatures (a fixed few dozen longs/row — cheap to
+    * shuffle at any corpus size) and only signature-agreement survivors
+    * join the full shingle arrays for the exact intersect. This keeps
+    * the wide arrays out of the candidate-volume join entirely. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    q: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // Shingles + all NumPerm signatures in one JIT mapPartitions pass
-    // (the ts04/ts05 precedent): the Column form runs 24 interpreted HOF
-    // transforms over ~n-element shingle arrays per row — the dominant
-    // cost of the whole query (~40% at sf0.1). Identical integer math:
-    // codepoint mod 257, base-31 q-gram polynomial, first-occurrence
-    // distinct, (a*h+b) mod P minima; null text → null row, short text →
-    // empty shingles and null signature elements, exactly like
-    // [[TextHash.shingleHashesFromCodes]] + [[minhash]] (pinned by
-    // TextSimSpec). The oracle SQL is unchanged.
-    val all = Fence(signatureFrame(docs, idCol, textCol, q))
-    val bands = bandFrame(all)
+    val geom = geometryFor(threshold)
+    // Shingles + all numPerm signatures in one JIT mapPartitions pass
+    // (the ts04/ts05 precedent): the Column form runs numPerm
+    // interpreted HOF transforms over ~n-element shingle arrays per row
+    // — the dominant cost of the whole query (~40% at sf0.1). Identical
+    // integer math: codepoint mod 257, base-31 q-gram polynomial,
+    // first-occurrence distinct, (a*h+b) mod P minima; null text → null
+    // row, short text → empty shingles and null signature elements,
+    // exactly like [[TextHash.shingleHashesFromCodes]] + [[minhash]]
+    // (pinned by TextSimSpec). The oracle SQL is unchanged.
+    val all = Fence(signatureFrame(docs, idCol, textCol, q, geom))
+    val bands = bandFrame(all, geom)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -87,34 +148,43 @@ object MinHashLSH {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    verifyCandidates(cand, all, threshold)
+    verifyCandidates(cand, all, threshold, geom)
   }
 
-  /** Banding stage over a [[signatureFrame]]: (id, band_idx, band_key).
-    * Exposed so incremental pipelines can band new docs against STORED
-    * band frames instead of recomputing the seen corpus's signatures
-    * per batch ([[graft.streaming.CorpusStream]]). Parallelism is
-    * pinned: the band frame is tiny in bytes but fans out into the
-    * bucket join (graft.core.Par scaladoc). */
-  def bandFrame(sigFrame: DataFrame): DataFrame = {
+  /** Banding stage over a [[signatureFrame]] of the same geometry:
+    * (id, band_idx, band_key). Exposed so incremental pipelines can
+    * band new docs against STORED band frames instead of recomputing
+    * the seen corpus's signatures per batch
+    * ([[graft.streaming.CorpusStream]]). Parallelism is pinned: the
+    * band frame is tiny in bytes but fans out into the bucket join
+    * (graft.core.Par scaladoc). */
+  def bandFrame(sigFrame: DataFrame,
+                geom: LshGeometry = DefaultGeometry): DataFrame = {
     def bandKey(b: Int): Column = concat_ws("_",
-      (0 until Rows).map(r =>
-        element_at(col("sig"), b * Rows + r + 1).cast("string")): _*)
+      (0 until geom.rows).map(r =>
+        element_at(col("sig"), b * geom.rows + r + 1).cast("string")): _*)
     graft.core.Par.fanOut(sigFrame.select(col("id"),
-      posexplode(array((0 until Bands).map(bandKey): _*))
+      posexplode(array((0 until geom.bands).map(bandKey): _*))
         .as(Seq("band_idx", "band_key"))))
   }
 
-  /** Two-staged exact verify over candidate id-pairs and their
-    * [[signatureFrame]] rows: the provably-safe size prune and the
-    * signature-agreement floor run over the fixed-width (n, sig)
-    * columns first (cheap to shuffle at any corpus size), and only
-    * survivors touch the full shingle arrays in the shared
-    * [[SetVerify]] merge kernel. Scores, threshold semantics and the
-    * oracle SQL are identical to the inline form this was factored
-    * from. */
+  /** Cascaded exact verify over candidate id-pairs and their
+    * [[signatureFrame]] rows, stages ordered by cost:
+    *  1. the provably-safe size prune and the signature-agreement floor
+    *     over the fixed-width (n, sig) columns (cheap to shuffle at any
+    *     corpus size);
+    *  2. below [[SampleCutoff]], the bottom-[[BottomK]] sampled-Jaccard
+    *     prune ([[SetVerify.samplePrune]]) — an O(k) merge per pair
+    *     whose estimate is sharp enough to drop a correlated corpus's
+    *     just-below-threshold shoulder before the full arrays move;
+    *  3. the full shingle-array exact intersect in the shared
+    *     [[SetVerify]] merge kernel.
+    * Every stage is deterministic integer/double math mirrored in the
+    * oracle SQL, so the two sides can never disagree on which pairs
+    * are emitted. `geom` must match the signature frame's width. */
   def verifyCandidates(cand: DataFrame, sigFrame: DataFrame,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       geom: LshGeometry = DefaultGeometry): DataFrame = {
     val sh = sigFrame.select(col("id"), col("sh"))
     val sig = sigFrame.select(col("id"), col("n"), col("sig"))
     val tNum = math.round(threshold * 10)
@@ -129,19 +199,35 @@ object MinHashLSH {
       // already bounds Jaccard below it
       .filter(lit(10) * least(col("n_a"), col("n_b")) >=
         lit(tNum) * greatest(col("n_a"), col("n_b")))
-      .filter(agree >= minAgree(threshold))
+      .filter(agree >= minAgree(threshold, geom.numPerm))
       .select(col("doc_a"), col("doc_b"))
-    SetVerify.jaccard(survivors, sh, threshold)
+    val toVerify =
+      if (threshold < SampleCutoff)
+        SetVerify.samplePrune(survivors, bottomKFrame(sigFrame),
+          threshold - 0.05, BottomK)
+      else survivors
+    SetVerify.jaccard(toVerify, sh, threshold)
   }
 
+  /** Per-doc bottom-[[BottomK]] sketch over a [[signatureFrame]]:
+    * (id, sb) with `sb` the k smallest shingle hashes sorted ascending
+    * — a per-DOC projection (one sort per row, never per pair), so the
+    * sample stage's candidate join ships 128 longs instead of the full
+    * array. */
+  def bottomKFrame(sigFrame: DataFrame): DataFrame =
+    sigFrame.select(col("id"),
+      slice(array_sort(col("sh")), 1, BottomK).as("sb"))
+
   /** Kernel twin of shingling + [[minhash]]: one pass per row computing
-    * (id, distinct q-gram shingle hashes, their count, the NumPerm
+    * (id, distinct q-gram shingle hashes, their count, the numPerm
     * minhash signature). Exposed for the TextSimSpec pin against the
     * Column form. */
   def signatureFrame(docs: DataFrame, idCol: String, textCol: String,
-                     q: Int): DataFrame = {
+                     q: Int,
+                     geom: LshGeometry = DefaultGeometry): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
       StructField, StructType}
+    val numPerm = geom.numPerm
     val base = docs.select(col(idCol).as("id"),
       col(textCol).cast("string").as("__t"))
     val schema = StructType(Seq(base.schema.head,
@@ -150,8 +236,8 @@ object MinHashLSH {
       StructField("sig", ArrayType(LongType, true), true)))
     val pow = TextHash.pow31.toArray
     val cm = TextHash.CodeMod
-    val pa = permA.toArray
-    val pb = permB.toArray
+    val pa = Array.tabulate(numPerm)(permA)
+    val pb = Array.tabulate(numPerm)(permB)
     base.mapPartitions { rows =>
       rows.map { r =>
         val txt = if (r.isNullAt(1)) null else r.getString(1)
@@ -173,11 +259,11 @@ object MinHashLSH {
           while (it.hasNext) { sh(k) = it.next(); k += 1 }
           // minhash of an empty shingle set is null (array_min([]))
           val sig: Array[java.lang.Long] =
-            if (sh.isEmpty) Array.fill[java.lang.Long](NumPerm)(null)
+            if (sh.isEmpty) Array.fill[java.lang.Long](numPerm)(null)
             else {
-              val out = new Array[java.lang.Long](NumPerm)
+              val out = new Array[java.lang.Long](numPerm)
               var jj = 0
-              while (jj < NumPerm) {
+              while (jj < numPerm) {
                 var m = Long.MaxValue; var x = 0
                 while (x < sh.length) {
                   val v = (pa(jj) * sh(x) + pb(jj)) % P
@@ -194,22 +280,47 @@ object MinHashLSH {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
-  /** Oracle SQL for [[nearDupPairs]] over table `tbl`, generated from the
-    * same constants. */
+  /** Oracle SQL for [[nearDupPairs]] over table `tbl`, generated from
+    * the same constants and the same threshold-fitted geometry — the
+    * two sides can never disagree on (bands, rows, floor). */
   def nearDupPairsSql(tbl: String, idCol: String, textCol: String,
                       q: Int = 3, threshold: Double = 0.8): String = {
-    val sigExprs = (0 until NumPerm).map { j =>
+    val geom = geometryFor(threshold)
+    val numPerm = geom.numPerm
+    val sigExprs = (0 until numPerm).map { j =>
       s"list_min(list_transform(sh, h -> (${permA(j)} * h + ${permB(j)}) % $P)) AS s$j"
     }.mkString(",\n            ")
-    val bandSelects = (0 until Bands).map { b =>
-      val key = (0 until Rows).map(r => s"CAST(s${b * Rows + r} AS VARCHAR)")
+    val bandSelects = (0 until geom.bands).map { b =>
+      val key = (0 until geom.rows)
+        .map(r => s"CAST(s${b * geom.rows + r} AS VARCHAR)")
         .mkString(" || '_' || ")
       s"SELECT id, $b AS band_idx, $key AS band_key FROM sig"
     }.mkString("\n            UNION ALL ")
     val tNum = math.round(threshold * 10)
-    val agreeSum = (0 until NumPerm)
+    val agreeSum = (0 until numPerm)
       .map(j => s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)")
       .mkString(" + ")
+    // the bottom-k sampled-Jaccard cascade stage (threshold <
+    // SampleCutoff only — see [[SampleCutoff]]): the k smallest
+    // distinct values of the two sketches' union are the k smallest of
+    // the full shingle union, and membership in both sketches decides
+    // intersection membership for them — identical math to
+    // [[SetVerify.samplePrune]]'s merge, including the double division
+    // and the interpolated floor constant
+    val sampleStage =
+      if (threshold < SampleCutoff) {
+        val unionK =
+          s"list_sort(list_distinct(x.sb || y.sb))[1:$BottomK]"
+        s"""ss AS (SELECT id, list_sort(sh)[1:$BottomK] AS sb FROM sh),
+          samp AS (SELECT doc_a, doc_b
+            FROM est JOIN ss x ON est.doc_a = x.id
+                     JOIN ss y ON est.doc_b = y.id
+            WHERE CAST(len(list_intersect(list_intersect(
+                  $unionK, x.sb), y.sb)) AS DOUBLE)
+                / CAST(len($unionK) AS DOUBLE) >= ${threshold - 0.05}),
+          """
+      } else ""
+    val verifyInput = if (threshold < SampleCutoff) "samp" else "est"
     s"""WITH sh AS (SELECT $idCol AS id,
             ${TextHash.shingleHashesSql(textCol, q)} AS sh FROM $tbl),
           sig AS (SELECT id, sh, $sigExprs FROM sh),
@@ -223,12 +334,12 @@ object MinHashLSH {
                       JOIN sig y ON cand.doc_b = y.id
             WHERE 10 * least(len(x.sh), len(y.sh)) >=
                     $tNum * greatest(len(x.sh), len(y.sh))
-              AND ($agreeSum) >= ${minAgree(threshold)}),
-          v AS (SELECT doc_a, doc_b,
+              AND ($agreeSum) >= ${minAgree(threshold, numPerm)}),
+          ${sampleStage}v AS (SELECT doc_a, doc_b,
               len(list_intersect(x.sh, y.sh)) AS inter,
               len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS un
-            FROM est JOIN sh x ON est.doc_a = x.id
-                     JOIN sh y ON est.doc_b = y.id)
+            FROM $verifyInput JOIN sh x ON $verifyInput.doc_a = x.id
+                     JOIN sh y ON $verifyInput.doc_b = y.id)
         SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jacc FROM v
         WHERE CAST(inter AS DOUBLE) / un >= $threshold
         ORDER BY doc_a, doc_b"""

@@ -2,10 +2,10 @@ package graft.sim
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField,
-  StructType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType,
+  LongType, ShortType, StructField, StructType}
 
-/** Shared exact-Jaccard verify kernel for the set-similarity operators
+/** Shared exact-Jaccard verify kernels for the set-similarity operators
   * ([[MinHashLSH]], [[JaccardJoin]]): candidate id-pairs join their
   * shingle-hash arrays declaratively (AQE picks broadcast or shuffle by
   * size), then an allocation-free kernel iterates the join's raw
@@ -26,14 +26,36 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField,
   * Intersection size is order-independent and the jaccard division
   * takes the identical int operands, so scores and the oracle SQL are
   * unchanged by kernelization.
+  *
+  * The kernels key their per-partition caches on the id cast to long,
+  * so ids MUST be integral — a string id would cast to null and every
+  * pair would be silently skipped. [[requireIntegralIds]] fails fast at
+  * plan time instead.
   */
 private[sim] object SetVerify {
+
+  /** The kernels join and memoize on `id` cast to long; any non-integral
+    * id type (string, decimal, …) casts to null and would make the
+    * operator silently return empty results. Fail at plan-build time
+    * with the remedy named. */
+  def requireIntegralIds(df: DataFrame, cols: String*): Unit =
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == LongType || dt == IntegerType || dt == ShortType ||
+          dt == ByteType,
+        s"set-similarity verify: id column '$c' must be integral " +
+          s"(byte/short/int/long), got ${dt.simpleString} — map your " +
+          "ids to a dense integer key (e.g. monotonically_increasing_id" +
+          " + join back) before the near-dup operator")
+    }
 
   /** Exact Jaccard over candidate pairs: join `sh(id, sh)` onto
     * `cand(doc_a, doc_b)` and keep pairs with jacc >= threshold.
     * Output: (doc_a LONG, doc_b LONG, jacc DOUBLE). */
   def jaccard(cand: DataFrame, sh: DataFrame,
               threshold: Double): DataFrame = {
+    requireIntegralIds(cand, "doc_a", "doc_b")
+    requireIntegralIds(sh, "id")
     val spark = cand.sparkSession
     val sa = sh.select(col("id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sh.select(col("id").as("doc_b"), col("sh").as("sh_b"))
@@ -75,5 +97,72 @@ private[sim] object SetVerify {
       StructField("doc_a", LongType, false),
       StructField("doc_b", LongType, false),
       StructField("jacc", DoubleType, false))))
+  }
+
+  /** Bottom-k sampled-Jaccard prune — the cascade stage between the
+    * fixed-width signature floor and the full-array exact verify.
+    * `sb(id, sb)` carries each doc's k smallest shingle hashes, sorted
+    * ascending. For a pair, the k smallest distinct values of
+    * `sb_a ∪ sb_b` are exactly the k smallest of the two docs' full
+    * shingle union (any of the union's k smallest that belongs to A is
+    * among A's k smallest), and membership in both sketches decides
+    * membership in the intersection for those values — the classical
+    * bottom-k Jaccard estimator, computed by one O(k) merge of two
+    * presorted arrays. Pairs with estimate < `floor` are dropped before
+    * their full arrays are ever joined.
+    *
+    * The estimate is a deterministic rational (inter/taken in doubles,
+    * identical operands in the oracle SQL), exact whenever the union
+    * has ≤ k elements (short docs carry no sampling noise), and its
+    * sampling std at larger unions is √(J(1−J)/k) shrunk by the
+    * finite-population factor — calibrated in COVERAGE against the
+    * corpus's J histogram. Output: surviving (doc_a LONG, doc_b LONG).
+    */
+  def samplePrune(cand: DataFrame, sb: DataFrame, floor: Double,
+                  k: Int): DataFrame = {
+    requireIntegralIds(cand, "doc_a", "doc_b")
+    requireIntegralIds(sb, "id")
+    val spark = cand.sparkSession
+    val sa = sb.select(col("id").as("doc_a"), col("sb").as("sb_a"))
+    val sbb = sb.select(col("id").as("doc_b"), col("sb").as("sb_b"))
+    val joined = cand.join(sa, Seq("doc_a")).join(sbb, Seq("doc_b"))
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        col("sb_a"), col("sb_b"))
+    val kept = joined.queryExecution.toRdd.mapPartitions { it =>
+      val cache = new java.util.HashMap[Long, Array[Long]]()
+      it.flatMap { row =>
+        if (row.isNullAt(0) || row.isNullAt(1) ||
+            row.isNullAt(2) || row.isNullAt(3)) Iterator.empty
+        else {
+          val da = row.getLong(0); val db = row.getLong(1)
+          def arrOf(id: Long, ord: Int): Array[Long] = {
+            var s = cache.get(id)
+            if (s == null) {
+              s = row.getArray(ord).toLongArray() // presorted ascending
+              cache.put(id, s)
+            }
+            s
+          }
+          val x = arrOf(da, 2); val y = arrOf(db, 3)
+          var i = 0; var j = 0; var taken = 0; var inter = 0
+          while (taken < k && (i < x.length || j < y.length)) {
+            if (i < x.length && j < y.length && x(i) == y(j)) {
+              inter += 1; taken += 1; i += 1; j += 1
+            } else if (j >= y.length ||
+                (i < x.length && x(i) < y(j))) {
+              taken += 1; i += 1
+            } else {
+              taken += 1; j += 1
+            }
+          }
+          if (taken > 0 && inter.toDouble / taken >= floor)
+            Iterator.single(org.apache.spark.sql.Row(da, db))
+          else Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(kept, StructType(Seq(
+      StructField("doc_a", LongType, false),
+      StructField("doc_b", LongType, false))))
   }
 }

@@ -68,6 +68,11 @@ object CorpusStream {
                    stateTable: String, outTable: String, batchId: Long,
                    threshold: Double = 0.7,
                    benchmark: Option[DataFrame] = None): Unit = {
+    // the threshold-fitted band geometry (MinHashLSH.geometryFor) fixes
+    // the stored signature width, so every batch of one pipeline derives
+    // the same geometry from the same threshold; changing the threshold
+    // of an existing pipeline means a new state table, not a reread
+    val geom = MinHashLSH.geometryFor(threshold)
     val batchKey = batchId.toString
     // 1. row-local gate + batch-local exact dedup (keep smallest id —
     //    the same rule dp01 applies globally); when a benchmark set is
@@ -99,8 +104,8 @@ object CorpusStream {
     //    bands (internal pairs) and the STORED bands (cross pairs) —
     //    seen docs are never re-shingled
     val newSigs = graft.core.Fence(
-      MinHashLSH.signatureFrame(newDocs, "doc_id", "text", 3))
-    val newBands = MinHashLSH.bandFrame(newSigs)
+      MinHashLSH.signatureFrame(newDocs, "doc_id", "text", 3, geom))
+    val newBands = MinHashLSH.bandFrame(newSigs, geom)
     val internalCand = newBands.as("a").join(newBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
@@ -114,17 +119,17 @@ object CorpusStream {
         .unionByName(state.select(col("id"), col("sh"), col("n"),
           col("sig")))
     val internal = MinHashLSH.verifyCandidates(internalCand, allSigs,
-      threshold).select(col("doc_a"), col("doc_b"))
+      threshold, geom).select(col("doc_a"), col("doc_b"))
     val crossTouched =
       if (state == null) newDocs.select(col("doc_id")).limit(0)
       else {
-        val seenBands = MinHashLSH.bandFrame(state)
+        val seenBands = MinHashLSH.bandFrame(state, geom)
         val crossCand = newBands.as("a").join(seenBands.as("b"),
             col("a.band_idx") === col("b.band_idx") &&
               col("a.band_key") === col("b.band_key"))
           .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
           .distinct()
-        MinHashLSH.verifyCandidates(crossCand, allSigs, threshold)
+        MinHashLSH.verifyCandidates(crossCand, allSigs, threshold, geom)
           .select(col("doc_a").as("doc_id")).distinct()
       }
     // 5. component resolution within the batch; a component dies whole

@@ -1,17 +1,27 @@
-package graft.tools
+package graft.sim
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.{Fence, Par}
 import graft.ops.Dedup
-import graft.sim.MinHashLSH
 import graft.text.{TextAnalysis, TextHash}
 
-/** Dev-only: stage timing of dp01's cluster extension at sf0.1. */
+/** Dev-only: stage timing + LSH pruning profile of dp01's cluster
+  * extension. Args: [sfDir] [threshold] [bands] [rows] — geometry
+  * defaults to the threshold-fitted one, override for A/B against the
+  * frozen 4×6. Prints, per stage, wall time and cardinality, and the
+  * pruning contract's key ratio: the fraction of band candidates that
+  * survive the size prune + signature-agreement floor and therefore
+  * reach the exact shingle-array verify. */
 object ProbeDp {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val threshold = args.lift(1).map(_.toDouble).getOrElse(0.7)
+    val geom = (args.lift(2), args.lift(3)) match {
+      case (Some(b), Some(r)) => LshGeometry(b.toInt, r.toInt)
+      case _ => MinHashLSH.geometryFor(threshold)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -23,6 +33,8 @@ object ProbeDp {
       val t0 = System.nanoTime(); val r = f
       println(f"PART $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    println(s"geometry = ${geom.bands}x${geom.rows} " +
+      s"(numPerm=${geom.numPerm}), threshold = $threshold")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val toks = TextHash.tokens(col("text"))
     val gated = docs.filter(TextAnalysis.langId(toks) =!= "und" &&
@@ -33,19 +45,56 @@ object ProbeDp {
 
     // stage timing via the operator's own composable pieces, so the
     // probe can never drift from what the gate actually runs
-    val threshold = 0.7
     val q = 3
-    val all = Fence(MinHashLSH.signatureFrame(deduped, "doc_id", "text", q))
+    val all = Fence(
+      MinHashLSH.signatureFrame(deduped, "doc_id", "text", q, geom))
     timeIt("signatures")(all.write.format("noop").mode("overwrite").save())
-    val bands = MinHashLSH.bandFrame(all)
+    val bands = MinHashLSH.bandFrame(all, geom)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b")).distinct()
     val candF = Fence(cand)
-    println("cand = " + timeIt("candidates")(candF.count()))
-    val pairsF = Fence(MinHashLSH.verifyCandidates(candF, all, threshold))
+    val nCand = timeIt("candidates")(candF.count())
+    println("cand = " + nCand)
+
+    // the verify stage's own pre-filters, replicated from
+    // MinHashLSH.verifyCandidates so the survivor count the probe
+    // reports is exactly the exact-verify input cardinality
+    val sig = all.select(col("id"), col("n"), col("sig"))
+    val ga = sig.select(col("id").as("doc_a"), col("n").as("n_a"),
+      col("sig").as("sig_a"))
+    val gb = sig.select(col("id").as("doc_b"), col("n").as("n_b"),
+      col("sig").as("sig_b"))
+    val agree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+    val tNum = math.round(threshold * 10)
+    val floorSurv = Fence(
+      candF.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
+        .filter(lit(10) * least(col("n_a"), col("n_b")) >=
+          lit(tNum) * greatest(col("n_a"), col("n_b")))
+        .filter(agree >= MinHashLSH.minAgree(threshold, geom.numPerm))
+        .select(col("doc_a"), col("doc_b")))
+    val nFloor = timeIt("floor")(floorSurv.count())
+    println(f"passing signature floor = $nFloor " +
+      f"(${100.0 * nFloor / math.max(1L, nCand)}%.1f%% of band candidates)")
+    val nSurv =
+      if (threshold < MinHashLSH.SampleCutoff) {
+        val n = timeIt("bottom-k sample prune") {
+          SetVerify.samplePrune(floorSurv,
+            MinHashLSH.bottomKFrame(all), threshold - 0.05,
+            MinHashLSH.BottomK).count()
+        }
+        println(f"passing sample prune = $n " +
+          f"(${100.0 * n / math.max(1L, nCand)}%.1f%% of band candidates)")
+        n
+      } else nFloor
+    println(f"reaching exact verify = $nSurv " +
+      f"(${100.0 * nSurv / math.max(1L, nCand)}%.1f%% of band candidates)")
+
+    val pairsF = Fence(
+      MinHashLSH.verifyCandidates(candF, all, threshold, geom))
     println("pairs = " + timeIt("two-stage verify")(pairsF.count()))
     timeIt("cc + anti-join") {
       Dedup.clusterDedup(deduped, "doc_id", pairsF, "doc_a", "doc_b")
