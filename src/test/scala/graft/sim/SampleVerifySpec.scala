@@ -1,0 +1,152 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The threshold-adaptive band geometry and the bottom-k sampled-Jaccard
+  * cascade stage (round-7 additions to [[MinHashLSH]]/[[SetVerify]]). */
+class SampleVerifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("geometryFor fits bands from the threshold S-curve and keeps " +
+       "the frozen default at t=0.8") {
+    assert(MinHashLSH.geometryFor(0.8) == MinHashLSH.DefaultGeometry)
+    assert(MinHashLSH.geometryFor(0.7) == LshGeometry(8, 6))
+    assert(MinHashLSH.geometryFor(0.9) == LshGeometry(2, 6))
+    // clamps: very low thresholds saturate at 32 bands, very high at 2
+    assert(MinHashLSH.geometryFor(0.5).bands == 32)
+    assert(MinHashLSH.geometryFor(1.0).bands == 2)
+    intercept[IllegalArgumentException](MinHashLSH.geometryFor(0.0))
+    intercept[IllegalArgumentException](MinHashLSH.geometryFor(1.5))
+  }
+
+  test("bottom-k sample prune kernel equals the Column-form estimator " +
+       "on random sets spanning the sketch width (property)") {
+    val rnd = new scala.util.Random(7)
+    val k = MinHashLSH.BottomK
+    // element universe of 500 over set sizes 20..320 → pair unions land
+    // both under and over the k=128 sketch width, and estimates span
+    // the whole [0,1] range including exact-threshold hits
+    val sets = (0L until 40L).map { i =>
+      val m = 20 + rnd.nextInt(300)
+      (i, Seq.fill(m)(rnd.nextInt(500).toLong).distinct.sorted)
+    }
+    val sb = sets.toDF("id", "sh")
+      .select($"id", slice(array_sort($"sh"), 1, k).as("sb"))
+    val ids = sb.select($"id")
+    val cand = ids.select($"id".as("doc_a"))
+      .crossJoin(ids.select($"id".as("doc_b")))
+      .filter($"doc_a" < $"doc_b")
+    val floor = 0.35
+    val viaKernel = SetVerify.samplePrune(cand, sb, floor, k)
+      .as[(Long, Long)].collect().toSet
+    val a = sb.select($"id".as("doc_a"), $"sb".as("sb_a"))
+    val b = sb.select($"id".as("doc_b"), $"sb".as("sb_b"))
+    val merged = slice(array_sort(array_union($"sb_a", $"sb_b")), 1, k)
+    val est = size(array_intersect(array_intersect(merged, $"sb_a"),
+        $"sb_b")).cast("double") / size(merged).cast("double")
+    val viaColumns = a.join(b, $"doc_a" < $"doc_b")
+      .filter(est >= floor).select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(viaKernel == viaColumns)
+    assert(viaColumns.nonEmpty, "degenerate fixture: nothing survived")
+    assert(viaKernel.size < 40 * 39 / 2, "degenerate: nothing pruned")
+  }
+
+  test("sample prune is exact when the union fits the sketch: survivors" +
+       " are exactly the pairs with sampled-floor-passing true jaccard") {
+    // small sets (union <= k): the sketch IS the set, the estimate IS
+    // the exact jaccard, so the prune equals a plain threshold filter
+    val sets = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)),
+      (2L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L)),  // J(1,2)=7/9≈0.78
+      (3L, Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L, 14L)), // J(1,3)=3/13≈0.23
+      (4L, Seq(20L, 21L, 22L)))                    // J(·,4)=0
+    val sb = sets.toDF("id", "sb")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+      .toDF("doc_a", "doc_b")
+    val kept = SetVerify
+      .samplePrune(cand, sb, 0.5, MinHashLSH.BottomK)
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L)))
+  }
+
+  test("non-integral id columns fail fast with the remedy named " +
+       "instead of silently returning empty results") {
+    val docs = Seq(("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      MinHashLSH.nearDupPairs(docs, "doc_id", "text", 3, 0.8)
+    }
+    assert(e.getMessage.contains("integral"))
+    assert(e.getMessage.contains("monotonically_increasing_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      JaccardJoin.selfJoinWords(docs, "doc_id", "text", 2, 0.5)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  test("the t=0.7 cascade operator equals its full Column-form twin " +
+       "end to end (property)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val base = (0L until 25L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // clones with small edits land across the mid-to-high J range
+    val clones = (0L until 12L).map { i =>
+      (100L + i, base(i.toInt)._2 + " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    val docs = (base ++ clones).toDF("doc_id", "text")
+    val t = 0.7
+    val geom = MinHashLSH.geometryFor(t)
+    val viaOperator = MinHashLSH
+      .nearDupPairs(docs, "doc_id", "text", 3, t)
+      .as[(Long, Long, Double)].collect().toSet
+
+    // Column-form twin of every cascade stage, built from the
+    // already-pinned Column primitives (minhash / shingleHashes)
+    import graft.text.TextHash
+    val shf = graft.core.Fence(docs.select($"doc_id".as("id"),
+      TextHash.shingleHashesFromCodes(
+        TextHash.charCodes($"text"), 3).as("sh")))
+    val sig = shf.select($"id", $"sh", size($"sh").as("n"),
+      array((0 until geom.numPerm)
+        .map(j => MinHashLSH.minhash($"sh", j)): _*).as("sig"))
+    val bands = MinHashLSH.bandFrame(
+      sig.select($"id", $"sh", $"n", $"sig"), geom)
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" &&
+          $"a.band_key" === $"b.band_key" && $"a.id" < $"b.id")
+      .select($"a.id".as("doc_a"), $"b.id".as("doc_b")).distinct()
+    val ga = sig.select($"id".as("doc_a"), $"n".as("n_a"),
+      $"sig".as("sig_a"), $"sh".as("sh_a"),
+      slice(array_sort($"sh"), 1, MinHashLSH.BottomK).as("sb_a"))
+    val gb = sig.select($"id".as("doc_b"), $"n".as("n_b"),
+      $"sig".as("sig_b"), $"sh".as("sh_b"),
+      slice(array_sort($"sh"), 1, MinHashLSH.BottomK).as("sb_b"))
+    val agree = size(filter(
+      zip_with($"sig_a", $"sig_b", (x, y) => x === y), v => v))
+    val merged = slice(array_sort(array_union($"sb_a", $"sb_b")), 1,
+      MinHashLSH.BottomK)
+    val sampEst = size(array_intersect(array_intersect(merged, $"sb_a"),
+      $"sb_b")).cast("double") / size(merged).cast("double")
+    val inter = size(array_intersect($"sh_a", $"sh_b"))
+    val union = size($"sh_a") + size($"sh_b") - inter
+    val viaColumns = cand.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
+      .filter(lit(10) * least($"n_a", $"n_b") >=
+        lit(math.round(t * 10)) * greatest($"n_a", $"n_b"))
+      .filter(agree >= MinHashLSH.minAgree(t, geom.numPerm))
+      .filter(sampEst >= t - 0.05)
+      .select($"doc_a", $"doc_b",
+        (inter.cast("double") / union).as("jacc"))
+      .filter($"jacc" >= t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaOperator == viaColumns)
+    assert(viaOperator.nonEmpty, "degenerate fixture: no pairs found")
+  }
+}
