@@ -47,17 +47,25 @@ object Dedup {
     * pandas keep-last dedup (assos_validation_retreatment.py:106), to
     * arbitrary similarity graphs.
     *
-    * Algorithm: iterative min-label propagation. Every node starts
-    * labeled with its own id; each round every node takes the minimum of
-    * its own label and its neighbors' labels, until no label changes.
-    * Each round is one equi-join + one partial-aggregated min — pure
-    * shuffle work, no driver state beyond the convergence flag — and the
-    * per-round frame is `localCheckpoint`ed so lineage stays constant
-    * across rounds (the classic iterative-Spark trap). Rounds needed =
-    * the largest component's min-label eccentricity ≈ cluster diameter;
-    * near-dup clusters are shallow (dozens of rounds would already mean
-    * a pathological chain corpus — `maxRounds` fails loudly rather than
-    * looping forever).
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Every node starts labeled with its own id; each round every node
+    * takes the minimum of its own label, its neighbors' labels, and —
+    * the pointer-jumping step — its label's label (`l(v) ←
+    * min(l(v), l(l(v))`, one extra equi-join against the same
+    * checkpointed label frame). Propagation alone needs rounds ≈
+    * component diameter; the jump doubles the distance a label has
+    * travelled each round (on a chain the reach after round k is
+    * 2^(k+1)−2), so convergence is O(log diameter) — a 1,000-node
+    * chain resolves in ~10 rounds instead of aborting at `maxRounds`
+    * (pinned by a DedupFuzzySpec property). Each round is two
+    * equi-joins + one partial-aggregated min — pure shuffle work, no
+    * driver state beyond the convergence flag — and the per-round
+    * frame is `localCheckpoint`ed so lineage stays constant across
+    * rounds (the classic iterative-Spark trap). The jump preserves the
+    * invariant that a node's label is an id inside its own component
+    * (labels only ever flow along edges or to a label's own label), so
+    * the fixpoint is unchanged: every node ends at its component's
+    * minimum id — the same fixpoint the recursive-CTE oracle computes.
     *
     * Input columns `idA`/`idB` (long-castable); output (id, label) for
     * every id appearing in any pair, label = min id of its component.
@@ -93,11 +101,23 @@ object Dedup {
       // the convergence test is a scan of already-materialized blocks —
       // no extra join or recompute per round (labels are monotone
       // non-increasing, so "any row decreased" is the full condition)
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("__nl"), col("label")))
-            .as("label"),
+            .as("__pl"),
           col("label").as("__prev"))
+      // pointer jumping against the ROUND-START labels (already
+      // checkpointed — no recompute): every label value is some node's
+      // id, so the lookup always lands; using the round-start table
+      // instead of the in-flight one keeps this a single join without
+      // re-materializing `propagated`
+      val next = propagated.join(
+          labels.select(col("id").as("__lid"), col("label").as("__ll")),
+          col("__pl") === col("__lid"), "left")
+        .select(col("id"),
+          least(col("__pl"), coalesce(col("__ll"), col("__pl")))
+            .as("label"),
+          col("__prev"))
         .localCheckpoint(true)
       converged = next.filter(col("label") < col("__prev")).isEmpty
       // the superseded round's checkpoint blocks are reclaimed by the

@@ -78,6 +78,19 @@ class DedupFuzzySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents resolves a 1,000-node chain (diameter 999)" +
+       " in logarithmically many rounds") {
+    // plain min-label propagation needs ~999 rounds here and would trip
+    // any sane maxRounds; the pointer-jumping step doubles label reach
+    // per round (2^k − 1 after k rounds), so 15 rounds must suffice
+    val pairs = spark.range(0, 999)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val labels = Dedup.connectedComponents(pairs, maxRounds = 15)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 1000)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("connectedComponents fails loudly past maxRounds instead of " +
        "looping") {
     // a 5-chain needs ~4 rounds; cap at 1 to hit the guard
@@ -259,13 +272,17 @@ class DedupFuzzySpec extends SparkSpec {
       () => Fuzzy.fuzzyTopKJoin(left, "name", right, "r_name", 1,
         maxRightKeys = 2).count(),
       () => Fuzzy.fuzzyTop1JoinWRatio(left, "name", right, "r_name",
+        maxRightKeys = 2).count(),
+      () => Fuzzy.fuzzyTop1Join(left, "name", right, "r_name",
         maxRightKeys = 2).count()
     ).foreach { run =>
       val e = intercept[IllegalArgumentException](run())
       assert(e.getMessage.contains("fuzzyTop1JoinBanded"))
     }
-    // at the bound (3 keys <= 3) both still run
+    // at the bound (3 keys <= 3) all still run
     assert(Fuzzy.fuzzyTopKJoin(left, "name", right, "r_name", 1,
+      maxRightKeys = 3).count() == 1)
+    assert(Fuzzy.fuzzyTop1Join(left, "name", right, "r_name",
       maxRightKeys = 3).count() == 1)
     assert(Fuzzy.fuzzyTop1JoinWRatio(left, "name", right, "r_name",
       maxRightKeys = 3).count() == 1)
