@@ -118,6 +118,38 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(rounds(2).map(_._1) sameElements again.map(_._1))
   }
 
+  test("trained IVF recall on planted clusters is at least the " +
+       "untrained quantizer's (the ann05 quality pin)") {
+    // four well-separated direction clusters, but ids 0..3 — the
+    // untrained quantizer's deterministic seed — all drawn from
+    // cluster 0, so the untrained cells slice the space by seed noise
+    // and scatter each cluster across cells; two Lloyd rounds must
+    // recover (or at least never regress) nprobe=1 recall vs the
+    // brute-force ground truth
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def member(c: Int): Array[Float] = Array.tabulate(dim)(j =>
+      (if (j == c * 16) 4.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.4f)
+    val vecs = ((0L until 4L).map(i => (i, member(0))) ++
+      (4L until 44L).map(i => (i, member((i % 4).toInt))))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" >= 4 && $"vec_id" < 12)
+    val k = 5
+    val bf = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding", k)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    def recall(iters: Int): Double = {
+      val got = Ann.ivfTopK(vecs, queries, "vec_id", "embedding", k,
+          numCells = 4, nprobe = 1, trainIters = iters)
+        .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val r0 = recall(0)
+    val r2 = recall(2)
+    info(f"nprobe=1 recall@5: untrained $r0%.3f, trained $r2%.3f")
+    assert(r2 >= r0, s"training regressed recall: $r0 -> $r2")
+    assert(r2 > 0.5, s"trained recall implausibly low: $r2 (untrained $r0)")
+  }
+
   test("kmeansCentroids: a cell that loses all members keeps its " +
        "previous centroid") {
     // two identical vectors seed both cells; assignment ties to the
@@ -155,6 +187,20 @@ class AnnMultimodalSpec extends SparkSpec {
     forged(18) = 0; forged(19) = 0; forged(20) = 1; forged(21) = 0
     forged(22) = 0; forged(23) = 0; forged(24) = 1; forged(25) = 0
     intercept[IllegalArgumentException](Multimodal.Bmp.decode(forged))
+    // forged width=715827883, height=1: width*3 wraps the STRIDE
+    // itself negative in Int, so 'offset + stride*height <= length'
+    // would pass and decode would allocate width*height then crash
+    val wideForged = bmp.clone()
+    wideForged(18) = 0xab.toByte; wideForged(19) = 0xaa.toByte
+    wideForged(20) = 0xaa.toByte; wideForged(21) = 0x2a.toByte
+    wideForged(22) = 1; wideForged(23) = 0
+    wideForged(24) = 0; wideForged(25) = 0
+    intercept[IllegalArgumentException](Multimodal.Bmp.decode(wideForged))
+    // forged negative pixel-array offset: Long bounds math with a
+    // negative base would accept huge dims
+    val negOffset = bmp.clone()
+    negOffset(13) = 0x80.toByte
+    intercept[IllegalArgumentException](Multimodal.Bmp.decode(negOffset))
   }
 
   test("BmpDecoder drives batchFeaturize with real decoding, " +
