@@ -90,6 +90,12 @@ object Multimodal {
 
     def stride(width: Int): Int = ((width * 3) + 3) / 4 * 4
 
+    /** Long-math stride for decode-side bounds checks: a forged header
+      * width above ~715M wraps `width * 3` negative in Int, which
+      * would slip through the Long bounds comparison below. */
+    private def strideL(width: Int): Long =
+      (width.toLong * 3 + 3) / 4 * 4
+
     /** Grayscale pixels (row-major, top-down, one byte each) → a valid
       * 24-bit BMP (B=G=R=gray). `gray.length` must be width·height. */
     def encode(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
@@ -133,13 +139,17 @@ object Multimodal {
       val compression = getIntLE(bmp, 30)
       require(bpp == 24 && compression == 0,
         s"Bmp.decode: unsupported bpp=$bpp/compression=$compression")
-      // bounds math in Long: header-supplied dims are attacker-ish
-      // input, and stride(w)*h overflows Int for w=h=65536 — an Int
-      // check would wrap to "fits" and crash past the validation
-      require(width > 0 && height > 0 &&
-        offset.toLong + stride(width).toLong * height <= bmp.length,
+      // bounds math in Long END TO END: header-supplied dims are
+      // attacker-ish input. stride(w)*h overflows Int for w=h=65536,
+      // and the stride ITSELF wraps negative for w>715827882 (w*3 in
+      // Int) — either would slip a forged header past an Int check and
+      // crash in the pixel walk. After this check passes, stride and
+      // width*height both provably fit in Int (stride*height ≤
+      // bmp.length < 2^31, and 3·width·height ≤ stride·height).
+      require(width > 0 && height > 0 && offset > 0 &&
+        offset.toLong + strideL(width) * height <= bmp.length,
         "Bmp.decode: truncated pixel array")
-      val rowBytes = stride(width)
+      val rowBytes = strideL(width).toInt
       val gray = new Array[Byte](width * height)
       var y = 0
       while (y < height) {

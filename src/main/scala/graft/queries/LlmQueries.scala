@@ -247,26 +247,20 @@ object LlmQueries {
     // over the whole chain proves the stages compose without
     // re-materialization.
     "dp01_corpus_pipeline" -> ((s, dir) => {
-      val toks = TextHash.tokens(col("text"))
-      val gated = t(s, dir, "documents")
-        .filter(TextAnalysis.langId(toks) =!= "und" &&
-                TextAnalysis.qualityScore(toks) >= 0.42)
+      // every stage definition (gate, fingerprint, threshold, sample)
+      // comes from graft.text.CorpusPipeline — the same object the
+      // incremental CorpusStream twin reads, so the two cannot drift
+      val gated = graft.text.CorpusPipeline.gate(t(s, dir, "documents"))
       // fenced: the gate+dedup subtree feeds BOTH the minhash signature
       // pass and the cluster anti-join — unfenced, the interpreted
       // langId/quality HOFs re-evaluate per reference
       val deduped = graft.core.Fence(Dedup.exactDedup(gated,
-        substring(col("text"), 1, 60), col("doc_id")))
-      // threshold 0.7 (vs dd03's 0.8): the pipeline position where
-      // near-dup clustering earns its keep is the J-band the exact
-      // prefix dedup can't see
+        graft.text.CorpusPipeline.fingerprintPrefix, col("doc_id")))
       val pairs = MinHashLSH.nearDupPairs(deduped, "doc_id", "text",
-        threshold = 0.7)
+        threshold = graft.text.CorpusPipeline.NearDupThreshold)
       val clustered = Dedup.clusterDedup(deduped, "doc_id", pairs,
         "doc_a", "doc_b")
-      val bucket =
-        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-      val threshold = when(col("lang") === "en", "c0").otherwise("80")
-      clustered.filter(bucket < threshold)
+      clustered.filter(graft.text.CorpusPipeline.samplePredicate)
         .select(col("doc_id"), col("lang"),
           size(TextHash.tokens(col("text"))).as("n_toks"))
         .orderBy(col("doc_id"))
@@ -578,16 +572,19 @@ object LlmQueries {
     },
     "dp01_corpus_pipeline" -> {
       val toks = "string_split(text, ' ')"
+      val cp = graft.text.CorpusPipeline
       s"""WITH RECURSIVE gated AS (SELECT * FROM documents
             WHERE ${TextAnalysis.langIdSql(toks)} <> 'und'
-              AND ${TextAnalysis.qualityScoreSql(toks)} >= 0.42),
+              AND ${TextAnalysis.qualityScoreSql(toks)} >=
+                ${cp.QualityFloor}),
           deduped AS (SELECT * FROM (
             SELECT *, row_number() OVER (
-              PARTITION BY md5(substring(text, 1, 60))
+              PARTITION BY md5(substring(text, 1,
+                ${cp.FingerprintPrefixLen}))
               ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
           pairs AS (
             ${MinHashLSH.nearDupPairsSql("deduped", "doc_id", "text",
-              threshold = 0.7)}),
+              threshold = cp.NearDupThreshold)}),
           ${Dedup.clusterLosersSql("pairs", "doc_a", "doc_b")}
           SELECT doc_id, lang,
             CAST(len($toks) AS INT) AS n_toks
@@ -595,7 +592,8 @@ object LlmQueries {
           WHERE NOT EXISTS (SELECT 1 FROM losers
               WHERE losers.id = deduped.doc_id)
             AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-              (CASE WHEN lang = 'en' THEN 'c0' ELSE '80' END)
+              (CASE WHEN lang = 'en' THEN '${cp.SampleBucketEn}'
+                ELSE '${cp.SampleBucketOther}' END)
           ORDER BY doc_id"""
     },
     "dp02_corpus_report" -> {

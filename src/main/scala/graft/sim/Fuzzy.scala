@@ -193,11 +193,29 @@ object Fuzzy {
       .otherwise(round(blended).cast("int"))
   }
 
+  /** Reference-fidelity top-1 fuzzy join: the declarative
+    * crossJoin + arg-max form of the reference's O(|L|·|R|) lookup
+    * loop (get_similarity.py). Like the other broadcast-contract joins
+    * it is bounded by `maxRightKeys` and fails fast past it — a right
+    * side beyond the lookup-table contract belongs in
+    * [[fuzzyTop1JoinBanded]], whose length-banded equi-join scales
+    * past broadcast (and is what the gated j05 path uses). */
   def fuzzyTop1Join(left: DataFrame, leftKey: String,
                     right: DataFrame, rightKey: String,
-                    scoreCol: String = "similarity"): DataFrame = {
+                    scoreCol: String = "similarity",
+                    maxRightKeys: Int = DefaultMaxRightKeys): DataFrame = {
+    require(maxRightKeys >= 1, "fuzzyTop1Join: maxRightKeys must be positive")
+    val rKeys = right.select(col(rightKey)).distinct()
+    // the bound probe stops counting at maxRightKeys + 1 — it never
+    // materializes the right side anywhere but the broadcast itself
+    if (rKeys.where(col(rightKey).isNotNull)
+        .limit(maxRightKeys + 1).count() > maxRightKeys)
+      throw new IllegalArgumentException(
+        s"fuzzyTop1Join: right side exceeds the lookup-table contract " +
+        s"(> $maxRightKeys distinct keys); use fuzzyTop1JoinBanded, " +
+        "whose length-banded equi-join scales past broadcast")
     val l = fanOut(left.select(col(leftKey)).distinct())
-    val r = broadcast(right.select(col(rightKey)).distinct())
+    val r = broadcast(rKeys)
     val scored = l.crossJoin(r)
       .withColumn(scoreCol, levenshteinRatio(col(leftKey), col(rightKey)))
     val best = scored.groupBy(col(leftKey))

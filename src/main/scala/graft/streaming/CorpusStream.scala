@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.catalog.TableCatalog
 import graft.ops.Dedup
 import graft.sim.MinHashLSH
-import graft.text.{TextAnalysis, TextHash}
+import graft.text.{CorpusPipeline, TextHash}
 
 /** Incremental (micro-batched) twin of the dp01 corpus pipeline — the
   * reference's own partition-at-a-time daily loop
@@ -43,30 +43,24 @@ import graft.text.{TextAnalysis, TextHash}
   */
 object CorpusStream {
 
-  /** dp01's row-local gate: language identified and quality above the
-    * pipeline floor. */
-  private def gate(docs: DataFrame): DataFrame = {
-    val toks = TextHash.tokens(col("text"))
-    docs.filter(TextAnalysis.langId(toks) =!= "und" &&
-      TextAnalysis.qualityScore(toks) >= 0.42)
-  }
+  // gate / fingerprint / sample definitions come from the shared
+  // graft.text.CorpusPipeline object — the same one LlmQueries.dp01
+  // reads — so the batch/streaming equality StreamingSpec asserts
+  // cannot silently break by editing one side's constants
+  private def gate(docs: DataFrame): DataFrame =
+    CorpusPipeline.gate(docs)
 
-  /** dp01's deterministic stratified-sample predicate. */
-  private def samplePredicate = {
-    val bucket =
-      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-    val threshold = when(col("lang") === "en", "c0").otherwise("80")
-    bucket < threshold
-  }
+  private def samplePredicate =
+    CorpusPipeline.samplePredicate
 
-  private def fp = md5(substring(col("text"), 1, 60))
+  private def fp = md5(CorpusPipeline.fingerprintPrefix)
 
   /** One micro-batch through the full chain. Exposed (not inlined in
     * the foreachBatch closure) so the spec can drive batches directly
     * and assert intermediate semantics. */
   def processBatch(batch: DataFrame, catalog: TableCatalog,
                    stateTable: String, outTable: String, batchId: Long,
-                   threshold: Double = 0.7,
+                   threshold: Double = CorpusPipeline.NearDupThreshold,
                    benchmark: Option[DataFrame] = None): Unit = {
     // the threshold-fitted band geometry (MinHashLSH.geometryFor) fixes
     // the stored signature width, so every batch of one pipeline derives
@@ -84,7 +78,7 @@ object CorpusStream {
       case None => gate(batch)
     }
     val localDeduped = Dedup.exactDedup(gated,
-      substring(col("text"), 1, 60), col("doc_id"))
+      CorpusPipeline.fingerprintPrefix, col("doc_id"))
       .select(col("doc_id"), col("text"), col("lang"))
     // 2. sketch state from EARLIER batches (a replay of this batch
     //    excludes its own half-written partition, so reprocessing is
@@ -171,7 +165,7 @@ object CorpusStream {
                   checkpointDir: String,
                   stateTable: String = "corpus_state",
                   outTable: String = "corpus_sampled",
-                  threshold: Double = 0.7,
+                  threshold: Double = CorpusPipeline.NearDupThreshold,
                   benchmark: Option[DataFrame] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Fence, Par}
 import graft.ops.Dedup
-import graft.text.{TextAnalysis, TextHash}
 
 /** Dev-only: stage timing + LSH pruning profile of dp01's cluster
   * extension. Args: [sfDir] [threshold] [bands] [rows] — geometry
@@ -36,11 +35,9 @@ object ProbeDp {
     println(s"geometry = ${geom.bands}x${geom.rows} " +
       s"(numPerm=${geom.numPerm}), threshold = $threshold")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val toks = TextHash.tokens(col("text"))
-    val gated = docs.filter(TextAnalysis.langId(toks) =!= "und" &&
-      TextAnalysis.qualityScore(toks) >= 0.42)
+    val gated = graft.text.CorpusPipeline.gate(docs)
     val deduped = Fence(Dedup.exactDedup(gated,
-      substring(col("text"), 1, 60), col("doc_id")))
+      graft.text.CorpusPipeline.fingerprintPrefix, col("doc_id")))
     println("deduped = " + timeIt("gate+dedup")(deduped.count()))
 
     // stage timing via the operator's own composable pieces, so the

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.core.Fence
 import graft.ops.Dedup
 
-import graft.text.{TextAnalysis, TextHash}
 
 /** Dev-only: exact all-pairs Jaccard histogram of dp01's deduped corpus
   * — the ground truth the LSH geometry fit is judged against. Also
@@ -24,11 +23,9 @@ object ProbeJ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val toks = TextHash.tokens(col("text"))
-    val gated = docs.filter(TextAnalysis.langId(toks) =!= "und" &&
-      TextAnalysis.qualityScore(toks) >= 0.42)
+    val gated = graft.text.CorpusPipeline.gate(docs)
     val deduped = Fence(Dedup.exactDedup(gated,
-      substring(col("text"), 1, 60), col("doc_id")))
+      graft.text.CorpusPipeline.fingerprintPrefix, col("doc_id")))
     val geom = LshGeometry(1, 1) // signatures irrelevant here; q-grams only
     val all = Fence(
       MinHashLSH.signatureFrame(deduped, "doc_id", "text", 3, geom))
