@@ -7,12 +7,15 @@ import graft.core.{Fence, Par}
 import graft.ops.Dedup
 
 /** Dev-only: stage timing + LSH pruning profile of dp01's cluster
-  * extension. Args: [sfDir] [threshold] [bands] [rows] — geometry
-  * defaults to the threshold-fitted one, override for A/B against the
-  * frozen 4×6. Prints, per stage, wall time and cardinality, and the
-  * pruning contract's key ratio: the fraction of band candidates that
-  * survive the size prune + signature-agreement floor and therefore
-  * reach the exact shingle-array verify. */
+  * extension. Args: [sfDir] [threshold] [bands] [rows] [--nogate] —
+  * geometry defaults to the threshold-fitted one, override for A/B
+  * against the frozen 4×6; `--nogate` skips the language/quality gate
+  * (for ProbeScale corpora, whose letter shift defeats langId but
+  * replicates the similarity structure exactly). Prints, per stage,
+  * wall time and cardinality, and the pruning contract's key ratio:
+  * the fraction of band candidates that survive the size prune +
+  * signature-agreement floor and therefore reach the exact
+  * shingle-array verify. */
 object ProbeDp {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -21,6 +24,7 @@ object ProbeDp {
       case (Some(b), Some(r)) => LshGeometry(b.toInt, r.toInt)
       case _ => MinHashLSH.geometryFor(threshold)
     }
+    val noGate = args.contains("--nogate")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -35,7 +39,8 @@ object ProbeDp {
     println(s"geometry = ${geom.bands}x${geom.rows} " +
       s"(numPerm=${geom.numPerm}), threshold = $threshold")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val gated = graft.text.CorpusPipeline.gate(docs)
+    val gated =
+      if (noGate) docs else graft.text.CorpusPipeline.gate(docs)
     val deduped = Fence(Dedup.exactDedup(gated,
       graft.text.CorpusPipeline.fingerprintPrefix, col("doc_id")))
     println("deduped = " + timeIt("gate+dedup")(deduped.count()))
