@@ -40,7 +40,7 @@ class PlanSpec extends SparkSpec {
   test("dedup/similarity candidate generation is never a cartesian") {
     Seq("dd03_minhash_lsh", "dd04_simhash", "dd06_embedding_neardup_lsh",
         "j05_fuzzy_top1", "ann03_ivf_topk", "dd07_cluster_dedup",
-        "dd08_decontaminate").foreach { q =>
+        "dd08_decontaminate", "dp01_corpus_pipeline").foreach { q =>
       val p = sparkPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
     }
