@@ -140,15 +140,56 @@ object MinHashLSH {
     // exactly like [[TextHash.shingleHashesFromCodes]] + [[minhash]]
     // (pinned by TextSimSpec). The oracle SQL is unchanged.
     val all = Fence(signatureFrame(docs, idCol, textCol, q, geom))
-    val bands = bandFrame(all, geom)
-    val cand = bands.as("a")
+    // The size prune + agreement floor are FUSED into the band join:
+    // the band frame carries each doc's fixed-width (n, sig), so
+    // collided pairs are filtered in the join's own stage and only
+    // floor survivors (measured 22–53% at t=0.7) reach the distinct
+    // shuffle, carrying two ids. The alternative — distinct all
+    // collided pairs, then equi-join the signature frame back on —
+    // re-shuffles every candidate with both 48-long signatures
+    // attached (a sort-merge join once the signature side outgrows
+    // broadcast, measured at ~50k docs); the fused shuffle is
+    // docs × bands signature-carrying band rows instead, linear in
+    // the corpus. Floor evaluation repeats per colliding band for
+    // multi-band pairs (a cheap codegen zip_with; only near-exact
+    // dups collide in several bands) — pair semantics are identical
+    // because the floor is deterministic per pair, and the oracle SQL
+    // (floor before DISTINCT, same integer math) is equivalent.
+    val bands = bandFrameWithSig(all, geom)
+    val agree = size(filter(zip_with(col("a.sig"), col("b.sig"),
+      (x, y) => x === y), v => v))
+    val tNum = math.round(threshold * 10)
+    val survivors = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
+      .filter(lit(10) * least(col("a.n"), col("b.n")) >=
+        lit(tNum) * greatest(col("a.n"), col("b.n")))
+      .filter(agree >= minAgree(threshold, geom.numPerm))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    verifyCandidates(cand, all, threshold, geom)
+    val toVerify =
+      if (threshold < SampleCutoff)
+        SetVerify.samplePrune(survivors, bottomKFrame(all),
+          threshold - 0.05, BottomK)
+      else survivors
+    SetVerify.jaccard(toVerify, all.select(col("id"), col("sh")),
+      threshold)
+  }
+
+  /** [[bandFrame]] with the verify floor's fixed-width columns riding
+    * along: (id, n, sig, band_idx, band_key) — lets [[nearDupPairs]]
+    * filter collided pairs inside the band join's stage instead of
+    * re-joining signatures onto the candidate volume. */
+  def bandFrameWithSig(sigFrame: DataFrame,
+                       geom: LshGeometry = DefaultGeometry): DataFrame = {
+    def bandKey(b: Int): Column = concat_ws("_",
+      (0 until geom.rows).map(r =>
+        element_at(col("sig"), b * geom.rows + r + 1).cast("string")): _*)
+    graft.core.Par.fanOut(sigFrame.select(col("id"), col("n"), col("sig"),
+      posexplode(array((0 until geom.bands).map(bandKey): _*))
+        .as(Seq("band_idx", "band_key"))))
   }
 
   /** Banding stage over a [[signatureFrame]] of the same geometry:

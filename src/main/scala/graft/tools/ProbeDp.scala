@@ -95,9 +95,11 @@ object ProbeDp {
     println(f"reaching exact verify = $nSurv " +
       f"(${100.0 * nSurv / math.max(1L, nCand)}%.1f%% of band candidates)")
 
+    // the real operator end-to-end (fused band-join floor), not the
+    // instrumented stage decomposition above
     val pairsF = Fence(
-      MinHashLSH.verifyCandidates(candF, all, threshold, geom))
-    println("pairs = " + timeIt("two-stage verify")(pairsF.count()))
+      MinHashLSH.nearDupPairs(deduped, "doc_id", "text", q, threshold))
+    println("pairs = " + timeIt("nearDupPairs end-to-end")(pairsF.count()))
     timeIt("cc + anti-join") {
       Dedup.clusterDedup(deduped, "doc_id", pairsF, "doc_a", "doc_b")
         .write.format("noop").mode("overwrite").save()
