@@ -156,26 +156,51 @@ object MinHashLSH {
     // because the floor is deterministic per pair, and the oracle SQL
     // (floor before DISTINCT, same integer math) is equivalent.
     val bands = bandFrameWithSig(all, geom)
+    val survivors =
+      collidedSurvivors(bands, bands, threshold, geom, selfJoin = true)
+    verifySurvivors(survivors, all, threshold)
+  }
+
+  /** Floor-filtered collided pairs between two sig-carrying band
+    * frames ([[bandFrameWithSig]]): the band equi-join with the size
+    * prune + signature-agreement floor applied inside the join's own
+    * stage, deduplicated to (doc_a, doc_b) afterwards — the fused
+    * shape whose shuffle is linear in band rows, never in candidates.
+    * `selfJoin = true` orders pairs (a.id < b.id) for a frame joined
+    * with itself; `false` takes every (a, b) combination — the
+    * incremental pipeline's new-vs-seen cross join, where the two
+    * sides are disjoint by construction. */
+  def collidedSurvivors(bandsA: DataFrame, bandsB: DataFrame,
+                        threshold: Double, geom: LshGeometry,
+                        selfJoin: Boolean): DataFrame = {
     val agree = size(filter(zip_with(col("a.sig"), col("b.sig"),
       (x, y) => x === y), v => v))
     val tNum = math.round(threshold * 10)
-    val survivors = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
+    val joinCond = {
+      val keys = col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key")
+      if (selfJoin) keys && col("a.id") < col("b.id") else keys
+    }
+    bandsA.as("a").join(bandsB.as("b"), joinCond)
       .filter(lit(10) * least(col("a.n"), col("b.n")) >=
         lit(tNum) * greatest(col("a.n"), col("b.n")))
       .filter(agree >= minAgree(threshold, geom.numPerm))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+  }
+
+  /** The post-floor verify tail shared by the batch and incremental
+    * operators: bottom-k sampled-Jaccard prune (below [[SampleCutoff]])
+    * then the exact full-array kernel, over a [[signatureFrame]]. */
+  def verifySurvivors(survivors: DataFrame, sigFrame: DataFrame,
+                      threshold: Double): DataFrame = {
     val toVerify =
       if (threshold < SampleCutoff)
-        SetVerify.samplePrune(survivors, bottomKFrame(all),
+        SetVerify.samplePrune(survivors, bottomKFrame(sigFrame),
           threshold - 0.05, BottomK)
       else survivors
-    SetVerify.jaccard(toVerify, all.select(col("id"), col("sh")),
-      threshold)
+    SetVerify.jaccard(toVerify,
+      sigFrame.select(col("id"), col("sh")), threshold)
   }
 
   /** [[bandFrame]] with the verify floor's fixed-width columns riding
@@ -209,8 +234,15 @@ object MinHashLSH {
         .as(Seq("band_idx", "band_key"))))
   }
 
-  /** Cascaded exact verify over candidate id-pairs and their
-    * [[signatureFrame]] rows, stages ordered by cost:
+  /** Cascaded exact verify over an ALREADY-MATERIALIZED candidate
+    * pair list — the compositional form for callers that obtain
+    * candidates some other way. When the candidates come from a band
+    * join you control, prefer [[collidedSurvivors]] +
+    * [[verifySurvivors]] (as [[nearDupPairs]] and the incremental
+    * pipeline do): this form re-joins the signature frame onto the
+    * full candidate volume for the floor, which degrades to a
+    * candidate-row sort-merge join once the signature side outgrows
+    * broadcast. Stages ordered by cost:
     *  1. the provably-safe size prune and the signature-agreement floor
     *     over the fixed-width (n, sig) columns (cheap to shuffle at any
     *     corpus size);

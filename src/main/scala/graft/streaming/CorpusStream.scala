@@ -99,31 +99,31 @@ object CorpusStream {
     //    seen docs are never re-shingled
     val newSigs = graft.core.Fence(
       MinHashLSH.signatureFrame(newDocs, "doc_id", "text", 3, geom))
-    val newBands = MinHashLSH.bandFrame(newSigs, geom)
-    val internalCand = newBands.as("a").join(newBands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+    // sig-carrying band frames + the fused floor (collidedSurvivors):
+    // the size prune + agreement floor filter inside the band join's
+    // own stage, so the per-batch shuffle is linear in band rows —
+    // at scale the stored corpus's band side is the big one, and this
+    // is exactly the shape that keeps it from re-joining per candidate
+    val newBands = MinHashLSH.bandFrameWithSig(newSigs, geom)
     val allSigs =
       if (state == null) newSigs.select(col("id"), col("sh"), col("n"),
         col("sig"))
       else newSigs.select(col("id"), col("sh"), col("n"), col("sig"))
         .unionByName(state.select(col("id"), col("sh"), col("n"),
           col("sig")))
-    val internal = MinHashLSH.verifyCandidates(internalCand, allSigs,
-      threshold, geom).select(col("doc_a"), col("doc_b"))
+    val internal = MinHashLSH.verifySurvivors(
+        MinHashLSH.collidedSurvivors(newBands, newBands, threshold,
+          geom, selfJoin = true),
+        allSigs, threshold)
+      .select(col("doc_a"), col("doc_b"))
     val crossTouched =
       if (state == null) newDocs.select(col("doc_id")).limit(0)
       else {
-        val seenBands = MinHashLSH.bandFrame(state, geom)
-        val crossCand = newBands.as("a").join(seenBands.as("b"),
-            col("a.band_idx") === col("b.band_idx") &&
-              col("a.band_key") === col("b.band_key"))
-          .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-          .distinct()
-        MinHashLSH.verifyCandidates(crossCand, allSigs, threshold, geom)
+        val seenBands = MinHashLSH.bandFrameWithSig(state, geom)
+        MinHashLSH.verifySurvivors(
+            MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
+              geom, selfJoin = false),
+            allSigs, threshold)
           .select(col("doc_a").as("doc_id")).distinct()
       }
     // 5. component resolution within the batch; a component dies whole
