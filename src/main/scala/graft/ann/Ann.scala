@@ -167,16 +167,27 @@ object Ann {
     * in practice. */
   private def scorePairs(d: DataFrame, pairs: DataFrame,
                          minCos: Double): DataFrame = {
-    val spark = pairs.sparkSession
-    val a = d.select(col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = d.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val joined = pairs
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("na"),
-              col("vb"), col("nb"))
+    val joined = {
+      val a = d.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = d.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("va"), col("na"),
+                col("vb"), col("nb"))
+    }
+    scoreJoined(joined, minCos)
+  }
+
+  /** The scoring kernel over any frame shaped
+    * (id_a LONG, id_b LONG, va, na, vb, nb) — shared by the
+    * id-equi-join path ([[scorePairs]]) and the fused band-join path
+    * ([[embeddingNearDupLsh]]). */
+  private def scoreJoined(joined: DataFrame,
+                          minCos: Double): DataFrame = {
+    val spark = joined.sparkSession
     // Iterate the join's raw InternalRows (same pattern as the MinHash
     // verify kernel): UnsafeRow array fields are zero-copy views and
     // each doc's vector is materialized once per partition (memoized
@@ -266,25 +277,41 @@ object Ann {
 
   /** Embedding-cosine near-dup, scale path: candidates restricted to
     * pairs sharing any of the NearDupBands band buckets (a plain
-    * (band, bucket) equi-join — sort-merge-able at any scale), deduped,
-    * then exact-cosine verified. Deterministic and oracle-replicable;
-    * approximate in recall by construction (the banding geometry above).
-    * One shuffle for the band join, one for the pair distinct, two
-    * id-equi-joins to fetch vectors for the verify. */
+    * (band, bucket) equi-join — sort-merge-able at any scale), scored
+    * in the join's own stage, then deduped. Deterministic and
+    * oracle-replicable; approximate in recall by construction (the
+    * banding geometry above).
+    *
+    * The band frame carries each vector and its norm (the
+    * MinHashLSH.collidedSurvivors shape): the verify cosine runs on
+    * the collision rows directly, and the only post-join shuffle is
+    * the distinct over (id_a, id_b, cos) — 24 bytes a row. The
+    * alternative (distinct the id pairs, then two id-equi-joins to
+    * fetch vectors) re-shuffles every candidate with a vector
+    * attached once the vector table outgrows broadcast. A pair
+    * colliding in several bands is scored once per collision — the
+    * dot is 64 fused multiply-adds on a memoized array, and repeat
+    * collisions concentrate on near-identical vectors, which are
+    * exactly the pairs that must be verified anyway; the duplicate
+    * (id_a, id_b, cos) rows are bit-identical and collapse in the
+    * distinct. */
   def embeddingNearDupLsh(data: DataFrame, idCol: String, vecCol: String,
                           minCos: Double): DataFrame = {
     val d = withNorms(data, idCol, vecCol)
-    val bb = graft.core.Fence(d.select(col("id"), explode(array(
+    val bb = graft.core.Fence(d.select(col("id"), col("v"), col("nrm"),
+      explode(array(
         (0 until NearDupBands).map(b => struct(lit(b).as("band"),
           nearDupBandBucket(col("v"), b).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"),
-              col("bb.bucket").as("bucket")))
-    val cand = bb.as("a").join(bb.as("b"),
+      .select(col("id"), col("v"), col("nrm"),
+              col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    val joined = bb.as("a").join(bb.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    scorePairs(d, cand, minCos)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.v").as("va"), col("a.nrm").as("na"),
+              col("b.v").as("vb"), col("b.nrm").as("nb"))
+    scoreJoined(joined, minCos).distinct()
   }
 
   /** IVF-Flat ANN — the inverted-file scale path beside the LSH one:
