@@ -45,6 +45,12 @@ import org.apache.spark.sql.functions._
   * (injective: distinct keys stay distinct, name shapes unchanged);
   * supplier — j05's bounded lookup side — is copied once, matching
   * the operator's contract at scale.
+  *
+  * Embeddings replicate under per-replica SIGNED DIMENSION
+  * PERMUTATIONS (rotate dimensions by k, negate a k-dependent
+  * subset): an orthogonal map, so every within-replica cosine — and
+  * therefore the near-dup/top-k structure — replicates EXACTLY,
+  * while cross-replica cosines scatter like random pairs.
   */
 object ProbeScale {
   def main(args: Array[String]): Unit = {
@@ -89,6 +95,25 @@ object ProbeScale {
 
     spark.read.parquet(s"$src/supplier.parquet").write.mode("overwrite")
       .parquet(s"$out/supplier.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    def embRep(k: Int): DataFrame =
+      if (k == 0) emb
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => {
+            // signed permutation: dimension i takes the source value
+            // from dimension (i + k) mod dim, negated when
+            // (i + k) % 3 == 0 — orthogonal, so all dot products and
+            // norms within a replica are exactly preserved
+            val src = element_at(col("embedding"),
+              ((i + lit(k)) % size(col("embedding"))) + 1)
+            when((i + lit(k)) % 3 === 0, -src).otherwise(src)
+          }))
+    (0 until factor).map(embRep).reduce(_ unionByName _)
+      .repartition(cpus.toInt).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
     println(s"wrote ${factor}x probe corpus to $out")
     spark.stop()
   }
