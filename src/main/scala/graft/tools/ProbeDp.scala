@@ -51,34 +51,23 @@ object ProbeDp {
     val all = Fence(
       MinHashLSH.signatureFrame(deduped, "doc_id", "text", q, geom))
     timeIt("signatures")(all.write.format("noop").mode("overwrite").save())
-    val bands = MinHashLSH.bandFrame(all, geom)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b")).distinct()
-    val candF = Fence(cand)
-    val nCand = timeIt("candidates")(candF.count())
+    // stage cardinalities via the operator's OWN composable pieces
+    // (collidedSurvivors = the fused band-join floor nearDupPairs
+    // runs), so the probe cannot drift from the gated plan; the
+    // raw collision count is a diagnostic-only variant with the
+    // floor filters removed
+    val bands = Fence(MinHashLSH.bandFrameWithSig(all, geom))
+    val nCand = timeIt("candidates (diagnostic, pre-floor)") {
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+    }
     println("cand = " + nCand)
-
-    // the verify stage's own pre-filters, replicated from
-    // MinHashLSH.verifyCandidates so the survivor count the probe
-    // reports is exactly the exact-verify input cardinality
-    val sig = all.select(col("id"), col("n"), col("sig"))
-    val ga = sig.select(col("id").as("doc_a"), col("n").as("n_a"),
-      col("sig").as("sig_a"))
-    val gb = sig.select(col("id").as("doc_b"), col("n").as("n_b"),
-      col("sig").as("sig_b"))
-    val agree = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-    val tNum = math.round(threshold * 10)
-    val floorSurv = Fence(
-      candF.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
-        .filter(lit(10) * least(col("n_a"), col("n_b")) >=
-          lit(tNum) * greatest(col("n_a"), col("n_b")))
-        .filter(agree >= MinHashLSH.minAgree(threshold, geom.numPerm))
-        .select(col("doc_a"), col("doc_b")))
-    val nFloor = timeIt("floor")(floorSurv.count())
+    val floorSurv = Fence(MinHashLSH.collidedSurvivors(bands, bands,
+      threshold, geom, selfJoin = true))
+    val nFloor = timeIt("fused band join + floor")(floorSurv.count())
     println(f"passing signature floor = $nFloor " +
       f"(${100.0 * nFloor / math.max(1L, nCand)}%.1f%% of band candidates)")
     val nSurv =
