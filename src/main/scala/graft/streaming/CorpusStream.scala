@@ -57,11 +57,16 @@ object CorpusStream {
 
   /** One micro-batch through the full chain. Exposed (not inlined in
     * the foreachBatch closure) so the spec can drive batches directly
-    * and assert intermediate semantics. */
+    * and assert intermediate semantics. `admit` is the row-local
+    * admission policy, defaulting to dp01's language/quality gate —
+    * pluggable so corpora with their own admission rules (or
+    * pre-gated feeds, or scale probes whose perturbation defeats
+    * langId) run the identical dedup/cluster/sample chain. */
   def processBatch(batch: DataFrame, catalog: TableCatalog,
                    stateTable: String, outTable: String, batchId: Long,
                    threshold: Double = CorpusPipeline.NearDupThreshold,
-                   benchmark: Option[DataFrame] = None): Unit = {
+                   benchmark: Option[DataFrame] = None,
+                   admit: DataFrame => DataFrame = gate): Unit = {
     // the threshold-fitted band geometry (MinHashLSH.geometryFor) fixes
     // the stored signature width, so every batch of one pipeline derives
     // the same geometry from the same threshold; changing the threshold
@@ -74,8 +79,8 @@ object CorpusStream {
     //    state is written (eval-set leaks must never enter the corpus)
     val gated = benchmark match {
       case Some(b) => graft.text.Decontaminate
-        .decontaminate(gate(batch), "doc_id", "text", b, "text")
-      case None => gate(batch)
+        .decontaminate(admit(batch), "doc_id", "text", b, "text")
+      case None => admit(batch)
     }
     val localDeduped = Dedup.exactDedup(gated,
       CorpusPipeline.fingerprintPrefix, col("doc_id"))
