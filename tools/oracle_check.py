@@ -21,7 +21,7 @@ def canon(rows, cols):
         out.append(tuple(repr(r[i]) for i in order))
     return [cols[i] for i in order], out
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -30,6 +30,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name}"); continue
         spark_glob = f"{out_dir}/{name}/*.parquet"
         if not glob.glob(spark_glob):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -57,4 +59,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    skip = tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ()
+    sys.exit(main(sys.argv[1], sys.argv[2], skip))
