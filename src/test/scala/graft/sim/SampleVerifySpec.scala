@@ -72,6 +72,22 @@ class SampleVerifySpec extends SparkSpec {
     assert(kept == Set((1L, 2L)))
   }
 
+  test("the fitted 2x6 geometry at t=0.9 still finds planted " +
+       "near-identical docs end to end") {
+    // gates exercise t=0.7 (8x6) and t=0.8 (4x6); this pins the third
+    // geometry regime's wiring (numPerm=12, floor=ceil(0.85*12)=11)
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat sleeps near the warm fire in deep winter evenings again"
+    val docs = Seq((1L, base), (2L, base.replace("deep", "dark")),
+        (3L, "completely unrelated content about catalyst optimizer " +
+          "rules and whole stage code generation internals"))
+      .toDF("doc_id", "text")
+    val out = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+        threshold = 0.9)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+
   test("non-integral id columns fail fast with the remedy named " +
        "instead of silently returning empty results") {
     val docs = Seq(("a", "the quick brown fox jumps over the lazy dog"),
