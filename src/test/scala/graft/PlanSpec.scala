@@ -46,6 +46,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the fused band-join floor upstream of the verify kernels is an " +
+       "equi-join, never a cartesian (the kernel's RDD boundary hides " +
+       "it from the gated query's plan)") {
+    // the verify kernels consume `queryExecution.toRdd` of an upstream
+    // frame, so the gated query's own plan string stops at
+    // `Scan ExistingRDD` — assert on the operator's upstream pieces
+    // directly, at both gate geometries
+    import graft.sim.MinHashLSH
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    Seq(0.8, 0.7).foreach { t =>
+      val geom = MinHashLSH.geometryFor(t)
+      val bands = MinHashLSH.bandFrameWithSig(
+        MinHashLSH.signatureFrame(docs, "doc_id", "text", 3, geom), geom)
+      val p = MinHashLSH.collidedSurvivors(bands, bands, t, geom,
+        selfJoin = true).queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), s"t=$t plans a cartesian")
+      assert(p.contains("band_idx") && p.contains("band_key"),
+        s"t=$t: band keys missing from the join\n" + p.take(800))
+    }
+  }
+
   test("dd07: cluster resolution ships no driver-side table — the " +
        "removal is an anti-join") {
     val p = sparkPlan("dd07_cluster_dedup")
