@@ -96,6 +96,25 @@ object ProbeScale {
     spark.read.parquet(s"$src/supplier.parquet").write.mode("overwrite")
       .parquet(s"$out/supplier.parquet")
 
+    // events replicate by user/event id offset (timestamps untouched):
+    // per-user session and as-of structure replicates exactly, the
+    // window/watermark key space grows 10×. Read and write at the raw
+    // INT64-nanos level (the source is TIMESTAMP(NANOS), which Spark's
+    // inference rejects; Tables.loadEvents declares ts LONG the same
+    // way, so the replica stays loadable through the same path)
+    val ev = spark.read
+      .schema("event_id LONG, ts LONG, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(s"$src/events.parquet")
+    def evRep(k: Int): DataFrame =
+      if (k == 0) ev
+      else ev.withColumn("event_id", col("event_id") + lit(k * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L))
+    (0 until factor).map(evRep).reduce(_ unionByName _)
+      .repartition(cpus.toInt).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     def embRep(k: Int): DataFrame =
       if (k == 0) emb
