@@ -72,6 +72,39 @@ class SampleVerifySpec extends SparkSpec {
     assert(kept == Set((1L, 2L)))
   }
 
+  test("the compositional verifyCandidates API equals the fused " +
+       "nearDupPairs path on the same candidates (property)") {
+    // since the band-join fusion no gate exercises verifyCandidates —
+    // this pins the still-public compositional form (floor via
+    // signature re-join) to the fused operator so they cannot drift
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val base = (0L until 20L).map { i =>
+      (i, Seq.fill(8 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val clones = (0L until 10L).map { i =>
+      (100L + i, base(i.toInt)._2 + " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    val docs = (base ++ clones).toDF("doc_id", "text")
+    val t = 0.7
+    val geom = MinHashLSH.geometryFor(t)
+    val all = graft.core.Fence(
+      MinHashLSH.signatureFrame(docs, "doc_id", "text", 3, geom))
+    val bands = MinHashLSH.bandFrame(all, geom)
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" &&
+          $"a.band_key" === $"b.band_key" && $"a.id" < $"b.id")
+      .select($"a.id".as("doc_a"), $"b.id".as("doc_b")).distinct()
+    val viaCompositional = MinHashLSH.verifyCandidates(cand, all, t, geom)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaFused = MinHashLSH.nearDupPairs(docs, "doc_id", "text", 3, t)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaCompositional == viaFused)
+    assert(viaFused.nonEmpty, "degenerate fixture: no pairs found")
+  }
+
   test("the fitted 2x6 geometry at t=0.9 still finds planted " +
        "near-identical docs end to end") {
     // gates exercise t=0.7 (8x6) and t=0.8 (4x6); this pins the third
