@@ -72,6 +72,16 @@ object Ann {
   val NearDupBands = 8
   val NearDupPlanes = 4
 
+  /** Hot-bucket containment knobs for the near-dup band join
+    * ([[graft.core.SkewJoin]]). 4 planes per band give only 16 bucket
+    * values, so bucket population grows linearly with the corpus —
+    * the cap is set where one cold task's pair scoring stays around a
+    * second (4096² ≈ 16M 64-dim dots), higher than MinHash's
+    * fine-grained band keys warrant. The gated corpora sit under it,
+    * so gate plans take the cold branch. */
+  val NearDupHotCap = 4096
+  val NearDupHotSalts = 16
+
   /** Fixed projection matrix from a public LCG (x' = (1103515245x +
     * 12345) mod 2^31), quantized to multiples of 1/1024 in [-0.5, 0.5)
     * so every value has an exact finite decimal form — the SQL literal
@@ -298,20 +308,68 @@ object Ann {
   def embeddingNearDupLsh(data: DataFrame, idCol: String, vecCol: String,
                           minCos: Double): DataFrame = {
     val d = withNorms(data, idCol, vecCol)
-    val bb = graft.core.Fence(d.select(col("id"), col("v"), col("nrm"),
+    // GROUP-COLLAPSE (skew containment, exact): identical vectors share
+    // every band bucket and every pairwise cosine, so a group of g
+    // duplicates would put g rows into the SAME buckets and the
+    // self-join would enumerate O(g²) pairs inside one task — the
+    // embedding twin of the MinHash boilerplate problem. Banding only
+    // each group's smallest-id representative makes the degenerate case
+    // O(groups); member pairs are recovered exactly afterwards: a
+    // cross-group pair inherits its representatives' cosine verbatim
+    // (the kernel reads the identical arrays), and a within-group
+    // pair's cosine is dot(v,v)/(nrm·nrm) — computed once per distinct
+    // vector with [[dotUnrolled]], the same left-to-right fold the
+    // kernel runs, so the recovered scores are bit-identical to the
+    // uncollapsed join's.
+    val groups = graft.core.Fence(d.groupBy(col("v"))
+      .agg(min(col("id").cast("long")).as("rep_id"),
+           first(col("nrm")).as("nrm")))
+    val reps = d.join(groups.select(col("rep_id").as("__rid")),
+      col("id").cast("long") === col("__rid"), "left_semi")
+    val bb = graft.core.Fence(reps.select(col("id"), col("v"), col("nrm"),
       explode(array(
         (0 until NearDupBands).map(b => struct(lit(b).as("band"),
           nearDupBandBucket(col("v"), b).as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("v"), col("nrm"),
               col("bb.band").as("band"), col("bb.bucket").as("bucket")))
-    val joined = bb.as("a").join(bb.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+    // hot buckets (16 values per band — population is linear in the
+    // corpus) run salted so no single task owns a whole bucket's pairs
+    val joined = graft.core.SkewJoin.guardedPairs(bb, bb,
+        Seq("band", "bucket"), selfJoin = true,
+        NearDupHotCap, NearDupHotSalts) { j =>
+      j.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               col("a.v").as("va"), col("a.nrm").as("na"),
               col("b.v").as("vb"), col("b.nrm").as("nb"))
-    scoreJoined(joined, minCos).distinct()
+    }
+    val repPairs = scoreJoined(joined, minCos).distinct()
+    // exact recovery: member expansion replicates by group size (two
+    // id-joins to the group vectors, two vector-equi-joins to the
+    // members), and within-group pairs ride the guarded self-join so a
+    // huge duplicate group emits its inherent O(g²) OUTPUT rows across
+    // salted tasks, with zero per-pair arithmetic.
+    val mem = d.select(col("v"), col("id").cast("long").as("id"))
+    val repV = groups.select(col("rep_id"), col("v"))
+    val cross = repPairs
+      .join(repV.select(col("rep_id").as("id_a"), col("v").as("__va")),
+        Seq("id_a"))
+      .join(repV.select(col("rep_id").as("id_b"), col("v").as("__vb")),
+        Seq("id_b"))
+      .join(mem.select(col("v").as("__va"), col("id").as("ma")),
+        Seq("__va"))
+      .join(mem.select(col("v").as("__vb"), col("id").as("mb")),
+        Seq("__vb"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+              greatest(col("ma"), col("mb")).as("id_b"), col("cos"))
+    val selfCos = groups.select(col("v"),
+      (dotUnrolled(col("v"), col("v")) / (col("nrm") * col("nrm")))
+        .as("cos"))
+    val memC = mem.join(selfCos, Seq("v"))
+    val within = graft.core.SkewJoin.guardedPairs(memC, memC, Seq("v"),
+        selfJoin = true, NearDupHotCap, NearDupHotSalts) { j =>
+      j.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cos").as("cos"))
+    }.filter(col("cos") >= minCos)
+    cross.unionByName(within)
   }
 
   /** IVF-Flat ANN — the inverted-file scale path beside the LSH one:

@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hot-bucket containment for bucket equi-joins whose OUTPUT (not input)
+  * can go quadratic in a single task.
+  *
+  * An LSH band/bucket self-join produces `|bucket|²` pairs per bucket in
+  * the one task that owns the bucket's key. AQE's skew-join splitting
+  * cannot catch this: it triggers on shuffle-partition INPUT bytes, and
+  * a 10k-row bucket is a few MB of input that explodes into 10⁸ pairs
+  * only inside the join operator. On crawl-scale corpora (boilerplate,
+  * mirrored pages) such buckets are the normal case, so the guard has to
+  * live in the join shape itself.
+  *
+  * [[guardedPairs]] splits buckets by measured size: buckets at or under
+  * `cap` rows join exactly as before (one plain equi-join — the common
+  * case pays one extra count aggregate and a broadcast-tag), buckets
+  * over it run salted — each left row takes a deterministic salt
+  * `xxhash64(id) mod salts`, each right row is replicated across all
+  * `salts` values, and the join adds the salt to its keys. Every pair
+  * still meets exactly once (the left row's salt is a function of its
+  * id; the replicated right side covers every salt), so the guarded
+  * join is row-for-row equivalent to the plain one — oracle SQL and
+  * gates are untouched — while a hot bucket's pair enumeration spreads
+  * over `salts` tasks at the price of replicating only the hot rows.
+  *
+  * Requirements: both frames carry the `keys` columns and an `id`
+  * column (any orderable type; `a.id < b.id` orders self-join pairs and
+  * feeds the salt hash). Hot-key detection is a count aggregate per
+  * side — for a cross join (selfJoin = false, e.g. the incremental
+  * pipeline's new-vs-seen band join) a bucket is hot when the PRODUCT
+  * of its two sides' counts exceeds `cap²`, the same per-task pair
+  * bound. The hot-key list is broadcast: its size is bounded by
+  * `rows / cap`, a 1000× reduction of the key space by construction.
+  */
+object SkewJoin {
+
+  /** Pair generation over `dfA ⋈ dfB` on `keys` with hot buckets salted.
+    * `project` receives each branch's join aliased `a`/`b` (reference
+    * columns as `col("a.x")` / `col("b.x")`) and must project both
+    * branches to the same schema; the result is the union of the cold
+    * and salted branches. For `selfJoin = true` the condition
+    * `a.id < b.id` is added so each unordered pair appears once. */
+  def guardedPairs(dfA: DataFrame, dfB: DataFrame, keys: Seq[String],
+                   selfJoin: Boolean, cap: Int, salts: Int)
+                  (project: DataFrame => DataFrame): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(salts >= 2, s"salts must be >= 2, got $salts")
+    val kc = keys.map(col)
+    val cA = dfA.groupBy(kc: _*).agg(count(lit(1)).as("__ca"))
+    val hot = (if (selfJoin) cA.filter(col("__ca") > cap)
+      else {
+        val cB = dfB.groupBy(kc: _*).agg(count(lit(1)).as("__cb"))
+        // inner join: a bucket missing on either side produces no pairs
+        cA.join(cB, keys)
+          .filter(col("__ca") * col("__cb") > cap.toLong * cap)
+      }).select(kc: _*).withColumn("__hot", lit(true))
+    def split(df: DataFrame): (DataFrame, DataFrame) = {
+      val tagged = df.join(broadcast(hot), keys, "left")
+      (tagged.filter(col("__hot").isNull).drop("__hot"),
+       tagged.filter(col("__hot").isNotNull).drop("__hot"))
+    }
+    val (aCold, aHot) = split(dfA)
+    val (bCold, bHot) = if (selfJoin) (aCold, aHot) else split(dfB)
+    val aSalted = aHot.withColumn("__salt",
+      pmod(xxhash64(col("id")), lit(salts.toLong)))
+    val bSalted = bHot.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    def branch(a: DataFrame, b: DataFrame, salted: Boolean): DataFrame = {
+      val keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _)
+      val cond0 =
+        if (salted) keyCond && col("a.__salt") === col("b.__salt")
+        else keyCond
+      val cond = if (selfJoin) cond0 && col("a.id") < col("b.id") else cond0
+      project(a.as("a").join(b.as("b"), cond))
+    }
+    branch(aCold, bCold, salted = false)
+      .unionByName(branch(aSalted, bSalted, salted = true))
+  }
+}

@@ -118,6 +118,61 @@ object MinHashLSH {
     * pruning contract (measured: COVERAGE, dp01 profile). */
   val SampleCutoff = 0.75
 
+  /** Hot-bucket containment knobs for the band joins
+    * ([[graft.core.SkewJoin]]): a band bucket over [[HotBucketCap]]
+    * rows runs salted over [[HotBucketSalts]] tasks instead of
+    * enumerating its pairs in one. cap=1024 bounds a cold bucket's
+    * single-task pair work at ~1M floor evaluations (sub-second); no
+    * bucket in the gated corpora comes near it, so gate plans take the
+    * cold branch end-to-end. */
+  val HotBucketCap = 1024
+  val HotBucketSalts = 16
+
+  /** Integer numerator of the provably-safe size prune
+    * (`10·min(n) >= tNum·max(n)` keeps a pair only when its best-case
+    * Jaccard `min/max` can still reach `tNum/10`). FLOOR, not round:
+    * the prune is only provably safe while `tNum/10 <= threshold`, and
+    * `round(t*10)` breaks that off the 0.1 grid (t=0.75 → 8 silently
+    * drops pairs with true J in [0.75, 0.8)). The 1e-9 nudge only
+    * cancels binary representation error (0.7*10 = 6.999…96 must stay
+    * 7, on both engines' identical doubles), six orders below any
+    * meaningful threshold distinction. */
+  private[graft] def tNumOf(threshold: Double): Long =
+    math.floor(threshold * 10 + 1e-9).toLong
+
+  /** Metadata key [[signatureFrame]] stamps on its `sig` field: the
+    * geometry width the signatures were computed at. Survives selects,
+    * fences, unions and parquet round-trips, so downstream stages can
+    * fail fast on a frame/geometry mismatch instead of silently
+    * zero-padding agreement counts. */
+  val NumPermMetaKey = "graft.numPerm"
+
+  /** The signature width recorded in a frame's `sig` field metadata,
+    * when the frame (or the parquet table it was read from) came from
+    * [[signatureFrame]]. */
+  def sigWidthOf(df: DataFrame): Option[Int] =
+    df.schema.fields.find(_.name == "sig")
+      .filter(_.metadata.contains(NumPermMetaKey))
+      .map(_.metadata.getLong(NumPermMetaKey).toInt)
+
+  /** Fail fast (plan time) when a signature-carrying frame's recorded
+    * width disagrees with the geometry a stage is about to apply —
+    * zip_with over mismatched widths null-pads, agreement caps below
+    * the floor, and the stage silently emits nothing (the
+    * requireIntegralIds precedent). Frames without the metadata (hand-
+    * built fixtures, legacy tables) pass unchecked. */
+  private def requireGeom(df: DataFrame, geom: LshGeometry,
+                          where: String): Unit =
+    sigWidthOf(df).foreach { w =>
+      require(w == geom.numPerm,
+        s"$where: frame carries $w-perm signatures but the supplied " +
+          s"geometry expects ${geom.numPerm} (${geom.bands}x${geom.rows})" +
+          " — derive the geometry once with MinHashLSH.geometryFor(" +
+          "threshold) and pass the same value to every stage; a " +
+          "threshold change over stored signatures requires recomputing " +
+          "them")
+    }
+
   /** Near-duplicate pairs (idA < idB) with exact Jaccard >= threshold
     * among LSH band-collision candidates, at the threshold-fitted
     * [[geometryFor]] band geometry. Output: (doc_a, doc_b, jacc).
@@ -140,6 +195,35 @@ object MinHashLSH {
     // exactly like [[TextHash.shingleHashesFromCodes]] + [[minhash]]
     // (pinned by TextSimSpec). The oracle SQL is unchanged.
     val all = Fence(signatureFrame(docs, idCol, textCol, q, geom))
+    // the verify kernels and the group-collapse id casts both need
+    // integral ids — fail at plan time, before any job runs
+    SetVerify.requireIntegralIds(all, "id")
+    // GROUP-COLLAPSE (skew containment, exact): docs with the same
+    // shingle SET are indistinguishable to every later stage — the
+    // signature, band keys, sizes, bottom-k sketch and exact Jaccard
+    // against any third doc are all functions of the set alone. A crawl
+    // corpus's boilerplate/mirror groups (thousands of set-identical
+    // docs) would otherwise all land in the SAME band buckets and the
+    // self-join enumerates O(group²) pairs inside one task — the one
+    // shuffle in the engine that can go quadratic per task. Collapsing
+    // each group to its smallest-id representative before banding makes
+    // the degenerate case O(groups), with exact recovery afterwards:
+    // a member pair across two groups inherits its representatives'
+    // verified jacc verbatim, and within-group pairs are J = 1.0 ≥ t by
+    // definition (identical non-empty sets). The group key is md5 over
+    // the sorted shingle hashes (the dd01 fingerprint contract: 128-bit
+    // collisions are below any operational probability); docs with
+    // null/empty shingle sets stay ungrouped — their null signatures
+    // never survive the agreement floor, exactly as before.
+    val keyed = Fence(all.withColumn("gk",
+      when(col("sh").isNotNull && size(col("sh")) > 0,
+        md5(concat_ws(",", array_sort(col("sh")).cast("array<string>"))))))
+    val groups = Fence(keyed.filter(col("gk").isNotNull)
+      .groupBy(col("gk"))
+      .agg(min(col("id").cast("long")).as("rep_id")))
+    val reps = keyed.filter(col("gk").isNull).unionByName(
+      keyed.join(groups.select(col("rep_id").as("__rid")),
+        col("id").cast("long") === col("__rid"), "left_semi"))
     // The size prune + agreement floor are FUSED into the band join:
     // the band frame carries each doc's fixed-width (n, sig), so
     // collided pairs are filtered in the join's own stage and only
@@ -155,10 +239,36 @@ object MinHashLSH {
     // dups collide in several bands) — pair semantics are identical
     // because the floor is deterministic per pair, and the oracle SQL
     // (floor before DISTINCT, same integer math) is equivalent.
-    val bands = bandFrameWithSig(all, geom)
+    val bands = bandFrameWithSig(reps, geom)
     val survivors =
       collidedSurvivors(bands, bands, threshold, geom, selfJoin = true)
-    verifySurvivors(survivors, all, threshold)
+    val repPairs = verifySurvivors(survivors, reps, threshold)
+    // exact recovery: cross-group member pairs inherit the rep pair's
+    // jacc (id-equi-joins to the group keys, then gk-equi-joins to the
+    // members — each join replicates by group size, never by pair
+    // volume squared); within-group pairs are the guarded gk self-join
+    // so a 10k-member group generates its inherent O(g²) OUTPUT spread
+    // over salted tasks instead of one.
+    val mem = keyed.filter(col("gk").isNotNull)
+      .select(col("gk"), col("id").cast("long").as("id"))
+    val repGk = groups.select(col("rep_id"), col("gk"))
+    val cross = repPairs
+      .join(repGk.select(col("rep_id").as("doc_a"), col("gk").as("gk_a")),
+        Seq("doc_a"))
+      .join(repGk.select(col("rep_id").as("doc_b"), col("gk").as("gk_b")),
+        Seq("doc_b"))
+      .join(mem.select(col("gk").as("gk_a"), col("id").as("id_a")),
+        Seq("gk_a"))
+      .join(mem.select(col("gk").as("gk_b"), col("id").as("id_b")),
+        Seq("gk_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+              greatest(col("id_a"), col("id_b")).as("doc_b"), col("jacc"))
+    val within = graft.core.SkewJoin.guardedPairs(mem, mem, Seq("gk"),
+        selfJoin = true, HotBucketCap, HotBucketSalts) { j =>
+      j.select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        lit(1.0).as("jacc"))
+    }
+    cross.unionByName(within)
   }
 
   /** Floor-filtered collided pairs between two sig-carrying band
@@ -173,31 +283,31 @@ object MinHashLSH {
   def collidedSurvivors(bandsA: DataFrame, bandsB: DataFrame,
                         threshold: Double, geom: LshGeometry,
                         selfJoin: Boolean): DataFrame = {
+    requireGeom(bandsA, geom, "collidedSurvivors")
+    requireGeom(bandsB, geom, "collidedSurvivors")
     val agree = size(filter(zip_with(col("a.sig"), col("b.sig"),
       (x, y) => x === y), v => v))
-    val tNum = math.round(threshold * 10)
-    val joinCond = {
-      val keys = col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key")
-      if (selfJoin) keys && col("a.id") < col("b.id") else keys
-    }
-    bandsA.as("a").join(bandsB.as("b"), joinCond)
-      .filter(lit(10) * least(col("a.n"), col("b.n")) >=
-        lit(tNum) * greatest(col("a.n"), col("b.n")))
-      .filter(agree >= minAgree(threshold, geom.numPerm))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+    val tNum = tNumOf(threshold)
+    graft.core.SkewJoin.guardedPairs(bandsA, bandsB,
+        Seq("band_idx", "band_key"), selfJoin,
+        HotBucketCap, HotBucketSalts) { j =>
+      j.filter(lit(10) * least(col("a.n"), col("b.n")) >=
+          lit(tNum) * greatest(col("a.n"), col("b.n")))
+        .filter(agree >= minAgree(threshold, geom.numPerm))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    }.distinct()
   }
 
   /** The post-floor verify tail shared by the batch and incremental
     * operators: bottom-k sampled-Jaccard prune (below [[SampleCutoff]])
     * then the exact full-array kernel, over a [[signatureFrame]]. */
   def verifySurvivors(survivors: DataFrame, sigFrame: DataFrame,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      sb: Option[DataFrame] = None): DataFrame = {
     val toVerify =
       if (threshold < SampleCutoff)
-        SetVerify.samplePrune(survivors, bottomKFrame(sigFrame),
-          threshold - 0.05, BottomK)
+        SetVerify.samplePrune(survivors,
+          sb.getOrElse(bottomKFrame(sigFrame)), threshold - 0.05, BottomK)
       else survivors
     SetVerify.jaccard(toVerify,
       sigFrame.select(col("id"), col("sh")), threshold)
@@ -209,6 +319,7 @@ object MinHashLSH {
     * re-joining signatures onto the candidate volume. */
   def bandFrameWithSig(sigFrame: DataFrame,
                        geom: LshGeometry = DefaultGeometry): DataFrame = {
+    requireGeom(sigFrame, geom, "bandFrameWithSig")
     def bandKey(b: Int): Column = concat_ws("_",
       (0 until geom.rows).map(r =>
         element_at(col("sig"), b * geom.rows + r + 1).cast("string")): _*)
@@ -226,6 +337,7 @@ object MinHashLSH {
     * (graft.core.Par scaladoc). */
   def bandFrame(sigFrame: DataFrame,
                 geom: LshGeometry = DefaultGeometry): DataFrame = {
+    requireGeom(sigFrame, geom, "bandFrame")
     def bandKey(b: Int): Column = concat_ws("_",
       (0 until geom.rows).map(r =>
         element_at(col("sig"), b * geom.rows + r + 1).cast("string")): _*)
@@ -258,9 +370,10 @@ object MinHashLSH {
   def verifyCandidates(cand: DataFrame, sigFrame: DataFrame,
                        threshold: Double,
                        geom: LshGeometry = DefaultGeometry): DataFrame = {
+    requireGeom(sigFrame, geom, "verifyCandidates")
     val sh = sigFrame.select(col("id"), col("sh"))
     val sig = sigFrame.select(col("id"), col("n"), col("sig"))
-    val tNum = math.round(threshold * 10)
+    val tNum = tNumOf(threshold)
     val ga = sig.select(col("id").as("doc_a"), col("n").as("n_a"),
       col("sig").as("sig_a"))
     val gb = sig.select(col("id").as("doc_b"), col("n").as("n_b"),
@@ -288,8 +401,14 @@ object MinHashLSH {
     * sample stage's candidate join ships 128 longs instead of the full
     * array. */
   def bottomKFrame(sigFrame: DataFrame): DataFrame =
-    sigFrame.select(col("id"),
-      slice(array_sort(col("sh")), 1, BottomK).as("sb"))
+    sigFrame.select(col("id"), bottomKCol(col("sh")).as("sb"))
+
+  /** The bottom-[[BottomK]] sketch as a column expression — exposed so
+    * incremental pipelines can compute each doc's sketch ONCE on
+    * arrival and persist it next to the signature, instead of
+    * re-sorting every stored doc's shingle array per batch. */
+  def bottomKCol(sh: Column): Column =
+    slice(array_sort(sh), 1, BottomK)
 
   /** Kernel twin of shingling + [[minhash]]: one pass per row computing
     * (id, distinct q-gram shingle hashes, their count, the numPerm
@@ -303,10 +422,12 @@ object MinHashLSH {
     val numPerm = geom.numPerm
     val base = docs.select(col(idCol).as("id"),
       col(textCol).cast("string").as("__t"))
+    val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(NumPermMetaKey, numPerm.toLong).build()
     val schema = StructType(Seq(base.schema.head,
       StructField("sh", ArrayType(LongType, true), true),
       StructField("n", IntegerType, true),
-      StructField("sig", ArrayType(LongType, true), true)))
+      StructField("sig", ArrayType(LongType, true), true, sigMeta)))
     val pow = TextHash.pow31.toArray
     val cm = TextHash.CodeMod
     val pa = Array.tabulate(numPerm)(permA)
@@ -369,7 +490,7 @@ object MinHashLSH {
         .mkString(" || '_' || ")
       s"SELECT id, $b AS band_idx, $key AS band_key FROM sig"
     }.mkString("\n            UNION ALL ")
-    val tNum = math.round(threshold * 10)
+    val tNum = tNumOf(threshold)
     val agreeSum = (0 until numPerm)
       .map(j => s"(CASE WHEN x.s$j = y.s$j THEN 1 ELSE 0 END)")
       .mkString(" + ")
