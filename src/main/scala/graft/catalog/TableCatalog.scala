@@ -62,6 +62,18 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
       .write.mode("overwrite")
       .parquet(s"${tablePath(table)}/$partField=$partValue")
 
+  /** [[writePartition]] with a second, nested partition level: the
+    * replaced `partField=value` directory is itself laid out as
+    * `subField=v/` directories, so equality/IN filters on `subField`
+    * prune sub-directories across every outer partition — the
+    * band-key-prefix layout [[graft.streaming.CorpusStream]] uses for
+    * its sketch-band state. */
+  def writeSubPartitioned(df: DataFrame, table: String, partField: String,
+                          partValue: String, subField: String): Unit =
+    df.filter(col(partField) === partValue).drop(partField)
+      .write.mode("overwrite").partitionBy(subField)
+      .parquet(s"${tablePath(table)}/$partField=$partValue")
+
   /** Bulk form of [[writePartition]]: all partitions in one job via the
     * native partitioned writer (same field=value layout, full
     * overwrite). Use for backfills; the single-partition form is the

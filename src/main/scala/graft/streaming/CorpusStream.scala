@@ -43,6 +43,51 @@ import graft.text.{CorpusPipeline, TextHash}
   */
 object CorpusStream {
 
+  /** Bucket count for the band state table's `pk` partition level:
+    * `pk = xxhash64(band_key) mod StatePartitions`. Each batch collects
+    * its own distinct pk values (a driver list bounded by this
+    * constant) and reads ONLY the colliding `pk=` sub-directories of
+    * the stored bands — the cross-batch candidate join prunes at the
+    * storage layer instead of scanning the whole seen corpus's bands.
+    * 64 keeps per-batch files coarse; a deployment with tiny frequent
+    * batches would raise it for sharper pruning. */
+  val StatePartitions = 64
+
+  private def pkCol: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("band_key")), lit(StatePartitions.toLong))
+
+  private def bandsTableOf(stateTable: String): String =
+    stateTable + "_bands"
+
+  /** Signature width of a stored state table: the parquet-persisted
+    * [[MinHashLSH.NumPermMetaKey]] field metadata when present (states
+    * written from round 8 on), else one bounded head-row probe (legacy
+    * states). None for an empty state. */
+  private[streaming] def storedSigWidth(state: DataFrame): Option[Int] =
+    MinHashLSH.sigWidthOf(state).orElse(
+      state.select(size(col("sig")).as("__w"))
+        .filter(col("__w").isNotNull && col("__w") >= 0)
+        .limit(1).collect().headOption.map(_.getInt(0)))
+
+  /** The ADVICE-r7 guard: a state table written at another threshold's
+    * geometry would zip_with-null-pad against this batch's signatures,
+    * cap agreement below the floor, and silently drop every cross-batch
+    * candidate — dedup against the seen corpus would return nothing.
+    * Fail loudly at batch start instead. */
+  private def requireCompatibleState(state: DataFrame,
+      geom: graft.sim.LshGeometry, stateTable: String,
+      threshold: Double): Unit =
+    storedSigWidth(state).foreach { w =>
+      require(w == geom.numPerm,
+        s"CorpusStream: state table '$stateTable' stores $w-perm MinHash " +
+          s"signatures but threshold=$threshold derives a " +
+          s"${geom.numPerm}-perm geometry (${geom.bands}x${geom.rows}) — " +
+          "cross-batch near-dup detection would silently drop every " +
+          "candidate. A threshold/geometry change requires a NEW state " +
+          "table: stored sketches cannot be re-signed without the raw " +
+          "text, which the state deliberately does not retain.")
+    }
+
   // gate / fingerprint / sample definitions come from the shared
   // graft.text.CorpusPipeline object — the same one LlmQueries.dp01
   // reads — so the batch/streaming equality StreamingSpec asserts
@@ -68,9 +113,11 @@ object CorpusStream {
                    benchmark: Option[DataFrame] = None,
                    admit: DataFrame => DataFrame = gate): Unit = {
     // the threshold-fitted band geometry (MinHashLSH.geometryFor) fixes
-    // the stored signature width, so every batch of one pipeline derives
-    // the same geometry from the same threshold; changing the threshold
-    // of an existing pipeline means a new state table, not a reread
+    // the stored signature width; requireCompatibleState (below, once
+    // the state is opened) ENFORCES that this batch's derived width
+    // matches what the table stores — a threshold/geometry change over
+    // an existing state fails loudly instead of silently dropping every
+    // cross-batch candidate
     val geom = MinHashLSH.geometryFor(threshold)
     val batchKey = batchId.toString
     // 1. row-local gate + batch-local exact dedup (keep smallest id —
@@ -89,11 +136,20 @@ object CorpusStream {
     //    excludes its own half-written partition, so reprocessing is
     //    idempotent end-to-end)
     val state =
-      if (catalog.tableExists(stateTable))
-        catalog.read(stateTable)
+      if (catalog.tableExists(stateTable)) {
+        val raw = catalog.read(stateTable)
           .filter(col("batch_id").cast("string") =!= batchKey)
-          .select(col("id"), col("fp"), col("sh"), col("n"), col("sig"))
-      else null
+        // per-doc bottom-k sketch: persisted since round 8 (computed
+        // once on arrival); legacy rows/tables re-sort on read
+        val sb =
+          if (raw.columns.contains("sb"))
+            coalesce(col("sb"), MinHashLSH.bottomKCol(col("sh")))
+          else MinHashLSH.bottomKCol(col("sh"))
+        raw.select(col("id"), col("fp"), col("sh"), col("n"), col("sig"),
+          sb.as("sb"))
+      } else null
+    if (state != null)
+      requireCompatibleState(state, geom, stateTable, threshold)
     // 3. drop exact re-arrivals by stored fingerprint
     val newDocs = graft.core.Fence(
       if (state == null) localDeduped
@@ -103,32 +159,37 @@ object CorpusStream {
     //    bands (internal pairs) and the STORED bands (cross pairs) —
     //    seen docs are never re-shingled
     val newSigs = graft.core.Fence(
-      MinHashLSH.signatureFrame(newDocs, "doc_id", "text", 3, geom))
+      MinHashLSH.signatureFrame(newDocs, "doc_id", "text", 3, geom)
+        .withColumn("sb", MinHashLSH.bottomKCol(col("sh"))))
     // sig-carrying band frames + the fused floor (collidedSurvivors):
     // the size prune + agreement floor filter inside the band join's
     // own stage, so the per-batch shuffle is linear in band rows —
     // at scale the stored corpus's band side is the big one, and this
     // is exactly the shape that keeps it from re-joining per candidate
     val newBands = MinHashLSH.bandFrameWithSig(newSigs, geom)
+    val newSk = newSigs.select(col("id"), col("sh"), col("n"),
+      col("sig"), col("sb"))
     val allSigs =
-      if (state == null) newSigs.select(col("id"), col("sh"), col("n"),
-        col("sig"))
-      else newSigs.select(col("id"), col("sh"), col("n"), col("sig"))
-        .unionByName(state.select(col("id"), col("sh"), col("n"),
-          col("sig")))
+      if (state == null) newSk
+      else newSk.unionByName(state.select(col("id"), col("sh"),
+        col("n"), col("sig"), col("sb")))
+    // internal pairs are new×new: their sample/verify fetches touch
+    // only this batch's sketches, never the state
     val internal = MinHashLSH.verifySurvivors(
         MinHashLSH.collidedSurvivors(newBands, newBands, threshold,
           geom, selfJoin = true),
-        allSigs, threshold)
+        newSk, threshold, sb = Some(newSk.select(col("id"), col("sb"))))
       .select(col("doc_a"), col("doc_b"))
     val crossTouched =
       if (state == null) newDocs.select(col("doc_id")).limit(0)
       else {
-        val seenBands = MinHashLSH.bandFrameWithSig(state, geom)
+        val seenBands = seenBandFrame(catalog, stateTable, batchKey,
+          state, newBands, geom)
         MinHashLSH.verifySurvivors(
             MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
               geom, selfJoin = false),
-            allSigs, threshold)
+            allSigs, threshold,
+            sb = Some(allSigs.select(col("id"), col("sb"))))
           .select(col("doc_a").as("doc_id")).distinct()
       }
     // 5. component resolution within the batch; a component dies whole
@@ -146,13 +207,21 @@ object CorpusStream {
         col("label") === col("__dead"), "left_anti")
       .drop("label")
     // 6. every new doc's sketch (kept or cluster-dropped) joins the
-    //    state — dropped docs still bridge future arrivals
+    //    state — dropped docs still bridge future arrivals. Two tables:
+    //    the per-doc sketch (arrays, partitioned by batch) and the
+    //    pre-banded rows partitioned by (batch, band-key bucket) so
+    //    later batches prune their cross join at the storage layer.
     catalog.writePartition(
       newSigs.join(newDocs.select(col("doc_id").as("id"), fp.as("fp")),
           Seq("id"))
-        .select(col("id"), col("fp"), col("sh"), col("n"), col("sig"))
+        .select(col("id"), col("fp"), col("sh"), col("n"), col("sig"),
+          col("sb"))
         .withColumn("batch_id", lit(batchKey)),
       stateTable, "batch_id", batchKey)
+    catalog.writeSubPartitioned(
+      newBands.withColumn("pk", pkCol)
+        .withColumn("batch_id", lit(batchKey)),
+      bandsTableOf(stateTable), "batch_id", batchKey, "pk")
     // 7. sample + project + idempotent partition write
     catalog.writePartition(
       kept.filter(samplePredicate)
@@ -160,6 +229,40 @@ object CorpusStream {
           size(TextHash.tokens(col("text"))).as("n_toks"),
           lit(batchKey).as("batch_id")),
       outTable, "batch_id", batchKey)
+  }
+
+  /** The seen corpus's sig-carrying band rows for the cross-batch
+    * candidate join. Fast path: the `_bands` state table, pruned to the
+    * `pk` sub-partitions this batch's own band keys hash into — the
+    * collected pk list is bounded by [[StatePartitions]] (a constant-
+    * size driver list, not data), and a batch whose keys cover few
+    * buckets skips the rest of the stored corpus entirely; since
+    * `pk` is a function of `band_key`, pruning by the new side's pk
+    * set loses no colliding pair. Fallback (bands table missing or not
+    * covering every sketch batch — a pre-round-8 state): re-band the
+    * sketch state in memory, the old per-batch linear scan. */
+  private def seenBandFrame(catalog: TableCatalog, stateTable: String,
+      batchKey: String, state: DataFrame, newBands: DataFrame,
+      geom: graft.sim.LshGeometry): DataFrame = {
+    val bandsTable = bandsTableOf(stateTable)
+    val covered = catalog.tableExists(bandsTable) && {
+      val sk = catalog.listPartitions(stateTable, "batch_id").toSet -
+        batchKey
+      val bd = catalog.listPartitions(bandsTable, "batch_id").toSet -
+        batchKey
+      sk.subsetOf(bd)
+    }
+    if (!covered) MinHashLSH.bandFrameWithSig(state, geom)
+    else {
+      val pks = newBands.select(pkCol.as("pk")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (pks.isEmpty) newBands.limit(0)
+      else catalog.read(bandsTable)
+        .filter(col("batch_id").cast("string") =!= batchKey)
+        .filter(col("pk").isin(pks: _*))
+        .select(col("id"), col("n"), col("sig"), col("band_idx"),
+          col("band_key"))
+    }
   }
 
   /** Launch the incremental pipeline over a streaming document frame
