@@ -282,7 +282,9 @@ object MinHashLSH {
     * sides are disjoint by construction. */
   def collidedSurvivors(bandsA: DataFrame, bandsB: DataFrame,
                         threshold: Double, geom: LshGeometry,
-                        selfJoin: Boolean): DataFrame = {
+                        selfJoin: Boolean,
+                        hotCap: Int = HotBucketCap,
+                        hotSalts: Int = HotBucketSalts): DataFrame = {
     requireGeom(bandsA, geom, "collidedSurvivors")
     requireGeom(bandsB, geom, "collidedSurvivors")
     val agree = size(filter(zip_with(col("a.sig"), col("b.sig"),
@@ -290,7 +292,7 @@ object MinHashLSH {
     val tNum = tNumOf(threshold)
     graft.core.SkewJoin.guardedPairs(bandsA, bandsB,
         Seq("band_idx", "band_key"), selfJoin,
-        HotBucketCap, HotBucketSalts) { j =>
+        hotCap, hotSalts) { j =>
       j.filter(lit(10) * least(col("a.n"), col("b.n")) >=
           lit(tNum) * greatest(col("a.n"), col("b.n")))
         .filter(agree >= minAgree(threshold, geom.numPerm))

@@ -166,6 +166,33 @@ class StreamingSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("incremental corpus pipeline fails fast when the state table's " +
+       "signature width disagrees with the threshold's geometry") {
+    // the ADVICE-r7 scenario: a state written at one threshold's
+    // geometry reused at another would null-pad zip_with, cap the
+    // agreement floor, and silently drop every cross-batch candidate
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    val wh = java.nio.file.Files.createTempDirectory("corpus_gw_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    // t=0.7 → 8x6 = 48-perm state
+    graft.streaming.CorpusStream.processBatch(
+      docs.filter($"doc_id" < 250), cat, "geo_seen", "geo_out", 0L)
+    val e = intercept[IllegalArgumentException] {
+      // t=0.8 derives 4x6 = 24 perms over the stored 48-perm sketches
+      graft.streaming.CorpusStream.processBatch(
+        docs.filter($"doc_id" >= 250), cat, "geo_seen", "geo_out", 1L,
+        threshold = 0.8)
+    }
+    assert(e.getMessage.contains("geo_seen"))
+    assert(e.getMessage.contains("NEW state table"))
+    // same threshold still proceeds (the guard only fires on mismatch)
+    graft.streaming.CorpusStream.processBatch(
+      docs.filter($"doc_id" >= 250), cat, "geo_seen", "geo_out", 1L)
+    assert(cat.listPartitions("geo_out", "batch_id").size == 2)
+  }
+
   test("incremental corpus pipeline decontaminates each batch against " +
        "a benchmark set before state is written") {
     val dir = "/root/testdata/sf0.001"

@@ -21,6 +21,90 @@ class SampleVerifySpec extends SparkSpec {
     intercept[IllegalArgumentException](MinHashLSH.geometryFor(1.5))
   }
 
+  test("the size prune stays provably safe off the 0.1 threshold grid: " +
+       "floor, not round") {
+    // round(t*10) made the prune require a size ratio ABOVE the
+    // threshold whenever rounding went up: at t=0.75 it demanded
+    // min/max >= 0.8 and silently dropped pairs with true J in
+    // [0.75, 0.8) — beyond the documented LSH approximation. The floor
+    // keeps tNum/10 <= t for every threshold (with only binary-
+    // representation error cancelled), so the prune can never exclude
+    // a pair at or above the threshold.
+    assert(MinHashLSH.tNumOf(0.6) == 6L && MinHashLSH.tNumOf(0.7) == 7L)
+    assert(MinHashLSH.tNumOf(0.8) == 8L && MinHashLSH.tNumOf(0.9) == 9L)
+    assert(MinHashLSH.tNumOf(0.75) == 7L, "off-grid must floor, not round")
+    assert(MinHashLSH.tNumOf(0.76) == 7L)
+    // end to end: J = 0.75 at size ratio 0.75 (a subset pair) must
+    // survive verifyCandidates at t = 0.75; the rounded prune dropped
+    // it (10*12 < 8*16). Elements are spread hash-like values — NOT
+    // consecutive ints, whose arithmetic-progression minima under the
+    // affine permutations are correlated and would sink the (separate,
+    // honestly approximate) agreement floor; this fixture's agreement
+    // is a fixed 28 >= ceil(0.70*36) = 26 under the frozen constants.
+    val t = 0.75
+    val geom = MinHashLSH.geometryFor(t)
+    val elems = Seq(3626764237L, 1654615998L, 3255389356L, 3823568514L,
+      1806341205L, 173879092L, 1112038970L, 4146640122L, 2195908194L,
+      2087043557L, 1739178872L, 3943786419L, 3366389305L, 3564191072L,
+      1302718217L, 4156669319L)
+    val base = Seq((1L, elems), (2L, elems.take(12)))
+      .toDF("id", "sh")
+    val sigF = base.select($"id", $"sh", size($"sh").as("n"),
+      array((0 until geom.numPerm)
+        .map(j => MinHashLSH.minhash($"sh", j)): _*).as("sig"))
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = MinHashLSH.verifyCandidates(cand, sigF, t, geom)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.75)))
+  }
+
+  test("geometryFor band recall tracks the S-curve design point for " +
+       "t in {0.6, 0.7, 0.8, 0.9} on planted pairs (property)") {
+    // pins the recall side of the fitted geometry: a future edit to
+    // geometryFor/minAgree cannot silently trade band recall away.
+    // Pure-JVM minhash over independent random sets (the regime the
+    // S-curve models); deterministic seed, so the observed fractions
+    // are fixed numbers compared against the analytic curve at the
+    // pairs' ACTUAL planted Jaccard.
+    val rnd = new scala.util.Random(101)
+    val m = 200
+    val pairs = 150
+    for (t <- Seq(0.6, 0.7, 0.8, 0.9)) {
+      val geom = MinHashLSH.geometryFor(t)
+      val jTarget = t + 0.03
+      val s = math.round(2 * m * jTarget / (1 + jTarget)).toInt
+      val jTrue = s.toDouble / (2 * m - s)
+      var hits = 0
+      for (_ <- 0 until pairs) {
+        val shared = Array.fill(s)(rnd.nextLong() >>> 12)
+        val onlyA = Array.fill(m - s)(rnd.nextLong() >>> 12)
+        val onlyB = Array.fill(m - s)(rnd.nextLong() >>> 12)
+        def sig(set: Array[Long]): Array[Long] =
+          Array.tabulate(geom.numPerm) { j =>
+            val a = MinHashLSH.permA(j); val b = MinHashLSH.permB(j)
+            var mn = Long.MaxValue
+            set.foreach { h =>
+              val v = (a * h + b) % MinHashLSH.P
+              if (v < mn) mn = v
+            }
+            mn
+          }
+        val sa = sig(shared ++ onlyA)
+        val sb = sig(shared ++ onlyB)
+        val collide = (0 until geom.bands).exists { b =>
+          (0 until geom.rows).forall(r =>
+            sa(b * geom.rows + r) == sb(b * geom.rows + r))
+        }
+        if (collide) hits += 1
+      }
+      val obs = hits.toDouble / pairs
+      val pred = 1 - math.pow(1 - math.pow(jTrue, geom.rows), geom.bands)
+      // 0.12 ≈ 3σ of the 150-pair sample at p ≈ 0.5
+      assert(math.abs(obs - pred) <= 0.12,
+        s"t=$t: observed band recall $obs vs S-curve $pred ($geom)")
+    }
+  }
+
   test("bottom-k sample prune kernel equals the Column-form estimator " +
        "on random sets spanning the sketch width (property)") {
     val rnd = new scala.util.Random(7)

@@ -1,0 +1,117 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.SkewJoin
+
+/** Round-8 hot-bucket containment: the salted bucket join and the
+  * group-collapse of set-identical docs / identical vectors must be
+  * row-for-row equivalent to the plain forms they guard. */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SkewJoin.guardedPairs: forcing buckets hot leaves the pair set " +
+       "unchanged (self-join, cross join, and mixed hot/cold)") {
+    val rnd = new scala.util.Random(11)
+    // key 0 is heavily loaded so a mid cap splits hot and cold branches
+    val left = ((0L until 60L).map(i => (i, 0)) ++
+      (100L until 240L).map(i => (i, 1 + rnd.nextInt(7)))).toDF("id", "k")
+    val right = ((1000L until 1040L).map(i => (i, 0)) ++
+      (1100L until 1200L).map(i => (i, 1 + rnd.nextInt(7))))
+      .toDF("id", "k")
+    def selfPairs(cap: Int, salts: Int) =
+      SkewJoin.guardedPairs(left, left, Seq("k"), selfJoin = true,
+          cap, salts) { j =>
+        j.select($"a.id".as("x"), $"b.id".as("y"))
+      }.as[(Long, Long)].collect().sorted.toSeq
+    def crossPairs(cap: Int, salts: Int) =
+      SkewJoin.guardedPairs(left, right, Seq("k"), selfJoin = false,
+          cap, salts) { j =>
+        j.select($"a.id".as("x"), $"b.id".as("y"))
+      }.as[(Long, Long)].collect().sorted.toSeq
+    // cap high enough that nothing is hot = the plain join baseline
+    val selfBase = selfPairs(10000, 4)
+    val crossBase = crossPairs(10000, 4)
+    assert(selfBase.nonEmpty && crossBase.nonEmpty)
+    assert(selfBase == selfBase.distinct, "self pairs must be unique")
+    for ((cap, salts) <- Seq((1, 2), (1, 7), (30, 4))) {
+      assert(selfPairs(cap, salts) == selfBase, s"self cap=$cap")
+      assert(crossPairs(cap, salts) == crossBase, s"cross cap=$cap")
+    }
+  }
+
+  test("collidedSurvivors with every bucket forced hot equals the cold " +
+       "plain band join on a real corpus slice") {
+    val docs = graft.core.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents").limit(400)
+    val t = 0.8
+    val geom = MinHashLSH.geometryFor(t)
+    val bands = MinHashLSH.bandFrameWithSig(graft.core.Fence(
+      MinHashLSH.signatureFrame(docs, "doc_id", "text", 3, geom)), geom)
+    def run(cap: Int) = MinHashLSH
+      .collidedSurvivors(bands, bands, t, geom, selfJoin = true,
+        hotCap = cap, hotSalts = 5)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val cold = run(1000000)
+    assert(cold.nonEmpty, "degenerate fixture: no collisions")
+    assert(run(1) == cold)
+  }
+
+  test("nearDupPairs on a planted boilerplate group: the set-identical " +
+       "docs collapse to one banded representative yet every member " +
+       "pair is emitted with jacc 1.0, and satellites pair with ALL " +
+       "members at the group-invariant score") {
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank at dawn while birds are singing in the trees"
+    val group = (0L until 60L).map(i => (i, base))
+    val satellite = Seq((200L, base + " y"))
+    val distractors = (300L until 320L).map(i =>
+      (i, s"totally unrelated document number $i about catalyst rule " +
+        s"execution order and shuffle partition coalescing internals"))
+    val docs = (group ++ satellite ++ distractors).toDF("doc_id", "text")
+    val out = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+        threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.size == out.distinct.size, "duplicate pairs emitted")
+    val within = out.filter { case (a, b, _) => a < 60 && b < 60 }
+    assert(within.size == 60 * 59 / 2,
+      s"expected all C(60,2) within-group pairs, got ${within.size}")
+    assert(within.forall(_._3 == 1.0))
+    assert(within.forall { case (a, b, _) => a < b })
+    val sat = out.filter { case (a, b, _) => a == 200 || b == 200 }
+    // the satellite's jacc against every member is the same number (its
+    // similarity to the shared set) — and if banding surfaced one
+    // member pair it must have surfaced all 60, via the representative
+    assert(sat.size == 60, s"satellite paired with ${sat.size} members")
+    assert(sat.map(_._3).distinct.size == 1)
+    assert(sat.forall { case (a, b, _) => a < b })
+    // distractors legitimately near-dup each other (template texts);
+    // what must not happen is a distractor pairing into the group
+    val crossFamily = out.exists { case (a, b, _) =>
+      b >= 300 && a < 300 }
+    assert(!crossFamily)
+  }
+
+  test("embeddingNearDupLsh on planted duplicate vectors equals the " +
+       "exact quadratic baseline, pair for pair and bit for bit") {
+    import graft.ann.Ann
+    val v1 = Seq.tabulate(Ann.Dim)(i => ((i % 7) + 1).toFloat / 7f)
+    val v2 = Seq.tabulate(Ann.Dim)(i => -((i % 5) + 1).toFloat / 5f)
+    val vecs = ((0L until 30L).map(i => (i, v1)) ++
+      (100L until 105L).map(i => (i, v2))).toDF("vec_id", "embedding")
+    val minCos = 0.9
+    val lsh = Ann.embeddingNearDupLsh(vecs, "vec_id", "embedding", minCos)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Ann
+      .embeddingNearDupExact(vecs, "vec_id", "embedding", minCos)
+      .as[(Long, Long, Double)].collect().toSet
+    // identical vectors collide in every band, so LSH loses nothing
+    // here and the recovered within-group cosines must carry the exact
+    // kernel's arithmetic (same left-to-right fold) bit for bit
+    assert(lsh == exact)
+    assert(lsh.count { case (a, b, _) => a < 30 && b < 30 } == 30 * 29 / 2)
+    assert(lsh.count { case (a, b, _) => a >= 100 && b >= 100 } == 5 * 4 / 2)
+    assert(lsh.forall(_._3 > 0.999999))
+  }
+}
