@@ -97,6 +97,15 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
       spark.read.parquet(tablePath(table) + "/_schema")
   }
 
+  /** Read an explicit subset of a table's partition directories,
+    * partition columns recovered relative to the table root — the
+    * pruned-LISTING companion to [[read]] for callers that enumerate
+    * their colliding partitions themselves (a table-root read lists
+    * every file of a growing table even when partition pruning skips
+    * the data). */
+  def readPaths(table: String, paths: Seq[String]): DataFrame =
+    spark.read.option("basePath", tablePath(table)).parquet(paths: _*)
+
   /** S7: partition-metadata scan (the `$__PARTITIONS_SUMMARY__` scans at
     * custom_search_extraction.py:53-57) — directory listing only, no
     * data read. */

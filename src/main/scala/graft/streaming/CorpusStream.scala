@@ -218,8 +218,12 @@ object CorpusStream {
           col("sb"))
         .withColumn("batch_id", lit(batchKey)),
       stateTable, "batch_id", batchKey)
+    // repartition by pk first: otherwise every shuffle task writes a
+    // file into every pk dir (tasks × 64 small files per batch); this
+    // way each pk's rows land in one task → ~one file per pk
     catalog.writeSubPartitioned(
       newBands.withColumn("pk", pkCol)
+        .repartition(col("pk"))
         .withColumn("batch_id", lit(batchKey)),
       bandsTableOf(stateTable), "batch_id", batchKey, "pk")
     // 7. sample + project + idempotent partition write
@@ -256,10 +260,21 @@ object CorpusStream {
     else {
       val pks = newBands.select(pkCol.as("pk")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      if (pks.isEmpty) newBands.limit(0)
-      else catalog.read(bandsTable)
-        .filter(col("batch_id").cast("string") =!= batchKey)
-        .filter(col("pk").isin(pks: _*))
+      // enumerate exactly the colliding (batch, pk) directories and
+      // read only those: a table-root read would LIST every partition
+      // of the growing table each batch (a linear term in files, even
+      // with partition pruning skipping the data); this keeps both the
+      // listing and the read proportional to colliding partitions
+      val base = catalog.tablePath(bandsTable)
+      val dirs = for {
+        b <- catalog.listPartitions(bandsTable, "batch_id")
+        if b != batchKey
+        p <- pks
+        d = s"$base/batch_id=$b/pk=$p"
+        if new java.io.File(d).exists()
+      } yield d
+      if (dirs.isEmpty) newBands.limit(0)
+      else catalog.readPaths(bandsTable, dirs)
         .select(col("id"), col("n"), col("sig"), col("band_idx"),
           col("band_key"))
     }

@@ -18,11 +18,16 @@ import graft.streaming.CorpusStream
   * docs + collisions; the probe separates gentle linear scan growth
   * from the quadratic blow-up the design rules out.
   *
-  * Args: [scaleDir] [batches]. */
+  * Args: [scaleDir] [batches] [slicesPerReplica]. Slices > 1 cut each
+  * replica into that many consecutive id ranges — small batches
+  * against a growing state, the regime where any per-batch O(state)
+  * term (re-banding, re-sorting the stored sketches) shows up as a
+  * visible slope while O(new + collisions) work stays flat. */
 object ProbeStream {
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val batches = args.lift(1).map(_.toInt).getOrElse(10)
+    val slices = args.lift(2).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -35,10 +40,15 @@ object ProbeStream {
     val cat = new TableCatalog(spark, wh)
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
+    // replica k occupies ids [k*10M, k*10M + span); slices divide the
+    // OCCUPIED span, not the offset stride
+    val span = docs.filter(col("doc_id") < 10000000L)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    val width = (span + slices - 1) / slices
     (0 until batches).foreach { k =>
-      val lo = k.toLong * 10000000L
+      val lo = (k / slices).toLong * 10000000L + (k % slices) * width
       val batch = docs.filter(col("doc_id") >= lo &&
-        col("doc_id") < lo + 10000000L)
+        col("doc_id") < lo + width)
       val t0 = System.nanoTime()
       CorpusStream.processBatch(batch, cat, "probe_state", "probe_out",
         k.toLong, admit = identity)
