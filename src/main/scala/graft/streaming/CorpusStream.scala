@@ -53,6 +53,19 @@ object CorpusStream {
     * batches would raise it for sharper pruning. */
   val StatePartitions = 64
 
+  /** A batch's band rows are laid out as `pk=` sub-directories only
+    * when there are enough of them that each pk file is substantial
+    * (≥ ~1k rows per pk on average); smaller batches write ONE plain
+    * file with pk as a data column. Without this, tiny frequent
+    * batches explode into batches×64 near-empty files and the
+    * per-batch LISTING cost grows faster than the scan the layout
+    * saves (measured: the 40-small-batch ProbeStream run regressed
+    * from flat to a +0.1 s/batch slope before the split was made
+    * granularity-aware). Reads handle both layouts: pk-split batches
+    * are pruned at the directory level, plain batches are read whole
+    * (tiny by construction) and pruned by the pk column. */
+  val PkSplitMinRows: Long = 1000L * StatePartitions
+
   private def pkCol: org.apache.spark.sql.Column =
     pmod(xxhash64(col("band_key")), lit(StatePartitions.toLong))
 
@@ -111,7 +124,8 @@ object CorpusStream {
                    stateTable: String, outTable: String, batchId: Long,
                    threshold: Double = CorpusPipeline.NearDupThreshold,
                    benchmark: Option[DataFrame] = None,
-                   admit: DataFrame => DataFrame = gate): Unit = {
+                   admit: DataFrame => DataFrame = gate,
+                   pkSplitMinRows: Long = PkSplitMinRows): Unit = {
     // the threshold-fitted band geometry (MinHashLSH.geometryFor) fixes
     // the stored signature width; requireCompatibleState (below, once
     // the state is opened) ENFORCES that this batch's derived width
@@ -218,14 +232,19 @@ object CorpusStream {
           col("sb"))
         .withColumn("batch_id", lit(batchKey)),
       stateTable, "batch_id", batchKey)
-    // repartition by pk first: otherwise every shuffle task writes a
-    // file into every pk dir (tasks × 64 small files per batch); this
-    // way each pk's rows land in one task → ~one file per pk
-    catalog.writeSubPartitioned(
-      newBands.withColumn("pk", pkCol)
-        .repartition(col("pk"))
-        .withColumn("batch_id", lit(batchKey)),
-      bandsTableOf(stateTable), "batch_id", batchKey, "pk")
+    val bandsDf = newBands.withColumn("pk", pkCol)
+      .withColumn("batch_id", lit(batchKey))
+    if (newSigs.count() * geom.bands >= pkSplitMinRows)
+      // repartition by pk first: otherwise every shuffle task writes a
+      // file into every pk dir (tasks × 64 small files); this way each
+      // pk's rows land in one task → ~one file per pk
+      catalog.writeSubPartitioned(bandsDf.repartition(col("pk")),
+        bandsTableOf(stateTable), "batch_id", batchKey, "pk")
+    else
+      // small batch: one plain file, pk as a data column (see
+      // PkSplitMinRows)
+      catalog.writePartition(bandsDf.coalesce(1),
+        bandsTableOf(stateTable), "batch_id", batchKey)
     // 7. sample + project + idempotent partition write
     catalog.writePartition(
       kept.filter(samplePredicate)
@@ -260,23 +279,39 @@ object CorpusStream {
     else {
       val pks = newBands.select(pkCol.as("pk")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      // enumerate exactly the colliding (batch, pk) directories and
-      // read only those: a table-root read would LIST every partition
-      // of the growing table each batch (a linear term in files, even
-      // with partition pruning skipping the data); this keeps both the
-      // listing and the read proportional to colliding partitions
+      // enumerate exactly the colliding directories and read only
+      // those: a table-root read would LIST every partition of the
+      // growing table each batch (a linear term in files, even with
+      // partition pruning skipping the data). pk-split batch dirs
+      // prune at the directory level; plain small-batch dirs (see
+      // PkSplitMinRows) are read whole and pruned by the pk column.
       val base = catalog.tablePath(bandsTable)
-      val dirs = for {
-        b <- catalog.listPartitions(bandsTable, "batch_id")
-        if b != batchKey
-        p <- pks
-        d = s"$base/batch_id=$b/pk=$p"
-        if new java.io.File(d).exists()
-      } yield d
-      if (dirs.isEmpty) newBands.limit(0)
-      else catalog.readPaths(bandsTable, dirs)
-        .select(col("id"), col("n"), col("sig"), col("band_idx"),
-          col("band_key"))
+      val cols = Seq(col("id"), col("n"), col("sig"), col("band_idx"),
+        col("band_key"))
+      val (split, plain) = catalog
+        .listPartitions(bandsTable, "batch_id")
+        .filter(_ != batchKey)
+        .map(b => new java.io.File(s"$base/batch_id=$b"))
+        .partition(d => Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(f => f.isDirectory && f.getName.startsWith("pk=")))
+      val splitDirs = for {
+        d <- split; p <- pks
+        sub = new java.io.File(d, s"pk=$p")
+        if sub.exists()
+      } yield sub.getPath
+      val plainDirs = plain.filter(d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.endsWith(".parquet"))).map(_.getPath)
+      val parts = Seq(
+        if (splitDirs.nonEmpty)
+          Some(catalog.readPaths(bandsTable, splitDirs).select(cols: _*))
+        else None,
+        if (plainDirs.nonEmpty)
+          Some(catalog.readPaths(bandsTable, plainDirs)
+            .filter(col("pk").isin(pks: _*)).select(cols: _*))
+        else None).flatten
+      if (parts.isEmpty) newBands.limit(0)
+      else parts.reduce(_ unionByName _)
     }
   }
 

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventsStream
+import graft.streaming.{CorpusStream, EventsStream}
 import graft.streaming.EventsStream.{Ev, SessOut}
 
 class StreamingSpec extends SparkSpec {
@@ -164,6 +164,38 @@ class StreamingSpec extends SparkSpec {
       .select($"doc_id", $"lang", $"n_toks")
       .as[(Long, String, Int)].collect().toSet
     assert(after == before)
+  }
+
+  test("incremental corpus pipeline: the pk-split band layout produces " +
+       "the same output as the plain small-batch layout") {
+    // pkSplitMinRows=1 forces every batch's band rows into pk= dirs;
+    // the default leaves these small batches as one plain file — the
+    // cross-batch dedup must not care which layout the seen bands use
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    def run(split: Boolean): (Set[(Long, String, Int)], String) = {
+      val wh = java.nio.file.Files
+        .createTempDirectory("corpus_pk_").toString
+      val cat = new graft.catalog.TableCatalog(spark, wh)
+      val minRows = if (split) 1L else CorpusStream.PkSplitMinRows
+      Seq(docs.filter($"doc_id" < 200),
+          docs.filter($"doc_id" >= 200 && $"doc_id" < 400),
+          docs.filter($"doc_id" >= 400)).zipWithIndex.foreach {
+        case (b, i) => CorpusStream.processBatch(b, cat, "pk_seen",
+          "pk_out", i.toLong, pkSplitMinRows = minRows)
+      }
+      (cat.read("pk_out").select($"doc_id", $"lang", $"n_toks")
+        .as[(Long, String, Int)].collect().toSet, wh)
+    }
+    val (splitOut, splitWh) = run(split = true)
+    val (plainOut, _) = run(split = false)
+    assert(splitOut == plainOut)
+    assert(splitOut.nonEmpty)
+    // and the forced run really did lay bands out as pk= dirs
+    val b0 = new java.io.File(s"$splitWh/pk_seen_bands/batch_id=0")
+    assert(b0.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("pk=")))
   }
 
   test("incremental corpus pipeline fails fast when the state table's " +
