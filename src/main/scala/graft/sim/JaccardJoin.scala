@@ -94,10 +94,24 @@ object JaccardJoin {
   }
 
   /** Core prefix-filtered exact join over a prepared (id, sh) frame. */
-  private def selfJoinOnShingles(sh: DataFrame,
+  private def selfJoinOnShingles(shAll: DataFrame,
                                  threshold: Double): DataFrame = {
     val tNum = math.round(threshold * 10).toInt
     require(tNum > 0 && tNum <= 10)
+    // the documented one-decimal contract, now enforced: every integer
+    // filter below is only lossless when t == tNum/10 exactly
+    require(math.abs(threshold * 10 - tNum) < 1e-9,
+      s"JaccardJoin threshold must have one decimal, got $threshold")
+    SetVerify.requireIntegralIds(shAll, "id")
+    // GROUP-COLLAPSE (skew containment, exact — see [[GroupCollapse]]):
+    // set-identical docs (boilerplate groups) inflate their own tokens'
+    // document frequency, so even rarest-first prefixes put the whole
+    // group into shared prefix buckets — O(group²) pairs in one task.
+    // Run the prefix join on one representative per group and recover
+    // member pairs exactly. Side benefit: document frequencies are
+    // computed over DISTINCT sets, so a boilerplate flood no longer
+    // drags its tokens toward the common end of the prefix order.
+    val (keyed, groups, sh) = GroupCollapse.collapse(shAll)
     val ex = sh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
@@ -124,7 +138,8 @@ object JaccardJoin {
     // exact verify: the shared allocation-free InternalRow merge kernel
     // (scores, threshold semantics and the oracle SQL identical to the
     // Column array_intersect form — see [[SetVerify]] for why)
-    SetVerify.jaccard(cand, sh, threshold)
+    val repPairs = SetVerify.jaccard(cand, sh, threshold)
+    GroupCollapse.expand(repPairs, keyed, groups, "jacc")
   }
 
   /** Naive-quadratic oracle SQL — same output, independent plan. */

@@ -198,32 +198,13 @@ object MinHashLSH {
     // the verify kernels and the group-collapse id casts both need
     // integral ids — fail at plan time, before any job runs
     SetVerify.requireIntegralIds(all, "id")
-    // GROUP-COLLAPSE (skew containment, exact): docs with the same
-    // shingle SET are indistinguishable to every later stage — the
-    // signature, band keys, sizes, bottom-k sketch and exact Jaccard
-    // against any third doc are all functions of the set alone. A crawl
-    // corpus's boilerplate/mirror groups (thousands of set-identical
-    // docs) would otherwise all land in the SAME band buckets and the
-    // self-join enumerates O(group²) pairs inside one task — the one
-    // shuffle in the engine that can go quadratic per task. Collapsing
-    // each group to its smallest-id representative before banding makes
-    // the degenerate case O(groups), with exact recovery afterwards:
-    // a member pair across two groups inherits its representatives'
-    // verified jacc verbatim, and within-group pairs are J = 1.0 ≥ t by
-    // definition (identical non-empty sets). The group key is md5 over
-    // the sorted shingle hashes (the dd01 fingerprint contract: 128-bit
-    // collisions are below any operational probability); docs with
-    // null/empty shingle sets stay ungrouped — their null signatures
-    // never survive the agreement floor, exactly as before.
-    val keyed = Fence(all.withColumn("gk",
-      when(col("sh").isNotNull && size(col("sh")) > 0,
-        md5(concat_ws(",", array_sort(col("sh")).cast("array<string>"))))))
-    val groups = Fence(keyed.filter(col("gk").isNotNull)
-      .groupBy(col("gk"))
-      .agg(min(col("id").cast("long")).as("rep_id")))
-    val reps = keyed.filter(col("gk").isNull).unionByName(
-      keyed.join(groups.select(col("rep_id").as("__rid")),
-        col("id").cast("long") === col("__rid"), "left_semi"))
+    // GROUP-COLLAPSE (skew containment, exact — see [[GroupCollapse]]):
+    // set-identical docs would all land in the SAME band buckets and
+    // the self-join enumerates O(group²) pairs inside one task — the
+    // one shuffle in the engine that can go quadratic per task. Band
+    // one smallest-id representative per group; recover member pairs
+    // exactly afterwards.
+    val (keyed, groups, reps) = GroupCollapse.collapse(all)
     // The size prune + agreement floor are FUSED into the band join:
     // the band frame carries each doc's fixed-width (n, sig), so
     // collided pairs are filtered in the join's own stage and only
@@ -243,32 +224,7 @@ object MinHashLSH {
     val survivors =
       collidedSurvivors(bands, bands, threshold, geom, selfJoin = true)
     val repPairs = verifySurvivors(survivors, reps, threshold)
-    // exact recovery: cross-group member pairs inherit the rep pair's
-    // jacc (id-equi-joins to the group keys, then gk-equi-joins to the
-    // members — each join replicates by group size, never by pair
-    // volume squared); within-group pairs are the guarded gk self-join
-    // so a 10k-member group generates its inherent O(g²) OUTPUT spread
-    // over salted tasks instead of one.
-    val mem = keyed.filter(col("gk").isNotNull)
-      .select(col("gk"), col("id").cast("long").as("id"))
-    val repGk = groups.select(col("rep_id"), col("gk"))
-    val cross = repPairs
-      .join(repGk.select(col("rep_id").as("doc_a"), col("gk").as("gk_a")),
-        Seq("doc_a"))
-      .join(repGk.select(col("rep_id").as("doc_b"), col("gk").as("gk_b")),
-        Seq("doc_b"))
-      .join(mem.select(col("gk").as("gk_a"), col("id").as("id_a")),
-        Seq("gk_a"))
-      .join(mem.select(col("gk").as("gk_b"), col("id").as("id_b")),
-        Seq("gk_b"))
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-              greatest(col("id_a"), col("id_b")).as("doc_b"), col("jacc"))
-    val within = graft.core.SkewJoin.guardedPairs(mem, mem, Seq("gk"),
-        selfJoin = true, HotBucketCap, HotBucketSalts) { j =>
-      j.select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        lit(1.0).as("jacc"))
-    }
-    cross.unionByName(within)
+    GroupCollapse.expand(repPairs, keyed, groups, "jacc")
   }
 
   /** Floor-filtered collided pairs between two sig-carrying band

@@ -93,6 +93,39 @@ class SkewSpec extends SparkSpec {
     assert(!crossFamily)
   }
 
+  test("JaccardJoin on a planted boilerplate group: prefix join runs " +
+       "on representatives, member pairs recovered exactly") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val group = (0L until 40L).map(i => (i, base))
+    val near = Seq((100L, base + " phi"))
+    val other = (200L until 210L).map(i =>
+      (i, s"cat$i dog$i bird$i fish$i lion$i wolf$i bear$i deer$i " +
+        s"hawk$i crow$i"))
+    val docs = (group ++ near ++ other).toDF("doc_id", "text")
+    val out = JaccardJoin.selfJoinWords(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.size == out.distinct.size)
+    val within = out.filter { case (a, b, _) => a < 40 && b < 40 }
+    assert(within.size == 40 * 39 / 2)
+    assert(within.forall(_._3 == 1.0))
+    // the near doc's 18/19-shingle overlap (J ≈ 0.947) pairs with ALL
+    // members at the identical group-invariant score — exact operator,
+    // so unlike LSH this is guaranteed, not banding-dependent
+    val sat = out.filter { case (a, b, _) => a == 100 || b == 100 }
+    assert(sat.size == 40)
+    assert(sat.map(_._3).distinct.size == 1)
+    assert(!out.exists { case (a, b, _) => b >= 200 && a < 200 })
+  }
+
+  test("JaccardJoin enforces its one-decimal threshold contract") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      JaccardJoin.selfJoinWords(docs, "doc_id", "text", 2, 0.75)
+    }
+    assert(e.getMessage.contains("one decimal"))
+  }
+
   test("embeddingNearDupLsh on planted duplicate vectors equals the " +
        "exact quadratic baseline, pair for pair and bit for bit") {
     import graft.ann.Ann
