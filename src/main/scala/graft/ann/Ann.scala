@@ -320,12 +320,31 @@ object Ann {
     // pair's cosine is dot(v,v)/(nrm·nrm) — computed once per distinct
     // vector with [[dotUnrolled]], the same left-to-right fold the
     // kernel runs, so the recovered scores are bit-identical to the
-    // uncollapsed join's.
-    val groups = graft.core.Fence(d.groupBy(col("v"))
+    // uncollapsed join's. The group key is two independent xxhash64
+    // values over the vector (128 combined bits — the GroupCollapse
+    // fingerprint contract), so the grouping, the member joins and the
+    // guarded self-join all move 16-byte keys instead of the 256-byte
+    // float arrays; null-vector rows stay ungrouped (a null bucket
+    // equi-matches nothing, exactly as before). Only pairs touching a
+    // multi-member group pay the member-join chain — the non-skewed
+    // common case passes every verified pair through verbatim.
+    val vkey = struct(xxhash64(col("v")).as("h1"),
+      xxhash64(col("v"), lit(1)).as("h2"))
+    val keyed = graft.core.Fence(d.select(
+      col("id").cast("long").as("id"),
+      when(col("v").isNotNull, vkey).as("gk")))
+    val groups = graft.core.Fence(d.filter(col("v").isNotNull)
+      .groupBy(vkey.as("gk"))
       .agg(min(col("id").cast("long")).as("rep_id"),
-           first(col("nrm")).as("nrm")))
-    val reps = d.join(groups.select(col("rep_id").as("__rid")),
-      col("id").cast("long") === col("__rid"), "left_semi")
+           count(lit(1)).as("g_n"),
+           first(col("v")).as("gv"), first(col("nrm")).as("gnrm")))
+    // one aggregate over the fenced narrow frame decides whether any
+    // duplicate-vector group exists; without one the collapse is the
+    // identity — band every row, return the verified pairs verbatim
+    val hasMulti = !groups.filter(col("g_n") > 1).isEmpty
+    val reps = if (!hasMulti) d
+      else d.join(groups.select(col("rep_id").as("__rid")),
+        col("id").cast("long") === col("__rid"), "left_semi")
     val bb = graft.core.Fence(reps.select(col("id"), col("v"), col("nrm"),
       explode(array(
         (0 until NearDupBands).map(b => struct(lit(b).as("band"),
@@ -342,34 +361,49 @@ object Ann {
               col("b.v").as("vb"), col("b.nrm").as("nb"))
     }
     val repPairs = scoreJoined(joined, minCos).distinct()
-    // exact recovery: member expansion replicates by group size (two
-    // id-joins to the group vectors, two vector-equi-joins to the
-    // members), and within-group pairs ride the guarded self-join so a
-    // huge duplicate group emits its inherent O(g²) OUTPUT rows across
-    // salted tasks, with zero per-pair arithmetic.
-    val mem = d.select(col("v"), col("id").cast("long").as("id"))
-    val repV = groups.select(col("rep_id"), col("v"))
-    val cross = repPairs
-      .join(repV.select(col("rep_id").as("id_a"), col("v").as("__va")),
-        Seq("id_a"))
-      .join(repV.select(col("rep_id").as("id_b"), col("v").as("__vb")),
-        Seq("id_b"))
-      .join(mem.select(col("v").as("__va"), col("id").as("ma")),
-        Seq("__va"))
-      .join(mem.select(col("v").as("__vb"), col("id").as("mb")),
-        Seq("__vb"))
-      .select(least(col("ma"), col("mb")).as("id_a"),
-              greatest(col("ma"), col("mb")).as("id_b"), col("cos"))
-    val selfCos = groups.select(col("v"),
-      (dotUnrolled(col("v"), col("v")) / (col("nrm") * col("nrm")))
+    if (!hasMulti) return repPairs
+      .select(col("id_a").cast("long").as("id_a"),
+              col("id_b").cast("long").as("id_b"), col("cos"))
+    // exact recovery: pairs touching no multi-member group pass
+    // through verbatim (two left joins against the small multi-group
+    // rep table); a pair whose side(s) represent multi-member groups
+    // replicates through gk-joins to the members, by group size; and
+    // within-group pairs ride the guarded self-join so a huge
+    // duplicate group emits its inherent O(g²) OUTPUT rows across
+    // salted tasks, with one dot per distinct vector.
+    val multi = groups.filter(col("g_n") > 1)
+    val memMulti = keyed.join(multi.select(col("gk")), Seq("gk"),
+      "left_semi")
+    val tagged = repPairs
+      .join(multi.select(col("rep_id").as("id_a"), col("gk").as("gk_a")),
+        Seq("id_a"), "left")
+      .join(multi.select(col("rep_id").as("id_b"), col("gk").as("gk_b")),
+        Seq("id_b"), "left")
+    val pass = tagged.filter(col("gk_a").isNull && col("gk_b").isNull)
+      .select(col("id_a").cast("long").as("id_a"),
+              col("id_b").cast("long").as("id_b"), col("cos"))
+    val touched = tagged
+      .filter(col("gk_a").isNotNull || col("gk_b").isNotNull)
+      .join(memMulti.select(col("gk").as("gk_a"), col("id").as("ma")),
+        Seq("gk_a"), "left")
+      .join(memMulti.select(col("gk").as("gk_b"), col("id").as("mb")),
+        Seq("gk_b"), "left")
+      .select(
+        least(coalesce(col("ma"), col("id_a").cast("long")),
+              coalesce(col("mb"), col("id_b").cast("long"))).as("id_a"),
+        greatest(coalesce(col("ma"), col("id_a").cast("long")),
+                 coalesce(col("mb"), col("id_b").cast("long"))).as("id_b"),
+        col("cos"))
+    val selfCos = multi.select(col("gk"),
+      (dotUnrolled(col("gv"), col("gv")) / (col("gnrm") * col("gnrm")))
         .as("cos"))
-    val memC = mem.join(selfCos, Seq("v"))
-    val within = graft.core.SkewJoin.guardedPairs(memC, memC, Seq("v"),
+    val memC = memMulti.join(selfCos, Seq("gk"))
+    val within = graft.core.SkewJoin.guardedPairs(memC, memC, Seq("gk"),
         selfJoin = true, NearDupHotCap, NearDupHotSalts) { j =>
       j.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.cos").as("cos"))
     }.filter(col("cos") >= minCos)
-    cross.unionByName(within)
+    pass.unionByName(touched).unionByName(within)
   }
 
   /** IVF-Flat ANN — the inverted-file scale path beside the LSH one:

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * live in the join shape itself.
   *
   * [[guardedPairs]] splits buckets by measured size: buckets at or under
-  * `cap` rows join exactly as before (one plain equi-join — the common
-  * case pays one extra count aggregate and a broadcast-tag), buckets
+  * `cap` rows join exactly as before (when NO bucket is hot — the common
+  * corpus — the result IS the plain equi-join, and the only overhead is
+  * the one count aggregate that established it), buckets
   * over it run salted — each left row takes a deterministic salt
   * `xxhash64(id) mod salts`, each right row is replicated across all
   * `salts` values, and the join adds the salt to its keys. Every pair
@@ -57,6 +58,26 @@ object SkewJoin {
         cA.join(cB, keys)
           .filter(col("__ca") * col("__cb") > cap.toLong * cap)
       }).select(kc: _*).withColumn("__hot", lit(true))
+    def branch(a: DataFrame, b: DataFrame, salted: Boolean): DataFrame = {
+      val keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
+        .reduce(_ && _)
+      val cond0 =
+        if (salted) keyCond && col("a.__salt") === col("b.__salt")
+        else keyCond
+      val cond = if (selfJoin) cond0 && col("a.id") < col("b.id") else cond0
+      project(a.as("a").join(b.as("b"), cond))
+    }
+    // The hot-key list is driver-bounded by rows/cap BY CONSTRUCTION
+    // (the 1000× key-space reduction above) and would be materialized
+    // on the driver by the broadcast below anyway; collecting it first
+    // lets the common no-hot-bucket corpus take the plain equi-join
+    // verbatim — no tag join, no empty salted branch, and (for unfenced
+    // inputs like the band frames) no third/fourth recomputation of the
+    // input subplan. Skewed inputs pay the count twice (here and inside
+    // the tag join below) — the guarded path's cost lives on the
+    // skewed corpus, not on every run.
+    val anyHot = !hot.isEmpty
+    if (!anyHot) return branch(dfA, dfB, salted = false)
     def split(df: DataFrame): (DataFrame, DataFrame) = {
       val tagged = df.join(broadcast(hot), keys, "left")
       (tagged.filter(col("__hot").isNull).drop("__hot"),
@@ -68,15 +89,6 @@ object SkewJoin {
       pmod(xxhash64(col("id")), lit(salts.toLong)))
     val bSalted = bHot.withColumn("__salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    def branch(a: DataFrame, b: DataFrame, salted: Boolean): DataFrame = {
-      val keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k"))
-        .reduce(_ && _)
-      val cond0 =
-        if (salted) keyCond && col("a.__salt") === col("b.__salt")
-        else keyCond
-      val cond = if (selfJoin) cond0 && col("a.id") < col("b.id") else cond0
-      project(a.as("a").join(b.as("b"), cond))
-    }
     branch(aCold, bCold, salted = false)
       .unionByName(branch(aSalted, bSalted, salted = true))
   }

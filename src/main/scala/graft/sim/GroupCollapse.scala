@@ -21,67 +21,107 @@ import graft.core.{Fence, SkewJoin}
   * representatives' verified score verbatim, and within-group pairs
   * have J = 1.0 ≥ t by definition (identical non-empty sets).
   *
-  * The group key is md5 over the sorted shingle hashes (the dd01
-  * fingerprint contract — 128-bit collisions are below operational
-  * probability); docs with null/empty shingle sets stay ungrouped and
-  * flow through the pipeline unchanged (they can never verify at any
-  * t > 0, exactly as before).
+  * The group key is two independent xxhash64 values over the sorted
+  * shingle hashes — 128 combined bits, the dd01 fingerprint contract
+  * (collisions below operational probability) without materializing a
+  * per-row string of the whole array the way md5(concat_ws(...)) would.
+  * Docs with null/empty shingle sets stay ungrouped and flow through
+  * the pipeline unchanged (they can never verify at any t > 0, exactly
+  * as before).
+  *
+  * Cost discipline (the non-skewed corpus pays this on every run, so
+  * it is kept near-zero):
+  *  - only the narrow (id, gk) projection is fenced — the caller's
+  *    already-fenced wide frame (shingles + signatures) is never
+  *    re-materialized;
+  *  - whether any multi-member group exists is decided ONCE, with one
+  *    aggregate over the fenced narrow frame ([[Collapsed.hasMulti]]).
+  *    Without one, the collapse is the identity: [[Collapsed.reps]] IS
+  *    the input (no semi-join) and [[expand]] returns the verified
+  *    pairs verbatim (no tag joins, no member joins, no within
+  *    self-join) — the operator's plan is exactly the uncollapsed one.
   */
 private[sim] object GroupCollapse {
 
-  /** Exact set-identity key over a `sh` shingle-array column; null for
-    * null/empty sets (those rows stay ungrouped). */
+  /** Exact 128-bit set-identity key over a `sh` shingle-array column;
+    * null for null/empty sets (those rows stay ungrouped). */
   def setKey: Column =
     when(col("sh").isNotNull && size(col("sh")) > 0,
-      md5(concat_ws(",", array_sort(col("sh")).cast("array<string>"))))
+      struct(xxhash64(array_sort(col("sh"))).as("h1"),
+             xxhash64(array_sort(col("sh")), lit(1)).as("h2")))
 
-  /** (keyed, groups, reps) for an (id, sh, …) frame: the input with a
-    * `gk` column, the (gk, rep_id) group table, and the frame filtered
-    * to one smallest-id representative per group (plus every ungrouped
-    * null-key row), `gk` dropped. Ids must be integral
+  /** The collapse of one input frame: the fenced narrow (id, gk)
+    * projection, the fenced (gk, rep_id, g_n) group table, the frame
+    * to run the pipeline on (one smallest-id representative per group
+    * plus every ungrouped row — or the input itself when no group has
+    * two members), and whether any multi-member group exists. */
+  final case class Collapsed(gkFrame: DataFrame, groups: DataFrame,
+                             reps: DataFrame, hasMulti: Boolean)
+
+  /** Collapse an (id, sh, …) frame. The caller's frame should already
+    * be fenced (both call sites fence their shingle frames); collapse
+    * adds no wide materialization of its own. Ids must be integral
     * ([[SetVerify.requireIntegralIds]] — enforced by callers). */
-  def collapse(frame: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val keyed = Fence(frame.withColumn("gk", setKey))
-    val groups = Fence(keyed.filter(col("gk").isNotNull)
+  def collapse(frame: DataFrame): Collapsed = {
+    val gkFrame = Fence(frame.select(col("id").cast("long").as("id"),
+      setKey.as("gk")))
+    val groups = Fence(gkFrame.filter(col("gk").isNotNull)
       .groupBy(col("gk"))
-      .agg(min(col("id").cast("long")).as("rep_id")))
-    val reps = keyed.filter(col("gk").isNull).unionByName(
-      keyed.join(groups.select(col("rep_id").as("__rid")),
-        col("id").cast("long") === col("__rid"), "left_semi"))
-      .drop("gk")
-    (keyed, groups, reps)
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("g_n")))
+    val hasMulti = !groups.filter(col("g_n") > 1).isEmpty
+    val reps =
+      if (!hasMulti) frame
+      else frame
+        .join(groups.select(col("rep_id").as("__rid")),
+          col("id").cast("long") === col("__rid"), "left_semi")
+        .unionByName(frame.filter(col("sh").isNull ||
+          size(col("sh")) === 0))
+    Collapsed(gkFrame, groups, reps, hasMulti)
   }
 
   /** Exact recovery: expand rep-level verified pairs
-    * (doc_a, doc_b, `scoreCol`) to member level — cross-group pairs
-    * inherit the rep pair's score (id-equi-joins to the group keys,
-    * then gk-equi-joins to the members, replicating by group size,
-    * never by pair volume squared) — and append within-group pairs at
-    * score 1.0 through the guarded gk self-join, so a huge duplicate
-    * group emits its inherent O(g²) OUTPUT rows across salted tasks. */
-  def expand(repPairs: DataFrame, keyed: DataFrame, groups: DataFrame,
+    * (doc_a, doc_b, `scoreCol`) to member level. With no multi-member
+    * group the verified pairs already ARE the member pairs — returned
+    * verbatim. Otherwise pairs touching no multi-member group pass
+    * through two left joins against the small multi-group rep table;
+    * a pair whose side(s) represent multi-member groups replicates
+    * through gk-equi-joins to the members, by group size, never by
+    * pair volume squared; and within-group pairs ride the guarded gk
+    * self-join at score 1.0, so a huge duplicate group emits its
+    * inherent O(g²) OUTPUT rows across salted tasks. */
+  def expand(repPairs: DataFrame, c: Collapsed,
              scoreCol: String): DataFrame = {
-    val mem = keyed.filter(col("gk").isNotNull)
-      .select(col("gk"), col("id").cast("long").as("id"))
-    val repGk = groups.select(col("rep_id"), col("gk"))
-    val cross = repPairs
-      .join(repGk.select(col("rep_id").as("doc_a"), col("gk").as("gk_a")),
-        Seq("doc_a"))
-      .join(repGk.select(col("rep_id").as("doc_b"), col("gk").as("gk_b")),
-        Seq("doc_b"))
-      .join(mem.select(col("gk").as("gk_a"), col("id").as("id_a")),
-        Seq("gk_a"))
-      .join(mem.select(col("gk").as("gk_b"), col("id").as("id_b")),
-        Seq("gk_b"))
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-              greatest(col("id_a"), col("id_b")).as("doc_b"),
-              col(scoreCol))
-    val within = SkewJoin.guardedPairs(mem, mem, Seq("gk"),
+    val asLong = repPairs.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b"), col(scoreCol))
+    if (!c.hasMulti) return asLong
+    val multi = c.groups.filter(col("g_n") > 1)
+    val memMulti = c.gkFrame
+      .join(multi.select(col("gk")), Seq("gk"), "left_semi")
+    val tagged = asLong
+      .join(multi.select(col("rep_id").as("doc_a"), col("gk").as("gk_a")),
+        Seq("doc_a"), "left")
+      .join(multi.select(col("rep_id").as("doc_b"), col("gk").as("gk_b")),
+        Seq("doc_b"), "left")
+    val pass = tagged.filter(col("gk_a").isNull && col("gk_b").isNull)
+      .select(col("doc_a"), col("doc_b"), col(scoreCol))
+    val touched = tagged
+      .filter(col("gk_a").isNotNull || col("gk_b").isNotNull)
+      .join(memMulti.select(col("gk").as("gk_a"), col("id").as("id_a")),
+        Seq("gk_a"), "left")
+      .join(memMulti.select(col("gk").as("gk_b"), col("id").as("id_b")),
+        Seq("gk_b"), "left")
+      .select(
+        least(coalesce(col("id_a"), col("doc_a")),
+              coalesce(col("id_b"), col("doc_b"))).as("doc_a"),
+        greatest(coalesce(col("id_a"), col("doc_a")),
+                 coalesce(col("id_b"), col("doc_b"))).as("doc_b"),
+        col(scoreCol))
+    val within = SkewJoin.guardedPairs(memMulti, memMulti, Seq("gk"),
         selfJoin = true, MinHashLSH.HotBucketCap,
         MinHashLSH.HotBucketSalts) { j =>
       j.select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         lit(1.0).as(scoreCol))
     }
-    cross.unionByName(within)
+    pass.unionByName(touched).unionByName(within)
   }
 }

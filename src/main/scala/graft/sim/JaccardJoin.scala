@@ -111,7 +111,8 @@ object JaccardJoin {
     // member pairs exactly. Side benefit: document frequencies are
     // computed over DISTINCT sets, so a boilerplate flood no longer
     // drags its tokens toward the common end of the prefix order.
-    val (keyed, groups, sh) = GroupCollapse.collapse(shAll)
+    val collapsed = GroupCollapse.collapse(shAll)
+    val sh = collapsed.reps
     val ex = sh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("h"))
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
@@ -139,7 +140,7 @@ object JaccardJoin {
     // (scores, threshold semantics and the oracle SQL identical to the
     // Column array_intersect form — see [[SetVerify]] for why)
     val repPairs = SetVerify.jaccard(cand, sh, threshold)
-    GroupCollapse.expand(repPairs, keyed, groups, "jacc")
+    GroupCollapse.expand(repPairs, collapsed, "jacc")
   }
 
   /** Naive-quadratic oracle SQL — same output, independent plan. */

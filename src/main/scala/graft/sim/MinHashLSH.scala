@@ -204,7 +204,8 @@ object MinHashLSH {
     // one shuffle in the engine that can go quadratic per task. Band
     // one smallest-id representative per group; recover member pairs
     // exactly afterwards.
-    val (keyed, groups, reps) = GroupCollapse.collapse(all)
+    val collapsed = GroupCollapse.collapse(all)
+    val reps = collapsed.reps
     // The size prune + agreement floor are FUSED into the band join:
     // the band frame carries each doc's fixed-width (n, sig), so
     // collided pairs are filtered in the join's own stage and only
@@ -224,7 +225,7 @@ object MinHashLSH {
     val survivors =
       collidedSurvivors(bands, bands, threshold, geom, selfJoin = true)
     val repPairs = verifySurvivors(survivors, reps, threshold)
-    GroupCollapse.expand(repPairs, keyed, groups, "jacc")
+    GroupCollapse.expand(repPairs, collapsed, "jacc")
   }
 
   /** Floor-filtered collided pairs between two sig-carrying band

@@ -22,12 +22,17 @@ import org.apache.spark.sql.functions._
   * ENUMERATION is spread (max task stays near the control's) and the
   * count is exact.
   *
-  * Args: [sfDir] [nDup] [threshold]. */
+  * Args: [sfDir] [nDup] [threshold] [op: lsh|jacc]. `jacc` drives the
+  * exact prefix-filtered [[JaccardJoin]] instead (round-8 shares the
+  * same GroupCollapse containment: a set-identical flood otherwise
+  * inflates its own tokens' document frequency and floods the prefix
+  * buckets). */
 object ProbeSkew {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nDup = args.lift(1).map(_.toInt).getOrElse(10000)
     val threshold = args.lift(2).map(_.toDouble).getOrElse(0.7)
+    val op = args.lift(3).getOrElse("lsh")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -51,8 +56,10 @@ object ProbeSkew {
     def run(label: String, frame: org.apache.spark.sql.DataFrame): Unit = {
       maxTaskMs.set(0L)
       val t0 = System.nanoTime()
-      val pairs = MinHashLSH
-        .nearDupPairs(frame, "doc_id", "text", 3, threshold).count()
+      val pairs = (if (op == "jacc")
+          JaccardJoin.selfJoinWords(frame, "doc_id", "text", 3, threshold)
+        else MinHashLSH
+          .nearDupPairs(frame, "doc_id", "text", 3, threshold)).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"$label%-28s wall ${secs}%7.2f s   max task " +
         f"${maxTaskMs.get() / 1000.0}%6.2f s   pairs $pairs")
