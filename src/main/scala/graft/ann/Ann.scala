@@ -153,8 +153,9 @@ object Ann {
     * computed columns. */
   private def withNorms(data: DataFrame, idCol: String,
                         vecCol: String): DataFrame =
-    graft.core.Fence(data.select(col(idCol).as("id"),
-        checkedVec(toDouble(col(vecCol))).as("v"))
+    graft.core.Fence(graft.core.Par.ensure(
+        data.select(col(idCol).as("id"),
+          checkedVec(toDouble(col(vecCol))).as("v")))
       .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v")))))
 
   /** Exact-cosine scoring of candidate id-pairs: two id-equi-joins attach
@@ -330,21 +331,39 @@ object Ann {
     // common case passes every verified pair through verbatim.
     val vkey = struct(xxhash64(col("v")).as("h1"),
       xxhash64(col("v"), lit(1)).as("h2"))
-    val keyed = graft.core.Fence(d.select(
-      col("id").cast("long").as("id"),
-      when(col("v").isNotNull, vkey).as("gk")))
-    val groups = graft.core.Fence(d.filter(col("v").isNotNull)
-      .groupBy(vkey.as("gk"))
-      .agg(min(col("id").cast("long")).as("rep_id"),
-           count(lit(1)).as("g_n"),
-           first(col("v")).as("gv"), first(col("nrm")).as("gnrm")))
-    // one aggregate over the fenced narrow frame decides whether any
-    // duplicate-vector group exists; without one the collapse is the
-    // identity — band every row, return the verified pairs verbatim
-    val hasMulti = !groups.filter(col("g_n") > 1).isEmpty
-    val reps = if (!hasMulti) d
-      else d.join(groups.select(col("rep_id").as("__rid")),
-        col("id").cast("long") === col("__rid"), "left_semi")
+    // CONDITIONAL, like GroupCollapse: collapse + recovery is
+    // pair-for-pair equivalent to the plain pipeline, so it is pure
+    // overhead until some duplicate-vector group could blow a band
+    // bucket past the salted join's per-task pair budget. One narrow
+    // aggregate measures the largest group; at or under the cap the
+    // plain plan runs verbatim. When active, the machinery moves
+    // NARROW bytes only: the group table aggregates (gk, id) — never
+    // the vectors — and reps is the input minus a broadcast anti-join
+    // against the non-representative duplicate ids, so the banded rows
+    // are the caller's own rows. The recovery chain below stays lazy,
+    // resolving its empty-vs-hot branches at runtime via AQE.
+    val maxGroupRow = d.filter(col("v").isNotNull)
+      .groupBy(xxhash64(col("v")).as("dk"))
+      .agg(count(lit(1)).as("c")).agg(max(col("c")).as("m")).collect()(0)
+    val active = !maxGroupRow.isNullAt(0) &&
+      maxGroupRow.getLong(0) > graft.sim.GroupCollapse.CollapseCap
+    val keyed = if (!active) null else
+      graft.core.Fence.soft(d.filter(col("v").isNotNull)
+        .select(col("id").cast("long").as("id"), vkey.as("gk")))
+    val groups = if (!active) null else
+      graft.core.Fence.soft(keyed.groupBy(col("gk"))
+        .agg(min(col("id")).as("rep_id"), count(lit(1)).as("g_n")))
+    val multi = if (!active) null else groups.filter(col("g_n") > 1)
+    val memMulti = if (!active) null else graft.core.Fence.soft(
+      keyed.join(multi.select(col("gk")), Seq("gk"), "left_semi"))
+    val reps = if (!active) d else {
+      val dropIds = memMulti
+        .join(multi.select(col("gk"), col("rep_id")), Seq("gk"))
+        .filter(col("id") =!= col("rep_id"))
+        .select(col("id").as("__did"))
+      d.join(dropIds, col("id").cast("long") === col("__did"),
+        "left_anti")
+    }
     val bb = graft.core.Fence(reps.select(col("id"), col("v"), col("nrm"),
       explode(array(
         (0 until NearDupBands).map(b => struct(lit(b).as("band"),
@@ -361,49 +380,51 @@ object Ann {
               col("b.v").as("vb"), col("b.nrm").as("nb"))
     }
     val repPairs = scoreJoined(joined, minCos).distinct()
-    if (!hasMulti) return repPairs
+    if (!active) return repPairs
       .select(col("id_a").cast("long").as("id_a"),
               col("id_b").cast("long").as("id_b"), col("cos"))
-    // exact recovery: pairs touching no multi-member group pass
-    // through verbatim (two left joins against the small multi-group
-    // rep table); a pair whose side(s) represent multi-member groups
-    // replicates through gk-joins to the members, by group size; and
-    // within-group pairs ride the guarded self-join so a huge
-    // duplicate group emits its inherent O(g²) OUTPUT rows across
-    // salted tasks, with one dot per distinct vector.
-    val multi = groups.filter(col("g_n") > 1)
-    val memMulti = keyed.join(multi.select(col("gk")), Seq("gk"),
-      "left_semi")
-    val tagged = repPairs
+    // exact recovery, ONE join chain (no branch split, so the verify
+    // plan above executes once): each side left-tags its multi-group
+    // key — null for the untouched common case, and a null gk
+    // equi-matches no member — then left-joins the members per side,
+    // replicating by group size; `coalesce` passes untouched ids
+    // through verbatim. Within-group pairs ride the guarded self-join
+    // so a huge duplicate group emits its inherent O(g²) OUTPUT rows
+    // across salted tasks, with one dot per distinct vector.
+    val cross = repPairs
+      .select(col("id_a").cast("long").as("id_a"),
+              col("id_b").cast("long").as("id_b"), col("cos"))
       .join(multi.select(col("rep_id").as("id_a"), col("gk").as("gk_a")),
         Seq("id_a"), "left")
       .join(multi.select(col("rep_id").as("id_b"), col("gk").as("gk_b")),
         Seq("id_b"), "left")
-    val pass = tagged.filter(col("gk_a").isNull && col("gk_b").isNull)
-      .select(col("id_a").cast("long").as("id_a"),
-              col("id_b").cast("long").as("id_b"), col("cos"))
-    val touched = tagged
-      .filter(col("gk_a").isNotNull || col("gk_b").isNotNull)
       .join(memMulti.select(col("gk").as("gk_a"), col("id").as("ma")),
         Seq("gk_a"), "left")
       .join(memMulti.select(col("gk").as("gk_b"), col("id").as("mb")),
         Seq("gk_b"), "left")
       .select(
-        least(coalesce(col("ma"), col("id_a").cast("long")),
-              coalesce(col("mb"), col("id_b").cast("long"))).as("id_a"),
-        greatest(coalesce(col("ma"), col("id_a").cast("long")),
-                 coalesce(col("mb"), col("id_b").cast("long"))).as("id_b"),
+        least(coalesce(col("ma"), col("id_a")),
+              coalesce(col("mb"), col("id_b"))).as("id_a"),
+        greatest(coalesce(col("ma"), col("id_a")),
+                 coalesce(col("mb"), col("id_b"))).as("id_b"),
         col("cos"))
-    val selfCos = multi.select(col("gk"),
-      (dotUnrolled(col("gv"), col("gv")) / (col("gnrm") * col("gnrm")))
-        .as("cos"))
+    // one dot per distinct duplicated vector: the rep's (v, nrm) come
+    // back from the banded frame by rep_id — a broadcast-sized join
+    // (bb holds the rep's rows; any band's row carries v and nrm)
+    val selfCos = multi
+      .join(bb.select(col("id").cast("long").as("rep_id"), col("v"),
+          col("nrm"))
+        .dropDuplicates("rep_id"), Seq("rep_id"))
+      .select(col("gk"),
+        (dotUnrolled(col("v"), col("v")) / (col("nrm") * col("nrm")))
+          .as("cos"))
     val memC = memMulti.join(selfCos, Seq("gk"))
     val within = graft.core.SkewJoin.guardedPairs(memC, memC, Seq("gk"),
         selfJoin = true, NearDupHotCap, NearDupHotSalts) { j =>
       j.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.cos").as("cos"))
     }.filter(col("cos") >= minCos)
-    pass.unionByName(touched).unionByName(within)
+    cross.unionByName(within)
   }
 
   /** IVF-Flat ANN — the inverted-file scale path beside the LSH one:

@@ -27,4 +27,21 @@ import org.apache.spark.sql.DataFrame
   */
 object Fence {
   def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+
+  /** Lazy variant for plans that contain a shuffle: [[apply]] is lazy
+    * about its DATA but materializing the checkpoint RDD still forces
+    * AQE to execute every upstream exchange as serialized driver-side
+    * jobs at plan-construction time — each fenced shuffle becomes a
+    * barrier BEFORE the operator's own job starts (measured ~2 s of
+    * pure overhead per operator at sf0.1 for the group-collapse
+    * aggregate). `persist` instead substitutes an InMemoryRelation for
+    * every reference at analysis time: computed once inside the first
+    * job that needs it, shared by all references, zero plan-time work.
+    * The cache entry is freed with the session's other caches (the
+    * bench scrubs via `clearCache`); like [[apply]], executor loss
+    * recomputes from lineage. Prefer [[apply]] for per-row derivation
+    * pipelines (no shuffle — nothing to execute eagerly, and
+    * checkpoint blocks skip the columnar encode); prefer this for
+    * fencing aggregates/joins referenced more than once. */
+  def soft(df: DataFrame): DataFrame = df.persist()
 }

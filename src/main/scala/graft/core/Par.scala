@@ -16,4 +16,18 @@ object Par {
   def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt)
+
+  /** [[fanOut]] only when the frame's planned partitioning is narrower
+    * than the configured shuffle parallelism — for per-row kernel
+    * inputs (signature/shingle pipelines) whose scan may be a single
+    * small file locally but thousands of splits on a cluster, where
+    * the repartition would be a pure-overhead full shuffle. Call only
+    * on scan/map-only frames: inspecting the partition count plans the
+    * frame's RDD, and a shuffle in the plan would materialize its
+    * stages eagerly under AQE. */
+  def ensure(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

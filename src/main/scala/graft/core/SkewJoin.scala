@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * live in the join shape itself.
   *
   * [[guardedPairs]] splits buckets by measured size: buckets at or under
-  * `cap` rows join exactly as before (when NO bucket is hot — the common
-  * corpus — the result IS the plain equi-join, and the only overhead is
-  * the one count aggregate that established it), buckets
-  * over it run salted — each left row takes a deterministic salt
+  * `cap` rows join exactly as before (on the common no-hot-bucket corpus
+  * the cold branch IS the plain equi-join and the salted branch is
+  * empty; the whole plan stays lazy — the count aggregate and the tag
+  * join run as broadcast stages inside the operator's own job, never as
+  * serialized driver actions before it, and AQE broadcasts the empty
+  * hot list at runtime), buckets over it run salted — each left row takes a deterministic salt
   * `xxhash64(id) mod salts`, each right row is replicated across all
   * `salts` values, and the join adds the salt to its keys. Every pair
   * still meets exactly once (the left row's salt is a function of its
@@ -67,17 +69,6 @@ object SkewJoin {
       val cond = if (selfJoin) cond0 && col("a.id") < col("b.id") else cond0
       project(a.as("a").join(b.as("b"), cond))
     }
-    // The hot-key list is driver-bounded by rows/cap BY CONSTRUCTION
-    // (the 1000× key-space reduction above) and would be materialized
-    // on the driver by the broadcast below anyway; collecting it first
-    // lets the common no-hot-bucket corpus take the plain equi-join
-    // verbatim — no tag join, no empty salted branch, and (for unfenced
-    // inputs like the band frames) no third/fourth recomputation of the
-    // input subplan. Skewed inputs pay the count twice (here and inside
-    // the tag join below) — the guarded path's cost lives on the
-    // skewed corpus, not on every run.
-    val anyHot = !hot.isEmpty
-    if (!anyHot) return branch(dfA, dfB, salted = false)
     def split(df: DataFrame): (DataFrame, DataFrame) = {
       val tagged = df.join(broadcast(hot), keys, "left")
       (tagged.filter(col("__hot").isNull).drop("__hot"),

@@ -60,8 +60,11 @@ object JaccardJoin {
     require(n >= 2 && n <= 6)
     import org.apache.spark.sql.types.{ArrayType, LongType, StructField,
       StructType}
-    val base = docs.select(col(idCol).as("id"),
-      col(textCol).cast("string").as("__t"))
+    // spread the kernel across the configured parallelism (no-op when
+    // the scan already plans wide — MinHashLSH.signatureFrame
+    // precedent)
+    val base = graft.core.Par.ensure(docs.select(col(idCol).as("id"),
+      col(textCol).cast("string").as("__t")))
     val schema = StructType(Seq(base.schema.head,
       StructField("sh", ArrayType(LongType, true), true)))
     val p = 2147483647L

@@ -379,8 +379,14 @@ object MinHashLSH {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
       StructField, StructType}
     val numPerm = geom.numPerm
-    val base = docs.select(col(idCol).as("id"),
-      col(textCol).cast("string").as("__t"))
+    // spread the kernel (and the fence blocks every downstream
+    // reference scans) across the configured parallelism: a small
+    // local parquet plans as ONE split, serializing the signature
+    // compute AND each of the ~10 downstream checkpoint scans into
+    // single 0.6 s tasks (measured); on a cluster the scan is already
+    // wide and this is a no-op
+    val base = graft.core.Par.ensure(docs.select(col(idCol).as("id"),
+      col(textCol).cast("string").as("__t")))
     val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(NumPermMetaKey, numPerm.toLong).build()
     val schema = StructType(Seq(base.schema.head,

@@ -38,12 +38,15 @@ object ProbeStages {
 
     val collapsed = timed("collapse.detect")(GroupCollapse.collapse(all))
     val reps = collapsed.reps
-    timed("collapse.gk")(
-      collapsed.gkFrame.write.format("noop").mode("overwrite").save())
-    timed("collapse.groups")(
-      collapsed.groups.write.format("noop").mode("overwrite").save())
-    timed("collapse.reps")(
-      reps.write.format("noop").mode("overwrite").save())
+    println(s"  collapse active = ${collapsed.active}")
+    if (collapsed.active) {
+      timed("collapse.groups")(
+        collapsed.groups.write.format("noop").mode("overwrite").save())
+      timed("collapse.memMulti")(
+        collapsed.memMulti.write.format("noop").mode("overwrite").save())
+      timed("collapse.reps")(
+        reps.write.format("noop").mode("overwrite").save())
+    }
 
     val bands = MinHashLSH.bandFrameWithSig(reps, geom)
     timed("bands")(

@@ -131,7 +131,9 @@ class SkewSpec extends SparkSpec {
     import graft.ann.Ann
     val v1 = Seq.tabulate(Ann.Dim)(i => ((i % 7) + 1).toFloat / 7f)
     val v2 = Seq.tabulate(Ann.Dim)(i => -((i % 5) + 1).toFloat / 5f)
-    val vecs = ((0L until 30L).map(i => (i, v1)) ++
+    // 40 > GroupCollapse.CollapseCap so the collapse machinery (not
+    // the plain passthrough) is what must match the exact baseline
+    val vecs = ((0L until 40L).map(i => (i, v1)) ++
       (100L until 105L).map(i => (i, v2))).toDF("vec_id", "embedding")
     val minCos = 0.9
     val lsh = Ann.embeddingNearDupLsh(vecs, "vec_id", "embedding", minCos)
@@ -143,7 +145,7 @@ class SkewSpec extends SparkSpec {
     // here and the recovered within-group cosines must carry the exact
     // kernel's arithmetic (same left-to-right fold) bit for bit
     assert(lsh == exact)
-    assert(lsh.count { case (a, b, _) => a < 30 && b < 30 } == 30 * 29 / 2)
+    assert(lsh.count { case (a, b, _) => a < 40 && b < 40 } == 40 * 39 / 2)
     assert(lsh.count { case (a, b, _) => a >= 100 && b >= 100 } == 5 * 4 / 2)
     assert(lsh.forall(_._3 > 0.999999))
   }
