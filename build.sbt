@@ -29,4 +29,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent array-heavy tasks in one JVM; 8g keeps
   // the bench permanently in GC once the dedup queries have run
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // 116 codegen-heavy queries in one JVM push the default 240m
+  // segmented code cache to the occupancy where the JDK-17 sweeper
+  // flushes warm nmethods; the recompile churn made late bench queries
+  // stochastically 2-17x slower (measured: full-run 202s/123s/103s at
+  // default vs 81s/83s at 512m, dp01 85s worst-case vs 7.8s). GC was
+  // ruled out first (-Xlog:gc total 2.9s for the worst pair).
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
