@@ -126,7 +126,7 @@ object MinHashLSH {
     * bucket in the gated corpora comes near it, so gate plans take the
     * cold branch end-to-end. */
   val HotBucketCap = 1024
-  val HotBucketSalts = 16
+  val HotBucketSalts = 32
 
   /** Integer numerator of the provably-safe size prune
     * (`10·min(n) >= tNum·max(n)` keeps a pair only when its best-case
@@ -221,6 +221,17 @@ object MinHashLSH {
     // dups collide in several bands) — pair semantics are identical
     // because the floor is deterministic per pair, and the oracle SQL
     // (floor before DISTINCT, same integer math) is equivalent.
+    // deliberately UNFENCED: the guarded join's three references to
+    // the band frame (count aggregate + both tagged sides) are
+    // identical subtrees, so ReuseExchange shares the fan-out shuffle
+    // inside bandFrameWithSig across them. Both fence flavors measure
+    // WORSE here: persist() pays a columnar encode of the sig arrays
+    // and hands AQE a small, accurate size stat that flips the guarded
+    // join to a broadcast (defeating the salt spread — see SkewJoin);
+    // localCheckpoint on a plan containing the fan-out repartition
+    // executes that exchange eagerly as serialized driver jobs at plan
+    // time (the Fence.soft scaladoc's failure mode, measured 2-3x on
+    // the probe's control).
     val bands = bandFrameWithSig(reps, geom)
     val survivors =
       collidedSurvivors(bands, bands, threshold, geom, selfJoin = true)
