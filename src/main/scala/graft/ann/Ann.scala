@@ -82,29 +82,56 @@ object Ann {
   val NearDupHotCap = 4096
   val NearDupHotSalts = 16
 
-  /** Fixed projection matrix from a public LCG (x' = (1103515245x +
-    * 12345) mod 2^31), quantized to multiples of 1/1024 in [-0.5, 0.5)
-    * so every value has an exact finite decimal form — the SQL literal
-    * the oracle parses round-trips to the identical double. The first
-    * [[Planes]] rows are the ANN bucket planes; the full
-    * NearDupBands×NearDupPlanes prefix feeds the near-dup bands (same
-    * stream, so extending the matrix never changes existing buckets). */
-  val projections: IndexedSeq[IndexedSeq[Double]] = {
+  /** First `rows` rows of the fixed projection stream — a public LCG
+    * (x' = (1103515245x + 12345) mod 2^31), quantized to multiples of
+    * 1/1024 in [-0.5, 0.5) so every value has an exact finite decimal
+    * form — the SQL literal the oracle parses round-trips to the
+    * identical double. The stream is prefix-stable: asking for more rows
+    * never changes the earlier ones, so scaled-up plane counts extend
+    * the geometry without moving any existing bucket. */
+  def projectionMatrix(rows: Int): IndexedSeq[IndexedSeq[Double]] = {
     var x = 42L
     def next(): Double = {
       x = (1103515245L * x + 12345L) % 2147483648L
       ((x >> 4) % 1024).toDouble / 1024.0 - 0.5
     }
-    IndexedSeq.fill(math.max(Planes, NearDupBands * NearDupPlanes))(
-      IndexedSeq.fill(Dim)(next()))
+    IndexedSeq.fill(rows)(IndexedSeq.fill(Dim)(next()))
   }
 
-  /** LSH bucket id: sign bits of the Planes projections. */
-  def bucket(v: Column): Column =
-    (0 until Planes).map { j =>
-      when(dot(v, typedLit(projections(j))) > 0, lit(1L << j))
+  /** The default matrix: the first [[Planes]] rows are the ANN bucket
+    * planes; the full NearDupBands×NearDupPlanes prefix feeds the
+    * near-dup bands (same stream — see [[projectionMatrix]]). */
+  val projections: IndexedSeq[IndexedSeq[Double]] =
+    projectionMatrix(math.max(Planes, NearDupBands * NearDupPlanes))
+
+  /** LSH bucket id: sign bits of the first `planes` projections. The
+    * gate geometry is the fixed [[Planes]] = 8 (256 buckets — fine at
+    * gate scale, shared with the oracle SQL); a corpus-sized run wants
+    * [[autoPlanes]] so bucket cardinality grows with the data instead
+    * of staying a 256-value constant. ≤62 keeps the id in a BIGINT. */
+  def bucket(v: Column, planes: Int = Planes): Column = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1,62]: $planes")
+    val m = if (planes <= projections.length) projections
+      else projectionMatrix(planes)
+    (0 until planes).map { j =>
+      when(dot(v, typedLit(m(j))) > 0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Plane count that targets `targetBucketRows` expected rows per
+    * bucket at a given corpus size (each plane halves the expected
+    * population): ceil(log2(n / target)), floored at the gate's
+    * [[Planes]]. With this, the within-bucket pair work per bucket is
+    * ~target² regardless of corpus scale — the knob that keeps
+    * [[lshBucketNeighbors]]'s self-join linear-ish instead of
+    * quadratic as n grows past Planes=8's 256-bucket ceiling. */
+  def autoPlanes(corpusRows: Long, targetBucketRows: Int = 1024): Int = {
+    require(targetBucketRows >= 1)
+    val needed = math.ceil(math.log(math.max(1.0,
+      corpusRows.toDouble / targetBucketRows)) / math.log(2.0)).toInt
+    math.min(62, math.max(Planes, needed))
+  }
 
   def bucketSql(v: String): String = {
     def lits(p: IndexedSeq[Double]) =
@@ -545,27 +572,59 @@ object Ann {
 
   /** Within-bucket nearest neighbor (top-1 by cosine, ties to the
     * greatest vec_id) — the bucketed ANN scale path. Vectors alone in
-    * their bucket drop out. Output: (vec_id, bucket, neighbor, cos). */
-  def lshBucketNeighbors(data: DataFrame, idCol: String,
-                         vecCol: String): DataFrame = {
-    val d = graft.core.Fence(data.select(col(idCol).as("vec_id"),
+    * their bucket drop out. Output: (vec_id, bucket, neighbor, cos).
+    *
+    * The bucket self-join runs through [[graft.core.SkewJoin
+    * .guardedPairs]]: with a fixed plane count the bucket key space is a
+    * constant (2^planes values), so bucket population — and the single
+    * task that would otherwise enumerate a hot bucket's |bucket|² pairs
+    * — grows linearly with the corpus. The guard enumerates each
+    * unordered pair once (a.id < b.id, salted when hot) and a mirror
+    * explode restores both directions before the per-vector top-1, so
+    * the result is row-for-row the plain directed join's: the cosine
+    * kernel is symmetric under IEEE (aᵢbᵢ = bᵢaᵢ termwise, same fold
+    * order, nrm product commutes), and the top-1 max-struct aggregate
+    * commutes with the salt spread. Pinned guarded ≡ plain in SkewSpec.
+    *
+    * Per-pair scoring via the unrolled dot + precomputed norms: the
+    * identical left fold as [[cosine]] (bit-exact vs the oracle) but it
+    * stays inside whole-stage codegen — the HOF [[dot]] is interpreted
+    * (~30 µs per evaluation), ruinous in this pair-quadratic position. */
+  def lshBucketNeighbors(data: DataFrame, idCol: String, vecCol: String,
+                         planes: Int = Planes,
+                         hotCap: Int = NearDupHotCap,
+                         hotSalts: Int = NearDupHotSalts): DataFrame = {
+    val d = graft.core.Fence(data.select(col(idCol).as("id"),
       checkedVec(toDouble(col(vecCol))).as("v"))
-      .withColumn("bucket", bucket(col("v")))
+      .withColumn("bucket", bucket(col("v"), planes))
       .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v")))))
-    // per-pair scoring via the unrolled dot + precomputed norms: the
-    // identical left fold as [[cosine]] (bit-exact vs the oracle) but it
-    // stays inside whole-stage codegen — the HOF [[dot]] is interpreted
-    // (~30 µs per evaluation), ruinous in this pair-quadratic position
-    val pairs = d.as("a").join(d.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
-              col("b.vec_id").as("other"),
-              (dotUnrolled(col("a.v"), col("b.v")) /
-                (col("a.nrm") * col("b.nrm"))).as("cos"))
-    pairs.groupBy(col("vec_id"), col("bucket"))
+    val mirrored = graft.core.SkewJoin.guardedPairs(d, d, Seq("bucket"),
+        selfJoin = true, hotCap, hotSalts) { j =>
+      // cos is computed once per unordered pair (projection below the
+      // generator); the explode only duplicates the finished row
+      j.select(col("a.bucket").as("bucket"),
+          (dotUnrolled(col("a.v"), col("b.v")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"),
+          explode(array(
+            struct(col("a.id").as("vec_id"), col("b.id").as("other")),
+            struct(col("b.id").as("vec_id"), col("a.id").as("other"))))
+            .as("pr"))
+        .select(col("pr.vec_id").as("vec_id"), col("bucket"),
+                col("pr.other").as("other"), col("cos"))
+    }
+    mirrored.groupBy(col("vec_id"), col("bucket"))
       .agg(max(struct(col("cos"), col("other"))).as("best"))
       .select(col("vec_id"), col("bucket"),
               col("best.other").as("neighbor"), col("best.cos").as("cos"))
   }
+
+  /** [[lshBucketNeighbors]] with the plane count fitted to the corpus
+    * ([[autoPlanes]]) — the form a corpus-sized run should call. Costs
+    * one count() of the input (a column-less scan, the same bound as
+    * any size-aware planner decision) before the bucketing pass. */
+  def lshBucketNeighborsAuto(data: DataFrame, idCol: String,
+                             vecCol: String,
+                             targetBucketRows: Int = 1024): DataFrame =
+    lshBucketNeighbors(data, idCol, vecCol,
+      autoPlanes(data.count(), targetBucketRows))
 }

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev-only scratch probe (not part of the driver contract). */
 object Probe {
@@ -10,25 +11,13 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try {
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      ev.printSchema(); ev.show(3, false)
-    } catch {
-      case e: Throwable =>
-        var c: Throwable = e
-        while (c.getCause != null) c = c.getCause
-        println("PLAIN-READ-FAIL: " + c.toString.take(300))
-    }
-    try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      ev.printSchema(); ev.show(3, false)
-      println("NANOS-AS-LONG-OK")
-    } catch {
-      case e: Throwable =>
-        var c: Throwable = e
-        while (c.getCause != null) c = c.getCause
-        println("NANOS-AS-LONG-FAIL: " + c.toString.take(300))
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      println(s"== $sf nanosProbe=" +
+        graft.core.Tables.tsStoredAsNanos(spark, s"$dir/events.parquet"))
+      val ev = graft.core.Tables.load(spark, dir, "events")
+      ev.printSchema()
+      ev.agg(min("ts"), max("ts"), count(lit(1))).show(false)
     }
     spark.stop()
   }

@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   * ENUMERATION is spread (max task stays near the control's) and the
   * count is exact.
   *
-  * Args: [sfDir] [nDup] [threshold] [op: lsh|jacc]. `jacc` drives the
-  * exact prefix-filtered [[JaccardJoin]] instead (round-8 shares the
+  * Args: [sfDir] [nDup] [threshold] [op: lsh|jacc|ann02]. `jacc` drives
+  * the exact prefix-filtered [[JaccardJoin]] instead (round-8 shares the
   * same GroupCollapse containment: a set-identical flood otherwise
   * inflates its own tokens' document frequency and floods the prefix
-  * buckets). */
+  * buckets). `ann02` plants nDup copies of one EMBEDDING vector and
+  * drives [[graft.ann.Ann.lshBucketNeighbors]] — the round-9 guard:
+  * identical vectors agree on every projection sign, so all copies land
+  * in ONE of the 256 buckets and the unguarded self-join enumerated
+  * their nDup² pairs in a single task. */
 object ProbeSkew {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -51,30 +55,50 @@ object ProbeSkew {
       }
     })
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    def run(label: String, frame: org.apache.spark.sql.DataFrame): Unit = {
+    def run(label: String, thunk: => Long): Unit = {
       maxTaskMs.set(0L)
       val t0 = System.nanoTime()
-      val pairs = (if (op == "jacc")
+      val rows = thunk
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-28s wall ${secs}%7.2f s   max task " +
+        f"${maxTaskMs.get() / 1000.0}%6.2f s   rows $rows")
+    }
+
+    if (op == "ann02") {
+      import graft.ann.Ann
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      run("control (no planted group)",
+        Ann.lshBucketNeighbors(emb, "vec_id", "embedding").count())
+      val seedVec = emb.orderBy(col("vec_id")).limit(1)
+        .collect()(0).getSeq[Float](1)
+      val planted = spark.range(nDup)
+        .select((col("id") + 10000000000L).as("vec_id"),
+          typedLit(seedVec).as("embedding"))
+      println(s"planting $nDup identical vectors (all in one bucket; " +
+        s"unguarded enumeration = ${nDup.toLong * nDup} pairs, one task)")
+      run(s"planted +$nDup identical",
+        Ann.lshBucketNeighbors(emb.unionByName(planted),
+          "vec_id", "embedding").count())
+    } else {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def pairs(frame: org.apache.spark.sql.DataFrame): Long =
+        (if (op == "jacc")
           JaccardJoin.selfJoinWords(frame, "doc_id", "text", 3, threshold)
         else MinHashLSH
           .nearDupPairs(frame, "doc_id", "text", 3, threshold)).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"$label%-28s wall ${secs}%7.2f s   max task " +
-        f"${maxTaskMs.get() / 1000.0}%6.2f s   pairs $pairs")
+      run("control (no planted group)", pairs(docs))
+      val seedText = docs.orderBy(col("doc_id")).limit(1)
+        .collect()(0).getString(1)
+      val planted = spark.range(nDup)
+        .select((col("id") + 10000000000L).as("doc_id"),
+          lit(seedText).as("text"))
+      val expectedWithin = nDup.toLong * (nDup - 1) / 2
+      println(s"planting $nDup copies (inherent within-group output = " +
+        s"$expectedWithin pairs)")
+      run(s"planted +$nDup identical", pairs(docs.unionByName(planted)))
     }
-
-    run("control (no planted group)", docs)
-    val seedText = docs.orderBy(col("doc_id")).limit(1)
-      .collect()(0).getString(1)
-    val planted = spark.range(nDup)
-      .select((col("id") + 10000000000L).as("doc_id"),
-        lit(seedText).as("text"))
-    val expectedWithin = nDup.toLong * (nDup - 1) / 2
-    println(s"planting $nDup copies (inherent within-group output = " +
-      s"$expectedWithin pairs)")
-    run(s"planted +$nDup identical", docs.unionByName(planted))
     spark.stop()
   }
 }

@@ -52,13 +52,43 @@ class CoreSpec extends SparkSpec {
     }
   }
 
-  test("events loader truncates nanos to micros") {
+  test("events loader lands in the corpus era regardless of the " +
+       "producer's timestamp encoding (round-8 postmortem pin)") {
+    // the real testdata, whatever encoding the driver last wrote: the
+    // loaded frame must be TimestampType and sit in a plausible era — a
+    // silent re-encode (the r8 NANOS→MICROS incident compressed 30 days
+    // into 1970) fails here loudly instead of only at the oracle gates
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     assert(ev.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
     assert(ev.count() == 1000)
+    val yr = ev.agg(min(year($"ts"))).head().getInt(0)
+    assert(yr > 2000, s"events.ts decoded into the wrong era: year $yr")
     // the legacy nanos flag is scoped to the events read, not the session
     assert(spark.conf.getOption(
       "spark.sql.legacy.parquet.nanosAsLong").forall(_ == "false"))
+  }
+
+  test("events loader decodes a raw-INT64-nanos producer via the footer " +
+       "probe (the other legal encoding)") {
+    // synthesize the nanos-producer shape: a bare INT64 ts column (no
+    // logical type annotation) holding epoch nanos
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    val nanos0 = 1709251200L * 1000000000L // 2024-03-01T00:00:00Z
+    Seq((1L, nanos0, 7L, "click", 1.0, "{}"),
+        (2L, nanos0 + 3600L * 1000000000L, 8L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Tables.tsStoredAsNanos(spark, s"$dir/events.parquet"))
+    val ev = Tables.load(spark, dir, "events")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val got = ev.orderBy($"event_id")
+      .select(date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect().toSeq
+    assert(got == Seq("2024-03-01 00:00:00", "2024-03-01 01:00:00"))
+    // and the MICROS path on the real data reports not-nanos
+    assert(!Tables.tsStoredAsNanos(spark,
+      "/root/testdata/sf0.001/events.parquet"))
   }
 }

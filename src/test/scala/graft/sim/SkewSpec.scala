@@ -126,6 +126,44 @@ class SkewSpec extends SparkSpec {
     assert(e.getMessage.contains("one decimal"))
   }
 
+  test("lshBucketNeighbors guarded ≡ plain: forcing every bucket hot " +
+       "leaves the per-vector top-1 unchanged, and planted duplicate " +
+       "vectors all neighbor within the group") {
+    import graft.ann.Ann
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(Ann.Dim)((rnd.nextInt(2048) - 1024) / 1024f)
+    val dup = vec()
+    // 30 identical vectors land in one bucket (every projection sign
+    // agrees) — the hot-bucket shape ann02 was missing a guard for
+    val vecs = ((0L until 30L).map(i => (i, dup)) ++
+      (100L until 140L).map(i => (i, vec()))).toDF("vec_id", "embedding")
+    def run(cap: Int, salts: Int) =
+      Ann.lshBucketNeighbors(vecs, "vec_id", "embedding",
+          hotCap = cap, hotSalts = salts)
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val plain = run(1000000, 2) // nothing hot: the unguarded baseline
+    assert(plain.nonEmpty)
+    for ((cap, salts) <- Seq((1, 2), (1, 7), (8, 3)))
+      assert(run(cap, salts) == plain, s"cap=$cap salts=$salts")
+    // every planted duplicate neighbors a fellow duplicate at cos ≈ 1
+    // (not exactly 1.0: nrm·nrm reassociates dot(v,v) by one rounding)
+    val dups = plain.filter(_._1 < 30)
+    assert(dups.size == 30)
+    assert(dups.forall { case (_, _, n, c) => n < 30 && c > 0.999999 })
+  }
+
+  test("autoPlanes scales bucket cardinality with the corpus and never " +
+       "shrinks below the gate geometry") {
+    import graft.ann.Ann
+    assert(Ann.autoPlanes(100L, 1024) == Ann.Planes)
+    assert(Ann.autoPlanes(1L << 20, 1024) == math.max(Ann.Planes, 10))
+    assert(Ann.autoPlanes(1L << 40, 1024) == 30)
+    assert(Ann.autoPlanes(Long.MaxValue, 1) == 62)
+    // prefix stability: a wider matrix starts with the default one
+    val wide = Ann.projectionMatrix(40)
+    assert(wide.take(Ann.projections.length) == Ann.projections)
+  }
+
   test("embeddingNearDupLsh on planted duplicate vectors equals the " +
        "exact quadratic baseline, pair for pair and bit for bit") {
     import graft.ann.Ann
