@@ -106,6 +106,20 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
   def readPaths(table: String, paths: Seq[String]): DataFrame =
     spark.read.option("basePath", tablePath(table)).parquet(paths: _*)
 
+  /** Remove one partition directory — the cleanup half of a compaction
+    * pass ([[graft.streaming.CorpusStream.compactState]]): the merged
+    * target partition is written first, sources deleted after, so a
+    * crash between the two leaves a recoverable (target-superset)
+    * state, never a lossy one. */
+  def deletePartition(table: String, partField: String,
+                      partValue: String): Unit = {
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+      f.delete()
+    }
+    rm(new File(s"${tablePath(table)}/$partField=$partValue"))
+  }
+
   /** S7: partition-metadata scan (the `$__PARTITIONS_SUMMARY__` scans at
     * custom_search_extraction.py:53-57) — directory listing only, no
     * data read. */

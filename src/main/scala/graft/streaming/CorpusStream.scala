@@ -66,6 +66,14 @@ object CorpusStream {
     * (tiny by construction) and pruned by the pk column. */
   val PkSplitMinRows: Long = 1000L * StatePartitions
 
+  /** Live (uncompacted) batch partitions that trigger a compaction pass
+    * at the start of the next batch. Without compaction the state tables
+    * accumulate one `batch_id=` directory per batch forever, and the
+    * per-batch LISTING cost — the one term the pk layout doesn't bound —
+    * grows linearly with stream age. With it, the directory count stays
+    * under CompactEvery + 1 regardless of how long the stream runs. */
+  val CompactEvery = 16
+
   private def pkCol: org.apache.spark.sql.Column =
     pmod(xxhash64(col("band_key")), lit(StatePartitions.toLong))
 
@@ -113,6 +121,101 @@ object CorpusStream {
 
   private def fp = md5(CorpusPipeline.fingerprintPrefix)
 
+  /** Merge every committed batch partition of the sketch + bands state
+    * tables into ONE compacted partition each (`batch_id=c<maxBatch>`),
+    * deleting the sources — the periodic pass that keeps the state
+    * tables' directory count (and so the per-batch listing cost) flat in
+    * stream age. Row-content-neutral by construction: the target is the
+    * exact union of the sources, and every consumer (the `fp` anti-join,
+    * `seenBandFrame`, `storedSigWidth`) reads the state by COLUMNS, not
+    * by which partition a row lives in. `excludeBatchKey` (the in-flight
+    * batch) is never touched, so replay idempotence is preserved: a
+    * compacted partition only ever contains batches committed before the
+    * current one started.
+    *
+    * Idempotent and crash-safe: the target key is a pure function of the
+    * source keys (`c` + max numeric key — never equal to a real numeric
+    * batch id), the target is written before any source is deleted, and
+    * a re-run that finds its target already present skips straight to
+    * cleanup. Each table compacts independently with the same rule, so a
+    * crash between the two tables' passes heals on the next trigger.
+    * Legacy sketch rows without the persisted bottom-k column are
+    * normalized during the rewrite. Returns true when anything moved. */
+  def compactState(catalog: TableCatalog, stateTable: String,
+                   excludeBatchKey: String): Boolean = {
+    def numOf(key: String): Option[Long] =
+      scala.util.Try(key.stripPrefix("c").toLong).toOption
+    def sourcesOf(table: String): Seq[String] =
+      if (!catalog.tableExists(table)) Seq.empty
+      else catalog.listPartitions(table, "batch_id")
+        .filter(k => k != excludeBatchKey && numOf(k).isDefined)
+    var moved = false
+    // sketch table: uniform layout, one partition-pruned read
+    val sk = sourcesOf(stateTable)
+    if (sk.size >= 2) {
+      val key = "c" + sk.flatMap(numOf).max
+      if (!sk.contains(key)) {
+        val merged = catalog.read(stateTable)
+          .filter(col("batch_id").isin(sk: _*))
+        val sb = if (merged.columns.contains("sb"))
+            coalesce(col("sb"), MinHashLSH.bottomKCol(col("sh")))
+          else MinHashLSH.bottomKCol(col("sh"))
+        // dropDuplicates: a crash that stranded an OLDER compacted
+        // partition beside its undeleted sources makes the union carry
+        // identical rows twice; by-id dedup restores the one-row-per-doc
+        // invariant (a no-op shuffle on the clean path)
+        catalog.writePartition(
+          merged.select(col("id"), col("fp"), col("sh"), col("n"),
+            col("sig"), sb.as("sb"))
+            .dropDuplicates("id")
+            .withColumn("batch_id", lit(key)),
+          stateTable, "batch_id", key)
+      }
+      sk.filter(_ != key)
+        .foreach(catalog.deletePartition(stateTable, "batch_id", _))
+      moved = true
+    }
+    // bands table: mixed layout (pk= sub-dirs vs plain files with a pk
+    // data column — see PkSplitMinRows) read per shape, pk recomputed
+    // uniformly (a pure function of band_key); the compacted partition
+    // is large by construction so it always takes the pk-split layout
+    val bandsTable = bandsTableOf(stateTable)
+    val bd = sourcesOf(bandsTable)
+    if (bd.size >= 2) {
+      val key = "c" + bd.flatMap(numOf).max
+      if (!bd.contains(key)) {
+        val base = catalog.tablePath(bandsTable)
+        val cols = Seq(col("id"), col("n"), col("sig"), col("band_idx"),
+          col("band_key"))
+        val (split, plain) = bd
+          .map(b => new java.io.File(s"$base/batch_id=$b"))
+          .partition(d => Option(d.listFiles()).getOrElse(Array.empty)
+            .exists(f => f.isDirectory && f.getName.startsWith("pk=")))
+        val parts = Seq(
+          if (split.nonEmpty)
+            Some(catalog.readPaths(bandsTable, split.map(_.getPath))
+              .select(cols: _*))
+          else None,
+          if (plain.nonEmpty)
+            Some(catalog.readPaths(bandsTable, plain.map(_.getPath))
+              .select(cols: _*))
+          else None).flatten
+        if (parts.nonEmpty)
+          catalog.writeSubPartitioned(
+            parts.reduce(_ unionByName _)
+              .dropDuplicates("id", "band_idx") // see sketch-side comment
+              .withColumn("pk", pkCol)
+              .withColumn("batch_id", lit(key))
+              .repartition(col("pk")),
+            bandsTable, "batch_id", key, "pk")
+      }
+      bd.filter(_ != key)
+        .foreach(catalog.deletePartition(bandsTable, "batch_id", _))
+      moved = true
+    }
+    moved
+  }
+
   /** One micro-batch through the full chain. Exposed (not inlined in
     * the foreachBatch closure) so the spec can drive batches directly
     * and assert intermediate semantics. `admit` is the row-local
@@ -125,7 +228,8 @@ object CorpusStream {
                    threshold: Double = CorpusPipeline.NearDupThreshold,
                    benchmark: Option[DataFrame] = None,
                    admit: DataFrame => DataFrame = gate,
-                   pkSplitMinRows: Long = PkSplitMinRows): Unit = {
+                   pkSplitMinRows: Long = PkSplitMinRows,
+                   compactEvery: Int = CompactEvery): Unit = {
     // the threshold-fitted band geometry (MinHashLSH.geometryFor) fixes
     // the stored signature width; requireCompatibleState (below, once
     // the state is opened) ENFORCES that this batch's derived width
@@ -134,6 +238,13 @@ object CorpusStream {
     // cross-batch candidate
     val geom = MinHashLSH.geometryFor(threshold)
     val batchKey = batchId.toString
+    // periodic state compaction BEFORE the state is opened: runs only on
+    // committed earlier batches (the in-flight key is excluded), so a
+    // replay of this batch sees the identical seen-corpus either way
+    if (compactEvery > 0 && catalog.tableExists(stateTable) &&
+        catalog.listPartitions(stateTable, "batch_id")
+          .count(_ != batchKey) >= compactEvery)
+      compactState(catalog, stateTable, batchKey)
     // 1. row-local gate + batch-local exact dedup (keep smallest id —
     //    the same rule dp01 applies globally); when a benchmark set is
     //    configured, decontaminate each batch against it before any

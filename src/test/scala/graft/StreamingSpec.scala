@@ -166,6 +166,58 @@ class StreamingSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("incremental corpus pipeline: state compaction every K batches " +
+       "yields identical output and identical seen-state, with the " +
+       "directory count bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    // 5 batches so compactEvery=2 fires multiple times, including over
+    // an already-compacted partition (c-key + fresh numeric keys)
+    val slices = Seq(
+      docs.filter($"doc_id" < 100),
+      docs.filter($"doc_id" >= 100 && $"doc_id" < 200),
+      docs.filter($"doc_id" >= 200 && $"doc_id" < 300),
+      docs.filter($"doc_id" >= 300 && $"doc_id" < 400),
+      docs.filter($"doc_id" >= 400))
+    def run(every: Int): (Set[(Long, String, Int)], Set[(Long, String)],
+        Int, graft.catalog.TableCatalog) = {
+      val wh = java.nio.file.Files
+        .createTempDirectory("corpus_cm_").toString
+      val cat = new graft.catalog.TableCatalog(spark, wh)
+      slices.zipWithIndex.foreach { case (b, i) =>
+        CorpusStream.processBatch(b, cat, "cm_seen", "cm_out", i.toLong,
+          compactEvery = every)
+      }
+      val out = cat.read("cm_out").select($"doc_id", $"lang", $"n_toks")
+        .as[(Long, String, Int)].collect().toSet
+      val state = cat.read("cm_seen").select($"id", $"fp")
+        .as[(Long, String)].collect().toSet
+      (out, state, cat.listPartitions("cm_seen", "batch_id").size, cat)
+    }
+    val (plainOut, plainState, plainDirs, _) = run(every = 0)
+    val (compOut, compState, compDirs, compCat) = run(every = 2)
+    assert(compOut == plainOut)
+    assert(compOut.nonEmpty)
+    assert(compState == plainState)
+    assert(plainDirs == 5)
+    // trigger-at-2 keeps at most (compacted + current + one fresh) dirs
+    assert(compDirs <= 3, s"expected <=3 state dirs, got $compDirs")
+    // a further compaction over the final state is idempotent
+    assert(CorpusStream.compactState(compCat, "cm_seen", "99"))
+    val again = compCat.read("cm_seen").select($"id", $"fp")
+      .as[(Long, String)].collect().toSet
+    assert(again == plainState)
+    assert(compCat.listPartitions("cm_seen", "batch_id").size == 1)
+    assert(compCat.listPartitions("cm_seen_bands", "batch_id").size == 1)
+    // the bands table's compacted partition carries the pk-split layout
+    val cdir = new java.io.File(compCat.tablePath("cm_seen_bands"),
+      "batch_id=" + compCat.listPartitions("cm_seen_bands",
+        "batch_id").head)
+    assert(cdir.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("pk=")))
+  }
+
   test("incremental corpus pipeline: the pk-split band layout produces " +
        "the same output as the plain small-batch layout") {
     // pkSplitMinRows=1 forces every batch's band rows into pk= dirs;
