@@ -57,10 +57,36 @@ object Bench {
       run(name, sfDir)
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver keeps only the LAST ~2000 chars of this process's
+    // output: round-8's full-name full-precision line (~4.5 KB) came
+    // back head-truncated and unparseable, hiding the a*/ann*/dd*/dp*
+    // families from the round artifact. Emit a compact line instead —
+    // keys shortened to their gate prefix (collisions keep the full
+    // name), values at millisecond precision — so the whole line plus
+    // sbt's [success] trailer fits inside the tail window.
+    val shortKeys = {
+      val prefixes = results.map(_._1).groupBy(_.takeWhile(_ != '_'))
+      results.map { case (k, _) =>
+        val p = k.takeWhile(_ != '_')
+        k -> (if (prefixes(p).size == 1) p
+              else if (prefixes(p).head == k) p else k)
+      }.toMap
+    }
+    def n3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) =>
+      "\"" + shortKeys(k) + "\":" + n3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // JVM-inheritance evidence (round-8/9 drift forensics): the code
+    // cache reserve is THE fix for the JDK-17 sweeper churn, and it only
+    // helps if the driver's invocation path actually forks with
+    // build.sbt's javaOptions — record what this JVM really got
+    val rccMb = try {
+      java.lang.management.ManagementFactory
+        .getPlatformMXBean(classOf[com.sun.management.HotSpotDiagnosticMXBean])
+        .getVMOption("ReservedCodeCacheSize").getValue.toLong / (1 << 20)
+    } catch { case _: Throwable => -1L }
+    val heapMb = Runtime.getRuntime.maxMemory() / (1 << 20)
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","rccMb":$rccMb,"heapMb":$heapMb,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,6 +67,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ann02: the guarded bucket self-join is a sort-merge join (the " +
+       "salting guarantee requires the join to distribute by (bucket, " +
+       "salt) — a broadcast join would keep the stream side's " +
+       "partitioning and collapse a hot bucket into one task)") {
+    val p = sparkPlan("ann02_lsh_neighbors")
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    // and the per-vector top-1 stays a max-struct aggregate (commutes
+    // with the salt spread), never a window over the pair volume
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
   test("dd07: cluster resolution ships no driver-side table — the " +
        "removal is an anti-join") {
     val p = sparkPlan("dd07_cluster_dedup")
