@@ -162,6 +162,17 @@ class SkewSpec extends SparkSpec {
     // prefix stability: a wider matrix starts with the default one
     val wide = Ann.projectionMatrix(40)
     assert(wide.take(Ann.projections.length) == Ann.projections)
+    // the Auto entry point wires through: below the scaling knee it is
+    // exactly the fixed-geometry operator
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 50L)
+      .map(i => (i, Seq.fill(Ann.Dim)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val auto = Ann.lshBucketNeighborsAuto(vecs, "vec_id", "embedding")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val fixed = Ann.lshBucketNeighbors(vecs, "vec_id", "embedding")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(auto == fixed && auto.nonEmpty)
   }
 
   test("embeddingNearDupLsh on planted duplicate vectors equals the " +
