@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.io.File
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -18,14 +18,30 @@ import org.apache.spark.sql.types.StructType
   * daily loop idempotent by construction. At cluster scale the same
   * layout is what `insertInto` with dynamic partitionOverwriteMode
   * produces — partition pruning on `field` filters comes free.
+  *
+  * All metadata operations (exists / list / delete / commit probes) go
+  * through `org.apache.hadoop.fs.FileSystem`, resolved from the
+  * warehouse URI — so the same catalog works over `file:`, HDFS, or an
+  * object store, and a 100-TB warehouse needs no code change. Nothing
+  * here touches `java.io.File`.
   */
 class TableCatalog(spark: SparkSession, warehouse: String) {
 
   def tablePath(table: String): String = s"$warehouse/$table"
 
+  def partitionPath(table: String, partField: String,
+                    partValue: String): String =
+    s"${tablePath(table)}/$partField=$partValue"
+
+  /** One FileSystem handle per catalog: resolved from the warehouse
+    * URI's scheme (Hadoop caches instances internally, so this is a
+    * lookup, not a connection per call). */
+  private lazy val fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** K3's exists-check (custom_search_extraction.py:151). */
   def tableExists(table: String): Boolean =
-    new File(tablePath(table)).exists()
+    fs.exists(new Path(tablePath(table)))
 
   /** K1: full-table overwrite write (process_open_data.py:250-258). */
   def writeFull(df: DataFrame, table: String): Unit =
@@ -60,7 +76,7 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
                      partValue: String): Unit =
     df.filter(col(partField) === partValue).drop(partField)
       .write.mode("overwrite")
-      .parquet(s"${tablePath(table)}/$partField=$partValue")
+      .parquet(partitionPath(table, partField, partValue))
 
   /** [[writePartition]] with a second, nested partition level: the
     * replaced `partField=value` directory is itself laid out as
@@ -72,7 +88,7 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
                           partValue: String, subField: String): Unit =
     df.filter(col(partField) === partValue).drop(partField)
       .write.mode("overwrite").partitionBy(subField)
-      .parquet(s"${tablePath(table)}/$partField=$partValue")
+      .parquet(partitionPath(table, partField, partValue))
 
   /** Bulk form of [[writePartition]]: all partitions in one job via the
     * native partitioned writer (same field=value layout, full
@@ -87,9 +103,11 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
     * A fresh schema-only table (no partitions written yet) reads as an
     * empty frame with the declared schema from the `_schema` anchor. */
   def read(table: String): DataFrame = {
-    val hasData = Option(new File(tablePath(table)).listFiles())
-      .getOrElse(Array.empty)
-      .exists(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val hasData = listStatusOrEmpty(new Path(tablePath(table)))
+      .exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
     if (hasData)
       spark.read.option("basePath", tablePath(table))
         .parquet(tablePath(table))
@@ -108,27 +126,67 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
 
   /** Remove one partition directory — the cleanup half of a compaction
     * pass ([[graft.streaming.CorpusStream.compactState]]): the merged
-    * target partition is written first, sources deleted after, so a
-    * crash between the two leaves a recoverable (target-superset)
-    * state, never a lossy one. */
+    * target partition is written AND commit-verified
+    * ([[partitionCommitted]]) before any source is deleted, so a crash
+    * at any point leaves a recoverable (target-superset) state, never a
+    * lossy one. */
   def deletePartition(table: String, partField: String,
-                      partValue: String): Unit = {
-    def rm(f: File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
-      f.delete()
-    }
-    rm(new File(s"${tablePath(table)}/$partField=$partValue"))
-  }
+                      partValue: String): Unit =
+    fs.delete(new Path(partitionPath(table, partField, partValue)),
+      /* recursive = */ true)
 
   /** S7: partition-metadata scan (the `$__PARTITIONS_SUMMARY__` scans at
     * custom_search_extraction.py:53-57) — directory listing only, no
     * data read. */
   def listPartitions(table: String, partField: String): Seq[String] = {
-    val dir = new File(tablePath(table))
     val prefix = s"$partField="
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-      .map(_.getName.stripPrefix(prefix))
+    listStatusOrEmpty(new Path(tablePath(table)))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix))
       .sorted.toSeq
   }
+
+  /** Names of a partition's `subField=` sub-directories (the pk buckets
+    * of a pk-split band batch); empty for a plain-file partition. One
+    * LISTING per partition — callers that need many membership checks
+    * intersect against this instead of issuing per-value exists()
+    * round-trips (on an object store each exists() is a remote call). */
+  def listSubPartitions(table: String, partField: String, partValue: String,
+                        subField: String): Seq[String] = {
+    val prefix = s"$subField="
+    listStatusOrEmpty(
+        new Path(partitionPath(table, partField, partValue)))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix))
+      .sorted.toSeq
+  }
+
+  /** True when the partition directory holds at least one visible data
+    * file (non-underscore, non-dot) — distinguishes a plain single-file
+    * batch partition from an empty or marker-only directory. */
+  def partitionHasDataFiles(table: String, partField: String,
+                            partValue: String): Boolean =
+    listStatusOrEmpty(new Path(partitionPath(table, partField, partValue)))
+      .exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+
+  /** True when the partition directory carries a COMMITTED write: the
+    * committer's `_SUCCESS` marker is present and no in-flight
+    * `_temporary` staging dir remains. A JVM death mid-write leaves a
+    * directory that exists but fails this probe — the check that lets
+    * [[graft.streaming.CorpusStream.compactState]] tell a completed
+    * compaction target from a crashed half-write instead of trusting
+    * bare directory existence (which would skip the rewrite and then
+    * delete the only complete copies). */
+  def partitionCommitted(table: String, partField: String,
+                         partValue: String): Boolean = {
+    val dir = new Path(partitionPath(table, partField, partValue))
+    fs.exists(new Path(dir, "_SUCCESS")) &&
+      !fs.exists(new Path(dir, "_temporary"))
+  }
+
+  private def listStatusOrEmpty(p: Path) =
+    if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty
 }

@@ -136,13 +136,23 @@ object CorpusStream {
     * Idempotent and crash-safe: the target key is a pure function of the
     * source keys (`c` + max numeric key — never equal to a real numeric
     * batch id), the target is written before any source is deleted, and
-    * a re-run that finds its target already present skips straight to
-    * cleanup. Each table compacts independently with the same rule, so a
-    * crash between the two tables' passes heals on the next trigger.
-    * Legacy sketch rows without the persisted bottom-k column are
-    * normalized during the rewrite. Returns true when anything moved. */
+    * a re-run skips the rewrite ONLY when the target both exists and is
+    * COMMITTED (`TableCatalog.partitionCommitted`: `_SUCCESS` present,
+    * no `_temporary` staging) — a JVM death mid-write leaves a target
+    * directory that exists but fails the probe, so the re-run rewrites
+    * it from the still-present sources instead of trusting a half-write
+    * and deleting the only complete copies. Each table compacts
+    * independently with the same rule, so a crash between the two
+    * tables' passes heals on the next trigger. Legacy sketch rows
+    * without the persisted bottom-k column are normalized during the
+    * rewrite. Returns true when anything moved.
+    *
+    * `failpoint` is a test-only hook, invoked with a stage label after
+    * each target write commits and before its sources are deleted;
+    * StreamingSpec throws from it to simulate the crash windows. */
   def compactState(catalog: TableCatalog, stateTable: String,
-                   excludeBatchKey: String): Boolean = {
+                   excludeBatchKey: String,
+                   failpoint: String => Unit = _ => ()): Boolean = {
     def numOf(key: String): Option[Long] =
       scala.util.Try(key.stripPrefix("c").toLong).toOption
     def sourcesOf(table: String): Seq[String] =
@@ -154,9 +164,15 @@ object CorpusStream {
     val sk = sourcesOf(stateTable)
     if (sk.size >= 2) {
       val key = "c" + sk.flatMap(numOf).max
-      if (!sk.contains(key)) {
+      val srcs = sk.filter(_ != key)
+      if (!sk.contains(key) ||
+          !catalog.partitionCommitted(stateTable, "batch_id", key)) {
+        // rewrite from the sources only: a crashed half-written target
+        // is replaced wholesale by the overwrite (its intended content
+        // was exactly this union — sources are deleted strictly after
+        // the target commits, so they are all still present here)
         val merged = catalog.read(stateTable)
-          .filter(col("batch_id").isin(sk: _*))
+          .filter(col("batch_id").isin(srcs: _*))
         val sb = if (merged.columns.contains("sb"))
             coalesce(col("sb"), MinHashLSH.bottomKCol(col("sh")))
           else MinHashLSH.bottomKCol(col("sh"))
@@ -171,8 +187,8 @@ object CorpusStream {
             .withColumn("batch_id", lit(key)),
           stateTable, "batch_id", key)
       }
-      sk.filter(_ != key)
-        .foreach(catalog.deletePartition(stateTable, "batch_id", _))
+      failpoint("sketch-target-written")
+      srcs.foreach(catalog.deletePartition(stateTable, "batch_id", _))
       moved = true
     }
     // bands table: mixed layout (pk= sub-dirs vs plain files with a pk
@@ -183,21 +199,23 @@ object CorpusStream {
     val bd = sourcesOf(bandsTable)
     if (bd.size >= 2) {
       val key = "c" + bd.flatMap(numOf).max
-      if (!bd.contains(key)) {
-        val base = catalog.tablePath(bandsTable)
+      val srcs = bd.filter(_ != key)
+      if (!bd.contains(key) ||
+          !catalog.partitionCommitted(bandsTable, "batch_id", key)) {
         val cols = Seq(col("id"), col("n"), col("sig"), col("band_idx"),
           col("band_key"))
-        val (split, plain) = bd
-          .map(b => new java.io.File(s"$base/batch_id=$b"))
-          .partition(d => Option(d.listFiles()).getOrElse(Array.empty)
-            .exists(f => f.isDirectory && f.getName.startsWith("pk=")))
+        val (split, plain) = srcs.partition(b =>
+          catalog.listSubPartitions(bandsTable, "batch_id", b, "pk")
+            .nonEmpty)
         val parts = Seq(
           if (split.nonEmpty)
-            Some(catalog.readPaths(bandsTable, split.map(_.getPath))
+            Some(catalog.readPaths(bandsTable,
+                split.map(catalog.partitionPath(bandsTable, "batch_id", _)))
               .select(cols: _*))
           else None,
           if (plain.nonEmpty)
-            Some(catalog.readPaths(bandsTable, plain.map(_.getPath))
+            Some(catalog.readPaths(bandsTable,
+                plain.map(catalog.partitionPath(bandsTable, "batch_id", _)))
               .select(cols: _*))
           else None).flatten
         if (parts.nonEmpty)
@@ -209,8 +227,8 @@ object CorpusStream {
               .repartition(col("pk")),
             bandsTable, "batch_id", key, "pk")
       }
-      bd.filter(_ != key)
-        .foreach(catalog.deletePartition(bandsTable, "batch_id", _))
+      failpoint("bands-target-written")
+      srcs.foreach(catalog.deletePartition(bandsTable, "batch_id", _))
       moved = true
     }
     moved
@@ -389,37 +407,39 @@ object CorpusStream {
     if (!covered) MinHashLSH.bandFrameWithSig(state, geom)
     else {
       val pks = newBands.select(pkCol.as("pk")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+        .collect().map(_.getLong(0)).toSet
       // enumerate exactly the colliding directories and read only
       // those: a table-root read would LIST every partition of the
       // growing table each batch (a linear term in files, even with
       // partition pruning skipping the data). pk-split batch dirs
       // prune at the directory level; plain small-batch dirs (see
       // PkSplitMinRows) are read whole and pruned by the pk column.
-      val base = catalog.tablePath(bandsTable)
+      // One Hadoop LISTING per batch dir (not a per-(dir,pk) exists
+      // round-trip — on an object store each exists() is a remote
+      // call), intersected with this batch's pk set driver-side.
       val cols = Seq(col("id"), col("n"), col("sig"), col("band_idx"),
         col("band_key"))
-      val (split, plain) = catalog
+      val withSubs = catalog
         .listPartitions(bandsTable, "batch_id")
         .filter(_ != batchKey)
-        .map(b => new java.io.File(s"$base/batch_id=$b"))
-        .partition(d => Option(d.listFiles()).getOrElse(Array.empty)
-          .exists(f => f.isDirectory && f.getName.startsWith("pk=")))
+        .map(b => b ->
+          catalog.listSubPartitions(bandsTable, "batch_id", b, "pk"))
+      val (split, plain) = withSubs.partition(_._2.nonEmpty)
       val splitDirs = for {
-        d <- split; p <- pks
-        sub = new java.io.File(d, s"pk=$p")
-        if sub.exists()
-      } yield sub.getPath
-      val plainDirs = plain.filter(d =>
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .exists(_.getName.endsWith(".parquet"))).map(_.getPath)
+        (b, subs) <- split
+        p <- subs.filter(s =>
+          scala.util.Try(s.toLong).toOption.exists(pks.contains))
+      } yield s"${catalog.partitionPath(bandsTable, "batch_id", b)}/pk=$p"
+      val plainDirs = plain.map(_._1)
+        .filter(catalog.partitionHasDataFiles(bandsTable, "batch_id", _))
+        .map(catalog.partitionPath(bandsTable, "batch_id", _))
       val parts = Seq(
         if (splitDirs.nonEmpty)
           Some(catalog.readPaths(bandsTable, splitDirs).select(cols: _*))
         else None,
         if (plainDirs.nonEmpty)
           Some(catalog.readPaths(bandsTable, plainDirs)
-            .filter(col("pk").isin(pks: _*)).select(cols: _*))
+            .filter(col("pk").isin(pks.toSeq: _*)).select(cols: _*))
         else None).flatten
       if (parts.isEmpty) newBands.limit(0)
       else parts.reduce(_ unionByName _)

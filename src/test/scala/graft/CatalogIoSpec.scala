@@ -182,6 +182,48 @@ class CatalogIoSpec extends SparkSpec {
     assert(rows == Seq((7L, null), (null, "only-b")))
   }
 
+  test("TableCatalog runs entirely over an explicit file: URI " +
+       "(no raw-local-path leakage in the metadata layer)") {
+    // a java.io.File-based catalog would treat "file:/..." as a relative
+    // path named "file:" and every metadata op would silently miss; the
+    // Hadoop FileSystem port must resolve the scheme end-to-end
+    val cat = new TableCatalog(spark, "file:" + tmp("caturi_"))
+    val df = Seq(("2020-01-01", 1L, "x"), ("2020-01-02", 2L, "y"))
+      .toDF("d", "pk", "v")
+    assert(!cat.tableExists("t"))
+    cat.writePartition(df, "t", "d", "2020-01-01")
+    cat.writePartition(df, "t", "d", "2020-01-02")
+    cat.writeSubPartitioned(df, "t2", "d", "2020-01-02", "pk")
+    assert(cat.tableExists("t") && cat.tableExists("t2"))
+    assert(cat.listPartitions("t", "d") ==
+      Seq("2020-01-01", "2020-01-02"))
+    assert(cat.listSubPartitions("t", "d", "2020-01-01", "pk").isEmpty)
+    assert(cat.listSubPartitions("t2", "d", "2020-01-02", "pk") == Seq("2"))
+    assert(cat.partitionHasDataFiles("t", "d", "2020-01-01"))
+    assert(!cat.partitionHasDataFiles("t2", "d", "2020-01-02")) // pk= dirs only
+    assert(cat.partitionCommitted("t", "d", "2020-01-01"))
+    assert(cat.partitionCommitted("t2", "d", "2020-01-02"))
+    assert(cat.read("t").count() == 2)
+    assert(cat.read("t2").count() == 1)
+    cat.deletePartition("t", "d", "2020-01-01")
+    assert(cat.listPartitions("t", "d") == Seq("2020-01-02"))
+    assert(cat.read("t").count() == 1)
+  }
+
+  test("partitionCommitted rejects a crashed half-write") {
+    val cat = new TableCatalog(spark, tmp("catcommit_"))
+    cat.writePartition(Seq(("a", 1)).toDF("d", "v"), "t", "d", "a")
+    assert(cat.partitionCommitted("t", "d", "a"))
+    // a JVM death mid-write leaves the dir without _SUCCESS (and
+    // possibly with a _temporary staging dir) — both must fail the probe
+    val dir = java.nio.file.Paths.get(cat.partitionPath("t", "d", "b"))
+    java.nio.file.Files.createDirectories(dir)
+    assert(!cat.partitionCommitted("t", "d", "b"))
+    val cdir = java.nio.file.Paths.get(cat.partitionPath("t", "d", "a"))
+    java.nio.file.Files.createDirectories(cdir.resolve("_temporary"))
+    assert(!cat.partitionCommitted("t", "d", "a"))
+  }
+
   test("Enrich.viaService appends a service column per partition") {
     val df = Seq((1, "addr one"), (2, "")).toDF("id", "addr")
     val out = Enrich.viaService(df, "addr", "geo")(

@@ -218,6 +218,91 @@ class StreamingSpec extends SparkSpec {
       f.isDirectory && f.getName.startsWith("pk=")))
   }
 
+  // three-batch seeded warehouse + the expected post-compaction state,
+  // shared by the crash-recovery tests below
+  private def seedCompactionState(): (graft.catalog.TableCatalog,
+      Set[(Long, String)], Set[(Long, Int, String)]) = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    val slices = Seq(
+      docs.filter($"doc_id" < 150),
+      docs.filter($"doc_id" >= 150 && $"doc_id" < 300),
+      docs.filter($"doc_id" >= 300))
+    val wh = java.nio.file.Files.createTempDirectory("corpus_cr_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    slices.zipWithIndex.foreach { case (b, i) =>
+      CorpusStream.processBatch(b, cat, "cr_seen", "cr_out", i.toLong,
+        compactEvery = 0)
+    }
+    val state = cat.read("cr_seen").select($"id", $"fp")
+      .as[(Long, String)].collect().toSet
+    val bands = cat.read("cr_seen_bands")
+      .select($"id", $"band_idx", $"band_key")
+      .as[(Long, Int, String)].collect().toSet
+    (cat, state, bands)
+  }
+
+  test("compactState crash recovery: a kill between a target write and " +
+       "its source deletes heals on the next trigger") {
+    val (control, wantState, wantBands) = seedCompactionState()
+    CorpusStream.compactState(control, "cr_seen", "99")
+    for (window <- Seq("sketch-target-written", "bands-target-written")) {
+      val (cat, _, _) = seedCompactionState()
+      intercept[RuntimeException] {
+        CorpusStream.compactState(cat, "cr_seen", "99",
+          failpoint = l => if (l == window)
+            throw new RuntimeException(s"injected crash at $l"))
+      }
+      // pre-heal: duplicated rows (committed target + undeleted sources)
+      // must not change any consumer's semantics — a batch processed
+      // before the healing pass sees the same seen-corpus
+      assert(cat.read("cr_seen").select($"id", $"fp")
+        .as[(Long, String)].collect().toSet == wantState,
+        s"$window: set-of-rows state changed by the crash")
+      // heal: rerun skips the committed target's rewrite, finishes the
+      // deletes, and ends bit-identical to the never-crashed run
+      CorpusStream.compactState(cat, "cr_seen", "99")
+      assert(cat.read("cr_seen").select($"id", $"fp")
+        .as[(Long, String)].collect().toSet == wantState, window)
+      assert(cat.read("cr_seen_bands")
+        .select($"id", $"band_idx", $"band_key")
+        .as[(Long, Int, String)].collect().toSet == wantBands, window)
+      // one-row-per-doc invariant restored (no duplicate ids survive)
+      val ids = cat.read("cr_seen").select($"id").as[Long].collect()
+      assert(ids.length == ids.distinct.length, window)
+      assert(cat.listPartitions("cr_seen", "batch_id") ==
+        control.listPartitions("cr_seen", "batch_id"), window)
+      assert(cat.listPartitions("cr_seen_bands", "batch_id") ==
+        control.listPartitions("cr_seen_bands", "batch_id"), window)
+    }
+  }
+
+  test("compactState crash recovery: a half-written (uncommitted) " +
+       "target is rewritten from the sources, never trusted") {
+    val (control, wantState, wantBands) = seedCompactionState()
+    CorpusStream.compactState(control, "cr_seen", "99")
+    val (cat, _, _) = seedCompactionState()
+    // fabricate the ADVICE-r9 crash: the JVM died DURING the compacted-
+    // target write, leaving batch_id=c2 as a directory with a
+    // _temporary staging dir and no _SUCCESS marker. The pre-fix code
+    // saw the key in listPartitions, skipped the rewrite, and deleted
+    // every complete source — permanently losing committed seen-state.
+    for (t <- Seq("cr_seen", "cr_seen_bands")) {
+      val dir = java.nio.file.Paths.get(cat.partitionPath(t, "batch_id", "c2"))
+      java.nio.file.Files.createDirectories(dir.resolve("_temporary"))
+    }
+    CorpusStream.compactState(cat, "cr_seen", "99")
+    assert(cat.read("cr_seen").select($"id", $"fp")
+      .as[(Long, String)].collect().toSet == wantState)
+    assert(cat.read("cr_seen_bands")
+      .select($"id", $"band_idx", $"band_key")
+      .as[(Long, Int, String)].collect().toSet == wantBands)
+    assert(cat.listPartitions("cr_seen", "batch_id") == Seq("c2"))
+    assert(cat.partitionCommitted("cr_seen", "batch_id", "c2"))
+    assert(cat.partitionCommitted("cr_seen_bands", "batch_id", "c2"))
+  }
+
   test("incremental corpus pipeline: the pk-split band layout produces " +
        "the same output as the plain small-batch layout") {
     // pkSplitMinRows=1 forces every batch's band rows into pk= dirs;
