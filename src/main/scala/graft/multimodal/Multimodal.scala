@@ -165,6 +165,22 @@ object Multimodal {
     }
   }
 
+  /** Real-codec [[Decoder]] over [[Png]] streams: returns
+    * `[width, height, channels, pixels...]` (row-major, channel-
+    * interleaved). Exact for 8-bit content — every value is an integer
+    * ≤ 255, well inside Float precision. */
+  object PngDecoder extends Decoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val (w, h, colorType, px) = Png.decode(bytes)
+      val out = new Array[Float](3 + px.length)
+      out(0) = w.toFloat; out(1) = h.toFloat
+      out(2) = Png.channelsOf(colorType).toFloat
+      var i = 0
+      while (i < px.length) { out(3 + i) = (px(i) & 0xff).toFloat; i += 1 }
+      out
+    }
+  }
+
   /** Real-codec [[Decoder]]: parses the BMP stream and returns
     * `[width, height, gray...]` (pixels row-major top-down). Exact for
     * 8-bit grayscale content: every value is an integer ≤ 255, well

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
 import graft.core.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, Png}
 import graft.ops.Dedup
 import graft.sim.{JaccardJoin, MinHashLSH, SimHash}
 import graft.text.{Decontaminate, TextAnalysis, TextHash}
@@ -483,6 +483,55 @@ object LlmQueries {
           }
         }(org.apache.spark.sql.Encoders.row(schema))
         .orderBy(col("doc_id"))
+    }),
+
+    // Second real codec through the multimodal path: text bytes become
+    // the channel-interleaved pixels of a 4×8 RGB PNG (96 bytes,
+    // zero-padded — both real content and the pad path are present at
+    // every gate SF since min doc length is ~44). The encoder cycles
+    // all five scanline filters (row y uses y mod 5), so the decode
+    // exercises Sub/Up/Average/Paeth unfiltering plus zlib inflate and
+    // per-chunk CRC checks — not just a header echo. The oracle
+    // computes the expected pixel bytes from the text directly, so any
+    // mis-unfiltered row hash-fails.
+    "mm03_png_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, LongType,
+        StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, true),
+        StructField("width", IntegerType, true),
+        StructField("height", IntegerType, true),
+        StructField("channels", IntegerType, true),
+        StructField("px", StringType, true)))
+      val (w, h, colorType) = (4, 8, 2) // RGB
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .mapPartitions { rows =>
+          val hexDigits = "0123456789abcdef"
+          rows.map { r =>
+            val txt = if (r.isNullAt(1)) null else r.getString(1)
+            if (txt == null)
+              org.apache.spark.sql.Row(r.get(0), null, null, null, null)
+            else {
+              val bytes = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val px = new Array[Byte](w * h * 3)
+              System.arraycopy(bytes, 0, px, 0,
+                math.min(bytes.length, px.length))
+              val feats = Multimodal.PngDecoder.decode(
+                Png.encode(w, h, colorType, px))
+              val sb = new java.lang.StringBuilder(2 * (feats.length - 3))
+              var i = 3
+              while (i < feats.length) {
+                val v = feats(i).toInt
+                sb.append(hexDigits.charAt(v >> 4))
+                  .append(hexDigits.charAt(v & 0xf))
+                i += 1
+              }
+              org.apache.spark.sql.Row(r.get(0), feats(0).toInt,
+                feats(1).toInt, feats(2).toInt, sb.toString)
+            }
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -941,6 +990,15 @@ object LlmQueries {
          CASE WHEN text IS NULL THEN NULL ELSE 8 END AS height,
          CASE WHEN text IS NULL THEN NULL
               ELSE rpad(lower(hex(substring(text, 1, 48)::BLOB)), 96, '0')
+         END AS px
+         FROM documents ORDER BY doc_id""",
+    "mm03_png_roundtrip" ->
+      """SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE 4 END AS width,
+         CASE WHEN text IS NULL THEN NULL ELSE 8 END AS height,
+         CASE WHEN text IS NULL THEN NULL ELSE 3 END AS channels,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE rpad(lower(hex(substring(text, 1, 96)::BLOB)), 192, '0')
          END AS px
          FROM documents ORDER BY doc_id"""
   )

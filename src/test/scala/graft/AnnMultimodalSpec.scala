@@ -203,6 +203,85 @@ class AnnMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.Bmp.decode(negOffset))
   }
 
+  test("Png codec round-trips gray/RGB/RGBA pixels through every " +
+       "scanline filter type") {
+    import graft.multimodal.Png
+    // height 10 > 5 rows: the y%5 filter cycle covers None/Sub/Up/
+    // Average/Paeth at least twice, including Paeth rows with real
+    // upper-left context; pixel values sweep the byte range so the
+    // modular filter arithmetic wraps (the case naive math corrupts)
+    for (colorType <- Seq(0, 2, 6)) {
+      val ch = Png.channelsOf(colorType)
+      val px = Array.tabulate(7 * 10 * ch)(i => ((i * 37 + 11) % 256).toByte)
+      val png = Png.encode(7, 10, colorType, px)
+      // real file structure: signature + IHDR first
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N')
+      val (w, h, ct, back) = Png.decode(png)
+      assert(w == 7 && h == 10 && ct == colorType, s"colorType=$colorType")
+      assert(back.sameElements(px), s"colorType=$colorType")
+    }
+  }
+
+  test("Png decode rejects corrupt, truncated, and forged streams") {
+    import graft.multimodal.Png
+    val good = Png.encode(4, 4, 2, Array.tabulate(48)(_.toByte))
+    // bad signature
+    val notPng = good.clone(); notPng(0) = 'X'
+    intercept[IllegalArgumentException](Png.decode(notPng))
+    // flipped pixel byte inside IDAT: the chunk CRC must catch it
+    val corrupt = good.clone()
+    corrupt(good.length - 13) = (corrupt(good.length - 13) ^ 0x5a).toByte
+    intercept[IllegalArgumentException](Png.decode(corrupt))
+    // truncated mid-chunk
+    intercept[IllegalArgumentException](Png.decode(good.take(good.length - 7)))
+    // unsupported shapes: 16-bit depth, palette color type, interlaced.
+    // IHDR data starts at byte 16 (8 sig + 4 len + 4 type); re-CRC the
+    // chunk so the shape check itself fires, not the CRC guard
+    def withIhdrByte(off: Int, v: Byte): Array[Byte] = {
+      val a = good.clone(); a(16 + off) = v
+      val crc = new java.util.zip.CRC32
+      crc.update(a, 12, 17) // type + 13 data bytes
+      val c = crc.getValue.toInt
+      a(29) = (c >>> 24).toByte; a(30) = (c >>> 16).toByte
+      a(31) = (c >>> 8).toByte; a(32) = c.toByte
+      a
+    }
+    intercept[IllegalArgumentException](Png.decode(withIhdrByte(8, 16)))
+    intercept[IllegalArgumentException](Png.decode(withIhdrByte(9, 3)))
+    intercept[IllegalArgumentException](Png.decode(withIhdrByte(12, 1)))
+    // forged 2^16 x 2^16 dims: raw length wraps a 32-bit check; the
+    // Long guard must reject before any allocation
+    val forged = withIhdrByte(1, 1)
+    val forged2 = { val a = forged.clone(); a(16 + 5) = 1; a(16 + 0) = 0
+      a(16 + 4) = 0
+      val crc = new java.util.zip.CRC32
+      crc.update(a, 12, 17)
+      val c = crc.getValue.toInt
+      a(29) = (c >>> 24).toByte; a(30) = (c >>> 16).toByte
+      a(31) = (c >>> 8).toByte; a(32) = c.toByte
+      a }
+    intercept[IllegalArgumentException](Png.decode(forged2))
+    // declared dims larger than the actual payload: inflate comes up
+    // short and the exact-length check fires
+    val bigger = withIhdrByte(3, 8) // width 4 -> 8, payload unchanged
+    intercept[IllegalArgumentException](Png.decode(bigger))
+  }
+
+  test("PngDecoder drives batchFeaturize; zero-padded tails intact") {
+    import graft.multimodal.Png
+    // the mm03 short-text contract: only 10 of 96 RGB bytes carry data,
+    // the rest must come back as genuine zero bytes
+    val px = new Array[Byte](4 * 8 * 3)
+    (0 until 10).foreach(i => px(i) = (100 + i).toByte)
+    val ds = Seq((1L, Png.encode(4, 8, 2, px))).toDS()
+    val out = Multimodal.batchFeaturize(ds, Multimodal.PngDecoder)
+      .collect()
+    val feats = out.head._2
+    assert(feats(0) == 4.0f && feats(1) == 8.0f && feats(2) == 3.0f)
+    assert(feats.drop(3).map(_.toInt).sameElements(px.map(_ & 0xff)))
+    assert(feats.drop(13).forall(_ == 0.0f))
+  }
+
   test("BmpDecoder drives batchFeaturize with real decoding, " +
        "zero-padded tails intact") {
     // short content: only 10 of 48 pixels carry data, the rest must
