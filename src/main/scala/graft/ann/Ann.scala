@@ -142,6 +142,34 @@ object Ann {
     }.mkString("(", " + ", ")")
   }
 
+  /** SQL twin of [[autoPlanes]] over a corpus-count expression — the
+    * identical floor/cap/ceil-log2 formula, so an oracle can fit the
+    * same geometry to the same corpus at query time. (The two engines'
+    * log2 could only disagree where n/target lands exactly on a power
+    * of two; no gate corpus does, and a production caller uses the
+    * Scala form on both sides anyway.) */
+  def autoPlanesSql(nExpr: String, targetBucketRows: Int): String =
+    s"GREATEST($Planes, LEAST(62, CAST(CEIL(LOG2(GREATEST(1.0, " +
+      s"($nExpr) / $targetBucketRows.0))) AS INT)))"
+
+  /** [[bucketSql]] with the plane count chosen at QUERY time: `pExpr`
+    * names a column/expression holding the fitted plane count (from
+    * [[autoPlanesSql]]), and bit j contributes only while `j < p`. The
+    * SQL carries `maxPlanes` plane literals — the projection stream is
+    * prefix-stable, so the emitted geometry equals the Scala side's for
+    * any fitted count up to `maxPlanes`. */
+  def bucketSqlDynamic(v: String, maxPlanes: Int, pExpr: String): String = {
+    require(maxPlanes >= 1 && maxPlanes <= 62)
+    val m = if (maxPlanes <= projections.length) projections
+      else projectionMatrix(maxPlanes)
+    def lits(p: IndexedSeq[Double]) =
+      p.map(d => s"$d").mkString("[", ", ", "]::DOUBLE[]")
+    (0 until maxPlanes).map { j =>
+      s"(CASE WHEN $j < ($pExpr) AND ${dotSql(v, lits(m(j)))} > 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** Band-`b` near-dup bucket: sign bits of NearDupPlanes projections.
     * Deliberately the compact higher-order [[dot]]: unrolling all 32
     * plane dots in one projection (2048 terms) overflows Janino's 64 KB

@@ -303,6 +303,17 @@ object LlmQueries {
       Ann.lshBucketNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
 
+    // The corpus-fitted Auto form of ann02: autoPlanes picks the plane
+    // count from the corpus size (here targetBucketRows=1, the value
+    // that pushes every gate SF above the fixed-8 floor — 9 planes at
+    // 500 rows, 11 at 2000 — so the gate exercises the SCALING rule,
+    // not the floor). The oracle recomputes the identical fitted
+    // geometry from its own count(*) via autoPlanesSql/bucketSqlDynamic.
+    "ann06_lsh_auto" -> ((s, dir) =>
+      Ann.lshBucketNeighborsAuto(t(s, dir, "embeddings"), "vec_id",
+          "embedding", targetBucketRows = 1)
+        .orderBy(col("vec_id"))),
+
     // IVF-Flat: 16 sampled centroids, nprobe=2 — the inverted-file ANN
     // scale path beside LSH; same query set as ann01 so recall is
     // directly comparable
@@ -822,6 +833,27 @@ object LlmQueries {
             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
           bk AS (SELECT vec_id, v,
             CAST(${Ann.bucketSql("v")} AS BIGINT) AS bucket FROM v),
+          pairs AS (SELECT a.vec_id AS vec_id, a.bucket AS bucket,
+              b.vec_id AS other, $cos AS cos
+            FROM bk a JOIN bk b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          ranked AS (SELECT vec_id, bucket, other, cos,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, other DESC) AS rn FROM pairs)
+        SELECT vec_id, bucket, other AS neighbor, cos FROM ranked
+        WHERE rn = 1 ORDER BY vec_id"""
+    },
+    "ann06_lsh_auto" -> {
+      val cos = Ann.cosineSql("a.v", "b.v")
+      // 16 plane literals cover fitted counts for corpora up to
+      // 2^16 rows at target=1 — far past any gate SF; the fitted p
+      // itself comes from the corpus count, same formula both engines
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          np AS (SELECT ${Ann.autoPlanesSql("count(*)", 1)} AS p FROM v),
+          bk AS (SELECT vec_id, v,
+            CAST(${Ann.bucketSqlDynamic("v", 16, "p")} AS BIGINT) AS bucket
+            FROM v, np),
           pairs AS (SELECT a.vec_id AS vec_id, a.bucket AS bucket,
               b.vec_id AS other, $cos AS cos
             FROM bk a JOIN bk b
