@@ -173,6 +173,30 @@ object MinHashLSH {
           "them")
     }
 
+  /** Shingles that appear in more than `maxDfFrac` of the corpus's
+    * docs — the template boilerplate whose argmin wins are corpus-
+    * globally correlated (the COVERAGE "Known limits" finding: which
+    * common shingle wins a permutation is shared across every doc, so
+    * single-corpus banding recall has a wide distribution; measured
+    * 404-vs-267 verified pairs on structurally identical corpora).
+    * The returned set is SMALL by construction: a shingle over the df
+    * cut occurs in > maxDfFrac·N docs, so there are at most
+    * avgShinglesPerDoc / maxDfFrac of them — bounded by document
+    * length, never by corpus size, which is what makes the driver-side
+    * collect safe at any scale. One aggregate job + one count job. */
+  def commonShingles(docs: DataFrame, idCol: String, textCol: String,
+                     q: Int = 3, maxDfFrac: Double = 0.5): Array[Long] = {
+    require(maxDfFrac > 0.0 && maxDfFrac < 1.0,
+      s"maxDfFrac must be in (0,1): $maxDfFrac")
+    val sh = Fence(shingleSets(docs, idCol, textCol, q))
+    val n = sh.filter(col("sh").isNotNull).count()
+    if (n == 0) Array.emptyLongArray
+    else sh.select(explode(col("sh")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(maxDfFrac) * lit(n))
+      .select(col("h")).collect().map(_.getLong(0)).sorted
+  }
+
   /** Near-duplicate pairs (idA < idB) with exact Jaccard >= threshold
     * among LSH band-collision candidates, at the threshold-fitted
     * [[geometryFor]] band geometry. Output: (doc_a, doc_b, jacc).
@@ -181,10 +205,29 @@ object MinHashLSH {
     * numPerm-element signatures (a fixed few dozen longs/row — cheap to
     * shuffle at any corpus size) and only signature-agreement survivors
     * join the full shingle arrays for the exact intersect. This keeps
-    * the wide arrays out of the candidate-volume join entirely. */
+    * the wide arrays out of the candidate-volume join entirely.
+    *
+    * `maxDfFrac = Some(f)` enables doc-frequency-weighted shingle
+    * filtering (the PPJoin rarest-first idea applied to MinHash):
+    * shingles present in more than `f` of the docs are dropped before
+    * signing, so argmin wins come from the informative tail instead of
+    * the corpus-global boilerplate — decorrelating per-corpus banding
+    * recall. Sizes, signatures, banding, the floor AND the verified
+    * Jaccard all operate on the filtered shingle space consistently.
+    * Loss bound, exact: removing x shingles common to a pair moves
+    * J = I/U to (I−x)/(U−x) ≥ (I−C)/(U−C) where C is the pair's
+    * common-shingle mass, so any pair with unfiltered J ≥ t+m
+    * still verifies at t while C ≤ m/(1−t)·U (t=0.8, m=0.1 → half
+    * the union may be boilerplate) — pinned by TextSimSpec's property
+    * test. Default None: byte-identical to the frozen dd03/dp01
+    * oracles. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   q: Int = 3, threshold: Double = 0.8): DataFrame = {
+                   q: Int = 3, threshold: Double = 0.8,
+                   maxDfFrac: Option[Double] = None): DataFrame = {
     val geom = geometryFor(threshold)
+    val drop = maxDfFrac
+      .map(f => commonShingles(docs, idCol, textCol, q, f))
+      .filter(_.nonEmpty)
     // Shingles + all numPerm signatures in one JIT mapPartitions pass
     // (the ts04/ts05 precedent): the Column form runs numPerm
     // interpreted HOF transforms over ~n-element shingle arrays per row
@@ -194,7 +237,7 @@ object MinHashLSH {
     // row, short text → empty shingles and null signature elements,
     // exactly like [[TextHash.shingleHashesFromCodes]] + [[minhash]]
     // (pinned by TextSimSpec). The oracle SQL is unchanged.
-    val all = Fence(signatureFrame(docs, idCol, textCol, q, geom))
+    val all = Fence(signatureFrame(docs, idCol, textCol, q, geom, drop))
     // the verify kernels and the group-collapse id casts both need
     // integral ids — fail at plan time, before any job runs
     SetVerify.requireIntegralIds(all, "id")
@@ -380,13 +423,54 @@ object MinHashLSH {
   def bottomKCol(sh: Column): Column =
     slice(array_sort(sh), 1, BottomK)
 
+  /** Shingling only — (id, sh): the light one-pass kernel the
+    * doc-frequency pass ([[commonShingles]]) runs, identical integer
+    * math to [[signatureFrame]] without paying for signatures. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  q: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField,
+      StructType}
+    val base = graft.core.Par.ensure(docs.select(col(idCol).as("id"),
+      col(textCol).cast("string").as("__t")))
+    val schema = StructType(Seq(base.schema.head,
+      StructField("sh", ArrayType(LongType, true), true)))
+    val pow = TextHash.pow31.toArray
+    val cm = TextHash.CodeMod
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val txt = if (r.isNullAt(1)) null else r.getString(1)
+        if (txt == null) org.apache.spark.sql.Row(r.get(0), null)
+        else {
+          val cps = txt.codePoints().toArray
+          val seen = new java.util.LinkedHashSet[java.lang.Long]()
+          var i = 0
+          while (i + q <= cps.length) {
+            var h = 0L; var j = 0
+            while (j < q) {
+              h += cps(i + j).toLong % cm * pow(q - 1 - j); j += 1
+            }
+            seen.add(h); i += 1
+          }
+          val sh = new Array[Long](seen.size)
+          val it = seen.iterator(); var k = 0
+          while (it.hasNext) { sh(k) = it.next(); k += 1 }
+          org.apache.spark.sql.Row(r.get(0), sh)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Kernel twin of shingling + [[minhash]]: one pass per row computing
     * (id, distinct q-gram shingle hashes, their count, the numPerm
     * minhash signature). Exposed for the TextSimSpec pin against the
-    * Column form. */
+    * Column form. `dropShingles` (the df-filter path — see
+    * [[nearDupPairs]]) removes the given hashes from every doc's
+    * shingle set before counting or signing, as if the q-grams were
+    * never in the text. */
   def signatureFrame(docs: DataFrame, idCol: String, textCol: String,
                      q: Int,
-                     geom: LshGeometry = DefaultGeometry): DataFrame = {
+                     geom: LshGeometry = DefaultGeometry,
+                     dropShingles: Option[Array[Long]] = None): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
       StructField, StructType}
     val numPerm = geom.numPerm
@@ -408,7 +492,11 @@ object MinHashLSH {
     val cm = TextHash.CodeMod
     val pa = Array.tabulate(numPerm)(permA)
     val pb = Array.tabulate(numPerm)(permB)
+    val dropArr = dropShingles.getOrElse(Array.emptyLongArray)
     base.mapPartitions { rows =>
+      val dropSet = new java.util.HashSet[java.lang.Long](
+        math.max(16, dropArr.length * 2))
+      dropArr.foreach(dropSet.add(_))
       rows.map { r =>
         val txt = if (r.isNullAt(1)) null else r.getString(1)
         if (txt == null)
@@ -422,7 +510,8 @@ object MinHashLSH {
             while (j < q) {
               h += cps(i + j).toLong % cm * pow(q - 1 - j); j += 1
             }
-            seen.add(h); i += 1
+            if (!dropSet.contains(h)) seen.add(h)
+            i += 1
           }
           val sh = new Array[Long](seen.size)
           val it = seen.iterator(); var k = 0

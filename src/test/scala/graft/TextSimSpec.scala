@@ -65,6 +65,118 @@ class TextSimSpec extends SparkSpec {
     assert(!sh.toSeq.exists(p => p._2 == 3L))
   }
 
+  // randomized template corpus for the df-filter property tests:
+  // every doc opens with the same boilerplate (~20% of its shingle
+  // mass — inside the provable m/(1−t) loss bound), followed by random
+  // content; consecutive id pairs (2i, 2i+1) are planted near-dups
+  private def templateCorpus(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    // vocabulary wide enough that CONTENT trigrams stay under the df
+    // cut (each word lands in ~14% of docs) while the boilerplate's sit
+    // at 100% — the regime the loss bound assumes; a 30-word vocab
+    // would push the whole content space over the cut and the filter
+    // would (correctly, per the bound) no longer owe recall
+    val vocab = Vector.fill(400)(
+      (0 until (5 + rnd.nextInt(4)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val boiler = "subscribe to our weekly newsletter full terms of " +
+      "service apply all rights reserved worldwide"
+    def content(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (0 until 30).flatMap { i =>
+      val words = content(60).split(" ")
+      val perturbed = words.zipWithIndex.map { case (w, j) =>
+        if (j % 15 == 7) vocab(rnd.nextInt(vocab.size)) else w
+      }.mkString(" ")
+      Seq((2L * i, s"$boiler ${words.mkString(" ")}"),
+          (2L * i + 1, s"$boiler $perturbed"))
+    }.toDF("doc_id", "text")
+  }
+
+  test("commonShingles returns exactly the over-df-cut shingles and " +
+       "the filtered kernel signs the reduced sets") {
+    val docs = templateCorpus(1)
+    val common = MinHashLSH.commonShingles(docs, "doc_id", "text",
+      maxDfFrac = 0.5)
+    assert(common.nonEmpty) // the boilerplate must be detected
+    // recompute df independently: every returned shingle is over the
+    // cut, every omitted one under it
+    val df = MinHashLSH.shingleSets(docs, "doc_id", "text", 3)
+      .select(explode($"sh").as("h")).groupBy($"h").count()
+      .as[(Long, Long)].collect().toMap
+    val n = docs.count()
+    assert(common.forall(h => df(h) > 0.5 * n))
+    assert(df.filter(_._2 > 0.5 * n).keySet == common.toSet)
+    // the filtered kernel = the plain kernel minus the dropped hashes,
+    // re-signed over the reduced set (Column-form minhash as the
+    // independent reference)
+    val full = MinHashLSH.signatureFrame(docs, "doc_id", "text", 3)
+      .select($"id", $"sh").withColumnRenamed("sh", "sh_full")
+    val filt = MinHashLSH.signatureFrame(docs, "doc_id", "text", 3,
+      dropShingles = Some(common))
+    val cSet = common.toSet
+    filt.join(full, Seq("id")).collect().foreach { r =>
+      val fsh = r.getSeq[Long](r.fieldIndex("sh"))
+      val fullSh = r.getSeq[Long](r.fieldIndex("sh_full"))
+      assert(fsh == fullSh.filterNot(cSet), s"id=${r.get(0)}")
+      assert(r.getInt(r.fieldIndex("n")) == fsh.size)
+    }
+    val sigCheck = filt.select($"id", $"sig",
+      array((0 until MinHashLSH.NumPerm)
+        .map(j => MinHashLSH.minhash($"sh", j)): _*).as("want"))
+    assert(sigCheck.filter(not($"sig" <=> $"want")).count() == 0)
+  }
+
+  test("df-weighted filtering never loses a pair above threshold+margin " +
+       "(and keeps gates byte-identical when off)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val docs = templateCorpus(seed)
+      val plain = MinHashLSH.nearDupPairs(docs, "doc_id", "text")
+        .as[(Long, Long, Double)].collect()
+      val weighted = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+          maxDfFrac = Some(0.5))
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      // the provable bound: boilerplate ≤ m/(1−t)·union (here ~20% vs
+      // the 50% bound at t=0.8, m=0.1), so every pair with unfiltered
+      // J ≥ 0.9 keeps filtered J ≥ 0.8 — asserted DETERMINISTICALLY on
+      // the filtered exact Jaccard (the verify stage's accept set);
+      // whether banding re-SURFACES a given pair stays the S-curve
+      // lottery on both paths, which is variance, not loss
+      val mustKeep = plain.filter(_._3 >= 0.9).map(p => (p._1, p._2))
+      val common = MinHashLSH.commonShingles(docs, "doc_id", "text",
+        maxDfFrac = 0.5)
+      val filtSh = MinHashLSH.signatureFrame(docs, "doc_id", "text", 3,
+        dropShingles = Some(common)).select($"id", $"sh")
+      val inter = size(array_intersect($"sh_a", $"sh_b"))
+      val filteredVerified = mustKeep.toSeq.toDF("doc_a", "doc_b")
+        .join(filtSh.select($"id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(filtSh.select($"id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .filter(inter.cast("double") /
+          (size($"sh_a") + size($"sh_b") - inter) >= 0.8)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      val lost = mustKeep.filterNot(filteredVerified.contains)
+      assert(lost.isEmpty,
+        s"seed=$seed: df filtering pushed ${lost.length} pairs with " +
+          s"unfiltered J >= t+0.1 below the verify threshold: " +
+          lost.take(5).mkString(", "))
+      // sanity floor, not the bound: planted pairs in the (t, t+m)
+      // strip are allowed to drop (removing all-shared boilerplate
+      // lowers J — (I−x)/(U−x) < I/U), but the filter must still find
+      // a clear majority of the planted structure
+      val planted = (0 until 30).map(i => (2L * i, 2L * i + 1)).toSet
+      assert(weighted.count(planted.contains) >= 20, s"seed=$seed")
+    }
+    // flag off → byte-identical path (the frozen dd03/dp01 contract):
+    // same plan, same rows
+    val docs = templateCorpus(1)
+    val a = MinHashLSH.nearDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+        maxDfFrac = None)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
   test("decontaminate removes exactly the corpus docs sharing a " +
        "benchmark word n-gram") {
     import graft.text.Decontaminate
