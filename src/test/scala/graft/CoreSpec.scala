@@ -90,8 +90,51 @@ class CoreSpec extends SparkSpec {
       .select(date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
       .as[String].collect().toSeq
     assert(got == Seq("2024-03-01 00:00:00", "2024-03-01 01:00:00"))
-    // and the MICROS path on the real data reports not-nanos
-    assert(!Tables.tsStoredAsNanos(spark,
-      "/root/testdata/sf0.001/events.parquet"))
+    // the not-nanos negative case on a SYNTHESIZED annotated-MICROS
+    // fixture, not the live testdata: the loader must accept whichever
+    // legal encoding the driver regenerates, so the suite must not
+    // re-pin the current corpus's encoding (ADVICE r9)
+    val mdir = java.nio.file.Files.createTempDirectory("graft-evm").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 7L,
+        "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$mdir/events.parquet")
+    assert(!Tables.tsStoredAsNanos(spark, s"$mdir/events.parquet"))
+    assert(Tables.load(spark, mdir, "events")
+      .select(date_format($"ts", "yyyy-MM-dd")).as[String].collect()
+      .toSeq == Seq("2024-03-01"))
+  }
+
+  test("unannotated INT64 ts infers its unit from footer stats and " +
+       "refuses an implausible era (ADVICE r9: no silent 1000x)") {
+    // a producer dumping PLAIN EPOCH MICROS as bare INT64: the nanos
+    // guess would silently divide into 1970 — the stats band must pick
+    // micros and land in the right era
+    def write(dir: String, ts: Long): String = {
+      Seq((1L, ts, 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val micros = write(java.nio.file.Files
+      .createTempDirectory("graft-evu").toString, 1709251200L * 1000000L)
+    assert(!Tables.tsStoredAsNanos(spark, s"$micros/events.parquet"))
+    assert(Tables.load(spark, micros, "events")
+      .select(date_format($"ts", "yyyy-MM-dd HH:mm:ss")).as[String]
+      .collect().toSeq == Seq("2024-03-01 00:00:00"))
+    // plain epoch millis
+    val millis = write(java.nio.file.Files
+      .createTempDirectory("graft-evl").toString, 1709251200L * 1000L)
+    assert(Tables.load(spark, millis, "events")
+      .select(date_format($"ts", "yyyy-MM-dd HH:mm:ss")).as[String]
+      .collect().toSeq == Seq("2024-03-01 00:00:00"))
+    // a magnitude outside every plausible band fails loudly instead of
+    // decoding into the wrong century
+    val junk = write(java.nio.file.Files
+      .createTempDirectory("graft-evj").toString, 12345L)
+    val e = intercept[IllegalArgumentException] {
+      Tables.load(spark, junk, "events").count()
+    }
+    assert(e.getMessage.contains("refusing to guess"))
   }
 }

@@ -30,10 +30,14 @@ def shorten(keys):
 
 
 def normalize(queries):
+    # shorten whenever ANY key carries an underscore: a heavily
+    # head-truncated full-name tail can recover <5 pairs, and skipping
+    # normalization there silently intersects to ~zero common queries
+    # against a short-key run
     if not queries:
         return {}
-    if all("_" not in k for k in queries) or len(queries) < 5:
-        return dict(queries)  # already short keys (or too few to infer)
+    if all("_" not in k for k in queries):
+        return dict(queries)  # already short keys
     m = shorten(queries.keys())
     return {m[k]: v for k, v in queries.items()}
 
@@ -80,6 +84,11 @@ for _, q in runs[1:]:
     common &= set(q)
 common = sorted(common)
 
+if not common:
+    print("WARNING: no common queries between the inputs — check that "
+          "each input actually parsed (key sets: "
+          + "; ".join(f"{p}: {len(q)}" for p, q in runs) + ")",
+          file=sys.stderr)
 print(f"common queries: {len(common)}")
 for p, q in runs:
     tot = sum(q[k] for k in common)
