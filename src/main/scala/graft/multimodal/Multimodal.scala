@@ -165,6 +165,50 @@ object Multimodal {
     }
   }
 
+  /** Real-codec [[Decoder]] over [[Wav]] streams: returns
+    * `[sampleRate, channels, samples...]` (channel-interleaved PCM16 —
+    * every int16 is exact in Float). */
+  object WavDecoder extends Decoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val (rate, ch, samples) = Wav.decode(bytes)
+      val out = new Array[Float](2 + samples.length)
+      out(0) = rate.toFloat; out(1) = ch.toFloat
+      var i = 0
+      while (i < samples.length) { out(2 + i) = samples(i).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** [[Decoder]] over the JDK's own `javax.imageio` readers (PNG, JPEG,
+    * BMP, GIF — all in `java.desktop`, headless-safe): returns
+    * `[width, height, 3, rgb...]` row-major. This is the path for the
+    * LOSSY wild formats ([[Png]]/[[Bmp]] stay the oracle-gated exact
+    * codecs — a JPEG round-trip is approximate by definition, so it is
+    * spec-tested with a tolerance instead of hash-gated). */
+  object ImageIoDecoder extends Decoder {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "ImageIoDecoder: unrecognized image stream")
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Float](3 + w * h * 3)
+      out(0) = w.toFloat; out(1) = h.toFloat; out(2) = 3f
+      var i = 3; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(i) = ((rgb >> 16) & 0xff).toFloat
+          out(i + 1) = ((rgb >> 8) & 0xff).toFloat
+          out(i + 2) = (rgb & 0xff).toFloat
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Real-codec [[Decoder]] over [[Png]] streams: returns
     * `[width, height, channels, pixels...]` (row-major, channel-
     * interleaved). Exact for 8-bit content — every value is an integer

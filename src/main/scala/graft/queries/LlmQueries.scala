@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
 import graft.core.Tables
-import graft.multimodal.{Multimodal, Png}
+import graft.multimodal.{Multimodal, Png, Wav}
 import graft.ops.Dedup
 import graft.sim.{JaccardJoin, MinHashLSH, SimHash}
 import graft.text.{Decontaminate, TextAnalysis, TextHash}
@@ -543,6 +543,56 @@ object LlmQueries {
           }
         }(org.apache.spark.sql.Encoders.row(schema))
         .orderBy(col("doc_id"))
+    }),
+
+    // Audio through the multimodal path: text bytes become 32 LE PCM16
+    // samples of a real RIFF/WAVE stream (64 bytes, zero-padded), the
+    // stream is decoded back by the chunk-walking, header-validating
+    // Wav codec, and the gate emits the RECONSTRUCTED little-endian
+    // PCM bytes — which must equal the original text bytes, so the
+    // oracle computes them from the text directly and any mis-walked
+    // chunk, endianness slip, or alignment fault hash-fails.
+    "mm04_wav_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, LongType,
+        StringType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, true),
+        StructField("sample_rate", IntegerType, true),
+        StructField("n_samples", IntegerType, true),
+        StructField("pcm", StringType, true)))
+      val nSamples = 32
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .mapPartitions { rows =>
+          val hexDigits = "0123456789abcdef"
+          rows.map { r =>
+            val txt = if (r.isNullAt(1)) null else r.getString(1)
+            if (txt == null)
+              org.apache.spark.sql.Row(r.get(0), null, null, null)
+            else {
+              val bytes = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val pcm = new Array[Byte](nSamples * 2)
+              System.arraycopy(bytes, 0, pcm, 0,
+                math.min(bytes.length, pcm.length))
+              val samples = Array.tabulate(nSamples) { i =>
+                ((pcm(2 * i) & 0xff) | ((pcm(2 * i + 1) & 0xff) << 8)).toShort
+              }
+              val feats = Multimodal.WavDecoder.decode(
+                Wav.encode(8000, samples))
+              val back = feats.drop(2).map(_.toInt.toShort)
+              val sb = new java.lang.StringBuilder(4 * back.length)
+              back.foreach { v =>
+                val lo = v & 0xff; val hi = (v >> 8) & 0xff
+                sb.append(hexDigits.charAt(lo >> 4))
+                  .append(hexDigits.charAt(lo & 0xf))
+                  .append(hexDigits.charAt(hi >> 4))
+                  .append(hexDigits.charAt(hi & 0xf))
+              }
+              org.apache.spark.sql.Row(r.get(0), feats(0).toInt,
+                back.length, sb.toString)
+            }
+          }
+        }(org.apache.spark.sql.Encoders.row(schema))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1032,6 +1082,14 @@ object LlmQueries {
          CASE WHEN text IS NULL THEN NULL
               ELSE rpad(lower(hex(substring(text, 1, 96)::BLOB)), 192, '0')
          END AS px
+         FROM documents ORDER BY doc_id""",
+    "mm04_wav_roundtrip" ->
+      """SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE 8000 END AS sample_rate,
+         CASE WHEN text IS NULL THEN NULL ELSE 32 END AS n_samples,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE rpad(lower(hex(substring(text, 1, 64)::BLOB)), 128, '0')
+         END AS pcm
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -267,6 +267,115 @@ class AnnMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Png.decode(bigger))
   }
 
+  test("Wav codec round-trips PCM16 through a real chunk walk and " +
+       "rejects corrupt streams") {
+    import graft.multimodal.Wav
+    val samples = Array.tabulate(40)(i => (i * 1723 - 20000).toShort)
+    val wav = Wav.encode(16000, samples)
+    assert(wav.length == 44 + 80)
+    val (rate, ch, back) = Wav.decode(wav)
+    assert(rate == 16000 && ch == 1 && back.sameElements(samples))
+    // chunk walking: splice an ancillary LIST chunk with an ODD size
+    // between fmt and data — the decoder must skip it with RIFF word
+    // alignment, not land mid-chunk
+    val oddInfo = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 7, /* pad */ 0)
+    val spliced = wav.take(36) ++ oddInfo ++ wav.drop(36)
+    // fix the RIFF size field for the inserted bytes
+    val rs = 36 + 80 + oddInfo.length
+    spliced(4) = (rs & 0xff).toByte; spliced(5) = ((rs >> 8) & 0xff).toByte
+    spliced(6) = ((rs >> 16) & 0xff).toByte
+    spliced(7) = ((rs >> 24) & 0xff).toByte
+    val (r2, _, b2) = Wav.decode(spliced)
+    assert(r2 == 16000 && b2.sameElements(samples))
+    // rejections: bad magic, non-PCM codec tag, a chunk declaring more
+    // bytes than the stream holds, data before fmt
+    val notWav = wav.clone(); notWav(0) = 'X'
+    intercept[IllegalArgumentException](Wav.decode(notWav))
+    val nonPcm = wav.clone(); nonPcm(20) = 2
+    intercept[IllegalArgumentException](Wav.decode(nonPcm))
+    val forged = wav.clone()
+    forged(40) = 0xff.toByte; forged(41) = 0xff.toByte
+    forged(42) = 0xff.toByte; forged(43) = 0x7f.toByte
+    intercept[IllegalArgumentException](Wav.decode(forged))
+    intercept[IllegalArgumentException](
+      Wav.decode(wav.take(12) ++ wav.drop(36))) // data chunk, no fmt
+  }
+
+  test("hand-written codecs are spec-compliant against the JDK's own " +
+       "javax.imageio, both directions") {
+    import graft.multimodal.Png
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // our PNG encode -> ImageIO decode: a third-party reader must see
+    // the same pixels (catches a self-consistent-but-wrong stream that
+    // a roundtrip through our own decoder cannot)
+    val w = 5; val h = 7
+    val px = Array.tabulate(w * h * 3)(i => ((i * 53 + 17) % 256).toByte)
+    val img = ImageIO.read(
+      new java.io.ByteArrayInputStream(Png.encode(w, h, 2, px)))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val want = ((px(o) & 0xff) << 16) | ((px(o + 1) & 0xff) << 8) |
+        (px(o + 2) & 0xff)
+      assert((img.getRGB(x, y) & 0xffffff) == want, s"($x,$y)")
+    }
+    // ImageIO PNG encode -> our decode: our decoder must read a
+    // third-party encoder's stream (filter choices, chunk layout)
+    val src = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      src.setRGB(x, y, ((px(o) & 0xff) << 16) | ((px(o + 1) & 0xff) << 8) |
+        (px(o + 2) & 0xff))
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(src, "png", buf))
+    val (dw, dh, ct, dpx) = Png.decode(buf.toByteArray)
+    assert(dw == w && dh == h && ct == 2)
+    assert(dpx.sameElements(px))
+    // our BMP encode -> ImageIO decode (gray as B=G=R)
+    val gray = Array.tabulate(48)(i => (i * 5 % 256).toByte)
+    val bimg = ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.Bmp.encode(6, 8, gray)))
+    assert(bimg.getWidth == 6 && bimg.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 6) {
+      val g = gray(y * 6 + x) & 0xff
+      assert((bimg.getRGB(x, y) & 0xffffff) == ((g << 16) | (g << 8) | g),
+        s"($x,$y)")
+    }
+  }
+
+  test("ImageIoDecoder reads the lossy wild formats (JPEG) with dims " +
+       "exact and pixels near") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // a smooth gradient (JPEG's favorable case) keeps the error small;
+    // dims and channel layout must be exact, pixels within tolerance
+    val w = 16; val h = 16
+    val src = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 8 + y * 4) & 0xff
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(src, "jpg", buf))
+    val feats = Multimodal.ImageIoDecoder.decode(buf.toByteArray)
+    assert(feats(0) == w.toFloat && feats(1) == h.toFloat &&
+      feats(2) == 3f)
+    assert(feats.length == 3 + w * h * 3)
+    var maxErr = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 8 + y * 4) & 0xff).toDouble
+      val o = 3 + (y * w + x) * 3
+      maxErr = math.max(maxErr, math.abs(feats(o) - v))
+    }
+    assert(maxErr <= 16.0, s"JPEG error too large: $maxErr")
+    // and garbage is rejected, not NPE'd
+    intercept[IllegalArgumentException](
+      Multimodal.ImageIoDecoder.decode(Array[Byte](1, 2, 3, 4)))
+  }
+
   test("PngDecoder drives batchFeaturize; zero-padded tails intact") {
     import graft.multimodal.Png
     // the mm03 short-text contract: only 10 of 96 RGB bytes carry data,
