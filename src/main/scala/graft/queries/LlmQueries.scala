@@ -266,6 +266,40 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The INCREMENTAL corpus pipeline under the dp01 oracle: three
+    // ascending-id micro-batches through CorpusStream.processBatch
+    // (fresh temp warehouse per invocation — replaying over stale
+    // state would let later batches' fingerprints reach earlier docs),
+    // with compactEvery=2 so a live state-compaction pass (including
+    // its crash-safe commit probe) runs UNDER the oracle, not only
+    // under the suite. Ascending arrival order makes the stream's
+    // keep-first semantics equal dp01's global keep-smallest-id, so
+    // the recursive-CTE oracle gates the whole streaming chain:
+    // stored-sketch reuse, pk-pruned band state, cross-batch
+    // component kills, idempotent partition writes.
+    "dp03_incremental_corpus" -> ((s, dir) => {
+      import graft.streaming.CorpusStream
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val b = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")),
+        org.apache.spark.sql.functions.max(col("doc_id"))).head()
+      val lo = b.getLong(0); val hi = b.getLong(1)
+      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dp03_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      Seq(docs.filter(col("doc_id") <= cut1),
+          docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+          docs.filter(col("doc_id") > cut2))
+        .zipWithIndex.foreach { case (batch, i) =>
+          CorpusStream.processBatch(batch, cat, "dp03_seen", "dp03_out",
+            i.toLong, compactEvery = 2)
+        }
+      cat.read("dp03_out")
+        .select(col("doc_id"), col("lang"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus quality report — the per-language summary artifact every
     // corpus build emits: doc/token volumes, mean quality (scaled to
     // integer micro-units so the double sum is order-free) and exact
@@ -596,6 +630,33 @@ object LlmQueries {
     })
   )
 
+  private val dp01OracleSql: String = {
+    val toks = "string_split(text, ' ')"
+    val cp = graft.text.CorpusPipeline
+    s"""WITH RECURSIVE gated AS (SELECT * FROM documents
+          WHERE ${TextAnalysis.langIdSql(toks)} <> 'und'
+            AND ${TextAnalysis.qualityScoreSql(toks)} >=
+              ${cp.QualityFloor}),
+        deduped AS (SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY md5(substring(text, 1,
+              ${cp.FingerprintPrefixLen}))
+            ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
+        pairs AS (
+          ${MinHashLSH.nearDupPairsSql("deduped", "doc_id", "text",
+            threshold = cp.NearDupThreshold)}),
+        ${Dedup.clusterLosersSql("pairs", "doc_a", "doc_b")}
+        SELECT doc_id, lang,
+          CAST(len($toks) AS INT) AS n_toks
+        FROM deduped
+        WHERE NOT EXISTS (SELECT 1 FROM losers
+            WHERE losers.id = deduped.doc_id)
+          AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            (CASE WHEN lang = 'en' THEN '${cp.SampleBucketEn}'
+              ELSE '${cp.SampleBucketOther}' END)
+        ORDER BY doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
     "dd01_exact_dedup" ->
       """SELECT doc_id, lang, n_chars FROM (
@@ -680,32 +741,12 @@ object LlmQueries {
               AS top_bigram_frac
           FROM m ORDER BY doc_id"""
     },
-    "dp01_corpus_pipeline" -> {
-      val toks = "string_split(text, ' ')"
-      val cp = graft.text.CorpusPipeline
-      s"""WITH RECURSIVE gated AS (SELECT * FROM documents
-            WHERE ${TextAnalysis.langIdSql(toks)} <> 'und'
-              AND ${TextAnalysis.qualityScoreSql(toks)} >=
-                ${cp.QualityFloor}),
-          deduped AS (SELECT * FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY md5(substring(text, 1,
-                ${cp.FingerprintPrefixLen}))
-              ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
-          pairs AS (
-            ${MinHashLSH.nearDupPairsSql("deduped", "doc_id", "text",
-              threshold = cp.NearDupThreshold)}),
-          ${Dedup.clusterLosersSql("pairs", "doc_a", "doc_b")}
-          SELECT doc_id, lang,
-            CAST(len($toks) AS INT) AS n_toks
-          FROM deduped
-          WHERE NOT EXISTS (SELECT 1 FROM losers
-              WHERE losers.id = deduped.doc_id)
-            AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-              (CASE WHEN lang = 'en' THEN '${cp.SampleBucketEn}'
-                ELSE '${cp.SampleBucketOther}' END)
-          ORDER BY doc_id"""
-    },
+    "dp01_corpus_pipeline" -> dp01OracleSql,
+    // dp03 is oracle-equal to dp01 BY DESIGN: ascending-id batches
+    // through the incremental pipeline reproduce the batch chain's
+    // global keep-smallest-id semantics (the StreamingSpec equality),
+    // so the same recursive-CTE oracle gates the streaming path
+    "dp03_incremental_corpus" -> dp01OracleSql,
     "dp02_corpus_report" -> {
       val toks = "string_split(text, ' ')"
       s"""WITH perdoc AS (SELECT lang, n_chars,
