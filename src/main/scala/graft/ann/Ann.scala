@@ -263,7 +263,13 @@ object Ann {
     // the identical left-to-right 0.0-seeded fold as [[dot]] and the
     // oracle's list_aggregate, so scores stay bit-exact.
     val scored = joined.queryExecution.toRdd.mapPartitions { it =>
-      val vecCache = new java.util.HashMap[Long, Array[Double]]()
+      // one cache PER SIDE: a bipartite caller (semanticDecontaminate)
+      // joins two different tables whose id spaces may collide — a
+      // shared map would then hand side B a vector cached from side A.
+      // For the self-join callers the only cost is a vector materialized
+      // at most twice per partition instead of once.
+      val cacheA = new java.util.HashMap[Long, Array[Double]]()
+      val cacheB = new java.util.HashMap[Long, Array[Double]]()
       it.flatMap { row =>
         // spelled-out null tests: a Range+closure here would allocate
         // per pair, in the kernel that exists to not allocate per pair
@@ -272,16 +278,17 @@ object Ann {
           Iterator.empty
         else {
           val idA = row.getLong(0); val idB = row.getLong(1)
-          def vecOf(id: Long, ord: Int): Array[Double] = {
-            var v = vecCache.get(id)
+          def vecOf(cache: java.util.HashMap[Long, Array[Double]],
+                    id: Long, ord: Int): Array[Double] = {
+            var v = cache.get(id)
             if (v == null) {
               v = row.getArray(ord).toDoubleArray()
-              vecCache.put(id, v)
+              cache.put(id, v)
             }
             v
           }
-          val va = vecOf(idA, 2); val na = row.getDouble(3)
-          val vb = vecOf(idB, 4); val nb = row.getDouble(5)
+          val va = vecOf(cacheA, idA, 2); val na = row.getDouble(3)
+          val vb = vecOf(cacheB, idB, 4); val nb = row.getDouble(5)
           var s = 0.0; var i = 0
           while (i < va.length) { s += va(i) * vb(i); i += 1 }
           val cos = s / (na * nb)
@@ -480,6 +487,51 @@ object Ann {
         col("a.cos").as("cos"))
     }.filter(col("cos") >= minCos)
     cross.unionByName(within)
+  }
+
+  /** Embedding-space decontamination — the SEMANTIC twin of
+    * [[graft.text.Decontaminate]]: remove every corpus row whose
+    * embedding has cosine >= `minCos` against ANY eval-set embedding
+    * (paraphrased benchmark leakage that n-gram overlap cannot see).
+    *
+    * Scale shape, the bipartite version of [[embeddingNearDupLsh]]:
+    * both sides band once with the SHARED near-dup projections
+    * (NearDupBands × NearDupPlanes sign bits — per-row expressions, no
+    * shuffle), candidates are the (band, bucket) equi-join through
+    * [[graft.core.SkewJoin.guardedPairs]] (hot buckets salt across
+    * tasks; for the bipartite case a bucket is hot when the PRODUCT of
+    * its sides exceeds the pair budget), survivors verify exact cosine
+    * in the shared zero-copy kernel, and removal is one distinct +
+    * anti-join. Never a cross join, no driver state; the typical
+    * eval side is tiny, so AQE broadcasts its banded rows.
+    *
+    * Both id columns must be Long-castable; the two id SPACES may
+    * overlap (the verify kernel caches each side separately). */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String,
+                            vecCol: String, evalSet: DataFrame,
+                            evalIdCol: String, evalVecCol: String,
+                            minCos: Double): DataFrame = {
+    val c = withNorms(corpus, idCol, vecCol)
+    val e = withNorms(evalSet, evalIdCol, evalVecCol)
+    def bandFrame(d: DataFrame): DataFrame =
+      graft.core.Fence(d.select(col("id"), col("v"), col("nrm"),
+          explode(array((0 until NearDupBands).map(b =>
+            struct(lit(b).as("band"),
+              nearDupBandBucket(col("v"), b).as("bucket"))): _*)).as("bb"))
+        .select(col("id"), col("v"), col("nrm"),
+                col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+    val joined = graft.core.SkewJoin.guardedPairs(bandFrame(c),
+        bandFrame(e), Seq("band", "bucket"), selfJoin = false,
+        NearDupHotCap, NearDupHotSalts) { j =>
+      j.select(col("a.id").cast("long").as("id_a"),
+              col("b.id").cast("long").as("id_b"),
+              col("a.v").as("va"), col("a.nrm").as("na"),
+              col("b.v").as("vb"), col("b.nrm").as("nb"))
+    }
+    val contaminated = scoreJoined(joined, minCos)
+      .select(col("id_a")).distinct()
+    corpus.join(contaminated,
+      corpus(idCol).cast("long") === contaminated("id_a"), "left_anti")
   }
 
   /** IVF-Flat ANN — the inverted-file scale path beside the LSH one:

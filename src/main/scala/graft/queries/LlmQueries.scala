@@ -8,7 +8,7 @@ import graft.core.Tables
 import graft.multimodal.{Multimodal, Png, Wav}
 import graft.ops.Dedup
 import graft.sim.{JaccardJoin, MinHashLSH, SimHash}
-import graft.text.{Decontaminate, TextAnalysis, TextHash}
+import graft.text.{Decontaminate, SpanDedup, TextAnalysis, TextHash}
 
 /** Oracle-checked queries for the LLM-training-data operators (dedup,
   * similarity search, text analysis, multimodal plumbing) over the
@@ -71,6 +71,25 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+
+    // TF-IDF keyword extraction: top-3 distinctive terms per document,
+    // integer-ordered (tf DESC, df ASC, term ASC) so the ranking is
+    // engine-exact; (tf, df, n_docs) ride along for a float idf
+    // downstream.
+    "ts09_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id",
+          "text", 3)
+        .orderBy(col("id"), col("rank"))),
+
+    // Repeated-span statistics: word 5-grams occurring >= 2 times
+    // corpus-wide mark their token windows as duplicated; per doc the
+    // gate reports token count, duplicated-gram occurrences, covered
+    // tokens and the coverage fraction — the exact-substring
+    // (boilerplate-inside-documents) complement to whole-doc dedup
+    // (arXiv:2107.06499 at distributed n-gram grain).
+    "dd09_span_stats" -> ((s, dir) =>
+      SpanDedup.spanStats(t(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy(col("id"))),
 
     // PII redaction: emails / dotted-quad IPs / phone digit runs become
     // typed placeholders. The corpus carries no PII, so the gate plants
@@ -403,6 +422,21 @@ object LlmQueries {
           "embedding", 460.0 / 1024.0)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Semantic decontamination: corpus embeddings with cosine >= t
+    // against ANY eval-set embedding (the vec_id % 97 slice stands in
+    // for the benchmark, as in dd08) are removed — the embedding-space
+    // twin of n-gram decontamination, catching paraphrased leakage.
+    // Bipartite banded LSH + exact-cosine verify + anti-join.
+    "dd10_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val eval = emb.filter(col("vec_id") % 97 === 0)
+      val corpus = emb.filter(col("vec_id") % 97 =!= 0)
+      Ann.semanticDecontaminate(corpus, "vec_id", "embedding",
+          eval, "vec_id", "embedding", 460.0 / 1024.0)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // U5 token-sort ratio: word-order permutations score 100 where the
     // plain ratio does not (fuzzywuzzy WRatio fidelity, SURVEY §7.4(6))
     "u05_token_sort" -> ((s, dir) => {
@@ -696,6 +730,10 @@ object LlmQueries {
           WHERE NOT EXISTS (SELECT 1 FROM bad
             WHERE bad.doc_id = corpus.doc_id)
           ORDER BY doc_id""",
+    "dd09_span_stats" ->
+      SpanDedup.spanStatsSql("documents", "doc_id", "text", 5),
+    "ts09_tfidf_terms" ->
+      TextAnalysis.tfidfTopTermsSql("documents", "doc_id", "text", 3),
     "ts08_pii_redact" -> {
       val synth = """substring(text, 1, 40) || ' contact user' ||
         CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.0.' ||
@@ -917,6 +955,31 @@ object LlmQueries {
                     JOIN v db ON cand.id_b = db.id
           WHERE $cos >= (460::DOUBLE / 1024::DOUBLE)
           ORDER BY id_a, id_b"""
+    },
+    "dd10_semantic_decon" -> {
+      val cos = Ann.cosineSql("da.v", "db.v")
+      def bands(src: String) = (0 until Ann.NearDupBands).map(b =>
+        s"""SELECT id, $b AS band,
+            CAST(${Ann.nearDupBandBucketSql("v", b)} AS BIGINT) AS bucket
+            FROM $src""").mkString("\n UNION ALL ")
+      s"""WITH ev AS (SELECT vec_id AS id,
+            list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings WHERE vec_id % 97 = 0),
+          cv AS (SELECT vec_id AS id, label,
+            list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings WHERE vec_id % 97 <> 0),
+          cb AS (${bands("cv")}),
+          eb AS (${bands("ev")}),
+          cand AS (SELECT DISTINCT c.id AS id_a, e.id AS id_b
+            FROM cb c JOIN eb e
+              ON c.band = e.band AND c.bucket = e.bucket),
+          bad AS (SELECT DISTINCT id_a
+            FROM cand JOIN cv da ON cand.id_a = da.id
+                      JOIN ev db ON cand.id_b = db.id
+            WHERE $cos >= (460::DOUBLE / 1024::DOUBLE))
+          SELECT id AS vec_id, label FROM cv
+          WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.id_a = cv.id)
+          ORDER BY vec_id"""
     },
     "ann02_lsh_neighbors" -> {
       val cos = Ann.cosineSql("a.v", "b.v")

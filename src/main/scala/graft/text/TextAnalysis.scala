@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -116,4 +116,63 @@ object TextAnalysis {
       '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g')"""
     raw"""regexp_replace($ip, '\+\d{7,}', '<PHONE>', 'g')"""
   }
+
+  /** Top-`k` TF-IDF-ranked distinctive terms per document — the keyword
+    * extraction step of corpus exploration/tagging pipelines. Ranking is
+    * deliberately INTEGER-ordered: (tf DESC, df ASC, term ASC) orders
+    * pairs exactly as tf·idf does whenever one of tf/df dominates, while
+    * a float idf (ln across two engines' libms) could flip a last-ulp
+    * tie and desync the oracle. The row carries (tf, df, n_docs), so a
+    * consumer that wants the float score computes tf·ln((N+1)/(df+1))
+    * downstream.
+    *
+    * Scale shape: explode to (doc, term) — linear in token count; tf is
+    * one (doc, term) hash aggregate with map-side partials; df one
+    * (term) aggregate over the distinct pairs tf already produced (no
+    * second pass over raw tokens); n_docs a broadcast one-row aggregate
+    * (no driver collect); the top-k window partitions by doc over
+    * per-doc DISTINCT terms — bounded by doc length, never corpus-wide.
+    * A stopword's huge df is a single aggregate row, not a join
+    * amplification. Output: (id, rank, term, tf, df, n_docs). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = docs.select(col(idCol).as("id"),
+        explode(split(coalesce(col(textCol).cast("string"), lit("")),
+          " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(
+      countDistinct(col(idCol)).cast("long").as("n_docs"))
+    val ranked = tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)))
+      .filter(col("rank") <= k)
+    ranked.join(broadcast(nDocs))
+      .select(col("id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("n_docs"))
+  }
+
+  /** DuckDB rendering of [[tfidfTopTerms]] over `docsTable`, same six
+    * columns ordered by (id, rank). */
+  def tfidfTopTermsSql(docsTable: String, idCol: String, textCol: String,
+                       k: Int): String =
+    s"""WITH terms AS (
+          SELECT $idCol AS id, unnest(string_split(
+            coalesce($textCol, ''), ' ')) AS term FROM $docsTable),
+        tf AS (SELECT id, term, count(*) AS tf FROM terms
+          WHERE term <> '' GROUP BY id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(DISTINCT $idCol) AS n_docs FROM $docsTable),
+        ranked AS (SELECT id, term, tf, df,
+            row_number() OVER (PARTITION BY id
+              ORDER BY tf DESC, df ASC, term ASC) AS rank
+          FROM tf JOIN df USING (term))
+        SELECT id, rank, term, tf, df, n_docs
+        FROM ranked, nd WHERE rank <= $k
+        ORDER BY id, rank"""
 }

@@ -142,6 +142,19 @@ object TextHash {
           range(1, len($th) - ${n - 2}), i -> $term)) END"""
   }
 
+  /** POSITIONED word n-gram hashes (element i = the gram starting at
+    * token i) — [[wordShingleHashesSql]] without the distinct, for span
+    * accounting where each occurrence and its token offset matter. */
+  def positionedWordShinglesSql(th: String, n: Int): String = {
+    val p = 2147483647L
+    val term = (0 until n).map { j =>
+      s"($th[i + $j] % $p) * ${pow31(n - 1 - j)}"
+    }.mkString(" + ")
+    s"""CASE WHEN len($th) < $n THEN []::BIGINT[]
+        ELSE list_transform(
+          range(1, len($th) - ${n - 2}), i -> $term) END"""
+  }
+
   /** Per-token 12-char-capped hashes folded into 32 bits (for SimHash). */
   def tokenHashes32(text: Column): Column =
     transform(tokens(text), t => charHash(t) % lit(4294967296L))

@@ -54,6 +54,47 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(lsh.contains((100L, 101L)))
   }
 
+  test("semanticDecontaminate removes exactly the corpus rows with an " +
+      "eval near-twin; colliding id spaces cannot alias vectors") {
+    val rnd = new scala.util.Random(13)
+    def noiseVec() = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val vContaminated = noiseVec()
+    val vClean = noiseVec()
+    // corpus ids 1..5; eval REUSES ids 1 and 2 with UNRELATED vectors —
+    // the per-side verify caches must not hand one side the other's
+    // vector (same-id, different-table collision)
+    val corpus = Seq(
+      (1L, vContaminated),
+      (2L, vClean),
+      (3L, noiseVec()), (4L, noiseVec()),
+      // exact duplicate direction of the contaminated vector, scaled:
+      // identical sign buckets in every band, cosine exactly 1.0
+      (5L, vContaminated.map(x => x * 3.0f)))
+      .toDF("vec_id", "embedding")
+    val eval = Seq(
+      (1L, noiseVec()), (2L, noiseVec()),
+      (9L, vContaminated.map(x => x * 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.semanticDecontaminate(corpus, "vec_id", "embedding",
+        eval, "vec_id", "embedding", 0.95)
+      .select($"vec_id").as[Long].collect().toSet
+    // 1 and 5 match eval id 9 (cosine 1.0); random 64-dim directions
+    // sit far below 0.95, including the eval rows reusing ids 1/2
+    assert(out == Set(2L, 3L, 4L))
+  }
+
+  test("semanticDecontaminate with an empty eval set is the identity") {
+    val rnd = new scala.util.Random(5)
+    val corpus = Seq.tabulate(6)(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val eval = corpus.filter($"vec_id" < 0)
+    val out = Ann.semanticDecontaminate(corpus, "vec_id", "embedding",
+        eval, "vec_id", "embedding", 0.5)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(out == Set(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
   test("ivfTopK with one cell equals the brute-force baseline") {
     // numCells=1, nprobe=1 degenerates to scanning the full corpus —
     // the output (ranks, ids, bit-exact cosines) must equal bruteForce

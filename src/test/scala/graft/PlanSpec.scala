@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan-shape regression guards for the scale-critical queries: the
   * properties that make these operators 100-TB-viable (pushdown, pruning,
   * broadcast dimension joins, equi-join candidate generation, map-side
@@ -40,10 +42,41 @@ class PlanSpec extends SparkSpec {
   test("dedup/similarity candidate generation is never a cartesian") {
     Seq("dd03_minhash_lsh", "dd04_simhash", "dd06_embedding_neardup_lsh",
         "j05_fuzzy_top1", "ann03_ivf_topk", "dd07_cluster_dedup",
-        "dd08_decontaminate", "dp01_corpus_pipeline").foreach { q =>
+        "dd08_decontaminate", "dp01_corpus_pipeline",
+        "dd09_span_stats").foreach { q =>
       val p = sparkPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
     }
+  }
+
+  test("dd09: duplicated-gram detection is a partial-aggregated " +
+       "equi-semi-join — no cartesian, no window, no driver table") {
+    val p = sparkPlan("dd09_span_stats")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("LocalTableScan"), p.take(800))
+    assert(p.contains("LeftSemi"), p.take(1200))
+    // global gram counting gets a map-side partial stage
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("dd10: semantic decontamination removes by anti-join, never a " +
+       "cartesian in the gated plan (the guarded band join rides the " +
+       "verify kernel's RDD boundary, SMJ-pinned by the ann02 test)") {
+    val p = sparkPlan("dd10_semantic_decon")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("ts09: tf-idf ranking aggregates partially and windows per doc " +
+       "over distinct terms; the only unconditioned join is the " +
+       "one-row n_docs broadcast") {
+    val p = sparkPlan("ts09_tfidf_terms")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1200))
+    assert(p.contains("Window"), p.take(1200))
   }
 
   test("the fused band-join floor upstream of the verify kernels is an " +

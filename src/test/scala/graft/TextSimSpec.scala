@@ -196,6 +196,88 @@ class TextSimSpec extends SparkSpec {
     assert(out == Set(2L, 4L))
   }
 
+  test("tfidfTopTerms ranks per-doc terms by (tf desc, df asc, term)") {
+    val docs = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "banana cherry common"),
+      (3L, "common only")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .orderBy($"id", $"rank")
+      .select($"id", $"rank", $"term", $"tf", $"df", $"n_docs")
+      .as[(Long, Int, String, Long, Long, Long)].collect().toSeq
+    // doc 1: common tf=3 beats apple tf=2 on tf alone; doc 2: banana
+    // (df=2) outranks cherry (df=1)? no — df ASC prefers the RARER
+    // term: cherry df=1 before banana df=2; doc 3: common then only
+    assert(out == Seq(
+      (1L, 1, "common", 3L, 3L, 3L), (1L, 2, "apple", 2L, 1L, 3L),
+      (2L, 1, "cherry", 1L, 1L, 3L), (2L, 2, "banana", 1L, 2L, 3L),
+      (3L, 1, "only", 1L, 1L, 3L), (3L, 2, "common", 1L, 3L, 3L)))
+  }
+
+  test("spanStats: hand-computed duplicated-gram counts and coverage") {
+    import graft.text.SpanDedup
+    val docs = Seq(
+      (1L, "a b c d e"),   // "a b c" shared with doc 2 at pos 0
+      (2L, "a b c x y"),
+      (3L, "z z z z"),     // within-doc repeat: gram (z,z,z) at pos 0,1
+      (4L, "q"))           // shorter than n: zeros
+      .toDF("doc_id", "text")
+    val out = SpanDedup.spanStats(docs, "doc_id", "text", 3)
+      .orderBy($"id")
+      .select($"id", $"n_tokens", $"dup_grams", $"covered_tokens",
+        $"dup_frac")
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5, 1L, 3L, 0.6),
+      (2L, 5, 1L, 3L, 0.6),
+      (3L, 4, 2L, 4L, 1.0),
+      (4L, 1, 0L, 0L, 0.0)))
+  }
+
+  test("spanStats equals a naive single-node computation on a " +
+       "template corpus") {
+    import graft.text.SpanDedup
+    val n = 4
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.fill(80)(
+      (0 until (3 + rnd.nextInt(4)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val boiler = "all rights reserved worldwide terms apply"
+    val corpus: Seq[(Long, String)] = (0 until 40).map { i =>
+      val content = Seq.fill(20)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      // half the docs share the boilerplate head -> real cross-doc spans
+      (i.toLong, if (i % 2 == 0) s"$boiler $content" else content)
+    }
+    val df = corpus.toDF("doc_id", "text")
+    // naive twin over the same tokenizer/hash convention
+    val p = 2147483647L
+    val grams = corpus.flatMap { case (id, text) =>
+      val th = text.split(" ", -1).map(TextHash.charHashStr)
+      (0 to th.length - n).map { i =>
+        val h = (0 until n).map(j =>
+          th(i + j) % p * TextHash.pow31(n - 1 - j)).sum
+        (id, i, h)
+      }
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+    val expected = corpus.map { case (id, text) =>
+      val nTok = text.split(" ", -1).length
+      val occ = grams.filter(g => g._1 == id && dup.contains(g._3))
+      val covered = occ.flatMap(g => g._2 until g._2 + n).toSet.size
+      (id, nTok, occ.size.toLong, covered.toLong,
+        covered.toDouble / nTok.toDouble)
+    }.sortBy(_._1)
+    val out = SpanDedup.spanStats(df, "doc_id", "text", n)
+      .orderBy($"id")
+      .select($"id", $"n_tokens", $"dup_grams", $"covered_tokens",
+        $"dup_frac")
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    assert(out == expected)
+    assert(expected.exists(_._3 > 0),
+      "fixture must actually contain duplicated spans")
+  }
+
   test("piiRedact masks emails, IPs and phone runs; clean text is " +
        "untouched") {
     val df = Seq(
