@@ -140,10 +140,41 @@ object IoQueries {
       s.read.option("header", "true").option("sep", ";")
         .option("inferSchema", "true").csv(s"$stage/out")
         .orderBy(col("index"))
+    }),
+
+    // S11 JSONL scan — THE interchange format of LLM training corpora
+    // (one JSON object per line). The gate round-trips the documents
+    // table through a .jsonl stage and reads it back with an EXPLICIT
+    // schema (schema-on-read like ev04, not inference — an inferred
+    // LongType-vs-DoubleType flip on a sparse column would silently
+    // desync a real corpus); a lossy escape (newlines/quotes/unicode in
+    // text) or type drift fails the hash against the parquet oracle.
+    "s11_jsonl_scan" -> ((s, dir) => {
+      val stage = tmp("graft_s11_")
+      t(s, dir, "documents").coalesce(1)
+        .write.mode("overwrite").json(s"$stage/out")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      s.read.schema(schema).json(s"$stage/out")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "s11_jsonl_scan" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
     "s01_http_csv" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "s02_zip_csv" ->

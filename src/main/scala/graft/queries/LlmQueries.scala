@@ -72,6 +72,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget data mixing: per language, keep the best-quality
+    // document prefix whose running token total fits the budget — the
+    // mixture-assembly step between filtering and training. The
+    // operator finds the cut via bucketed aggregation (no corpus-wide
+    // window; see text/Mixture.scala); the oracle is the one-window
+    // reference form it is row-identical to.
+    "ts10_token_budget" -> ((s, dir) => {
+      val toks = TextHash.tokens(col("text"))
+      graft.text.Mixture.tokenBudgetSample(t(s, dir, "documents"),
+          "doc_id", "lang", size(toks).cast("long"),
+          TextAnalysis.qualityScore(toks), 25000L)
+        .orderBy(col("id"))
+    }),
+
     // TF-IDF keyword extraction: top-3 distinctive terms per document,
     // integer-ordered (tf DESC, df ASC, term ASC) so the ranking is
     // engine-exact; (tf, df, n_docs) ride along for a float idf
@@ -734,6 +748,11 @@ object LlmQueries {
       SpanDedup.spanStatsSql("documents", "doc_id", "text", 5),
     "ts09_tfidf_terms" ->
       TextAnalysis.tfidfTopTermsSql("documents", "doc_id", "text", 3),
+    "ts10_token_budget" -> {
+      val toks = "string_split(text, ' ')"
+      graft.text.Mixture.tokenBudgetSampleSql("documents", "doc_id",
+        "lang", s"len($toks)", TextAnalysis.qualityScoreSql(toks), 25000L)
+    },
     "ts08_pii_redact" -> {
       val synth = """substring(text, 1, 40) || ' contact user' ||
         CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.0.' ||

@@ -196,6 +196,50 @@ class TextSimSpec extends SparkSpec {
     assert(out == Set(2L, 4L))
   }
 
+  test("tokenBudgetSample keeps exactly the per-language best-quality " +
+       "prefix within budget (boundary bucket, fits-whole, tie cases)") {
+    import graft.text.Mixture
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // lang a: distinct buckets; budget 12 keeps ids 1,2 (cum 5,10),
+      // id 3 (cum 15) crosses
+      (1L, "a", 5L, 0.9), (2L, "a", 5L, 0.8), (3L, "a", 5L, 0.7),
+      // lang b fits entirely -> keep-all path (boundary -1)
+      (4L, "b", 3L, 0.5), (5L, "b", 4L, 0.4),
+      // lang c: identical quality -> ONE bucket, id ASC decides; 6,7
+      // fit (6, 12), 8 (18) crosses
+      (6L, "c", 6L, 0.5), (7L, "c", 6L, 0.5), (8L, "c", 6L, 0.5))
+      .toDF("doc_id", "lang", "nt", "q")
+    val out = Mixture.tokenBudgetSample(docs, "doc_id", "lang",
+        col("nt"), col("q"), 12L)
+      .select($"id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 4L, 5L, 6L, 7L))
+  }
+
+  test("tokenBudgetSample equals the one-window reference form on a " +
+       "random corpus with a null language") {
+    import graft.text.Mixture
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      val lang = if (i % 37 == 0) null
+        else s"l${rnd.nextInt(4)}"
+      (i.toLong, lang, (1 + rnd.nextInt(50)).toLong,
+        rnd.nextInt(1000) / 1000.0)
+    }
+    val docs = rows.toDF("doc_id", "lang", "nt", "q")
+    val out = Mixture.tokenBudgetSample(docs, "doc_id", "lang",
+        col("nt"), col("q"), 200L)
+      .select($"id").as[Long].collect().toSet
+    val w = Window.partitionBy($"lang")
+      .orderBy($"q".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.withColumn("cum", fsum($"nt").over(w))
+      .filter($"cum" <= 200L).select($"doc_id").as[Long].collect().toSet
+    assert(out == ref && ref.nonEmpty)
+  }
+
   test("tfidfTopTerms ranks per-doc terms by (tf desc, df asc, term)") {
     val docs = Seq(
       (1L, "apple apple banana common common common"),
