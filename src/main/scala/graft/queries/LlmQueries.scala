@@ -105,6 +105,16 @@ object LlmQueries {
       SpanDedup.spanStats(t(s, dir, "documents"), "doc_id", "text", 5)
         .orderBy(col("id"))),
 
+    // Duplicated-span REMOVAL — the transform dd09 only measures:
+    // rewrite every document with corpus-duplicated 5-gram spans
+    // stripped, keeping the globally-first occurrence of each span
+    // (token-wise: kept = not covered by a duplicate window, or
+    // claimed by a canonical one).
+    "dd11_span_strip" -> ((s, dir) =>
+      SpanDedup.stripDuplicatedSpans(t(s, dir, "documents"), "doc_id",
+          "text", 5)
+        .orderBy(col("id"))),
+
     // PII redaction: emails / dotted-quad IPs / phone digit runs become
     // typed placeholders. The corpus carries no PII, so the gate plants
     // a deterministic contact string per doc (identically on both
@@ -746,6 +756,8 @@ object LlmQueries {
           ORDER BY doc_id""",
     "dd09_span_stats" ->
       SpanDedup.spanStatsSql("documents", "doc_id", "text", 5),
+    "dd11_span_strip" ->
+      SpanDedup.stripDuplicatedSpansSql("documents", "doc_id", "text", 5),
     "ts09_tfidf_terms" ->
       TextAnalysis.tfidfTopTermsSql("documents", "doc_id", "text", 3),
     "ts10_token_budget" -> {

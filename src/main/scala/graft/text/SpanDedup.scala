@@ -110,6 +110,115 @@ object SpanDedup {
           col("n_tokens").cast("double")).as("dup_frac"))
   }
 
+  /** The TRANSFORM twin of [[spanStats]]: rewrite each document with
+    * duplicated spans REMOVED, keeping one copy corpus-wide (the
+    * exact-substring dedup policy of arXiv:2107.06499, at n-gram
+    * grain). Rules, all deterministic:
+    *   - a gram hash occurring ≥ 2 times corpus-wide is duplicated;
+    *     its CANONICAL occurrence is the globally smallest (doc, pos);
+    *   - a token position is covered when any duplicated occurrence's
+    *     n-token window contains it, and protected when a canonical
+    *     occurrence's window does;
+    *   - kept tokens = not covered, or protected. Overlapping spans
+    *     resolve token-wise: a token survives if ANY canonical window
+    *     claims it.
+    * Output: (id, text, n_kept, n_dropped) — text rebuilt from kept
+    * tokens in position order (empty when everything was duplicated).
+    *
+    * Scale shape on top of [[spanStats]]'s stages: the canonical pick
+    * is a min-struct aggregate on the gram hash (same shuffle key as
+    * the duplicate count), window expansion is bounded by n × dup
+    * occurrences, the keep-mask is one anti-join of token positions
+    * against (covered minus protected), and the rebuild is a per-doc
+    * sort-aggregate (`collect_list` bounded by document length — the
+    * same per-doc bound every tokenizing operator here carries). */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int = 5): DataFrame = {
+    val base = graft.core.Fence.soft(
+      positionedShingleFrame(docs, idCol, textCol, n))
+    val grams = base.select(col("id"),
+      posexplode(col("sh")).as(Seq("pos", "g")))
+    // per-gram: occurrence count + globally-first occurrence, one
+    // aggregate on the same key
+    val gstats = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__c") > 1)
+    val dupOcc = grams.join(gstats.select(col("g")), Seq("g"),
+      "left_semi")
+    val canonical = gstats.select(col("__first.id").as("id"),
+      col("__first.pos").as("pos"))
+    def windows(occ: DataFrame): DataFrame = occ
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val covered = windows(dupOcc)
+    val protectedPos = windows(canonical)
+    val dropPos = covered.join(protectedPos, Seq("id", "p"), "left_anti")
+    // token strings with positions, keep-masked; null text reads as
+    // empty (one empty token), mirroring the shingle kernel
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol).cast("string"), lit("")),
+          " ")).as(Seq("p", "tok")))
+    val kept = toks.join(dropPos, Seq("id", "p"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .join(base.select(col("id"), col("n_toks")), Seq("id"))
+      .select(col("id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks").cast("long") -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** DuckDB rendering of [[stripDuplicatedSpans]] over `docsTable`,
+    * same four columns ordered by id. */
+  def stripDuplicatedSpansSql(docsTable: String, idCol: String,
+                              textCol: String, n: Int): String = {
+    val th = TextHash.tokenHashesSql(s"coalesce($textCol, '')")
+    val sh = TextHash.positionedWordShinglesSql("th", n)
+    s"""WITH tok AS (SELECT $idCol AS id, $th AS th FROM $docsTable),
+        pg AS (SELECT id, CAST(len(th) AS INT) AS n_toks, $sh AS sh
+          FROM tok),
+        g AS (SELECT id, unnest(sh) AS g,
+            unnest(generate_series(1, len(sh))) - 1 AS pos FROM pg),
+        gs AS (SELECT g, count(*) AS c,
+            min(struct_pack(id := id, pos := pos)) AS f
+          FROM g GROUP BY g HAVING count(*) > 1),
+        occ AS (SELECT id, pos FROM g WHERE g IN (SELECT g FROM gs)),
+        canon AS (SELECT f.id AS id, f.pos AS pos FROM gs),
+        covered AS (SELECT DISTINCT id,
+            unnest(generate_series(pos, pos + ${n - 1})) AS p FROM occ),
+        protected AS (SELECT DISTINCT id,
+            unnest(generate_series(pos, pos + ${n - 1})) AS p
+          FROM canon),
+        droppos AS (SELECT id, p FROM covered
+          WHERE NOT EXISTS (SELECT 1 FROM protected pr
+            WHERE pr.id = covered.id AND pr.p = covered.p)),
+        toks AS (SELECT $idCol AS id,
+            unnest(string_split(coalesce($textCol, ''), ' ')) AS tok,
+            unnest(generate_series(1,
+              len(string_split(coalesce($textCol, ''), ' ')))) - 1 AS p
+          FROM $docsTable),
+        kept AS (SELECT id, tok, p FROM toks
+          WHERE NOT EXISTS (SELECT 1 FROM droppos d
+            WHERE d.id = toks.id AND d.p = toks.p)),
+        rebuilt AS (SELECT id, string_agg(tok, ' ' ORDER BY p) AS text,
+            count(*) AS n_kept
+          FROM kept GROUP BY id)
+        SELECT pg.id, COALESCE(rebuilt.text, '') AS text,
+          COALESCE(rebuilt.n_kept, 0) AS n_kept,
+          CAST(pg.n_toks AS BIGINT) - COALESCE(rebuilt.n_kept, 0)
+            AS n_dropped
+        FROM pg LEFT JOIN rebuilt ON pg.id = rebuilt.id
+        ORDER BY pg.id"""
+  }
+
   /** DuckDB rendering of the whole [[spanStats]] rule over table
     * `docsTable`, emitting the same five columns ordered by id. */
   def spanStatsSql(docsTable: String, idCol: String, textCol: String,

@@ -278,6 +278,29 @@ class TextSimSpec extends SparkSpec {
       (4L, 1, 0L, 0L, 0.0)))
   }
 
+  test("stripDuplicatedSpans keeps the globally-first copy of a " +
+       "duplicated span and strips the others token-wise") {
+    import graft.text.SpanDedup
+    val docs = Seq(
+      // doc 1 holds the canonical (smallest doc, pos) copy of "a b c"
+      (1L, "a b c d e"),
+      (2L, "a b c x y"),     // its "a b c" window (pos 0-2) drops
+      (3L, "u v w q r"),     // untouched: no duplicated grams
+      (4L, "z z z z"))       // within-doc repeat: pos 0 canonical,
+                             // covered 0..3, protected 0..2 -> drop 3
+      .toDF("doc_id", "text")
+    val out = SpanDedup
+      .stripDuplicatedSpans(docs, "doc_id", "text", 3)
+      .orderBy($"id")
+      .select($"id", $"text", $"n_kept", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d e", 5L, 0L),
+      (2L, "x y", 2L, 3L),
+      (3L, "u v w q r", 5L, 0L),
+      (4L, "z z z", 3L, 1L)))
+  }
+
   test("spanStats equals a naive single-node computation on a " +
        "template corpus") {
     import graft.text.SpanDedup
