@@ -30,16 +30,21 @@ import graft.text.{CorpusPipeline, TextHash}
   *    arrival order (the ingestion contract; the reference's daily
   *    extracts have the same property) this equals dp01's global
   *    keep-smallest-id;
-  *  - near-dup clustering: a batch-internal component dies WHOLE when
-  *    any member verifies against any previously-seen doc (seen =
-  *    every gated+exact-deduped doc, including cluster-dropped ones —
-  *    a dropped doc still bridges later arrivals to its component);
-  *    otherwise its smallest id survives, like the batch operator.
-  *    This is the strongest sound no-retraction semantics: the one
-  *    divergence from global [[Dedup.clusterDedup]] is a component
-  *    whose only bridge arrives in a LATER batch (the earlier doc is
-  *    already emitted and cannot be retracted) — inherent to any
-  *    streaming dedup, documented rather than hidden.
+  *  - near-dup clustering CONVERGES to the batch operator (round 10):
+  *    a batch-internal component merges with every seen component any
+  *    member verifies against (seen = every gated+exact-deduped doc,
+  *    including cluster-dropped ones — a dropped doc still bridges
+  *    later arrivals), via a contracted-graph CC over component
+  *    LABELS; the merged component's canonical (minimum id) survives
+  *    and every other member dies. When a later bridge dethrones an
+  *    already-emitted canonical, that doc is RETRACTED — its output
+  *    partition is rewritten without it — so the materialized output
+  *    equals [[Dedup.clusterDedup]]'s at every batch boundary (the
+  *    round-9 "late bridge" divergence, previously documented as
+  *    inherent, is closed; labels only decrease, so retraction never
+  *    needs a matching re-admission). The label state behind this is
+  *    a third, update-style table bounded by the duplicated slice of
+  *    the corpus — see [[lblTableOf]].
   */
 object CorpusStream {
 
@@ -79,6 +84,37 @@ object CorpusStream {
 
   private def bandsTableOf(stateTable: String): String =
     stateTable + "_bands"
+
+  /** Component-label state (round-10): rows `(id, lbl, b)` mapping a
+    * doc to its near-dup component's canonical id, written only for
+    * members of multi-doc or merged components (singletons implicitly
+    * label themselves — the table stays proportional to the DUPLICATED
+    * slice of the corpus, not the corpus). Labels change when later
+    * bridges merge components, so rows are UPDATES: `b` is the writing
+    * batch and a read keeps each id's highest-`b` row. This is what
+    * lets a merge find the true canonical of a touched seen doc (the
+    * stored member's label, not the member itself) and retract a
+    * dethroned canonical from the output. */
+  private def lblTableOf(stateTable: String): String =
+    stateTable + "_lbl"
+
+  /** Current (latest-wins) label per stored doc, or null when no label
+    * state exists yet. */
+  private def currentLabels(catalog: TableCatalog, stateTable: String,
+                            batchKey: String): DataFrame = {
+    val lblTable = lblTableOf(stateTable)
+    if (!catalog.tableExists(lblTable)) null
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("b").desc)
+      catalog.read(lblTable)
+        .filter(col("batch_id").cast("string") =!= batchKey)
+        .select(col("id"), col("lbl"), col("b"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("lbl"))
+    }
+  }
 
   /** Signature width of a stored state table: the parquet-persisted
     * [[MinHashLSH.NumPermMetaKey]] field metadata when present (states
@@ -231,6 +267,32 @@ object CorpusStream {
       srcs.foreach(catalog.deletePartition(bandsTable, "batch_id", _))
       moved = true
     }
+    // label table: rows are UPDATES (latest `b` wins per id), so the
+    // compacted partition keeps exactly each id's highest-b row — the
+    // union-then-latest a reader would compute anyway, materialized
+    val lblTable = lblTableOf(stateTable)
+    val lb = sourcesOf(lblTable)
+    if (lb.size >= 2) {
+      val key = "c" + lb.flatMap(numOf).max
+      val srcs = lb.filter(_ != key)
+      if (!lb.contains(key) ||
+          !catalog.partitionCommitted(lblTable, "batch_id", key)) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("b").desc)
+        catalog.writePartition(
+          catalog.read(lblTable)
+            .filter(col("batch_id").isin(srcs: _*))
+            .select(col("id"), col("lbl"), col("b"))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+            .withColumn("batch_id", lit(key))
+            .coalesce(1),
+          lblTable, "batch_id", key)
+      }
+      failpoint("lbl-target-written")
+      srcs.foreach(catalog.deletePartition(lblTable, "batch_id", _))
+      moved = true
+    }
     moved
   }
 
@@ -323,32 +385,89 @@ object CorpusStream {
           geom, selfJoin = true),
         newSk, threshold, sb = Some(newSk.select(col("id"), col("sb"))))
       .select(col("doc_a"), col("doc_b"))
-    val crossTouched =
-      if (state == null) newDocs.select(col("doc_id")).limit(0)
+    // cross PAIRS (new doc, seen doc), not just touched flags: merging
+    // needs to know WHICH seen components this batch connects
+    val crossPairs =
+      if (state == null) null
       else {
         val seenBands = seenBandFrame(catalog, stateTable, batchKey,
           state, newBands, geom)
-        MinHashLSH.verifySurvivors(
+        graft.core.Fence.soft(MinHashLSH.verifySurvivors(
             MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
               geom, selfJoin = false),
             allSigs, threshold,
             sb = Some(allSigs.select(col("id"), col("sb"))))
-          .select(col("doc_a").as("doc_id")).distinct()
+          .select(col("doc_a"), col("doc_b")).distinct())
       }
-    // 5. component resolution within the batch; a component dies whole
-    //    when any member touches the seen corpus
+    val haveCross = crossPairs != null && !crossPairs.isEmpty
+    // 5. component resolution within the batch...
     val labels = Dedup.connectedComponents(internal, "doc_a", "doc_b")
     val labeled = newDocs.join(
         labels.select(col("id").as("doc_id"), col("label")),
         Seq("doc_id"), "left")
       .withColumn("label", coalesce(col("label"), col("doc_id")))
-    val deadLabels = labeled
-      .join(crossTouched, Seq("doc_id"), "left_semi")
-      .select(col("label")).distinct()
-    val kept = labeled.filter(col("doc_id") === col("label"))
-      .join(deadLabels.withColumnRenamed("label", "__dead"),
-        col("label") === col("__dead"), "left_anti")
-      .drop("label")
+    // 5b. ...then CONVERGENT MERGING across batches (round 10 — closes
+    //     the late-bridge divergence from batch clusterDedup): each
+    //     cross pair is an edge between this batch's component LABEL
+    //     and the seen doc's current component label (member docs
+    //     resolve through the label state), a contracted-graph CC over
+    //     those few labels finds each merged component's true canonical
+    //     (the minimum of the involved canonical ids), and
+    //       - a new doc survives iff it IS its merged canonical (under
+    //         the ascending-id ingestion contract the canonical of a
+    //         merged component is always an earlier doc, so this
+    //         reduces to the old "touching seen means death" rule —
+    //         but an out-of-order feed now elects the new doc when its
+    //         id is smallest);
+    //       - a previously EMITTED canonical that loses its crown is
+    //         RETRACTED: its output partition is rewritten without it
+    //         (idempotent — replaying the batch re-derives the same
+    //         retraction set and the anti-join is a no-op the second
+    //         time). Labels only ever decrease, so a once-dropped doc
+    //         can never need re-admission.
+    val curLbls =
+      if (!haveCross) null
+      else currentLabels(catalog, stateTable, batchKey)
+    val mr: DataFrame = if (!haveCross) null else {
+      val la = crossPairs
+        .join(labeled.select(col("doc_id").as("__na"), col("label")),
+          col("doc_a") === col("__na"))
+        .select(col("label").as("la"), col("doc_b"))
+      val edges =
+        if (curLbls == null) la.select(col("la"), col("doc_b").as("lb"))
+        else la.join(curLbls.withColumnRenamed("id", "__sb"),
+            col("doc_b") === col("__sb"), "left")
+          .select(col("la"), coalesce(col("lbl"), col("doc_b")).as("lb"))
+      graft.core.Fence.soft(
+        Dedup.connectedComponents(edges, "la", "lb")
+          .select(col("id").as("__node"), col("label").as("__m")))
+    }
+    val labeled2 =
+      if (mr == null) labeled.withColumn("__fl", col("label"))
+      else labeled.join(mr, col("label") === col("__node"), "left")
+        .withColumn("__fl", coalesce(col("__m"), col("label")))
+        .drop("__node", "__m")
+    val kept = labeled2.filter(col("doc_id") === col("__fl"))
+      .drop("label", "__fl")
+    // dethroned canonicals leave the output before this batch commits
+    if (mr != null && catalog.tableExists(outTable)) {
+      val retr = mr.filter(col("__m") =!= col("__node"))
+        .select(col("__node").as("__r"))
+      val hitBatches = catalog.read(outTable)
+        .join(retr, col("doc_id") === col("__r"), "left_semi")
+        .select(col("batch_id").cast("string")).distinct()
+        .collect().map(_.getString(0)).filter(_ != batchKey)
+      hitBatches.foreach { bk =>
+        // materialize before the self-overwrite: the rewritten rows
+        // must not be read lazily from the files being replaced
+        val keepRows = catalog.read(outTable)
+          .filter(col("batch_id").cast("string") === bk)
+          .join(retr, col("doc_id") === col("__r"), "left_anti")
+          .drop("batch_id").withColumn("batch_id", lit(bk))
+          .localCheckpoint(true)
+        catalog.writePartition(keepRows, outTable, "batch_id", bk)
+      }
+    }
     // 6. every new doc's sketch (kept or cluster-dropped) joins the
     //    state — dropped docs still bridge future arrivals. Two tables:
     //    the per-doc sketch (arrays, partitioned by batch) and the
@@ -374,6 +493,34 @@ object CorpusStream {
       // PkSplitMinRows)
       catalog.writePartition(bandsDf.coalesce(1),
         bandsTableOf(stateTable), "batch_id", batchKey)
+    // 6b. label-state updates (see [[lblTableOf]]): new member docs of
+    //     multi/merged components, dethroned canonicals, and stored
+    //     members whose component merged — one latest-wins row each.
+    //     Only written when non-empty, so a merge-free stream never
+    //     grows a label table at all.
+    val lblRows = {
+      val newMembers = labeled2.filter(col("__fl") =!= col("doc_id"))
+        .select(col("doc_id").as("id"), col("__fl").as("lbl"))
+      if (mr == null) newMembers
+      else {
+        val ex = mr.filter(col("__m") =!= col("__node"))
+        val exRows = ex.select(col("__node").as("id"),
+          col("__m").as("lbl"))
+        val memberRows =
+          if (curLbls == null) exRows.limit(0)
+          else curLbls.select(col("id"), col("lbl").as("__ol"))
+            .join(ex.select(col("__node"), col("__m")),
+              col("__ol") === col("__node"))
+            .select(col("id"), col("__m").as("lbl"))
+        newMembers.unionByName(exRows).unionByName(memberRows)
+      }
+    }.dropDuplicates("id")
+    if (!lblRows.isEmpty)
+      catalog.writePartition(lblRows
+          .withColumn("b", lit(batchId))
+          .withColumn("batch_id", lit(batchKey))
+          .coalesce(1),
+        lblTableOf(stateTable), "batch_id", batchKey)
     // 7. sample + project + idempotent partition write
     catalog.writePartition(
       kept.filter(samplePredicate)

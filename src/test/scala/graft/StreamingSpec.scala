@@ -140,6 +140,115 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  // ---- convergent-merge (retraction) fixtures: word families with
+  // controlled TRIGRAM Jaccard overlap. Each family draws from its own
+  // two-letter alphabet (family f uses only letters 2f and 2f+1),
+  // words encode their index in those letters — so cross-family
+  // trigram collisions are impossible and word-count overlap IS the
+  // shingle overlap (a digit-suffix scheme failed here: shared "001"
+  // trigrams inflated cross-family J past the threshold). Every doc
+  // opens with a UNIQUE word so the 60-char exact-dedup fingerprints
+  // never collide, and ids pass the en sample predicate (md5 < "c0").
+  private def fam(f: Int, n: Int): Seq[String] = {
+    require(n <= 64 && f <= 12)
+    val a = ('a' + 2 * f).toChar; val b = ('a' + 2 * f + 1).toChar
+    (0 until n).map { i =>
+      (0 until 6).map(j => if (((i >> j) & 1) == 1) b else a).mkString
+    }
+  }
+  private def txt(uid: String, parts: Seq[String]*): String =
+    (uid +: parts.flatten).mkString(" ")
+
+  test("late bridge RETRACTS the dethroned canonical: output converges " +
+       "to batch clusterDedup, and replaying the bridge batch is a " +
+       "no-op") {
+    val S = fam(0, 40); val X = fam(1, 30); val Y = fam(2, 30)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_rt_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    val b0 = Seq((11L, txt("docA", S, X), "en"),
+                 (20L, txt("docB", S, Y), "en"))
+      .toDF("doc_id", "text", "lang")
+    val b1 = Seq((30L, txt("docC", S, X, Y), "en"))
+      .toDF("doc_id", "text", "lang")
+    def out() = cat.read("rt_out").select($"doc_id")
+      .as[Long].collect().toSet
+    // J(A,B) ~ 0.4 < 0.45: separate components, both emitted
+    CorpusStream.processBatch(b0, cat, "rt_seen", "rt_out", 0L,
+      threshold = 0.45, admit = df => df)
+    assert(out() == Set(11L, 20L))
+    // C bridges A and B (J ~ 0.7 to each): merged canonical is 11,
+    // C dies, and 20 — already emitted — is retracted
+    CorpusStream.processBatch(b1, cat, "rt_seen", "rt_out", 1L,
+      threshold = 0.45, admit = df => df)
+    assert(out() == Set(11L))
+    // replay of the bridge batch re-derives the same retraction set;
+    // the anti-join is a no-op the second time
+    CorpusStream.processBatch(b1, cat, "rt_seen", "rt_out", 1L,
+      threshold = 0.45, admit = df => df)
+    assert(out() == Set(11L))
+  }
+
+  test("out-of-order arrival elects the smaller-id near-dup and " +
+       "retracts the earlier doc") {
+    val T = fam(4, 60)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_oo_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    CorpusStream.processBatch(
+      Seq((21L, txt("docT", T), "en")).toDF("doc_id", "text", "lang"),
+      cat, "oo_seen", "oo_out", 0L, threshold = 0.45, admit = df => df)
+    assert(cat.read("oo_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(21L))
+    // doc 14 (smaller id, J ~ 0.9 vs doc 21) arrives later: the merged
+    // canonical is now 14 — it is emitted and 21 is retracted
+    CorpusStream.processBatch(
+      Seq((14L, txt("docU", T.drop(5)), "en"))
+        .toDF("doc_id", "text", "lang"),
+      cat, "oo_seen", "oo_out", 1L, threshold = 0.45, admit = df => df)
+    assert(cat.read("oo_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(14L))
+  }
+
+  test("member-level bridges resolve through the label state across " +
+       "merges and label-table compaction") {
+    val S = fam(0, 40); val X = fam(1, 30); val Y = fam(2, 30)
+    val P = fam(3, 8)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_ml_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def run(id: Long, t: String, batch: Long): Unit =
+      CorpusStream.processBatch(
+        Seq((id, t, "en")).toDF("doc_id", "text", "lang"),
+        cat, "ml_seen", "ml_out", batch, threshold = 0.45,
+        admit = df => df, compactEvery = 2)
+    // batch 0: 11 and 15 are near-dups (J ~ 0.88) -> component {11,15},
+    // canonical 11, label row 15 -> 11; batch 1: 20 is separate
+    CorpusStream.processBatch(
+      Seq((11L, txt("dA", S, X, P), "en"),
+          (15L, txt("dB", S, X), "en")).toDF("doc_id", "text", "lang"),
+      cat, "ml_seen", "ml_out", 0L, threshold = 0.45,
+      admit = df => df, compactEvery = 2)
+    run(20L, txt("dC", S, Y), 1L)
+    assert(cat.read("ml_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(11L, 20L))
+    // batch 2 (compaction fires first): 30 verifies against member 15
+    // AND 20 — the label state must resolve 15 to canonical 11, so the
+    // merge is {11, 20, 30} with canonical 11 and 20 retracts
+    run(30L, txt("dD", S, X, Y), 2L)
+    assert(cat.read("ml_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(11L))
+    // batch 3: 32 is near 20's text only; 20's label must NOW read 11
+    // (the member update written at the merge), so 32 just dies
+    run(32L, txt("dE", S, Y.drop(3)), 3L)
+    assert(cat.read("ml_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(11L))
+    // the label table's latest-wins view maps every member and every
+    // dethroned canonical to 11
+    val lbls = cat.read("ml_seen_lbl")
+      .select($"id", $"lbl", $"b").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.maxBy(_._3)._2 }
+    assert(lbls == Map(15L -> 11L, 20L -> 11L, 30L -> 11L, 32L -> 11L))
+  }
+
   test("incremental corpus pipeline: replaying a micro-batch " +
        "overwrites its partition (idempotent)") {
     val dir = "/root/testdata/sf0.001"
