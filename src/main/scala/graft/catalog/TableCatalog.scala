@@ -90,6 +90,18 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
       .write.mode("overwrite").partitionBy(subField)
       .parquet(partitionPath(table, partField, partValue))
 
+  /** Overwrite ONLY the partitions present in `df`, all in one job
+    * (Spark's dynamic partition-overwrite mode); partitions absent
+    * from `df` are untouched. The multi-partition corrective-rewrite
+    * path — e.g. the incremental pipeline's retractions — where a
+    * per-partition loop would pay one serial Spark job per affected
+    * directory. */
+  def overwritePartitionsDynamic(df: DataFrame, table: String,
+                                 partField: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partField).parquet(tablePath(table))
+
   /** Bulk form of [[writePartition]]: all partitions in one job via the
     * native partitioned writer (same field=value layout, full
     * overwrite). Use for backfills; the single-partition form is the

@@ -98,6 +98,58 @@ object CorpusStream {
   private def lblTableOf(stateTable: String): String =
     stateTable + "_lbl"
 
+  /** Edge cap for the driver-side merge-graph fast path. 1M edges of
+    * two longs is ~16 MB of driver memory — far past any real batch's
+    * merge graph, whose nodes are component LABELS (touched
+    * components, not docs). */
+  val MergeGraphCap = 1 << 20
+
+  /** Component resolution over the per-batch CONTRACTED merge graph
+    * (columns la, lb — component labels). Metadata-scale by
+    * construction, so up to [[MergeGraphCap]] edges it resolves with
+    * one collect + union-find instead of the iterative CC loop's
+    * multi-round Spark jobs per batch (measured as a visible slice of
+    * the per-batch constant on merge-heavy streams); beyond the cap
+    * it falls back to the distributed pointer-jumping operator.
+    * Output (node `__node`, merged canonical `__m` = the component's
+    * minimum label), identical on both paths. */
+  private def mergedLabels(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val capped = edges
+      .select(col("la").cast("long"), col("lb").cast("long"))
+      .limit(MergeGraphCap + 1).collect()
+    if (capped.length > MergeGraphCap)
+      Dedup.connectedComponents(edges, "la", "lb")
+        .select(col("id").as("__node"), col("label").as("__m"))
+    else {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      // union by value: the smaller root wins, so every component's
+      // root IS its minimum label — the same fixpoint the distributed
+      // loop reaches
+      val clean = capped.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      clean.foreach { r =>
+        val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = clean.iterator.flatMap(r =>
+          Iterator(r.getLong(0), r.getLong(1)))
+        .toArray.distinct
+      import spark.implicits._
+      nodes.map(n => (n, find(n))).toSeq.toDF("__node", "__m")
+    }
+  }
+
   /** Current (latest-wins) label per stored doc, or null when no label
     * state exists yet. */
   private def currentLabels(catalog: TableCatalog, stateTable: String,
@@ -438,9 +490,7 @@ object CorpusStream {
         else la.join(curLbls.withColumnRenamed("id", "__sb"),
             col("doc_b") === col("__sb"), "left")
           .select(col("la"), coalesce(col("lbl"), col("doc_b")).as("lb"))
-      graft.core.Fence.soft(
-        Dedup.connectedComponents(edges, "la", "lb")
-          .select(col("id").as("__node"), col("label").as("__m")))
+      graft.core.Fence.soft(mergedLabels(edges))
     }
     val labeled2 =
       if (mr == null) labeled.withColumn("__fl", col("label"))
@@ -449,23 +499,42 @@ object CorpusStream {
         .drop("__node", "__m")
     val kept = labeled2.filter(col("doc_id") === col("__fl"))
       .drop("label", "__fl")
-    // dethroned canonicals leave the output before this batch commits
+    // dethroned canonicals leave the output before this batch commits.
+    // All affected partitions rewrite in ONE dynamic-overwrite job — a
+    // per-partition loop pays one serial Spark job per directory, and
+    // a merge-heavy stream (ProbeStream with sliced replicas) measured
+    // up to ~100 s/batch that way
     if (mr != null && catalog.tableExists(outTable)) {
-      val retr = mr.filter(col("__m") =!= col("__node"))
-        .select(col("__node").as("__r"))
-      val hitBatches = catalog.read(outTable)
+      // no emptiness probe needed: every merge edge joins two distinct
+      // labels, so mr != null guarantees a dethroned node; whether any
+      // of them is actually IN the output is what `affected` answers
+      val retr = graft.core.Fence.soft(
+        mr.filter(col("__m") =!= col("__node"))
+          .select(col("__node").as("__r")))
+      val out = catalog.read(outTable)
+        .filter(col("batch_id").cast("string") =!= batchKey)
+      val affected = out
         .join(retr, col("doc_id") === col("__r"), "left_semi")
         .select(col("batch_id").cast("string")).distinct()
-        .collect().map(_.getString(0)).filter(_ != batchKey)
-      hitBatches.foreach { bk =>
+        .collect().map(_.getString(0))
+      if (affected.nonEmpty) {
         // materialize before the self-overwrite: the rewritten rows
         // must not be read lazily from the files being replaced
-        val keepRows = catalog.read(outTable)
-          .filter(col("batch_id").cast("string") === bk)
+        val keepRows = out
+          .filter(col("batch_id").cast("string").isin(affected: _*))
           .join(retr, col("doc_id") === col("__r"), "left_anti")
-          .drop("batch_id").withColumn("batch_id", lit(bk))
           .localCheckpoint(true)
-        catalog.writePartition(keepRows, outTable, "batch_id", bk)
+        // dynamic overwrite replaces only partitions PRESENT in the
+        // frame — a partition whose every row was retracted would
+        // survive untouched, so the now-empty ones delete explicitly
+        val surviving = keepRows
+          .select(col("batch_id").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSet
+        if (surviving.nonEmpty)
+          catalog.overwritePartitionsDynamic(keepRows, outTable,
+            "batch_id")
+        (affected.toSet -- surviving).foreach(
+          catalog.deletePartition(outTable, "batch_id", _))
       }
     }
     // 6. every new doc's sketch (kept or cluster-dropped) joins the
@@ -515,7 +584,13 @@ object CorpusStream {
         newMembers.unionByName(exRows).unionByName(memberRows)
       }
     }.dropDuplicates("id")
-    if (!lblRows.isEmpty)
+    // write-emptiness is derivable without an action: any verified
+    // pair makes a 2+ component (a non-canonical member row), and any
+    // merge graph dethrones at least one node — so rows exist exactly
+    // when the batch CC found pairs (its checkpointed frame makes
+    // isEmpty a materialized-block scan, not a recompute) or a merge
+    // graph exists
+    if (mr != null || !labels.isEmpty)
       catalog.writePartition(lblRows
           .withColumn("b", lit(batchId))
           .withColumn("batch_id", lit(batchKey))
