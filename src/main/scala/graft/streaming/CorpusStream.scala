@@ -444,14 +444,16 @@ object CorpusStream {
       else {
         val seenBands = seenBandFrame(catalog, stateTable, batchKey,
           state, newBands, geom)
-        graft.core.Fence.soft(MinHashLSH.verifySurvivors(
+        // consumed exactly once (the merge-graph collect; the
+        // distributed-CC fallback checkpoints its own edge frame), so
+        // no persist here
+        MinHashLSH.verifySurvivors(
             MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
               geom, selfJoin = false),
             allSigs, threshold,
             sb = Some(allSigs.select(col("id"), col("sb"))))
-          .select(col("doc_a"), col("doc_b")).distinct())
+          .select(col("doc_a"), col("doc_b")).distinct()
       }
-    val haveCross = crossPairs != null && !crossPairs.isEmpty
     // 5. component resolution within the batch...
     val labels = Dedup.connectedComponents(internal, "doc_a", "doc_b")
     val labeled = newDocs.join(
@@ -477,10 +479,14 @@ object CorpusStream {
     //         retraction set and the anti-join is a no-op the second
     //         time). Labels only ever decrease, so a once-dropped doc
     //         can never need re-admission.
+    // no separate emptiness probe on crossPairs: the merge-graph
+    // collect inside mergedLabels IS the one action that evaluates
+    // the cross verify cascade (plus the lazy label-state read) —
+    // an empty result then short-circuits all merge machinery
     val curLbls =
-      if (!haveCross) null
+      if (crossPairs == null) null
       else currentLabels(catalog, stateTable, batchKey)
-    val mr: DataFrame = if (!haveCross) null else {
+    val mr: DataFrame = if (crossPairs == null) null else {
       val la = crossPairs
         .join(labeled.select(col("doc_id").as("__na"), col("label")),
           col("doc_a") === col("__na"))
@@ -490,7 +496,8 @@ object CorpusStream {
         else la.join(curLbls.withColumnRenamed("id", "__sb"),
             col("doc_b") === col("__sb"), "left")
           .select(col("la"), coalesce(col("lbl"), col("doc_b")).as("lb"))
-      graft.core.Fence.soft(mergedLabels(edges))
+      val m = mergedLabels(edges)
+      if (m.isEmpty) null else graft.core.Fence.soft(m)
     }
     val labeled2 =
       if (mr == null) labeled.withColumn("__fl", col("label"))
