@@ -184,6 +184,98 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
 
+  /** Write a small metadata marker file under the table root, only if
+    * absent (idempotent under replay). Underscore-prefixed names stay
+    * invisible to Spark partition/file discovery. */
+  def writeMarkerIfAbsent(table: String, name: String,
+                          content: String): Unit = {
+    val p = new Path(tablePath(table), name)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, /* overwrite = */ false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Read a marker written by [[writeMarkerIfAbsent]]; None if absent. */
+  def readMarker(table: String, name: String): Option[String] = {
+    val p = new Path(tablePath(table), name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  // ---- concurrent-writer defense -------------------------------------
+  //
+  // The `_SUCCESS`/target-before-delete protocol makes every write
+  // crash-safe for ONE writer; two pipelines compacting or
+  // dynamic-overwriting the same table concurrently could still
+  // interleave their delete/rewrite windows. A lease lock file per
+  // table serializes those multi-directory rewrites: acquisition is an
+  // atomic create-if-absent (atomic on HDFS; best-effort on stores
+  // without atomic create — there, pair this with a single-writer
+  // deployment contract), and a crashed writer's lock expires after
+  // `leaseMs` (judged by the lock file's modification time, so no
+  // clock agreement between writers is needed beyond coarse skew).
+  // The underscore name keeps the lock invisible to Spark discovery.
+
+  /** Lease length after which a crashed writer's lock may be broken.
+    * Must exceed the longest legitimate locked section (a compaction
+    * or retraction rewrite pass — seconds to low minutes); a live
+    * writer that somehow exceeds it loses mutual exclusion, the
+    * standard lease tradeoff. */
+  val DefaultLeaseMs: Long = 15L * 60 * 1000
+
+  private def lockPath(table: String): Path =
+    new Path(tablePath(table), "_lock")
+
+  /** Try to take the table's writer lock. Returns false when a live
+    * (unexpired) lock is held by someone else; breaks and re-takes an
+    * expired one. NOTE: creates the table directory if absent. */
+  def tryAcquireTableLock(table: String, owner: String = "graft",
+                          leaseMs: Long = DefaultLeaseMs): Boolean = {
+    val p = lockPath(table)
+    def create(): Boolean =
+      try {
+        val out = fs.create(p, /* overwrite = */ false)
+        try out.write(owner.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    create() || {
+      // stale-lease break: modification time is stamped by the
+      // filesystem at create, so a dead writer's lock ages out
+      val expired =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(p).getModificationTime > leaseMs
+        catch { case _: java.io.IOException => true } // vanished: retry
+      expired && { fs.delete(p, false); create() }
+    }
+  }
+
+  def releaseTableLock(table: String): Unit =
+    fs.delete(lockPath(table), false)
+
+  /** Run `f` holding the table's writer lock; throws when another
+    * writer holds it (two pipelines mutating one table is a
+    * deployment error worth failing loudly — the caller that can
+    * safely skip instead, e.g. a periodic compaction, uses
+    * [[tryAcquireTableLock]] directly). */
+  def withTableLock[T](table: String, owner: String = "graft",
+                       leaseMs: Long = DefaultLeaseMs)(f: => T): T = {
+    if (!tryAcquireTableLock(table, owner, leaseMs))
+      throw new java.util.ConcurrentModificationException(
+        s"table '$table' is locked by another writer " +
+          s"(${lockPath(table)}; lease ${leaseMs} ms)")
+    try f finally releaseTableLock(table)
+  }
+
   /** True when the partition directory carries a COMMITTED write: the
     * committer's `_SUCCESS` marker is present and no in-flight
     * `_temporary` staging dir remains. A JVM death mid-write leaves a

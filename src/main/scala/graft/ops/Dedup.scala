@@ -81,6 +81,14 @@ object Dedup {
       col(idB).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(false)
+    // empty-graph fast exit: a pairless input (the common case for an
+    // incremental batch with no internal near-dups) otherwise still
+    // pays a full propagation round's worth of jobs on empty frames —
+    // pure driver-latency waste; the probe runs on the blocks the
+    // round would materialize anyway, so the non-empty path loses
+    // nothing
+    if (fwd.isEmpty)
+      return fwd.select(col("src").as("id"), col("src").as("label"))
     val edges = fwd.union(fwd.select(col("dst").as("src"),
         col("src").as("dst")))
       .localCheckpoint(false)

@@ -26,10 +26,15 @@ import graft.text.{CorpusPipeline, TextHash}
   * never O(corpus). Raw text is not retained.
   *
   * Cross-batch semantics (the part a row-local twin can't fake):
-  *  - exact dedup: keep-first across batches — with ids ascending in
-  *    arrival order (the ingestion contract; the reference's daily
-  *    extracts have the same property) this equals dp01's global
-  *    keep-smallest-id;
+  *  - exact dedup CONVERGES to dp01's global keep-smallest-id even on
+  *    out-of-order feeds (round 11): a re-delivery whose stored twin
+  *    has a SMALLER id is dropped at the fingerprint gate as before,
+  *    but one with a smaller id than every stored twin flows through
+  *    to the near-dup stage, where identical text is a guaranteed
+  *    J=1.0 pair — the convergent-merge machinery below then elects
+  *    it canonical and retracts the dethroned larger-id copy. With
+  *    ids ascending in arrival order (the reference's daily extracts)
+  *    the gate drops every re-delivery and nothing changes;
   *  - near-dup clustering CONVERGES to the batch operator (round 10):
   *    a batch-internal component merges with every seen component any
   *    member verifies against (seen = every gated+exact-deduped doc,
@@ -98,6 +103,36 @@ object CorpusStream {
   private def lblTableOf(stateTable: String): String =
     stateTable + "_lbl"
 
+  /** Emit-index state (round 11 — closes the last linear-in-corpus
+    * per-batch term): one row `(id, eb)` per EMITTED doc, `eb` = the
+    * output partition it landed in, written just before the output
+    * partition itself. When a merge dethrones an already-emitted
+    * canonical, the affected output partitions are found by a
+    * pk-pruned semi-join against this index — metadata-scale (8+
+    * bytes per emitted doc, and only the retracted ids' pk buckets
+    * are read) — instead of semi-join-scanning the ENTIRE output
+    * table, which at 100 TB is the corpus. Rows are partitioned by
+    * writing batch with the band tables' granularity-aware pk layout
+    * (`pk = xxhash64(id) mod StatePartitions`), so lookups prune at
+    * the directory level and replay stays idempotent. `eb` rides as a
+    * DATA column (redundant with the partition dir until compaction
+    * folds many batches into one `c` partition). Rows for later-
+    * retracted docs are left in place: a doc is never re-retracted
+    * (labels only decrease, and a dethroned id never reappears as a
+    * merge-graph node), so a stale row can at worst make a REPLAYED
+    * retraction rewrite the same partitions again — idempotent.
+    * The `_covered_from` marker records the first batch the index
+    * covers; output partitions older than it (a warehouse written by
+    * pre-index code) fall back to the full output scan. */
+  private def emitTableOf(stateTable: String): String =
+    stateTable + "_emit"
+
+  private val CoveredFromMarker = "_covered_from"
+
+  private def emitPkCol(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(id), lit(StatePartitions.toLong))
+
   /** Edge cap for the driver-side merge-graph fast path. 1M edges of
     * two longs is ~16 MB of driver memory — far past any real batch's
     * merge graph, whose nodes are component LABELS (touched
@@ -112,15 +147,20 @@ object CorpusStream {
     * the per-batch constant on merge-heavy streams); beyond the cap
     * it falls back to the distributed pointer-jumping operator.
     * Output (node `__node`, merged canonical `__m` = the component's
-    * minimum label), identical on both paths. */
-  private def mergedLabels(edges: DataFrame): DataFrame = {
+    * minimum label), identical on both paths; None for an edgeless
+    * graph — decided driver-side on the fast path, so the common
+    * no-merge batch pays no extra emptiness job. The caller PERSISTS
+    * `edges` (ADVICE r10): the capped collect and the distributed-CC
+    * fallback both read it, and without the pin the fallback would
+    * re-evaluate the whole cross-pair verify cascade a second time. */
+  private def mergedLabels(edges: DataFrame): Option[DataFrame] = {
     val spark = edges.sparkSession
     val capped = edges
       .select(col("la").cast("long"), col("lb").cast("long"))
       .limit(MergeGraphCap + 1).collect()
     if (capped.length > MergeGraphCap)
-      Dedup.connectedComponents(edges, "la", "lb")
-        .select(col("id").as("__node"), col("label").as("__m"))
+      Some(Dedup.connectedComponents(edges, "la", "lb")
+        .select(col("id").as("__node"), col("label").as("__m")))
     else {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -145,8 +185,11 @@ object CorpusStream {
       val nodes = clean.iterator.flatMap(r =>
           Iterator(r.getLong(0), r.getLong(1)))
         .toArray.distinct
-      import spark.implicits._
-      nodes.map(n => (n, find(n))).toSeq.toDF("__node", "__m")
+      if (nodes.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(nodes.map(n => (n, find(n))).toSeq.toDF("__node", "__m"))
+      }
     }
   }
 
@@ -235,12 +278,30 @@ object CorpusStream {
     * without the persisted bottom-k column are normalized during the
     * rewrite. Returns true when anything moved.
     *
+    * Concurrent writers (round 11): the whole pass runs under the
+    * state table's lease lock ([[TableCatalog.tryAcquireTableLock]] —
+    * one lock covers the sibling `_bands`/`_lbl`/`_emit` tables, which
+    * are only ever mutated through this state table's pipeline). A
+    * second pipeline compacting the same state concurrently — the
+    * interleaving that could delete a source the other pass still
+    * reads — is SKIPPED safely (returns false): compaction is
+    * periodic, so deferring to the lock holder loses nothing, and a
+    * crashed holder's lock ages out after the lease.
+    *
     * `failpoint` is a test-only hook, invoked with a stage label after
     * each target write commits and before its sources are deleted;
     * StreamingSpec throws from it to simulate the crash windows. */
   def compactState(catalog: TableCatalog, stateTable: String,
                    excludeBatchKey: String,
                    failpoint: String => Unit = _ => ()): Boolean = {
+    if (!catalog.tryAcquireTableLock(stateTable)) return false
+    try compactStateLocked(catalog, stateTable, excludeBatchKey, failpoint)
+    finally catalog.releaseTableLock(stateTable)
+  }
+
+  private def compactStateLocked(catalog: TableCatalog, stateTable: String,
+                                 excludeBatchKey: String,
+                                 failpoint: String => Unit): Boolean = {
     def numOf(key: String): Option[Long] =
       scala.util.Try(key.stripPrefix("c").toLong).toOption
     def sourcesOf(table: String): Seq[String] =
@@ -345,6 +406,49 @@ object CorpusStream {
       srcs.foreach(catalog.deletePartition(lblTable, "batch_id", _))
       moved = true
     }
+    // emit-index table: same mixed layout as the bands table (pk-split
+    // vs plain — see PkSplitMinRows), `eb` is a data column so folding
+    // many batch partitions into one `c` partition loses no mapping;
+    // the compacted partition is large by construction so it always
+    // takes the pk-split layout
+    val emitTable = emitTableOf(stateTable)
+    val em = sourcesOf(emitTable)
+    if (em.size >= 2) {
+      val key = "c" + em.flatMap(numOf).max
+      val srcs = em.filter(_ != key)
+      if (!em.contains(key) ||
+          !catalog.partitionCommitted(emitTable, "batch_id", key)) {
+        val cols = Seq(col("id"), col("eb"))
+        val (split, plain) = srcs.partition(b =>
+          catalog.listSubPartitions(emitTable, "batch_id", b, "pk")
+            .nonEmpty)
+        val parts = Seq(
+          if (split.nonEmpty)
+            Some(catalog.readPaths(emitTable,
+                split.map(catalog.partitionPath(emitTable, "batch_id", _)))
+              .select(cols: _*))
+          else None,
+          if (plain.nonEmpty) {
+            val withData = plain.filter(
+              catalog.partitionHasDataFiles(emitTable, "batch_id", _))
+            if (withData.isEmpty) None
+            else Some(catalog.readPaths(emitTable,
+                withData.map(catalog.partitionPath(emitTable, "batch_id", _)))
+              .select(cols: _*))
+          } else None).flatten
+        if (parts.nonEmpty)
+          catalog.writeSubPartitioned(
+            parts.reduce(_ unionByName _)
+              .dropDuplicates("id") // see sketch-side comment
+              .withColumn("pk", emitPkCol(col("id")))
+              .withColumn("batch_id", lit(key))
+              .repartition(col("pk")),
+            emitTable, "batch_id", key, "pk")
+      }
+      failpoint("emit-target-written")
+      srcs.foreach(catalog.deletePartition(emitTable, "batch_id", _))
+      moved = true
+    }
     moved
   }
 
@@ -407,11 +511,24 @@ object CorpusStream {
       } else null
     if (state != null)
       requireCompatibleState(state, geom, stateTable, threshold)
-    // 3. drop exact re-arrivals by stored fingerprint
+    // 3. drop exact re-arrivals by stored fingerprint — but only when
+    //    the stored twin's id is <= the arrival's (round 11, closes the
+    //    out-of-order exact-dup divergence): a re-delivery with a
+    //    SMALLER id than every stored copy must not be dropped, it must
+    //    WIN. Letting it through to the near-dup stage does exactly
+    //    that with zero new machinery — identical text is a guaranteed
+    //    J=1.0 verified pair, so the convergent merge elects the
+    //    smaller id canonical and retracts the dethroned stored copy.
+    //    Ascending feeds hit the old equality-only behavior unchanged
+    //    (every stored twin has a smaller id). Still one fp-equi
+    //    anti-join; the id comparison is a residual predicate on the
+    //    same hash join, not a new shuffle.
     val newDocs = graft.core.Fence(
       if (state == null) localDeduped
-      else localDeduped.join(state.select(col("fp").as("__seen_fp")),
-        fp === col("__seen_fp"), "left_anti"))
+      else localDeduped.join(
+        state.select(col("fp").as("__seen_fp"), col("id").as("__seen_id")),
+        fp === col("__seen_fp") && col("__seen_id") <= col("doc_id"),
+        "left_anti"))
     // 4. shingle + sign the NEW docs once; band them against their own
     //    bands (internal pairs) and the STORED bands (cross pairs) —
     //    seen docs are never re-shingled
@@ -438,19 +555,30 @@ object CorpusStream {
         newSk, threshold, sb = Some(newSk.select(col("id"), col("sb"))))
       .select(col("doc_a"), col("doc_b"))
     // cross PAIRS (new doc, seen doc), not just touched flags: merging
-    // needs to know WHICH seen components this batch connects
+    // needs to know WHICH seen components this batch connects. Every
+    // frame persisted below is released in the finally — a long-lived
+    // stream must not accumulate cached blocks batch over batch.
+    val release = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
     val crossPairs =
       if (state == null) null
       else {
         val seenBands = seenBandFrame(catalog, stateTable, batchKey,
           state, newBands, geom)
-        // consumed exactly once (the merge-graph collect; the
-        // distributed-CC fallback checkpoints its own edge frame), so
-        // no persist here
-        MinHashLSH.verifySurvivors(
-            MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
-              geom, selfJoin = false),
-            allSigs, threshold,
+        // the candidates are fenced and probed BEFORE the verify tail
+        // (round 11): a batch with zero cross-batch band collisions —
+        // the common merge-free case — skips the verify cascade, the
+        // label-state read and all merge bookkeeping below, which as an
+        // unconditional guarantee cost ~14% per merge-free batch
+        // (ProbeStream paired control, round 10). A collision-bearing
+        // batch reuses the cached candidate blocks in the verify join,
+        // so nothing is evaluated twice on either path.
+        val cands = graft.core.Fence.soft(
+          MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
+            geom, selfJoin = false))
+        release += cands
+        if (cands.isEmpty) null
+        else MinHashLSH.verifySurvivors(cands, allSigs, threshold,
             sb = Some(allSigs.select(col("id"), col("sb"))))
           .select(col("doc_a"), col("doc_b")).distinct()
       }
@@ -479,10 +607,6 @@ object CorpusStream {
     //         retraction set and the anti-join is a no-op the second
     //         time). Labels only ever decrease, so a once-dropped doc
     //         can never need re-admission.
-    // no separate emptiness probe on crossPairs: the merge-graph
-    // collect inside mergedLabels IS the one action that evaluates
-    // the cross verify cascade (plus the lazy label-state read) —
-    // an empty result then short-circuits all merge machinery
     val curLbls =
       if (crossPairs == null) null
       else currentLabels(catalog, stateTable, batchKey)
@@ -491,13 +615,20 @@ object CorpusStream {
         .join(labeled.select(col("doc_id").as("__na"), col("label")),
           col("doc_a") === col("__na"))
         .select(col("label").as("la"), col("doc_b"))
-      val edges =
+      // fenced (ADVICE r10): the capped merge-graph collect AND the
+      // over-cap distributed-CC fallback both consume this frame —
+      // without the pin the fallback would re-run the verify cascade
+      val edges = graft.core.Fence.soft(
         if (curLbls == null) la.select(col("la"), col("doc_b").as("lb"))
         else la.join(curLbls.withColumnRenamed("id", "__sb"),
             col("doc_b") === col("__sb"), "left")
-          .select(col("la"), coalesce(col("lbl"), col("doc_b")).as("lb"))
-      val m = mergedLabels(edges)
-      if (m.isEmpty) null else graft.core.Fence.soft(m)
+          .select(col("la"), coalesce(col("lbl"), col("doc_b")).as("lb")))
+      release += edges
+      mergedLabels(edges) match {
+        case None => null
+        case Some(m) =>
+          val f = graft.core.Fence.soft(m); release += f; f
+      }
     }
     val labeled2 =
       if (mr == null) labeled.withColumn("__fl", col("label"))
@@ -507,10 +638,14 @@ object CorpusStream {
     val kept = labeled2.filter(col("doc_id") === col("__fl"))
       .drop("label", "__fl")
     // dethroned canonicals leave the output before this batch commits.
-    // All affected partitions rewrite in ONE dynamic-overwrite job — a
-    // per-partition loop pays one serial Spark job per directory, and
-    // a merge-heavy stream (ProbeStream with sliced replicas) measured
-    // up to ~100 s/batch that way
+    // Affected partitions come from the pk-pruned EMIT INDEX (round 11
+    // — [[emitTableOf]]; legacy warehouses fall back to the full
+    // output semi-join scan), are read by explicit path, and rewrite
+    // in ONE dynamic-overwrite job under the output table's writer
+    // lock — a per-partition loop pays one serial Spark job per
+    // directory (measured ~100 s/batch on a merge-heavy ProbeStream),
+    // and an unlocked rewrite window is where a second pipeline
+    // writing the same table could interleave its own deletes.
     if (mr != null && catalog.tableExists(outTable)) {
       // no emptiness probe needed: every merge edge joins two distinct
       // labels, so mr != null guarantees a dethroned node; whether any
@@ -518,17 +653,19 @@ object CorpusStream {
       val retr = graft.core.Fence.soft(
         mr.filter(col("__m") =!= col("__node"))
           .select(col("__node").as("__r")))
-      val out = catalog.read(outTable)
-        .filter(col("batch_id").cast("string") =!= batchKey)
-      val affected = out
-        .join(retr, col("doc_id") === col("__r"), "left_semi")
-        .select(col("batch_id").cast("string")).distinct()
-        .collect().map(_.getString(0))
-      if (affected.nonEmpty) {
+      release += retr
+      val outKeys = catalog.listPartitions(outTable, "batch_id")
+        .filter(_ != batchKey)
+      val affected =
+        if (outKeys.isEmpty) Array.empty[String]
+        else affectedOutputBatches(catalog, stateTable, outTable,
+          batchKey, retr, outKeys)
+      if (affected.nonEmpty) catalog.withTableLock(outTable) {
         // materialize before the self-overwrite: the rewritten rows
         // must not be read lazily from the files being replaced
-        val keepRows = out
-          .filter(col("batch_id").cast("string").isin(affected: _*))
+        val keepRows = catalog.readPaths(outTable,
+            affected.toSeq.map(
+              catalog.partitionPath(outTable, "batch_id", _)))
           .join(retr, col("doc_id") === col("__r"), "left_anti")
           .localCheckpoint(true)
         // dynamic overwrite replaces only partitions PRESENT in the
@@ -558,7 +695,8 @@ object CorpusStream {
       stateTable, "batch_id", batchKey)
     val bandsDf = newBands.withColumn("pk", pkCol)
       .withColumn("batch_id", lit(batchKey))
-    if (newSigs.count() * geom.bands >= pkSplitMinRows)
+    val nSigs = newSigs.count()
+    if (nSigs * geom.bands >= pkSplitMinRows)
       // repartition by pk first: otherwise every shuffle task writes a
       // file into every pk dir (tasks × 64 small files); this way each
       // pk's rows land in one task → ~one file per pk
@@ -590,7 +728,24 @@ object CorpusStream {
             .select(col("id"), col("__m").as("lbl"))
         newMembers.unionByName(exRows).unionByName(memberRows)
       }
-    }.dropDuplicates("id")
+    }
+    // one row per id. The three sources can only ever AGREE on an id's
+    // label (their id sets are pairwise disjoint by construction, and
+    // overlap through multiple merge paths resolves to the same __m) —
+    // so a conflict is a real invariant violation, surfaced by the
+    // row-level assert during the write instead of being masked by an
+    // arbitrary-pick dedup (ADVICE r10). Same single shuffle as the
+    // dropDuplicates it replaces.
+    val lblChecked = lblRows
+      .groupBy(col("id"))
+      .agg(min(col("lbl")).as("lbl"), max(col("lbl")).as("__mx"))
+      .filter(coalesce(
+        assert_true(col("lbl") === col("__mx"),
+          concat(lit("CorpusStream: conflicting labels for doc "),
+            col("id"), lit(": "), col("lbl"), lit(" vs "), col("__mx")))
+          .cast("boolean"),
+        lit(true)))
+      .select(col("id"), col("lbl"))
     // write-emptiness is derivable without an action: any verified
     // pair makes a 2+ component (a non-canonical member row), and any
     // merge graph dethrones at least one node — so rows exist exactly
@@ -598,18 +753,77 @@ object CorpusStream {
     // isEmpty a materialized-block scan, not a recompute) or a merge
     // graph exists
     if (mr != null || !labels.isEmpty)
-      catalog.writePartition(lblRows
+      catalog.writePartition(lblChecked
           .withColumn("b", lit(batchId))
           .withColumn("batch_id", lit(batchKey))
           .coalesce(1),
         lblTableOf(stateTable), "batch_id", batchKey)
-    // 7. sample + project + idempotent partition write
-    catalog.writePartition(
+    // 7. sample + project; the emit-INDEX partition lands first — a
+    //    crash between the two writes leaves an index row whose doc
+    //    never reached the output (a harmless superset; the replay
+    //    rewrites both) — then the output partition itself
+    val outRows = graft.core.Fence.soft(
       kept.filter(samplePredicate)
         .select(col("doc_id"), col("lang"),
-          size(TextHash.tokens(col("text"))).as("n_toks"),
-          lit(batchKey).as("batch_id")),
+          size(TextHash.tokens(col("text"))).as("n_toks")))
+    release += outRows
+    val emitTable = emitTableOf(stateTable)
+    val emitDf = outRows
+      .select(col("doc_id").as("id"), lit(batchKey).as("eb"))
+      .withColumn("pk", emitPkCol(col("id")))
+      .withColumn("batch_id", lit(batchKey))
+    if (nSigs >= pkSplitMinRows)
+      catalog.writeSubPartitioned(emitDf.repartition(col("pk")),
+        emitTable, "batch_id", batchKey, "pk")
+    else
+      catalog.writePartition(emitDf.coalesce(1), emitTable,
+        "batch_id", batchKey)
+    // the marker records the first batch the index covers; an output
+    // partition older than it (written by pre-index code) disables the
+    // index lookup — see [[emitTableOf]]. Written AFTER the partition
+    // so a crash in between leaves the conservative (absent) state.
+    catalog.writeMarkerIfAbsent(emitTable, CoveredFromMarker,
+      batchId.toString)
+    catalog.writePartition(
+      outRows.withColumn("batch_id", lit(batchKey)),
       outTable, "batch_id", batchKey)
+    } finally release.foreach(_.unpersist(false))
+  }
+
+  /** Output partitions holding at least one retracted doc. Fast path:
+    * the emit index ([[emitTableOf]]) pruned to the retracted ids' pk
+    * buckets — reads kilobytes of (id, eb) rows however large the
+    * output table has grown. Fallback when the index doesn't cover
+    * every output partition (a warehouse whose early batches predate
+    * the index): the legacy column-pruned full-output semi-join. */
+  private def affectedOutputBatches(catalog: TableCatalog,
+      stateTable: String, outTable: String, batchKey: String,
+      retr: DataFrame, outKeys: Seq[String]): Array[String] = {
+    val emitTable = emitTableOf(stateTable)
+    val coveredFrom = catalog.readMarker(emitTable, CoveredFromMarker)
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+    val indexed = coveredFrom.exists(cf => outKeys.forall(k =>
+      scala.util.Try(k.toLong).toOption.exists(_ >= cf)))
+    val hits =
+      if (indexed) {
+        val pks = retr.select(emitPkCol(col("__r")).as("pk"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        prunedStateRead(catalog, emitTable, batchKey, pks,
+            Seq(col("id"), col("eb"))) match {
+          case None => return Array.empty[String]
+          case Some(em) =>
+            em.join(retr, col("id") === col("__r"), "left_semi")
+              .select(col("eb"))
+        }
+      } else
+        catalog.read(outTable)
+          .filter(col("batch_id").cast("string") =!= batchKey)
+          .join(retr, col("doc_id") === col("__r"), "left_semi")
+          .select(col("batch_id").cast("string").as("eb"))
+    val keySet = outKeys.toSet
+    // stale index rows may name partitions an earlier retraction
+    // already deleted — keep only what the output actually has
+    hits.distinct().collect().map(_.getString(0)).filter(keySet)
   }
 
   /** The seen corpus's sig-carrying band rows for the cross-batch
@@ -637,42 +851,51 @@ object CorpusStream {
     else {
       val pks = newBands.select(pkCol.as("pk")).distinct()
         .collect().map(_.getLong(0)).toSet
-      // enumerate exactly the colliding directories and read only
-      // those: a table-root read would LIST every partition of the
-      // growing table each batch (a linear term in files, even with
-      // partition pruning skipping the data). pk-split batch dirs
-      // prune at the directory level; plain small-batch dirs (see
-      // PkSplitMinRows) are read whole and pruned by the pk column.
-      // One Hadoop LISTING per batch dir (not a per-(dir,pk) exists
-      // round-trip — on an object store each exists() is a remote
-      // call), intersected with this batch's pk set driver-side.
-      val cols = Seq(col("id"), col("n"), col("sig"), col("band_idx"),
-        col("band_key"))
-      val withSubs = catalog
-        .listPartitions(bandsTable, "batch_id")
-        .filter(_ != batchKey)
-        .map(b => b ->
-          catalog.listSubPartitions(bandsTable, "batch_id", b, "pk"))
-      val (split, plain) = withSubs.partition(_._2.nonEmpty)
-      val splitDirs = for {
-        (b, subs) <- split
-        p <- subs.filter(s =>
-          scala.util.Try(s.toLong).toOption.exists(pks.contains))
-      } yield s"${catalog.partitionPath(bandsTable, "batch_id", b)}/pk=$p"
-      val plainDirs = plain.map(_._1)
-        .filter(catalog.partitionHasDataFiles(bandsTable, "batch_id", _))
-        .map(catalog.partitionPath(bandsTable, "batch_id", _))
-      val parts = Seq(
-        if (splitDirs.nonEmpty)
-          Some(catalog.readPaths(bandsTable, splitDirs).select(cols: _*))
-        else None,
-        if (plainDirs.nonEmpty)
-          Some(catalog.readPaths(bandsTable, plainDirs)
-            .filter(col("pk").isin(pks.toSeq: _*)).select(cols: _*))
-        else None).flatten
-      if (parts.isEmpty) newBands.limit(0)
-      else parts.reduce(_ unionByName _)
+      prunedStateRead(catalog, bandsTable, batchKey, pks,
+          Seq(col("id"), col("n"), col("sig"), col("band_idx"),
+            col("band_key")))
+        .getOrElse(newBands.limit(0))
     }
+  }
+
+  /** Read a pk-bucketed state table (`_bands`, `_emit`) pruned to the
+    * given pk set — the listing-and-scan shape both consumers share.
+    * Enumerates exactly the colliding directories and reads only
+    * those: a table-root read would LIST every partition of the
+    * growing table each batch (a linear term in files, even with
+    * partition pruning skipping the data). pk-split batch dirs prune
+    * at the directory level; plain small-batch dirs (see
+    * [[PkSplitMinRows]]) are read whole (tiny by construction) and
+    * pruned by the pk data column. One Hadoop LISTING per batch dir
+    * (not a per-(dir,pk) exists round-trip — on an object store each
+    * exists() is a remote call), intersected with the pk set
+    * driver-side. None when nothing collides. */
+  private def prunedStateRead(catalog: TableCatalog, table: String,
+      batchKey: String, pks: Set[Long],
+      cols: Seq[org.apache.spark.sql.Column]): Option[DataFrame] = {
+    val withSubs = catalog
+      .listPartitions(table, "batch_id")
+      .filter(_ != batchKey)
+      .map(b => b ->
+        catalog.listSubPartitions(table, "batch_id", b, "pk"))
+    val (split, plain) = withSubs.partition(_._2.nonEmpty)
+    val splitDirs = for {
+      (b, subs) <- split
+      p <- subs.filter(s =>
+        scala.util.Try(s.toLong).toOption.exists(pks.contains))
+    } yield s"${catalog.partitionPath(table, "batch_id", b)}/pk=$p"
+    val plainDirs = plain.map(_._1)
+      .filter(catalog.partitionHasDataFiles(table, "batch_id", _))
+      .map(catalog.partitionPath(table, "batch_id", _))
+    val parts = Seq(
+      if (splitDirs.nonEmpty)
+        Some(catalog.readPaths(table, splitDirs).select(cols: _*))
+      else None,
+      if (plainDirs.nonEmpty)
+        Some(catalog.readPaths(table, plainDirs)
+          .filter(col("pk").isin(pks.toSeq: _*)).select(cols: _*))
+      else None).flatten
+    if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
 
   /** Launch the incremental pipeline over a streaming document frame

@@ -248,6 +248,53 @@ class CatalogIoSpec extends SparkSpec {
     assert(!cat.partitionCommitted("t", "d", "a"))
   }
 
+  test("table lease lock: a second writer is rejected while held, a " +
+       "stale lock is broken, and compactState skips instead of " +
+       "corrupting") {
+    val cat = new TableCatalog(spark, tmp("catlock_"))
+    cat.writePartition(Seq(("a", 1)).toDF("d", "v"), "t", "d", "a")
+    // first writer holds the lock; a second writer must be refused
+    assert(cat.tryAcquireTableLock("t", owner = "w1"))
+    assert(!cat.tryAcquireTableLock("t", owner = "w2"))
+    intercept[java.util.ConcurrentModificationException] {
+      cat.withTableLock("t") { fail("must not enter the locked section") }
+    }
+    // the table stays readable under someone else's lock (the lock
+    // file is underscore-invisible to discovery)
+    assert(cat.read("t").count() == 1)
+    cat.releaseTableLock("t")
+    // released: the next writer proceeds and releases on exit
+    assert(cat.withTableLock("t") { 42 } == 42)
+    assert(cat.tryAcquireTableLock("t", owner = "w3"))
+    // a crashed writer's lock (older than the lease) is broken
+    cat.releaseTableLock("t")
+    assert(cat.tryAcquireTableLock("t", owner = "crashed"))
+    val lockFile = new File(cat.tablePath("t"), "_lock")
+    assert(lockFile.setLastModified(
+      System.currentTimeMillis() - cat.DefaultLeaseMs - 1000))
+    assert(cat.tryAcquireTableLock("t", owner = "w4"))
+    cat.releaseTableLock("t")
+    // a live foreign lock on a CorpusStream state table makes the
+    // periodic compaction SKIP (returns false, moves nothing) rather
+    // than interleave with the holder's deletes
+    val wh2 = tmp("catlock2_")
+    val cat2 = new TableCatalog(spark, wh2)
+    def skRow(b: String, id: Long) =
+      Seq((b, id, s"fp$id", Seq(id, id + 1), 2, Seq(id, id + 1)))
+        .toDF("batch_id", "id", "fp", "sh", "n", "sig")
+    cat2.writePartition(skRow("0", 1L), "s", "batch_id", "0")
+    cat2.writePartition(skRow("1", 2L), "s", "batch_id", "1")
+    assert(cat2.tryAcquireTableLock("s", owner = "other-pipeline"))
+    assert(!graft.streaming.CorpusStream.compactState(cat2, "s", "99"))
+    assert(cat2.listPartitions("s", "batch_id") == Seq("0", "1"))
+    cat2.releaseTableLock("s")
+    assert(graft.streaming.CorpusStream.compactState(cat2, "s", "99"))
+    assert(cat2.listPartitions("s", "batch_id") == Seq("c1"))
+    // and the compaction released its own lock on the way out
+    assert(cat2.tryAcquireTableLock("s"))
+    cat2.releaseTableLock("s")
+  }
+
   test("Enrich.viaService appends a service column per partition") {
     val df = Seq((1, "addr one"), (2, "")).toDF("id", "addr")
     val out = Enrich.viaService(df, "addr", "geo")(

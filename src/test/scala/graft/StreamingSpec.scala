@@ -208,6 +208,128 @@ class StreamingSpec extends SparkSpec {
       .toSet == Set(14L))
   }
 
+  test("out-of-order EXACT re-delivery (same text, smaller id) " +
+       "converges: the smaller id wins and the stored copy is " +
+       "retracted; a larger-id re-delivery still drops at the gate") {
+    val T = fam(5, 40)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_oe_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    val text = txt("docX", T)
+    def run(id: Long, b: Long): Unit =
+      CorpusStream.processBatch(
+        Seq((id, text, "en")).toDF("doc_id", "text", "lang"),
+        cat, "oe_seen", "oe_out", b, threshold = 0.45, admit = df => df)
+    def out() = cat.read("oe_out").select($"doc_id")
+      .as[Long].collect().toSet
+    run(33L, 0L)
+    assert(out() == Set(33L))
+    // identical text, SMALLER id: must not be dropped at the fp gate —
+    // it flows to the near-dup stage (J=1.0), wins the merged
+    // component, and the stored 33 is retracted
+    run(14L, 1L)
+    assert(out() == Set(14L))
+    // identical text, id BETWEEN the stored copies: the gate drops it
+    // (stored 14 is smaller), nothing changes
+    run(20L, 2L)
+    assert(out() == Set(14L))
+    // the label state records the dethroned copy's new canonical
+    val lbls = cat.read("oe_seen_lbl")
+      .select($"id", $"lbl", $"b").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) => id -> rows.maxBy(_._3)._2 }
+    assert(lbls.get(33L).contains(14L))
+  }
+
+  test("retraction rewrites only the affected partition: survivors " +
+       "stay and an untouched output partition is preserved") {
+    val S = fam(0, 40); val X = fam(1, 30); val Y = fam(2, 30)
+    val U = fam(6, 40)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_sp_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def part(p: String) = spark.read
+      .parquet(cat.partitionPath("sp_out", "batch_id", p))
+      .select($"doc_id").as[Long].collect().toSet
+    CorpusStream.processBatch(
+      Seq((11L, txt("dA", S, X), "en"), (20L, txt("dB", S, Y), "en"))
+        .toDF("doc_id", "text", "lang"),
+      cat, "sp_seen", "sp_out", 0L, threshold = 0.45, admit = df => df)
+    CorpusStream.processBatch(
+      Seq((22L, txt("dC", U), "en")).toDF("doc_id", "text", "lang"),
+      cat, "sp_seen", "sp_out", 1L, threshold = 0.45, admit = df => df)
+    assert(cat.read("sp_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(11L, 20L, 22L))
+    // 30 bridges {11} and {20}: canonical 11 survives, 20 (emitted in
+    // partition 0, next to survivor 11) is retracted
+    CorpusStream.processBatch(
+      Seq((30L, txt("dD", S, X, Y), "en")).toDF("doc_id", "text", "lang"),
+      cat, "sp_seen", "sp_out", 2L, threshold = 0.45, admit = df => df)
+    // partition 0 rewritten around its survivor; partition 1 must be
+    // UNTOUCHED — a regression to static whole-table overwrite (which
+    // deletes partitions absent from the frame) fails here
+    assert(cat.listPartitions("sp_out", "batch_id").toSet ==
+      Set("0", "1", "2"))
+    assert(part("0") == Set(11L))
+    assert(part("1") == Set(22L))
+    assert(cat.read("sp_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(11L, 22L))
+  }
+
+  test("emit-index lookup locates affected partitions without reading " +
+       "the rest of the output table, in both emit layouts") {
+    for (minRows <- Seq(CorpusStream.PkSplitMinRows, 1L)) {
+      val T = fam(7, 60); val U = fam(8, 40)
+      val wh = java.nio.file.Files
+        .createTempDirectory("corpus_ei_").toString
+      val cat = new graft.catalog.TableCatalog(spark, wh)
+      def run(id: Long, t: String, b: Long): Unit =
+        CorpusStream.processBatch(
+          Seq((id, t, "en")).toDF("doc_id", "text", "lang"),
+          cat, "ei_seen", "ei_out", b, threshold = 0.45,
+          admit = df => df, pkSplitMinRows = minRows)
+      run(21L, txt("docT", T), 0L)
+      run(22L, txt("docV", U), 1L) // unrelated — zero-cross fast path
+      // plant an UNREADABLE data file in the unaffected partition: the
+      // legacy full-output semi-join would scan (and choke on) it; the
+      // emit-index path must never touch that partition
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          cat.partitionPath("ei_out", "batch_id", "1"),
+          "part-00000-junk.snappy.parquet"),
+        "not a parquet file".getBytes("UTF-8"))
+      // 14 near-dups 21 → merged canonical 14, 21 retracted; its
+      // partition (0) is found via the pk-pruned index
+      run(14L, txt("docU", T.drop(5)), 2L)
+      assert(cat.listPartitions("ei_out", "batch_id").toSet ==
+        Set("1", "2"), s"minRows=$minRows")
+      assert(spark.read
+        .parquet(cat.partitionPath("ei_out", "batch_id", "2"))
+        .select($"doc_id").as[Long].collect().toSet == Set(14L),
+        s"minRows=$minRows")
+    }
+  }
+
+  test("retraction falls back to the full output scan when the emit " +
+       "index does not cover the output (pre-index warehouse)") {
+    val T = fam(9, 60)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_lf_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def run(id: Long, t: String, b: Long): Unit =
+      CorpusStream.processBatch(
+        Seq((id, t, "en")).toDF("doc_id", "text", "lang"),
+        cat, "lf_seen", "lf_out", b, threshold = 0.45, admit = df => df)
+    run(21L, txt("docT", T), 0L)
+    // simulate a warehouse written by pre-index code: no emit table,
+    // no coverage marker
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(cat.tablePath("lf_seen_emit")))
+    assert(!cat.tableExists("lf_seen_emit"))
+    run(14L, txt("docU", T.drop(5)), 1L)
+    assert(cat.read("lf_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(14L))
+  }
+
   test("member-level bridges resolve through the label state across " +
        "merges and label-table compaction") {
     val S = fam(0, 40); val X = fam(1, 30); val Y = fam(2, 30)
