@@ -66,6 +66,96 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ev01's streaming twin executed AS A STREAM under the same oracle
+    // (round 11): the events table is fed through a MemoryStream in
+    // three chronological micro-batches with controlled LATE arrivals —
+    // boundary rows demoted one batch later, within the 2h watermark
+    // allowance, so the engine must merge them into still-open windows
+    // rather than drop them — and a far-future sentinel row advances
+    // the watermark so append mode finalizes (and state-reclaims)
+    // every real window. The sentinel's own window can never finalize
+    // and is filtered defensively. This gates the watermark/state
+    // machinery itself, not just the aggregation logic the batch-frame
+    // equality test covers.
+    "ev05_stream_hourly" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"),
+          col("event_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .as[(java.sql.Timestamp, String, Double, Long)].collect()
+      val n = rows.length
+      val cut1 = n / 3; val cut2 = 2 * n / 3
+      def batchOf(i: Int): Int = {
+        val base = if (i < cut1) 0 else if (i < cut2) 1 else 2
+        // one row in 7 near a batch boundary arrives LATE (next
+        // batch) — at most 1h behind the closed batch's max event
+        // time, inside the 2h allowance, so it must be merged
+        val cutTs = rows(if (base == 0) cut1 - 1 else cut2 - 1)._1.getTime
+        if (base < 2 && rows(i)._4 % 7 == 0 &&
+            rows(i)._1.getTime >= cutTs - 3600000L) base + 1
+        else base
+      }
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val sink = "ev05_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventsStream.hourlyAgg(
+          mem.toDF().toDF("ts", "event_type", "value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        (0 to 2).foreach { b =>
+          mem.addData(rows.iterator.zipWithIndex.collect {
+            case ((ts, et, v, _), i) if batchOf(i) == b => (ts, et, v)
+          }.toSeq)
+          q.processAllAvailable()
+        }
+        val far = rows.last._1.getTime + 10L * 24 * 3600 * 1000
+        mem.addData(Seq(
+          (new java.sql.Timestamp(far), "zz_sentinel", 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(col("hour"), col("event_type"), col("n"), col("total"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
+    // ev02's stateful streaming twin (flatMapGroupsWithState) executed
+    // as a real 3-micro-batch stream: per-user session state must
+    // carry across batch boundaries. Batches are strict chronological
+    // terciles — the operator's contract is per-key in-order delivery
+    // (its own intra-batch sort handles ties), which the feed honors.
+    "ev06_stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      import graft.streaming.EventsStream
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .orderBy(col("ts"), col("event_id"))
+        .as[EventsStream.Ev].collect()
+      val n = rows.length
+      val mem = MemoryStream[EventsStream.Ev]
+      val sink = "ev06_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = EventsStream.sessionize(mem.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+            rows.slice(2 * n / 3, n)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("event_id"), col("session_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Typed JSON extraction from the props payload column (schema-on-read
     // over a semi-structured field), rolled up per event type. from_json
     // with an explicit schema, not a UDF — stays in codegen.
@@ -99,6 +189,29 @@ object EventQueries {
                   OR date_diff('second', prev, ts) > 1800
                 THEN 1 ELSE 0 END AS is_new FROM b)
          SELECT user_id, event_id, ts,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+         FROM m ORDER BY user_id, event_id""",
+    // the stream must land exactly where the batch aggregation lands
+    "ev05_stream_hourly" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total
+         FROM events GROUP BY event_type, hour
+         ORDER BY event_type, hour""",
+    "ev06_stream_sessionize" ->
+      """WITH b AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+           lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+             ORDER BY ts::TIMESTAMP ASC, event_id ASC) AS prev
+           FROM events),
+         m AS (SELECT user_id, event_id, ts,
+           CASE WHEN prev IS NULL
+                  OR date_diff('second', prev, ts) > 1800
+                THEN 1 ELSE 0 END AS is_new FROM b)
+         SELECT user_id, event_id,
            CAST(SUM(is_new) OVER (PARTITION BY user_id
              ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)

@@ -35,6 +35,15 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** Driver-side cap on stage A's (lang, bucket) aggregate. The
+    * `langs × buckets` bound is a CONTRACT (lang is a language code,
+    * not free text); a dirty high-cardinality lang column would
+    * otherwise collect O(corpus) rows and OOM the driver silently.
+    * 2^20 rows (~tens of MB) is orders of magnitude past any real
+    * language inventory × 256 buckets — hitting it means the contract
+    * is violated, which must surface as an error, not an OOM. */
+  val MaxLangGroups: Int = 1 << 20
+
   /** Rows of `docs` kept by the per-language token budget, emitting
     * (id, lang, n_toks). `qualCol` must be engine-deterministic (e.g.
     * [[TextAnalysis.qualityScore]], gate-pinned) and in [0, 1]. */
@@ -52,10 +61,21 @@ object Mixture {
       col(idCol).cast("long").as("id"), col(langCol).as("lang"),
       tokCol.cast("long").as("n_toks"), qualCol.as("q"), bk.as("bk")))
     // stage A: (lang, bucket) token sums -> per-lang boundary + offset.
-    // Bounded driver state by contract: langs × buckets rows.
-    val sums = base.groupBy(col("lang"), col("bk"))
+    // Bounded driver state by contract (langs × buckets rows) — and
+    // the contract is ENFORCED: the collect is capped and over-cap
+    // fails loudly instead of letting a dirty lang column OOM the
+    // driver (see [[MaxLangGroups]]).
+    val sumRows = base.groupBy(col("lang"), col("bk"))
       .agg(sum(col("n_toks")).as("tsum"))
+      .limit(MaxLangGroups + 1)
       .collect()
+    require(sumRows.length <= MaxLangGroups,
+      s"Mixture.tokenBudgetSample: more than $MaxLangGroups " +
+        "(lang, bucket) groups — the lang column is not a bounded " +
+        "language inventory (free text?); refusing to collect " +
+        "corpus-scale driver state. Clean the lang column or bucket " +
+        "it upstream.")
+    val sums = sumRows
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     val cuts: Seq[(String, Int, Long)] = sums.groupBy(_._1).map {
       case (lang, rows) =>

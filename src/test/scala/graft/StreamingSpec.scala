@@ -37,6 +37,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode hourlyAgg merges in-allowance late rows, finalizes " +
+       "on watermark advance, and reclaims the finalized state (the " +
+       "ev05 gate's machinery)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventsStream.hourlyAgg(events)
+      .writeStream.format("memory").queryName("hourly_app")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.5),
+        (ts("2024-01-01 11:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      // nothing finalized yet: the watermark (11:20 − 2h) has not
+      // passed any window's end
+      assert(spark.table("hourly_app").isEmpty)
+      // a late row INSIDE the allowance merges into the open window
+      mem.addData((ts("2024-01-01 10:45:00"), "click", 1.0))
+      q.processAllAvailable()
+      // watermark-advancing row: every real window finalizes
+      mem.addData((ts("2024-01-02 00:00:00"), "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly_app").orderBy($"hour")
+        .select($"event_type", $"n", $"total")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(got == Seq(("click", 2L, 2.5), ("click", 1L, 2.0)))
+      // only the flush row's own (never-finalizable) window remains in
+      // state — the reclaim that bounds state on an unbounded stream
+      val st = q.lastProgress.stateOperators(0)
+      assert(st.numRowsTotal == 1, s"state rows: ${st.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("stateful sessionize over a MemoryStream spans micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
