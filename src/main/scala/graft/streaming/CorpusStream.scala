@@ -139,27 +139,28 @@ object CorpusStream {
     * components, not docs). */
   val MergeGraphCap = 1 << 20
 
-  /** Component resolution over the per-batch CONTRACTED merge graph
-    * (columns la, lb — component labels). Metadata-scale by
-    * construction, so up to [[MergeGraphCap]] edges it resolves with
-    * one collect + union-find instead of the iterative CC loop's
-    * multi-round Spark jobs per batch (measured as a visible slice of
-    * the per-batch constant on merge-heavy streams); beyond the cap
-    * it falls back to the distributed pointer-jumping operator.
-    * Output (node `__node`, merged canonical `__m` = the component's
-    * minimum label), identical on both paths; None for an edgeless
-    * graph — decided driver-side on the fast path, so the common
-    * no-merge batch pays no extra emptiness job. The caller PERSISTS
-    * `edges` (ADVICE r10): the capped collect and the distributed-CC
-    * fallback both read it, and without the pin the fallback would
-    * re-evaluate the whole cross-pair verify cascade a second time. */
-  private def mergedLabels(edges: DataFrame): Option[DataFrame] = {
-    val spark = edges.sparkSession
-    val capped = edges
-      .select(col("la").cast("long"), col("lb").cast("long"))
+  /** Capped connected components over a pair frame — the per-batch
+    * component machinery shared by the internal near-dup graph and
+    * the contracted cross-batch merge graph. Up to [[MergeGraphCap]]
+    * edges it resolves with ONE collect + driver union-find, and the
+    * result is a LOCAL relation downstream joins broadcast — against
+    * the iterative CC loop this removes ~6 rounds × several AQE stage
+    * jobs per batch (measured at sf0.1, most of dp03's job count);
+    * beyond the cap it falls back to the distributed pointer-jumping
+    * operator (there `pairs` is evaluated a second time — the capped
+    * probe already consumed it once — so callers fence the frame in
+    * that branch when re-derivation is expensive). Output (node
+    * `__node`, component minimum `__m`), identical on both paths;
+    * None for an edgeless input — decided driver-side on the capped
+    * path, so the common empty case costs no extra emptiness job. */
+  private def cappedComponents(pairs: DataFrame, aCol: String,
+                               bCol: String): Option[DataFrame] = {
+    val spark = pairs.sparkSession
+    val capped = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
       .limit(MergeGraphCap + 1).collect()
     if (capped.length > MergeGraphCap)
-      Some(Dedup.connectedComponents(edges, "la", "lb")
+      Some(Dedup.connectedComponents(pairs, aCol, bCol)
         .select(col("id").as("__node"), col("label").as("__m")))
     else {
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -565,29 +566,33 @@ object CorpusStream {
       else {
         val seenBands = seenBandFrame(catalog, stateTable, batchKey,
           state, newBands, geom)
-        // the candidates are fenced and probed BEFORE the verify tail
-        // (round 11): a batch with zero cross-batch band collisions —
-        // the common merge-free case — skips the verify cascade, the
-        // label-state read and all merge bookkeeping below, which as an
-        // unconditional guarantee cost ~14% per merge-free batch
-        // (ProbeStream paired control, round 10). A collision-bearing
-        // batch reuses the cached candidate blocks in the verify join,
-        // so nothing is evaluated twice on either path.
-        val cands = graft.core.Fence.soft(
-          MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
-            geom, selfJoin = false))
-        release += cands
-        if (cands.isEmpty) null
-        else MinHashLSH.verifySurvivors(cands, allSigs, threshold,
+        // fused and unpersisted: the capped pair collect below is the
+        // ONE action that evaluates this cascade (band join -> floor ->
+        // sample prune -> exact verify) — materializing it here would
+        // split the fused pipeline into separate cached executions
+        // (measured +9 s on the dp03 chain when tried in round 11)
+        MinHashLSH.verifySurvivors(
+            MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
+              geom, selfJoin = false),
+            allSigs, threshold,
             sb = Some(allSigs.select(col("id"), col("sb"))))
-          .select(col("doc_a"), col("doc_b")).distinct()
+          .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .distinct()
       }
-    // 5. component resolution within the batch...
-    val labels = Dedup.connectedComponents(internal, "doc_a", "doc_b")
-    val labeled = newDocs.join(
-        labels.select(col("id").as("doc_id"), col("label")),
-        Seq("doc_id"), "left")
-      .withColumn("label", coalesce(col("label"), col("doc_id")))
+    // 5. component resolution within the batch — the capped driver
+    //    union-find ([[cappedComponents]]): a batch's internal
+    //    near-dup graph is metadata-scale in the common case, and the
+    //    iterative CC loop's per-round jobs were most of the chain's
+    //    job count; a pathological mass-dup batch falls back to the
+    //    distributed operator
+    val labelsOpt = cappedComponents(internal, "doc_a", "doc_b")
+    val labeled = labelsOpt match {
+      case None => newDocs.withColumn("label", col("doc_id"))
+      case Some(l) => newDocs.join(
+          l.select(col("__node").as("doc_id"), col("__m").as("label")),
+          Seq("doc_id"), "left")
+        .withColumn("label", coalesce(col("label"), col("doc_id")))
+    }
     // 5b. ...then CONVERGENT MERGING across batches (round 10 — closes
     //     the late-bridge divergence from batch clusterDedup): each
     //     cross pair is an edge between this batch's component LABEL
@@ -607,24 +612,42 @@ object CorpusStream {
     //         retraction set and the anti-join is a no-op the second
     //         time). Labels only ever decrease, so a once-dropped doc
     //         can never need re-admission.
+    // the capped PAIR collect is the one action on the cross cascade
+    // (round 11): an empty result — the common batch, where band
+    // collisions exist but nothing verifies — short-circuits ALL merge
+    // bookkeeping including the label-state read and its window (the
+    // unconditional-convergence overhead ADVICE r10 measured at ~14%
+    // per merge-free batch). A merge-bearing batch re-joins the
+    // collected pairs as a broadcast-sized LOCAL relation, so the
+    // cascade still evaluates exactly once and the label joins run
+    // against a tiny build side. Over [[MergeGraphCap]] pairs (a
+    // pathological mass-merge batch) the cascade is re-derived
+    // distributed — fenced, so the CC fallback consumes it once.
+    val pairRows: Array[(Long, Long)] =
+      if (crossPairs == null) Array.empty
+      else crossPairs.limit(MergeGraphCap + 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val overCap = pairRows.length > MergeGraphCap
     val curLbls =
-      if (crossPairs == null) null
+      if (pairRows.isEmpty) null
       else currentLabels(catalog, stateTable, batchKey)
-    val mr: DataFrame = if (crossPairs == null) null else {
-      val la = crossPairs
+    val mr: DataFrame = if (pairRows.isEmpty) null else {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val pairsSrc =
+        if (!overCap) pairRows.toSeq.toDF("doc_a", "doc_b")
+        else { val f = graft.core.Fence.soft(crossPairs)
+               release += f; f }
+      val la = pairsSrc
         .join(labeled.select(col("doc_id").as("__na"), col("label")),
           col("doc_a") === col("__na"))
         .select(col("label").as("la"), col("doc_b"))
-      // fenced (ADVICE r10): the capped merge-graph collect AND the
-      // over-cap distributed-CC fallback both consume this frame —
-      // without the pin the fallback would re-run the verify cascade
-      val edges = graft.core.Fence.soft(
+      val edges =
         if (curLbls == null) la.select(col("la"), col("doc_b").as("lb"))
         else la.join(curLbls.withColumnRenamed("id", "__sb"),
             col("doc_b") === col("__sb"), "left")
-          .select(col("la"), coalesce(col("lbl"), col("doc_b")).as("lb")))
-      release += edges
-      mergedLabels(edges) match {
+          .select(col("la"), coalesce(col("lbl"), col("doc_b")).as("lb"))
+      cappedComponents(edges, "la", "lb") match {
         case None => null
         case Some(m) =>
           val f = graft.core.Fence.soft(m); release += f; f
@@ -746,13 +769,12 @@ object CorpusStream {
           .cast("boolean"),
         lit(true)))
       .select(col("id"), col("lbl"))
-    // write-emptiness is derivable without an action: any verified
+    // write-emptiness is derivable without ANY action: any verified
     // pair makes a 2+ component (a non-canonical member row), and any
     // merge graph dethrones at least one node — so rows exist exactly
-    // when the batch CC found pairs (its checkpointed frame makes
-    // isEmpty a materialized-block scan, not a recompute) or a merge
-    // graph exists
-    if (mr != null || !labels.isEmpty)
+    // when the batch found internal pairs or a merge graph, both known
+    // driver-side
+    if (mr != null || labelsOpt.nonEmpty)
       catalog.writePartition(lblChecked
           .withColumn("b", lit(batchId))
           .withColumn("batch_id", lit(batchKey))
