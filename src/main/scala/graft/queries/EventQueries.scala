@@ -156,6 +156,79 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ev03's stateful streaming twin (asOfEnrich) as a real 3-batch
+    // stream: per-user "latest preceding click" state must carry
+    // across micro-batches. Feed order (ts, side, event_id) — right
+    // rows before left at equal ts — honors the operator's per-key
+    // in-order contract at batch boundaries, so the output equals the
+    // batch as-of join the DuckDB ASOF oracle computes.
+    "ev07_stream_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      import graft.streaming.EventsStream
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1).as("side"),
+          col("value"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .as[EventsStream.AsOfEv].collect()
+      val n = rows.length
+      val mem = MemoryStream[EventsStream.AsOfEv]
+      val sink = "ev07_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = EventsStream.asOfEnrich(mem.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+            rows.slice(2 * n / 3, n)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("event_id"), col("asof_ms"),
+          col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Streaming watermark-bounded exact dedup executed as a stream:
+    // with the lateness horizon wider than the table's time span the
+    // state never expires, so every (user, event_type) key is emitted
+    // exactly once — the DISTINCT oracle. (The 2h-horizon reclaim
+    // behavior, where a long-silent key re-emits by design and no
+    // batch SQL equals it, is pinned by StreamingSpec instead.)
+    "ev08_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = t(s, dir, "events")
+        .select(col("ts"), col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("user_id"), col("event_type"))
+        .as[(java.sql.Timestamp, Long, String)].collect()
+      val n = rows.length
+      val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val sink = "ev08_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventsStream.dedupEvents(
+          mem.toDF().toDF("ts", "user_id", "event_type"),
+          lateness = "90 days")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+            rows.slice(2 * n / 3, n)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Typed JSON extraction from the props payload column (schema-on-read
     // over a semi-structured field), rolled up per event type. from_json
     // with an explicit schema, not a UDF — stays in codegen.
@@ -230,6 +303,23 @@ object EventQueries {
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
+    "ev07_stream_asof" ->
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+           FROM events WHERE event_type = 'purchase'),
+         r0 AS (SELECT user_id, ts::TIMESTAMP AS ts, value,
+             row_number() OVER (PARTITION BY user_id, ts
+               ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1)
+         SELECT l.user_id, l.event_id,
+                CAST(epoch_ms(r.ts) AS BIGINT) AS asof_ms,
+                r.value AS asof_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "ev08_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     "ev04_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
