@@ -173,6 +173,21 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
   }
 
+  test("the collected merge-pair set joins as a BROADCAST build side " +
+       "against the batch frame (CorpusStream round-11 shape: the " +
+       "label joins must never shuffle the big side)") {
+    import spark.implicits._
+    val labeled = graft.core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    val pairsDf = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val la = pairsDf
+      .join(labeled.select(col("doc_id").as("__na"), col("label")),
+        col("doc_a") === col("__na"))
+    val p = la.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("s07: the partition-metadata scan reads no parquet data") {
     // S7's contract (the $__PARTITIONS_SUMMARY__ scan): directory names
     // only — the plan must not contain a parquet file scan
