@@ -86,6 +86,19 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // Token-budget sequence chunking: deal docs, in id order, into
+    // fixed ~10k-token training shards (the step between a filtered
+    // corpus and a tokenizer fleet). The operator computes the global
+    // running total WITHOUT a corpus-wide single-task window — id
+    // ranges bucket the order, a driver-bounded aggregate supplies
+    // each range's offset, and only within-range windows run (see
+    // text/Packing.scala); the oracle is the one-window reference
+    // form it is row-identical to.
+    "ts11_token_chunks" -> ((s, dir) =>
+      graft.text.Packing.tokenChunks(t(s, dir, "documents"), "doc_id",
+          size(TextHash.tokens(col("text"))).cast("long"), 10000L)
+        .orderBy(col("id"))),
+
     // TF-IDF keyword extraction: top-3 distinctive terms per document,
     // integer-ordered (tf DESC, df ASC, term ASC) so the ranking is
     // engine-exact; (tf, df, n_docs) ride along for a float idf
@@ -765,6 +778,9 @@ object LlmQueries {
       graft.text.Mixture.tokenBudgetSampleSql("documents", "doc_id",
         "lang", s"len($toks)", TextAnalysis.qualityScoreSql(toks), 25000L)
     },
+    "ts11_token_chunks" ->
+      graft.text.Packing.tokenChunksSql("documents", "doc_id",
+        "len(string_split(text, ' '))", 10000L),
     "ts08_pii_redact" -> {
       val synth = """substring(text, 1, 40) || ' contact user' ||
         CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.0.' ||

@@ -240,6 +240,42 @@ class TextSimSpec extends SparkSpec {
     assert(out == ref && ref.nonEmpty)
   }
 
+  test("tokenChunks equals the global one-window form, including " +
+       "degenerate id layouts (dense single range, sparse huge ids)") {
+    import graft.text.Packing
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val rnd = new scala.util.Random(11)
+    def ref(docs: org.apache.spark.sql.DataFrame, cap: Long) = {
+      val w = Window.orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum", fsum(col("nt")).over(w) - col("nt"))
+        .select(col("doc_id"), ((col("cum") - col("cum") % cap) / cap)
+          .cast("long").as("chunk"))
+        .as[(Long, Long)].collect().toMap
+    }
+    // uniform ids; few buckets so ranges genuinely split the order
+    val uniform = (1 to 500)
+      .map(i => (i.toLong, (1 + rnd.nextInt(30)).toLong))
+      .toDF("doc_id", "nt")
+    val got = Packing.tokenChunks(uniform, "doc_id", col("nt"), 100L,
+        buckets = 7)
+      .select($"id", $"chunk").as[(Long, Long)].collect().toMap
+    assert(got == ref(uniform, 100L) && got.values.toSet.size > 3)
+    // pathological: all ids inside one range width (plus one far
+    // outlier) — the collapsed range must still window correctly
+    val skewed = ((1 to 60).map(i => (1000000L + i, 5L)) :+
+        (9000000000L, 5L))
+      .toDF("doc_id", "nt")
+    val got2 = Packing.tokenChunks(skewed, "doc_id", col("nt"), 40L,
+        buckets = 4)
+      .select($"id", $"chunk").as[(Long, Long)].collect().toMap
+    assert(got2 == ref(skewed, 40L))
+    // empty input keeps the schema
+    assert(Packing.tokenChunks(uniform.limit(0), "doc_id", col("nt"),
+      10L).columns.toSeq == Seq("id", "n_toks", "chunk"))
+  }
+
   test("tfidfTopTerms ranks per-doc terms by (tf desc, df asc, term)") {
     val docs = Seq(
       (1L, "apple apple banana common common common"),
