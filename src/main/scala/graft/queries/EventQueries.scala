@@ -16,6 +16,23 @@ object EventQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Run a streaming section under a reduced state-partition count: a
+    * stateful stream allocates, commits and checkpoints one state
+    * store per shuffle partition PER micro-batch, so the ev05–ev08
+    * gates' 3–4 tiny batches under the session's 32 partitions pay
+    * ~130 state-store commits of pure overhead. 8 is ample at gate
+    * scale; the partition count is pinned into the query at start and
+    * the conf is restored afterwards, so nothing planned later is
+    * affected. Results are partition-count-invariant (the oracles
+    * prove it). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)
+                                    (f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling one-hour window per event type: count + value sum
     "ev01_hourly_agg" -> ((s, dir) =>
@@ -101,22 +118,24 @@ object EventQueries {
       val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
       val sink = "ev05_mem_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.EventsStream.hourlyAgg(
-          mem.toDF().toDF("ts", "event_type", "value"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        (0 to 2).foreach { b =>
-          mem.addData(rows.iterator.zipWithIndex.collect {
-            case ((ts, et, v, _), i) if batchOf(i) == b => (ts, et, v)
-          }.toSeq)
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventsStream.hourlyAgg(
+            mem.toDF().toDF("ts", "event_type", "value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          (0 to 2).foreach { b =>
+            mem.addData(rows.iterator.zipWithIndex.collect {
+              case ((ts, et, v, _), i) if batchOf(i) == b => (ts, et, v)
+            }.toSeq)
+            q.processAllAvailable()
+          }
+          val far = rows.last._1.getTime + 10L * 24 * 3600 * 1000
+          mem.addData(Seq(
+            (new java.sql.Timestamp(far), "zz_sentinel", 0.0)))
           q.processAllAvailable()
-        }
-        val far = rows.last._1.getTime + 10L * 24 * 3600 * 1000
-        mem.addData(Seq(
-          (new java.sql.Timestamp(far), "zz_sentinel", 0.0)))
-        q.processAllAvailable()
-      } finally q.stop()
+        } finally q.stop()
+      }
       s.table(sink)
         .filter(col("event_type") =!= "zz_sentinel")
         .select(col("hour"), col("event_type"), col("n"), col("total"))
@@ -141,16 +160,18 @@ object EventQueries {
       val mem = MemoryStream[EventsStream.Ev]
       val sink = "ev06_mem_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = EventsStream.sessionize(mem.toDS())
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
-            rows.slice(2 * n / 3, n)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = EventsStream.sessionize(mem.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+              rows.slice(2 * n / 3, n)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.table(sink)
         .select(col("user_id"), col("event_id"), col("session_id"))
         .orderBy(col("user_id"), col("event_id"))
@@ -178,16 +199,18 @@ object EventQueries {
       val mem = MemoryStream[EventsStream.AsOfEv]
       val sink = "ev07_mem_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = EventsStream.asOfEnrich(mem.toDS())
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
-            rows.slice(2 * n / 3, n)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = EventsStream.asOfEnrich(mem.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+              rows.slice(2 * n / 3, n)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.table(sink)
         .select(col("user_id"), col("event_id"), col("asof_ms"),
           col("asof_value"))
@@ -212,18 +235,20 @@ object EventQueries {
       val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
       val sink = "ev08_mem_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.EventsStream.dedupEvents(
-          mem.toDF().toDF("ts", "user_id", "event_type"),
-          lateness = "90 days")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
-            rows.slice(2 * n / 3, n)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.EventsStream.dedupEvents(
+            mem.toDF().toDF("ts", "user_id", "event_type"),
+            lateness = "90 days")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+              rows.slice(2 * n / 3, n)).foreach { chunk =>
+            mem.addData(chunk.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       s.table(sink)
         .select(col("user_id"), col("event_type"))
         .orderBy(col("user_id"), col("event_type"))
