@@ -818,7 +818,7 @@ object CorpusStream {
     * output table has grown. Fallback when the index doesn't cover
     * every output partition (a warehouse whose early batches predate
     * the index): the legacy column-pruned full-output semi-join. */
-  private def affectedOutputBatches(catalog: TableCatalog,
+  private[graft] def affectedOutputBatches(catalog: TableCatalog,
       stateTable: String, outTable: String, batchKey: String,
       retr: DataFrame, outKeys: Seq[String]): Array[String] = {
     val emitTable = emitTableOf(stateTable)
