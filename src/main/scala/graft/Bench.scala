@@ -30,6 +30,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // The ContextCleaner race "Failed to update accumulator (Unknown
+    // class)" — a task finishing after its query's SQL metrics were
+    // reclaimed by the between-query scrub — is logged at ERROR with a
+    // full stack per task and can flood the harness's output capture
+    // (round 10's bench record lost its JSON line to exactly this
+    // noise). Benign by definition (the metrics' query is already
+    // done), so the one logger goes quiet rather than the scrub going
+    // away.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
 
     def run(name: String, dir: String): Unit =
       try SparkEntry.queries(name)(spark, dir)
