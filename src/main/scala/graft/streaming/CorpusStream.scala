@@ -27,14 +27,17 @@ import graft.text.{CorpusPipeline, TextHash}
   *
   * Cross-batch semantics (the part a row-local twin can't fake):
   *  - exact dedup CONVERGES to dp01's global keep-smallest-id even on
-  *    out-of-order feeds (round 11): a re-delivery whose stored twin
-  *    has a SMALLER id is dropped at the fingerprint gate as before,
-  *    but one with a smaller id than every stored twin flows through
-  *    to the near-dup stage, where identical text is a guaranteed
-  *    J=1.0 pair — the convergent-merge machinery below then elects
-  *    it canonical and retracts the dethroned larger-id copy. With
-  *    ids ascending in arrival order (the reference's daily extracts)
-  *    the gate drops every re-delivery and nothing changes;
+  *    out-of-order feeds (rounds 11/12): a re-delivery whose stored
+  *    twin has a SMALLER id is dropped at the fingerprint gate as
+  *    before, but one with a smaller id than every stored twin
+  *    injects a FORCED merge edge against each larger-id stored twin
+  *    — the convergent-merge machinery below then elects it canonical
+  *    and retracts the dethroned copy unconditionally (round 12: the
+  *    edge is forced rather than routed through the LSH cascade,
+  *    because fp hashes only a text prefix and a prefix-sharing
+  *    divergent body would never verify at threshold). With ids
+  *    ascending in arrival order (the reference's daily extracts) the
+  *    gate drops every re-delivery and nothing changes;
   *  - near-dup clustering CONVERGES to the batch operator (round 10):
   *    a batch-internal component merges with every seen component any
   *    member verifies against (seen = every gated+exact-deduped doc,
@@ -129,9 +132,27 @@ object CorpusStream {
 
   private val CoveredFromMarker = "_covered_from"
 
-  private def emitPkCol(id: org.apache.spark.sql.Column)
+  private[graft] def emitPkCol(id: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     pmod(xxhash64(id), lit(StatePartitions.toLong))
+
+  /** Fingerprint-index state (round 12 — closes the per-batch linear
+    * fp-column scan, the last stated O(state)-per-batch term): one row
+    * `(id, fp)` per stored doc, bucketed by `pk = xxhash64(fp) mod
+    * StatePartitions` with the band tables' granularity-aware layout.
+    * The exact-dedup gate reads ONLY the buckets this batch's own
+    * fingerprints hash into (fp equality implies pk equality, so the
+    * pruning loses no twin) instead of scanning the whole sketch
+    * table's fp column — on a 10¹⁰-doc state that scan was linear in
+    * the corpus every batch, however small the batch. A state written
+    * by pre-index code is backfilled once from the sketch table's own
+    * fp column (see [[seenFpRows]]). */
+  private def fpTableOf(stateTable: String): String =
+    stateTable + "_fp"
+
+  private def fpPkCol(f: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(f), lit(StatePartitions.toLong))
 
   /** Edge cap for the driver-side merge-graph fast path. 1M edges of
     * two longs is ~16 MB of driver memory — far past any real batch's
@@ -450,6 +471,46 @@ object CorpusStream {
       srcs.foreach(catalog.deletePartition(emitTable, "batch_id", _))
       moved = true
     }
+    // fingerprint-index table: same mixed layout and rules as the emit
+    // table; pk is a pure function of fp, recomputed uniformly
+    val fpTable = fpTableOf(stateTable)
+    val fpb = sourcesOf(fpTable)
+    if (fpb.size >= 2) {
+      val key = "c" + fpb.flatMap(numOf).max
+      val srcs = fpb.filter(_ != key)
+      if (!fpb.contains(key) ||
+          !catalog.partitionCommitted(fpTable, "batch_id", key)) {
+        val cols = Seq(col("id"), col("fp"))
+        val (split, plain) = srcs.partition(b =>
+          catalog.listSubPartitions(fpTable, "batch_id", b, "pk")
+            .nonEmpty)
+        val parts = Seq(
+          if (split.nonEmpty)
+            Some(catalog.readPaths(fpTable,
+                split.map(catalog.partitionPath(fpTable, "batch_id", _)))
+              .select(cols: _*))
+          else None,
+          if (plain.nonEmpty) {
+            val withData = plain.filter(
+              catalog.partitionHasDataFiles(fpTable, "batch_id", _))
+            if (withData.isEmpty) None
+            else Some(catalog.readPaths(fpTable,
+                withData.map(catalog.partitionPath(fpTable, "batch_id", _)))
+              .select(cols: _*))
+          } else None).flatten
+        if (parts.nonEmpty)
+          catalog.writeSubPartitioned(
+            parts.reduce(_ unionByName _)
+              .dropDuplicates("id") // see sketch-side comment
+              .withColumn("pk", fpPkCol(col("fp")))
+              .withColumn("batch_id", lit(key))
+              .repartition(col("pk")),
+            fpTable, "batch_id", key, "pk")
+      }
+      failpoint("fp-target-written")
+      srcs.foreach(catalog.deletePartition(fpTable, "batch_id", _))
+      moved = true
+    }
     moved
   }
 
@@ -491,9 +552,14 @@ object CorpusStream {
         .decontaminate(admit(batch), "doc_id", "text", b, "text")
       case None => admit(batch)
     }
-    val localDeduped = Dedup.exactDedup(gated,
+    val localDeduped0 = Dedup.exactDedup(gated,
       CorpusPipeline.fingerprintPrefix, col("doc_id"))
       .select(col("doc_id"), col("text"), col("lang"))
+    // every frame persisted below is released in the finally — a
+    // long-lived stream must not accumulate cached blocks batch over
+    // batch
+    val release = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
     // 2. sketch state from EARLIER batches (a replay of this batch
     //    excludes its own half-written partition, so reprocessing is
     //    idempotent end-to-end)
@@ -512,24 +578,46 @@ object CorpusStream {
       } else null
     if (state != null)
       requireCompatibleState(state, geom, stateTable, threshold)
-    // 3. drop exact re-arrivals by stored fingerprint — but only when
-    //    the stored twin's id is <= the arrival's (round 11, closes the
-    //    out-of-order exact-dup divergence): a re-delivery with a
-    //    SMALLER id than every stored copy must not be dropped, it must
-    //    WIN. Letting it through to the near-dup stage does exactly
-    //    that with zero new machinery — identical text is a guaranteed
-    //    J=1.0 verified pair, so the convergent merge elects the
-    //    smaller id canonical and retracts the dethroned stored copy.
-    //    Ascending feeds hit the old equality-only behavior unchanged
-    //    (every stored twin has a smaller id). Still one fp-equi
-    //    anti-join; the id comparison is a residual predicate on the
-    //    same hash join, not a new shuffle.
+    // persist the local batch once it has several consumers: the fp-pk
+    // collect, the anti-join cascade and the forced-pair join below
+    // all read it (state == null leaves the single-consumer lazy form)
+    val localDeduped =
+      if (state == null) localDeduped0
+      else { val f = graft.core.Fence.soft(localDeduped0)
+             release += f; f }
+    // 3. exact re-arrivals by stored fingerprint, read from the
+    //    pk-bucketed `_fp` index pruned to THIS batch's fp buckets
+    //    (round 12 — [[seenFpRows]]; legacy states backfill or fall
+    //    back to the full fp-column scan). Two consumers, one read:
+    //      - a twin whose stored id is <= the arrival's drops at the
+    //        anti-join (ascending feeds: every re-delivery, as always);
+    //      - a twin whose stored id is LARGER becomes a FORCED merge
+    //        pair injected into the cross-pair graph below (round 12,
+    //        replacing round 11's route through the LSH cascade: fp
+    //        hashes only a text PREFIX, so fp-equality does not
+    //        guarantee a verifiable J >= t pair — a prefix-sharing
+    //        divergent body, or a sub-shingle-length doc, would never
+    //        verify and the dethroned stored copy would survive as a
+    //        duplicate. The forced edge makes the dethronement
+    //        unconditional — exactly dp01's keep-smallest-id-per-fp
+    //        rule.)
+    //    seenFp == null means no stored bucket collides — the common
+    //    batch skips the anti-join shuffle entirely, driver-decided.
+    val seenFp =
+      if (state == null) null
+      else seenFpRows(catalog, stateTable, batchKey, state,
+        localDeduped, pkSplitMinRows)
     val newDocs = graft.core.Fence(
-      if (state == null) localDeduped
-      else localDeduped.join(
-        state.select(col("fp").as("__seen_fp"), col("id").as("__seen_id")),
+      if (seenFp == null) localDeduped
+      else localDeduped.join(seenFp,
         fp === col("__seen_fp") && col("__seen_id") <= col("doc_id"),
         "left_anti"))
+    val fpForced =
+      if (seenFp == null) null
+      else newDocs.join(seenFp,
+          fp === col("__seen_fp") && col("__seen_id") > col("doc_id"))
+        .select(col("doc_id").cast("long").as("doc_a"),
+                col("__seen_id").cast("long").as("doc_b"))
     // 4. shingle + sign the NEW docs once; band them against their own
     //    bands (internal pairs) and the STORED bands (cross pairs) —
     //    seen docs are never re-shingled
@@ -556,11 +644,9 @@ object CorpusStream {
         newSk, threshold, sb = Some(newSk.select(col("id"), col("sb"))))
       .select(col("doc_a"), col("doc_b"))
     // cross PAIRS (new doc, seen doc), not just touched flags: merging
-    // needs to know WHICH seen components this batch connects. Every
-    // frame persisted below is released in the finally — a long-lived
-    // stream must not accumulate cached blocks batch over batch.
-    val release = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    try {
+    // needs to know WHICH seen components this batch connects. The
+    // forced fp-duplicate pairs union in here — same capped collect,
+    // same merge machinery, unconditional dethronement.
     val crossPairs =
       if (state == null) null
       else {
@@ -571,13 +657,14 @@ object CorpusStream {
         // sample prune -> exact verify) — materializing it here would
         // split the fused pipeline into separate cached executions
         // (measured +9 s on the dp03 chain when tried in round 11)
-        MinHashLSH.verifySurvivors(
+        val verified = MinHashLSH.verifySurvivors(
             MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
               geom, selfJoin = false),
             allSigs, threshold,
             sb = Some(allSigs.select(col("id"), col("sb"))))
           .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-          .distinct()
+        (if (fpForced == null) verified
+         else verified.unionByName(fpForced)).distinct()
       }
     // 5. component resolution within the batch — the capped driver
     //    union-find ([[cappedComponents]]): a batch's internal
@@ -730,6 +817,19 @@ object CorpusStream {
       // PkSplitMinRows)
       catalog.writePartition(bandsDf.coalesce(1),
         bandsTableOf(stateTable), "batch_id", batchKey)
+    // the fingerprint index rides beside the bands: (id, fp) bucketed
+    // by hash(fp) so later batches' exact-dedup gate reads only
+    // colliding buckets ([[seenFpRows]]); same granularity-aware
+    // layout, nSigs rows by construction
+    val fpDf = newDocs.select(col("doc_id").as("id"), fp.as("fp"))
+      .withColumn("pk", fpPkCol(col("fp")))
+      .withColumn("batch_id", lit(batchKey))
+    if (nSigs >= pkSplitMinRows)
+      catalog.writeSubPartitioned(fpDf.repartition(col("pk")),
+        fpTableOf(stateTable), "batch_id", batchKey, "pk")
+    else
+      catalog.writePartition(fpDf.coalesce(1), fpTableOf(stateTable),
+        "batch_id", batchKey)
     // 6b. label-state updates (see [[lblTableOf]]): new member docs of
     //     multi/merged components, dethroned canonicals, and stored
     //     members whose component merged — one latest-wins row each.
@@ -918,6 +1018,60 @@ object CorpusStream {
           .filter(col("pk").isin(pks.toSeq: _*)).select(cols: _*))
       else None).flatten
     if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
+  }
+
+  /** Stored `(__seen_fp, __seen_id)` rows that could fp-collide with
+    * this batch, from the pk-bucketed `_fp` index ([[fpTableOf]])
+    * pruned to the pk buckets the batch's own fingerprints hash into —
+    * the collected pk set is bounded by [[StatePartitions]]. Returns
+    * null when no stored bucket collides (the caller then skips the
+    * anti-join entirely — driver-decided, no emptiness job).
+    *
+    * A state written by pre-index code (sketch batches the fp table
+    * does not cover) is BACKFILLED here, once, from the sketch rows'
+    * own fp column — one column-pruned pass per missing batch, under
+    * the state's writer lock so concurrent pipelines don't interleave
+    * overwrites; if the lock is held elsewhere, this batch falls back
+    * to the legacy full fp-column scan and the next one retries. */
+  private def seenFpRows(catalog: TableCatalog, stateTable: String,
+      batchKey: String, state: DataFrame, localDeduped: DataFrame,
+      pkSplitMinRows: Long): DataFrame = {
+    val fpTable = fpTableOf(stateTable)
+    val skKeys = catalog.listPartitions(stateTable, "batch_id").toSet -
+      batchKey
+    val fpKeys =
+      if (!catalog.tableExists(fpTable)) Set.empty[String]
+      else catalog.listPartitions(fpTable, "batch_id").toSet - batchKey
+    var covered = skKeys.subsetOf(fpKeys)
+    if (!covered && catalog.tryAcquireTableLock(stateTable)) {
+      try {
+        (skKeys -- fpKeys).foreach { b =>
+          val rows = catalog.readPaths(stateTable,
+              Seq(catalog.partitionPath(stateTable, "batch_id", b)))
+            .select(col("id"), col("fp"))
+            .withColumn("pk", fpPkCol(col("fp")))
+            .withColumn("batch_id", lit(b))
+          // granularity-aware like the live write path; the count is
+          // a one-time backfill cost, not a per-batch term
+          if (rows.count() >= pkSplitMinRows)
+            catalog.writeSubPartitioned(rows.repartition(col("pk")),
+              fpTable, "batch_id", b, "pk")
+          else
+            catalog.writePartition(rows.coalesce(1), fpTable,
+              "batch_id", b)
+        }
+        covered = true
+      } finally catalog.releaseTableLock(stateTable)
+    }
+    if (!covered)
+      state.select(col("fp").as("__seen_fp"), col("id").as("__seen_id"))
+    else {
+      val pks = localDeduped.select(fpPkCol(fp).as("pk")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      prunedStateRead(catalog, fpTable, batchKey, pks,
+          Seq(col("fp").as("__seen_fp"), col("id").as("__seen_id")))
+        .orNull
+    }
   }
 
   /** Launch the incremental pipeline over a streaming document frame

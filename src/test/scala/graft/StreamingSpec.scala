@@ -273,6 +273,93 @@ class StreamingSpec extends SparkSpec {
     assert(lbls.get(33L).contains(14L))
   }
 
+  test("fp-equal but TEXT-DIVERGENT smaller-id re-delivery retracts " +
+       "the stored copy: the merge edge is forced, not routed through " +
+       "the LSH verify (which would reject J < t)") {
+    // two docs sharing the 60-char fingerprint prefix whose bodies
+    // come from disjoint trigram alphabets: same fp, J ~ 0.08 << 0.45
+    val P = fam(10, 12); val A = fam(11, 60); val B = fam(12, 60)
+    val tA = txt("docF", P, A); val tB = txt("docF", P, B)
+    assert(tA.take(60) == tB.take(60)) // identical fingerprint
+    val wh = java.nio.file.Files.createTempDirectory("corpus_fd_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def run(id: Long, t: String, b: Long): Unit =
+      CorpusStream.processBatch(
+        Seq((id, t, "en")).toDF("doc_id", "text", "lang"),
+        cat, "fd_seen", "fd_out", b, threshold = 0.45, admit = df => df)
+    def out() = cat.read("fd_out").select($"doc_id")
+      .as[Long].collect().toSet
+    run(33L, tA, 0L)
+    assert(out() == Set(33L))
+    // same fp, smaller id, divergent body: before round 12 this doc
+    // passed the gate but never verified, so BOTH docs stayed emitted
+    run(14L, tB, 1L)
+    assert(out() == Set(14L))
+    val lbls = cat.read("fd_seen_lbl")
+      .select($"id", $"lbl", $"b").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) => id -> rows.maxBy(_._3)._2 }
+    assert(lbls.get(33L).contains(14L))
+    // a larger-id fp twin still drops at the gate
+    run(20L, tA, 2L)
+    assert(out() == Set(14L))
+  }
+
+  test("the fp gate reads only the colliding pk buckets of the fp " +
+       "index: a junk file planted in another bucket is never touched") {
+    val P = fam(10, 12); val A = fam(11, 40)
+    val tA = txt("docF", P, A)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_fq_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def run(id: Long, t: String, b: Long): Unit =
+      CorpusStream.processBatch(
+        Seq((id, t, "en")).toDF("doc_id", "text", "lang"),
+        cat, "fq_seen", "fq_out", b, threshold = 0.45,
+        admit = df => df, pkSplitMinRows = 1L) // force the pk-split layout
+    run(33L, tA, 0L)
+    val subs = cat.listSubPartitions("fq_seen_fp", "batch_id", "0", "pk")
+    assert(subs.nonEmpty) // split layout in effect
+    val other = (subs.head.toLong + 1) % CorpusStream.StatePartitions
+    val junkDir = java.nio.file.Paths.get(
+      cat.partitionPath("fq_seen_fp", "batch_id", "0"), s"pk=$other")
+    java.nio.file.Files.createDirectories(junkDir)
+    java.nio.file.Files.write(
+      junkDir.resolve("part-00000-junk.snappy.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    // the re-delivery's fp hashes into subs.head, not `other`: the
+    // pruned read must skip the junk bucket (a full fp read chokes)
+    run(40L, tA, 1L)
+    assert(cat.read("fq_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(33L))
+  }
+
+  test("a pre-index state backfills the fp table from the sketch " +
+       "rows' own fp column, and the gate still converges") {
+    val P = fam(10, 12); val A = fam(11, 40); val U = fam(9, 40)
+    val tA = txt("docF", P, A); val tU = txt("docU", U)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_fb_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def run(id: Long, t: String, b: Long): Unit =
+      CorpusStream.processBatch(
+        Seq((id, t, "en")).toDF("doc_id", "text", "lang"),
+        cat, "fb_seen", "fb_out", b, threshold = 0.45, admit = df => df)
+    run(33L, tA, 0L)
+    run(21L, tU, 1L)
+    // simulate a warehouse written by pre-fp-index code
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(cat.tablePath("fb_seen_fp")))
+    assert(!cat.tableExists("fb_seen_fp"))
+    // larger-id fp twin: must drop at the (backfilled) gate
+    run(40L, tA, 2L)
+    assert(cat.read("fb_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(33L, 21L))
+    // the backfill recreated coverage for the pre-index batches
+    assert(cat.listPartitions("fb_seen_fp", "batch_id").toSet
+      .intersect(Set("0", "1")) == Set("0", "1"))
+  }
+
   test("retraction rewrites only the affected partition: survivors " +
        "stay and an untouched output partition is preserved") {
     val S = fam(0, 40); val X = fam(1, 30); val Y = fam(2, 30)
