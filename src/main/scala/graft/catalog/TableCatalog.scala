@@ -196,6 +196,18 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** Overwrite a small metadata marker file under the table root. The
+    * overwrite is not atomic on every store: a crash mid-write can
+    * leave a torn marker, so callers must treat an unparseable marker
+    * as ABSENT and degrade conservatively (the covered-keys reader
+    * does exactly that — lost coverage means a safe full-scan
+    * fallback, never a wrong answer). */
+  def writeMarker(table: String, name: String, content: String): Unit = {
+    val p = new Path(tablePath(table), name)
+    val out = fs.create(p, /* overwrite = */ true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Read a marker written by [[writeMarkerIfAbsent]]; None if absent. */
   def readMarker(table: String, name: String): Option[String] = {
     val p = new Path(tablePath(table), name)

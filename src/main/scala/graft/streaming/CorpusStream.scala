@@ -124,13 +124,49 @@ object CorpusStream {
     * (labels only decrease, and a dethroned id never reappears as a
     * merge-graph node), so a stale row can at worst make a REPLAYED
     * retraction rewrite the same partitions again — idempotent.
-    * The `_covered_from` marker records the first batch the index
-    * covers; output partitions older than it (a warehouse written by
-    * pre-index code) fall back to the full output scan. */
+    * Coverage is checked STRUCTURALLY (round 12): an output partition
+    * is index-covered iff its emit partition exists or its key was
+    * recorded in the `_covered_keys` marker when a compaction folded
+    * it; anything else (a warehouse written by pre-index code) falls
+    * back to the full output scan. */
   private def emitTableOf(stateTable: String): String =
     stateTable + "_emit"
 
   private val CoveredFromMarker = "_covered_from"
+  private val CoveredKeysMarker = "_covered_keys"
+
+  /** Range-set codec for the `_covered_keys` marker: batch ids whose
+    * emit rows were folded into a compacted partition (the fold loses
+    * the per-batch directories, so presence can no longer be checked
+    * structurally). Contiguous ids — the normal stream — encode as one
+    * `lo-hi` range, so the marker stays bytes-sized at any stream age.
+    * Unparseable tokens (a torn marker write) decode to nothing: lost
+    * coverage degrades to the safe full-scan fallback. */
+  private[graft] def parseRanges(s: String): Seq[(Long, Long)] =
+    s.split(",").iterator.map(_.trim).filter(_.nonEmpty).flatMap { tok =>
+      tok.split("-", 2) match {
+        case Array(a) =>
+          scala.util.Try { val v = a.trim.toLong; (v, v) }.toOption
+        case Array(a, b) =>
+          scala.util.Try((a.trim.toLong, b.trim.toLong)).toOption
+            .filter { case (lo, hi) => lo <= hi }
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1)
+
+  private[graft] def encodeRanges(keys: Seq[(Long, Long)]): String = {
+    val sorted = keys.sortBy(_._1)
+    val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, (a, b)) if a <= hi + 1 =>
+        (lo, math.max(hi, b)) :: rest
+      case (acc, r) => r :: acc
+    }.reverse
+    merged.map { case (lo, hi) =>
+      if (lo == hi) lo.toString else s"$lo-$hi" }.mkString(",")
+  }
+
+  private def rangesContain(rs: Seq[(Long, Long)], v: Long): Boolean =
+    rs.exists { case (lo, hi) => v >= lo && v <= hi }
 
   private[graft] def emitPkCol(id: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
@@ -468,6 +504,22 @@ object CorpusStream {
             emitTable, "batch_id", key, "pk")
       }
       failpoint("emit-target-written")
+      // record the folded PLAIN-numeric batch keys in the covered-keys
+      // marker BEFORE deleting their directories (re-folded `c` keys
+      // were recorded at their own fold): coverage stays structurally
+      // checkable after the fold. Crash windows are safe in both
+      // orders — keys both in the marker and still present just count
+      // twice in a union, and a crash before the append leaves the
+      // sources present (covered via the live listing) for the re-run
+      // to append again.
+      val folded = srcs.filter(k =>
+        scala.util.Try(k.toLong).isSuccess).map(_.toLong)
+      if (folded.nonEmpty) {
+        val prior = catalog.readMarker(emitTable, CoveredKeysMarker)
+          .map(parseRanges).getOrElse(Seq.empty)
+        catalog.writeMarker(emitTable, CoveredKeysMarker,
+          encodeRanges(prior ++ folded.map(k => (k, k))))
+      }
       srcs.foreach(catalog.deletePartition(emitTable, "batch_id", _))
       moved = true
     }
@@ -900,12 +952,6 @@ object CorpusStream {
     else
       catalog.writePartition(emitDf.coalesce(1), emitTable,
         "batch_id", batchKey)
-    // the marker records the first batch the index covers; an output
-    // partition older than it (written by pre-index code) disables the
-    // index lookup — see [[emitTableOf]]. Written AFTER the partition
-    // so a crash in between leaves the conservative (absent) state.
-    catalog.writeMarkerIfAbsent(emitTable, CoveredFromMarker,
-      batchId.toString)
     catalog.writePartition(
       outRows.withColumn("batch_id", lit(batchKey)),
       outTable, "batch_id", batchKey)
@@ -922,10 +968,27 @@ object CorpusStream {
       stateTable: String, outTable: String, batchKey: String,
       retr: DataFrame, outKeys: Seq[String]): Array[String] = {
     val emitTable = emitTableOf(stateTable)
+    // STRUCTURAL coverage (round 12 — replaces the `_covered_from`
+    // low-water id, whose "batch ids are monotone with processing
+    // order" assumption misclassified pre-index output partitions
+    // when a post-upgrade batch ran with a smaller id): an output
+    // partition is covered iff its emit partition still EXISTS, or
+    // its key was recorded by a compaction fold (`_covered_keys`).
+    // The legacy low-water marker is still honored for warehouses
+    // whose pre-round-12 compactions already folded their emit keys
+    // away — there the key list is unrecoverable and the documented
+    // monotonicity caveat stands until those partitions age out.
+    val liveEmit: Set[String] =
+      if (!catalog.tableExists(emitTable)) Set.empty
+      else catalog.listPartitions(emitTable, "batch_id").toSet - batchKey
+    val foldedKeys = catalog.readMarker(emitTable, CoveredKeysMarker)
+      .map(parseRanges).getOrElse(Seq.empty)
     val coveredFrom = catalog.readMarker(emitTable, CoveredFromMarker)
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
-    val indexed = coveredFrom.exists(cf => outKeys.forall(k =>
-      scala.util.Try(k.toLong).toOption.exists(_ >= cf)))
+    val indexed = outKeys.forall(k =>
+      liveEmit.contains(k) ||
+        scala.util.Try(k.toLong).toOption.exists(n =>
+          rangesContain(foldedKeys, n) || coveredFrom.exists(n >= _)))
     val hits =
       if (indexed) {
         val pks = retr.select(emitPkCol(col("__r")).as("pk"))

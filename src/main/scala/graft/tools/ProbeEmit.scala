@@ -14,8 +14,8 @@ import graft.streaming.CorpusStream
   * inflates the output (and, to be fair to the index, the emit
   * table) with synthetic already-emitted partitions in steps, timing
   * at each step the affected-partition lookup for a small retraction
-  * set via both paths — marker present (pk-pruned index read) and
-  * marker removed (full output scan). The claim under test: fallback
+  * set via both paths — index present (pk-pruned index read) and
+  * index hidden (full output scan). The claim under test: fallback
   * cost grows with output size, index cost does not.
   * Args: [scaleDir] [seedBatches] [inflateSteps] [rowsPerStepM]. */
 object ProbeEmit {
@@ -62,7 +62,6 @@ object ProbeEmit {
           s" affected=${a.length}")
       }
     }
-    def marker = new Path(cat.tablePath("pe_state_emit"), "_covered_from")
     var off = 900000000L
     (0 to steps).foreach { step =>
       if (step > 0) {
@@ -76,7 +75,10 @@ object ProbeEmit {
         cat.writePartition(syn, "pe_out", "batch_id", key)
         cat.writeSubPartitioned(
           syn.select(col("doc_id").as("id"), lit(key).as("eb"))
-            .withColumn("pk", pmod(xxhash64(col("id")), lit(64L)))
+            // the REAL pipeline's pk column — a drifted constant here
+            // would land the inflated index rows in wrong buckets and
+            // silently measure the wrong thing (ADVICE r11)
+            .withColumn("pk", CorpusStream.emitPkCol(col("id")))
             .withColumn("batch_id", lit(key))
             .repartition(col("pk")),
           "pe_state_emit", "batch_id", key, "pk")
@@ -85,16 +87,13 @@ object ProbeEmit {
       val outRows = cat.read("pe_out").count()
       println(s"=== output rows: $outRows ===")
       timeLookup("indexed ")
-      val mbytes = {
-        val in = fs.open(marker)
-        try { val b = new Array[Byte](64); val n = in.read(b)
-              new String(b, 0, math.max(n, 0), "UTF-8") }
-        finally in.close()
-      }
-      fs.delete(marker, false)
+      // force the fallback by hiding the emit table itself (coverage
+      // is structural since round 12 — no marker to delete)
+      val emitPath = new Path(cat.tablePath("pe_state_emit"))
+      val hidden = new Path(cat.tablePath("pe_state_emit__hidden"))
+      fs.rename(emitPath, hidden)
       timeLookup("fallback")
-      // restore for the next step
-      cat.writeMarkerIfAbsent("pe_state_emit", "_covered_from", mbytes)
+      fs.rename(hidden, emitPath)
     }
     spark.stop()
   }

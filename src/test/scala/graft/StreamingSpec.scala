@@ -451,6 +451,73 @@ class StreamingSpec extends SparkSpec {
       .toSet == Set(14L))
   }
 
+  test("covered-keys range codec merges adjacency and drops junk " +
+       "tokens (torn marker writes degrade, never crash)") {
+    assert(CorpusStream.encodeRanges(
+      Seq((0L, 0L), (1L, 1L), (2L, 2L), (5L, 5L))) == "0-2,5")
+    assert(CorpusStream.parseRanges("0-2,5") == Seq((0L, 2L), (5L, 5L)))
+    assert(CorpusStream.parseRanges("junk, 7, 9-x, 3-4") ==
+      Seq((3L, 4L), (7L, 7L)))
+    assert(CorpusStream.encodeRanges(
+      CorpusStream.parseRanges("0-3,2-6")) == "0-6")
+  }
+
+  test("an output partition with no emit partition (pre-index) forces " +
+       "the fallback even when the new batch id is SMALLER — the " +
+       "low-water-id misclassification is gone") {
+    val T = fam(9, 60)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_cv_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def run(id: Long, t: String, b: Long): Unit =
+      CorpusStream.processBatch(
+        Seq((id, t, "en")).toDF("doc_id", "text", "lang"),
+        cat, "cv_seen", "cv_out", b, threshold = 0.45, admit = df => df)
+    // batch 5 emits doc 21; then erase its emit partition AND markers —
+    // the shape of a warehouse whose early batches predate the index
+    run(21L, txt("docT", T), 5L)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(
+      cat.partitionPath("cv_seen_emit", "batch_id", "5")))
+    // a post-upgrade batch with a SMALLER id (a new checkpoint over an
+    // old warehouse): with the round-11 low-water marker this batch
+    // would have stamped coveredFrom=2 and classified partition 5 as
+    // indexed — silently never retracting 21. The structural check
+    // sees no emit partition for outKey 5 and takes the full scan.
+    run(14L, txt("docU", T.drop(5)), 2L)
+    assert(cat.read("cv_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(14L))
+  }
+
+  test("coverage survives emit-table compaction via the folded-keys " +
+       "marker, and the retraction still resolves through the " +
+       "compacted emit rows") {
+    val T = fam(9, 60); val U = fam(8, 40)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_ck_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def run(id: Long, t: String, b: Long): Unit =
+      CorpusStream.processBatch(
+        Seq((id, t, "en")).toDF("doc_id", "text", "lang"),
+        cat, "ck_seen", "ck_out", b, threshold = 0.45,
+        admit = df => df, compactEvery = 2)
+    run(21L, txt("docT", T), 0L)
+    run(22L, txt("docV", U), 1L)
+    // batch 2 first compacts (2 committed batches >= compactEvery):
+    // emit partitions 0 and 1 fold into c1 and their keys land in the
+    // marker; the retraction of 21 then resolves through the folded
+    // emit rows (eb rides as a data column)
+    run(14L, txt("docU", T.drop(5)), 2L)
+    assert(cat.listPartitions("ck_seen_emit", "batch_id")
+      .forall(k => k == "c1" || k == "2"))
+    val mk = cat.readMarker("ck_seen_emit", "_covered_keys")
+    assert(mk.contains("0-1"), s"marker was $mk")
+    assert(cat.read("ck_out").select($"doc_id").as[Long].collect()
+      .toSet == Set(14L, 22L))
+    assert(cat.listPartitions("ck_out", "batch_id").toSet == Set("1", "2"))
+  }
+
   test("member-level bridges resolve through the label state across " +
        "merges and label-table compaction") {
     val S = fam(0, 40); val X = fam(1, 30); val Y = fam(2, 30)
