@@ -230,62 +230,196 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
   // crash-safe for ONE writer; two pipelines compacting or
   // dynamic-overwriting the same table concurrently could still
   // interleave their delete/rewrite windows. A lease lock file per
-  // table serializes those multi-directory rewrites: acquisition is an
-  // atomic create-if-absent (atomic on HDFS; best-effort on stores
-  // without atomic create — there, pair this with a single-writer
-  // deployment contract), and a crashed writer's lock expires after
-  // `leaseMs` (judged by the lock file's modification time, so no
-  // clock agreement between writers is needed beyond coarse skew).
-  // The underscore name keeps the lock invisible to Spark discovery.
+  // table serializes those multi-directory rewrites. A crashed
+  // writer's lock expires after `leaseMs` (judged by the lock file's
+  // modification time, so no clock agreement between writers is needed
+  // beyond coarse skew). The underscore names keep the lock files
+  // invisible to Spark discovery.
+  //
+  // STORE CONTRACT. The lock's exclusivity rests on exactly two store
+  // primitives: (1) atomic create-if-absent (`fs.create(p, false)`
+  // fails when the file exists), and (2) read-after-write consistency
+  // (a reader immediately sees the file a writer just created). Both
+  // hold on HDFS, POSIX filesystems, GCS, Azure ABFS, and S3 since its
+  // 2020 strong-consistency change — but an S3A client older than the
+  // conditional-write support emulates create-if-absent with a
+  // non-atomic HEAD+PUT, so two creates in the same millisecond can
+  // both "succeed". Two defenses stack under that weakness: every
+  // acquisition re-reads the lock after creating it and holds only if
+  // it carries its own token (post-acquire fencing), and stale-lock
+  // breaking is arbitrated through a separate break-intent file, so
+  // no writer ever deletes another writer's live lock.
 
   /** Lease length after which a crashed writer's lock may be broken.
-    * Must exceed the longest legitimate locked section (a compaction
-    * or retraction rewrite pass — seconds to low minutes); a live
-    * writer that somehow exceeds it loses mutual exclusion, the
-    * standard lease tradeoff. */
+    * [[withTableLock]] heartbeats the lock file's mtime at leaseMs/3
+    * while the section runs, so a legitimate section LONGER than the
+    * lease keeps its lock alive; the lease only ages out writers that
+    * stopped heartbeating (crashed, or a bare [[tryAcquireTableLock]]
+    * holder that overran — the standard lease tradeoff, now detected
+    * and reported by the heartbeat's fencing check). */
   val DefaultLeaseMs: Long = 15L * 60 * 1000
 
+  private val LockName = "_lock"
+
+  /** Settle delay before the post-break fencing read — long enough to
+    * outlast the write-interleaving window of two breakers that both
+    * slipped a non-atomic create-if-absent, short enough to be
+    * irrelevant on the rare (crash-recovery) break path. */
+  private val BreakSettleMs = 100L
+
   private def lockPath(table: String): Path =
-    new Path(tablePath(table), "_lock")
+    new Path(tablePath(table), LockName)
+
+  /** Fencing tokens of the locks THIS catalog instance holds, by
+    * table. The token (owner + random nonce) is the lock file's
+    * content; release and heartbeat compare against it so an overrun
+    * holder can never delete or re-stamp a successor's lock. */
+  private val heldTokens =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mtimeOf(p: Path): Option[Long] =
+    try Some(fs.getFileStatus(p).getModificationTime)
+    catch { case _: java.io.IOException => None }
+
+  private def createWith(p: Path, content: String): Boolean =
+    try {
+      val out = fs.create(p, /* overwrite = */ false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
 
   /** Try to take the table's writer lock. Returns false when a live
     * (unexpired) lock is held by someone else; breaks and re-takes an
-    * expired one. NOTE: creates the table directory if absent. */
+    * expired one. NOTE: creates the table directory if absent.
+    *
+    * Stale-break protocol (two waiters must not both acquire): a
+    * waiter that observes an expired lock first claims a break-intent
+    * file via atomic create-if-absent — exactly one claimant wins;
+    * the losers return false and retry on their next attempt. Only
+    * the intent holder deletes the stale lock, so a freshly re-created
+    * lock is never deleted by a racer still acting on a stale
+    * observation. A crashed breaker's intent itself ages out after
+    * the lease. Every successful create is then fenced: the lock is
+    * re-read and held only if it carries this call's token. */
   def tryAcquireTableLock(table: String, owner: String = "graft",
                           leaseMs: Long = DefaultLeaseMs): Boolean = {
     val p = lockPath(table)
-    def create(): Boolean =
-      try {
-        val out = fs.create(p, /* overwrite = */ false)
-        try out.write(owner.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    create() || {
-      // stale-lease break: modification time is stamped by the
-      // filesystem at create, so a dead writer's lock ages out
-      val expired =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(p).getModificationTime > leaseMs
-        catch { case _: java.io.IOException => true } // vanished: retry
-      expired && { fs.delete(p, false); create() }
+    val token = owner + ":" + java.util.UUID.randomUUID().toString
+    def verifiedHold(settleMs: Long = 0L): Boolean = {
+      if (settleMs > 0) Thread.sleep(settleMs)
+      (try readMarker(table, LockName) catch {
+        case _: java.io.IOException => None // torn/unreadable: not ours
+      }).contains(token) && {
+        heldTokens.put(table, token); true
+      }
+    }
+    if (createWith(p, token)) verifiedHold()
+    else mtimeOf(p) match {
+      case None => // vanished between create-fail and stat: one retry
+        createWith(p, token) && verifiedHold()
+      case Some(m) if System.currentTimeMillis() - m <= leaseMs =>
+        false // live foreign lock
+      case Some(_) =>
+        val intent = new Path(tablePath(table), LockName + ".break")
+        val intentFree = mtimeOf(intent) match {
+          case None => true
+          case Some(im) if System.currentTimeMillis() - im > leaseMs =>
+            // a crashed breaker's leftover intent: clear it, but let
+            // the NEXT attempt contend (keeps this path single-shot)
+            fs.delete(intent, false); false
+          case Some(_) => false // a live breaker is ahead of us
+        }
+        intentFree && createWith(intent, token) && {
+          try {
+            // sole intent holder: re-verify staleness (the lock may
+            // have been legitimately re-created since our first stat),
+            // then replace it. The verify SETTLES first: on a store
+            // whose create-if-absent is emulated (non-atomic), two
+            // breakers can slip past the intent gate in the same
+            // moment and both "create" — waiting out the write
+            // interleaving window before reading back means the later
+            // writer's token is what both read, so exactly one holds.
+            val stillStale = mtimeOf(p).forall(m2 =>
+              System.currentTimeMillis() - m2 > leaseMs)
+            stillStale && {
+              fs.delete(p, false)
+              createWith(p, token) && verifiedHold(BreakSettleMs)
+            }
+          } finally fs.delete(intent, false)
+        }
     }
   }
 
+  /** Release the table's writer lock. Fenced when this catalog
+    * recorded the acquisition: the file is deleted only while it
+    * still carries our token, so a holder that overran its lease
+    * cannot delete the successor's lock. With no recorded token
+    * (administrative cleanup of a crashed writer's lock) the delete
+    * is unconditional. */
   def releaseTableLock(table: String): Unit =
-    fs.delete(lockPath(table), false)
+    Option(heldTokens.remove(table)) match {
+      case Some(tok) =>
+        val current =
+          try readMarker(table, LockName)
+          catch { case _: java.io.IOException => None }
+        // unreadable counts as foreign: skipping the delete preserves
+        // fencing, and a genuinely torn lock ages out by lease
+        if (current.contains(tok)) fs.delete(lockPath(table), false)
+      case None => fs.delete(lockPath(table), false)
+    }
 
   /** Run `f` holding the table's writer lock; throws when another
     * writer holds it (two pipelines mutating one table is a
     * deployment error worth failing loudly — the caller that can
     * safely skip instead, e.g. a periodic compaction, uses
-    * [[tryAcquireTableLock]] directly). */
+    * [[tryAcquireTableLock]] directly).
+    *
+    * A daemon heartbeat re-stamps the lock's mtime at leaseMs/3 while
+    * `f` runs, so a section longer than the lease KEEPS its lock
+    * instead of silently losing exclusivity mid-write. Each beat
+    * first re-reads the lock: if it no longer carries our token (a
+    * waiter broke it after the heartbeat failed to reach the store
+    * for a full lease), the section fails loudly at its end rather
+    * than reporting success for writes that may have interleaved. */
   def withTableLock[T](table: String, owner: String = "graft",
                        leaseMs: Long = DefaultLeaseMs)(f: => T): T = {
     if (!tryAcquireTableLock(table, owner, leaseMs))
       throw new java.util.ConcurrentModificationException(
         s"table '$table' is locked by another writer " +
           s"(${lockPath(table)}; lease ${leaseMs} ms)")
-    try f finally releaseTableLock(table)
+    val token = heldTokens.get(table)
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val period = math.max(leaseMs / 3, 50L)
+    val beat = new Thread(new Runnable {
+      def run(): Unit =
+        try {
+          var go = true
+          while (go && !stop.await(
+              period, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+            try {
+              if (readMarker(table, LockName).contains(token))
+                fs.setTimes(lockPath(table),
+                  System.currentTimeMillis(), -1)
+              else { lost.set(true); go = false }
+            } catch {
+              case _: java.io.IOException => () // transient: next beat
+            }
+          }
+        } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-$table")
+    beat.setDaemon(true)
+    beat.start()
+    try {
+      val r = f
+      if (lost.get)
+        throw new java.util.ConcurrentModificationException(
+          s"lock on table '$table' was broken while the locked " +
+            "section ran (the heartbeat found a foreign or missing " +
+            s"lock; lease $leaseMs ms) — concurrent writes may have " +
+            "interleaved; verify the table before trusting this run")
+      r
+    } finally { stop.countDown(); releaseTableLock(table) }
   }
 
   /** True when the partition directory carries a COMMITTED write: the

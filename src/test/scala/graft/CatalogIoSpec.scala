@@ -295,6 +295,111 @@ class CatalogIoSpec extends SparkSpec {
     cat2.releaseTableLock("s")
   }
 
+  test("stale-lease break race: N concurrent waiters on one expired " +
+       "lock yield exactly ONE holder (break-intent arbitration)") {
+    val wh = tmp("catlock_race_")
+    val boot = new TableCatalog(spark, wh)
+    boot.writePartition(Seq(("a", 1)).toDF("d", "v"), "t", "d", "a")
+    assert(boot.tryAcquireTableLock("t", owner = "crashed"))
+    val lockFile = new File(boot.tablePath("t"), "_lock")
+    assert(lockFile.setLastModified(
+      System.currentTimeMillis() - boot.DefaultLeaseMs - 60000))
+    // separate catalog instances = separate writer processes: no
+    // shared token state between the racers
+    val n = 8
+    val gate = new java.util.concurrent.CyclicBarrier(n)
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => {
+        val cat = new TableCatalog(spark, wh)
+        gate.await()
+        if (cat.tryAcquireTableLock("t", owner = s"w$i"))
+          wins.add(s"w$i")
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join(30000))
+    assert(wins.size == 1, s"winners: $wins")
+    // the surviving lock is the winner's (its owner prefixes the
+    // token) and it is LIVE: a late waiter is refused
+    val content = boot.readMarker("t", "_lock").getOrElse("")
+    assert(content.startsWith(wins.peek() + ":"), content)
+    assert(!boot.tryAcquireTableLock("t", owner = "late"))
+  }
+
+  test("an overrun holder's release cannot delete the successor's " +
+       "lock, and a crashed breaker's intent file ages out") {
+    val wh = tmp("catlock_fence_")
+    val a = new TableCatalog(spark, wh)
+    val b = new TableCatalog(spark, wh)
+    a.writePartition(Seq(("a", 1)).toDF("d", "v"), "t", "d", "a")
+    // A takes the lock with a tiny lease and overruns it
+    assert(a.tryAcquireTableLock("t", owner = "A", leaseMs = 100))
+    Thread.sleep(150)
+    // B breaks the expired lock and holds
+    assert(b.tryAcquireTableLock("t", owner = "B", leaseMs = 100))
+    // A's (fenced) release sees B's token and must NOT delete it
+    a.releaseTableLock("t")
+    val c = new TableCatalog(spark, wh)
+    assert(!c.tryAcquireTableLock("t", owner = "C", leaseMs = 60000))
+    b.releaseTableLock("t")
+    assert(c.tryAcquireTableLock("t", owner = "C", leaseMs = 60000))
+    c.releaseTableLock("t")
+    // a crashed breaker's leftover _lock.break blocks one attempt
+    // (cleanup), then the next proceeds
+    assert(a.tryAcquireTableLock("t", owner = "dead", leaseMs = 100))
+    val root = new File(a.tablePath("t"))
+    assert(new File(root, "_lock").setLastModified(
+      System.currentTimeMillis() - 60000))
+    val intent = new File(root, "_lock.break")
+    val out = new FileOutputStream(intent)
+    try out.write("dead-breaker:x".getBytes("UTF-8")) finally out.close()
+    assert(intent.setLastModified(System.currentTimeMillis() - 60000))
+    assert(!b.tryAcquireTableLock("t", owner = "B2", leaseMs = 100))
+    assert(!intent.exists(), "stale intent must have been cleared")
+    assert(b.tryAcquireTableLock("t", owner = "B2", leaseMs = 100))
+    b.releaseTableLock("t")
+  }
+
+  test("withTableLock heartbeats: a section LONGER than the lease " +
+       "keeps its lock; a lock broken mid-section fails loudly") {
+    val wh = tmp("catlock_beat_")
+    val a = new TableCatalog(spark, wh)
+    val b = new TableCatalog(spark, wh)
+    a.writePartition(Seq(("a", 1)).toDF("d", "v"), "t", "d", "a")
+    // the section runs 3x the lease; the heartbeat (lease/3) keeps
+    // the mtime fresh, so B can never break in
+    val r = a.withTableLock("t", owner = "A", leaseMs = 400) {
+      Thread.sleep(600)
+      val mid = b.tryAcquireTableLock("t", owner = "B", leaseMs = 400)
+      Thread.sleep(600)
+      val late = b.tryAcquireTableLock("t", owner = "B", leaseMs = 400)
+      (mid, late)
+    }
+    assert(r == (false, false))
+    // lock released on exit
+    assert(b.tryAcquireTableLock("t", owner = "B", leaseMs = 400))
+    b.releaseTableLock("t")
+    // pathological store: the lock is replaced under a live section
+    // (simulating a heartbeat that could not reach the store for a
+    // full lease) — the section must fail loudly at its end
+    val lockFile = new File(a.tablePath("t"), "_lock")
+    intercept[java.util.ConcurrentModificationException] {
+      a.withTableLock("t", owner = "A", leaseMs = 300) {
+        val out2 = new FileOutputStream(lockFile) // truncate + replace
+        try out2.write("usurper:y".getBytes("UTF-8")) finally out2.close()
+        // drop the local ChecksumFileSystem's sidecar so the replaced
+        // content reads back (a real usurper writes both)
+        new File(a.tablePath("t"), "._lock.crc").delete()
+        Thread.sleep(400) // > one heartbeat period (100 ms)
+        "completed"
+      }
+    }
+    // the foreign lock survives A's fenced release
+    assert(a.readMarker("t", "_lock").contains("usurper:y"))
+    new TableCatalog(spark, wh).releaseTableLock("t") // admin cleanup
+  }
+
   test("Enrich.viaService appends a service column per partition") {
     val df = Seq((1, "addr one"), (2, "")).toDF("id", "addr")
     val out = Enrich.viaService(df, "addr", "geo")(
