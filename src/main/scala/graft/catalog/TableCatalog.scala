@@ -147,6 +147,19 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
     fs.delete(new Path(partitionPath(table, partField, partValue)),
       /* recursive = */ true)
 
+  /** Names of warehouse tables starting with `prefix` — one NAMES-ONLY
+    * listing of the warehouse root (no per-table I/O). Used by the
+    * incremental pipeline's output-epoch discovery, whose table count
+    * grows with stream age divided by the roll interval — orders of
+    * magnitude slower than the per-partition directory growth the roll
+    * exists to bound. */
+  def listTablesWithPrefix(prefix: String): Seq[String] =
+    listStatusOrEmpty(new Path(warehouse))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .sorted.toSeq
+
   /** S7: partition-metadata scan (the `$__PARTITIONS_SUMMARY__` scans at
     * custom_search_extraction.py:53-57) — directory listing only, no
     * data read. */

@@ -172,6 +172,77 @@ object CorpusStream {
       : org.apache.spark.sql.Column =
     pmod(xxhash64(id), lit(StatePartitions.toLong))
 
+  // ---- output-epoch roll (round 12) ----------------------------------
+  //
+  // The incremental output used to keep one `batch_id=` partition per
+  // micro-batch FOREVER — at minutes cadence for years that is 10⁵–10⁶
+  // directories under one table root on an object store, and the
+  // per-batch existence/listing cost of the output table grows with
+  // stream age. With `epochEvery > 0`, once the current output table
+  // holds that many batch partitions, the NEXT batch writes to a fresh
+  // epoch table `out__e1`, `out__e2`, … — per-table directory counts
+  // stay bounded by the roll interval, and old epochs are never listed
+  // again (retraction locates them through the emit index's eb keys).
+  // Epoch discovery is STRUCTURAL (the highest existing epoch table),
+  // so there is no marker to tear and a crashed roll replays to the
+  // same decision; a replayed batch first looks for its own partition
+  // in the current (and, at a boundary, the previous) epoch so it
+  // rewrites in place instead of duplicating across the roll.
+  // The emit index's `eb` column addresses the partition across
+  // epochs: plain `<batch>` for the base table (bit-compatible with
+  // pre-epoch warehouses), `e<k>:<batch>` for epoch k ≥ 1.
+
+  private[graft] def epochTableName(outTable: String, k: Int): String =
+    if (k == 0) outTable else s"${outTable}__e$k"
+
+  private val EpochEb = "^e(\\d+):(.*)$".r
+
+  private[graft] def encodeEb(epoch: Int, batchKey: String): String =
+    if (epoch == 0) batchKey else s"e$epoch:$batchKey"
+
+  /** (output table, partition key) addressed by an emit row's eb. */
+  private[graft] def ebTarget(outTable: String,
+                              eb: String): (String, String) = eb match {
+    case EpochEb(k, key) => (epochTableName(outTable, k.toInt), key)
+    case plain => (outTable, plain)
+  }
+
+  private def epochTablesOf(catalog: TableCatalog,
+                            outTable: String): Seq[Int] = {
+    val prefix = outTable + "__e"
+    catalog.listTablesWithPrefix(prefix)
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toInt).toOption)
+  }
+
+  /** The epoch this batch's output partition belongs to. 0 when
+    * rolling is off (`epochEvery <= 0` — the pre-epoch layout,
+    * bit-identical). Replay binds to the epoch already holding the
+    * batch's partition; otherwise a full current epoch rolls over. */
+  private def resolveOutputEpoch(catalog: TableCatalog, outTable: String,
+      batchKey: String, epochEvery: Int): Int = {
+    if (epochEvery <= 0) return 0
+    val cur = epochTablesOf(catalog, outTable).foldLeft(0)(math.max)
+    val curKeys =
+      catalog.listPartitions(epochTableName(outTable, cur), "batch_id")
+    if (curKeys.contains(batchKey)) cur
+    else if (cur > 0 &&
+        catalog.listPartitions(epochTableName(outTable, cur - 1),
+          "batch_id").contains(batchKey))
+      cur - 1 // replay of the batch that crashed right after rolling
+    else if (curKeys.count(_ != batchKey) >= epochEvery) cur + 1
+    else cur
+  }
+
+  /** The full incremental output across every epoch table — what a
+    * consumer reads where it previously read `outTable` directly. */
+  def readOutput(catalog: TableCatalog, outTable: String): DataFrame = {
+    val frames = (0 +: epochTablesOf(catalog, outTable)).distinct.sorted
+      .map(k => epochTableName(outTable, k))
+      .filter(catalog.tableExists)
+      .map(catalog.read)
+    frames.reduce(_ unionByName _)
+  }
+
   /** Fingerprint-index state (round 12 — closes the per-batch linear
     * fp-column scan, the last stated O(state)-per-batch term): one row
     * `(id, fp)` per stored doc, bucketed by `pk = xxhash64(fp) mod
@@ -579,7 +650,8 @@ object CorpusStream {
                    benchmark: Option[DataFrame] = None,
                    admit: DataFrame => DataFrame = gate,
                    pkSplitMinRows: Long = PkSplitMinRows,
-                   compactEvery: Int = CompactEvery): Unit = {
+                   compactEvery: Int = CompactEvery,
+                   epochEvery: Int = 0): Unit = {
     // the threshold-fitted band geometry (MinHashLSH.geometryFor) fixes
     // the stored signature width; requireCompatibleState (below, once
     // the state is opened) ENFORCES that this batch's derived width
@@ -816,31 +888,28 @@ object CorpusStream {
         mr.filter(col("__m") =!= col("__node"))
           .select(col("__node").as("__r")))
       release += retr
-      val outKeys = catalog.listPartitions(outTable, "batch_id")
-        .filter(_ != batchKey)
-      val affected =
-        if (outKeys.isEmpty) Array.empty[String]
-        else affectedOutputBatches(catalog, stateTable, outTable,
-          batchKey, retr, outKeys)
-      if (affected.nonEmpty) catalog.withTableLock(outTable) {
-        // materialize before the self-overwrite: the rewritten rows
-        // must not be read lazily from the files being replaced
-        val keepRows = catalog.readPaths(outTable,
-            affected.toSeq.map(
-              catalog.partitionPath(outTable, "batch_id", _)))
-          .join(retr, col("doc_id") === col("__r"), "left_anti")
-          .localCheckpoint(true)
-        // dynamic overwrite replaces only partitions PRESENT in the
-        // frame — a partition whose every row was retracted would
-        // survive untouched, so the now-empty ones delete explicitly
-        val surviving = keepRows
-          .select(col("batch_id").cast("string")).distinct()
-          .collect().map(_.getString(0)).toSet
-        if (surviving.nonEmpty)
-          catalog.overwritePartitionsDynamic(keepRows, outTable,
-            "batch_id")
-        (affected.toSet -- surviving).foreach(
-          catalog.deletePartition(outTable, "batch_id", _))
+      val affected = affectedOutputPartitions(catalog, stateTable,
+        outTable, batchKey, retr)
+      affected.foreach { case (tbl, keys) =>
+        catalog.withTableLock(tbl) {
+          // materialize before the self-overwrite: the rewritten rows
+          // must not be read lazily from the files being replaced
+          val keepRows = catalog.readPaths(tbl,
+              keys.map(catalog.partitionPath(tbl, "batch_id", _)))
+            .join(retr, col("doc_id") === col("__r"), "left_anti")
+            .localCheckpoint(true)
+          // dynamic overwrite replaces only partitions PRESENT in the
+          // frame — a partition whose every row was retracted would
+          // survive untouched, so the now-empty ones delete explicitly
+          val surviving = keepRows
+            .select(col("batch_id").cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+          if (surviving.nonEmpty)
+            catalog.overwritePartitionsDynamic(keepRows, tbl,
+              "batch_id")
+          (keys.toSet -- surviving).foreach(
+            catalog.deletePartition(tbl, "batch_id", _))
+        }
       }
     }
     // 6. every new doc's sketch (kept or cluster-dropped) joins the
@@ -935,15 +1004,20 @@ object CorpusStream {
     // 7. sample + project; the emit-INDEX partition lands first — a
     //    crash between the two writes leaves an index row whose doc
     //    never reached the output (a harmless superset; the replay
-    //    rewrites both) — then the output partition itself
+    //    rewrites both) — then the output partition itself, into the
+    //    current EPOCH table when rolling is on ([[resolveOutputEpoch]];
+    //    eb addresses the partition across epochs)
     val outRows = graft.core.Fence.soft(
       kept.filter(samplePredicate)
         .select(col("doc_id"), col("lang"),
           size(TextHash.tokens(col("text"))).as("n_toks")))
     release += outRows
+    val outEpoch = resolveOutputEpoch(catalog, outTable, batchKey,
+      epochEvery)
     val emitTable = emitTableOf(stateTable)
     val emitDf = outRows
-      .select(col("doc_id").as("id"), lit(batchKey).as("eb"))
+      .select(col("doc_id").as("id"),
+        lit(encodeEb(outEpoch, batchKey)).as("eb"))
       .withColumn("pk", emitPkCol(col("id")))
       .withColumn("batch_id", lit(batchKey))
     if (nSigs >= pkSplitMinRows)
@@ -954,20 +1028,26 @@ object CorpusStream {
         "batch_id", batchKey)
     catalog.writePartition(
       outRows.withColumn("batch_id", lit(batchKey)),
-      outTable, "batch_id", batchKey)
+      epochTableName(outTable, outEpoch), "batch_id", batchKey)
     } finally release.foreach(_.unpersist(false))
   }
 
-  /** Output partitions holding at least one retracted doc. Fast path:
-    * the emit index ([[emitTableOf]]) pruned to the retracted ids' pk
-    * buckets — reads kilobytes of (id, eb) rows however large the
-    * output table has grown. Fallback when the index doesn't cover
-    * every output partition (a warehouse whose early batches predate
-    * the index): the legacy column-pruned full-output semi-join. */
-  private[graft] def affectedOutputBatches(catalog: TableCatalog,
+  /** Output partitions holding at least one retracted doc, grouped by
+    * the (epoch) table they live in. Fast path: the emit index
+    * ([[emitTableOf]]) pruned to the retracted ids' pk buckets — reads
+    * kilobytes of (id, eb) rows however large and however many epochs
+    * the output has grown. Fallback when the index doesn't cover every
+    * BASE-table partition (a warehouse whose early batches predate the
+    * index): the legacy column-pruned full semi-join over the base
+    * table only — epoch tables never need the fallback, because they
+    * are written exclusively by epoch-aware code whose emit rows
+    * precede every output partition. */
+  private[graft] def affectedOutputPartitions(catalog: TableCatalog,
       stateTable: String, outTable: String, batchKey: String,
-      retr: DataFrame, outKeys: Seq[String]): Array[String] = {
+      retr: DataFrame): Seq[(String, Seq[String])] = {
     val emitTable = emitTableOf(stateTable)
+    val baseKeys = catalog.listPartitions(outTable, "batch_id")
+      .filter(_ != batchKey)
     // STRUCTURAL coverage (round 12 — replaces the `_covered_from`
     // low-water id, whose "batch ids are monotone with processing
     // order" assumption misclassified pre-index output partitions
@@ -985,30 +1065,46 @@ object CorpusStream {
       .map(parseRanges).getOrElse(Seq.empty)
     val coveredFrom = catalog.readMarker(emitTable, CoveredFromMarker)
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
-    val indexed = outKeys.forall(k =>
+    val baseCovered = baseKeys.forall(k =>
       liveEmit.contains(k) ||
         scala.util.Try(k.toLong).toOption.exists(n =>
           rangesContain(foldedKeys, n) || coveredFrom.exists(n >= _)))
-    val hits =
-      if (indexed) {
-        val pks = retr.select(emitPkCol(col("__r")).as("pk"))
-          .distinct().collect().map(_.getLong(0)).toSet
-        prunedStateRead(catalog, emitTable, batchKey, pks,
-            Seq(col("id"), col("eb"))) match {
-          case None => return Array.empty[String]
-          case Some(em) =>
-            em.join(retr, col("id") === col("__r"), "left_semi")
-              .select(col("eb"))
-        }
-      } else
-        catalog.read(outTable)
+    // the pk-pruned index lookup serves every epoch table's hits (and
+    // the base table's, when covered)
+    val idxHits: Seq[String] = {
+      val pks = retr.select(emitPkCol(col("__r")).as("pk"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      prunedStateRead(catalog, emitTable, batchKey, pks,
+          Seq(col("id"), col("eb"))) match {
+        case None => Seq.empty
+        case Some(em) =>
+          em.join(retr, col("id") === col("__r"), "left_semi")
+            .select(col("eb")).distinct()
+            .collect().map(_.getString(0)).toSeq
+      }
+    }
+    val ebHits =
+      if (baseCovered) idxHits
+      else idxHits.filter(EpochEb.matches) ++ (
+        if (baseKeys.isEmpty) Seq.empty
+        else catalog.read(outTable)
           .filter(col("batch_id").cast("string") =!= batchKey)
           .join(retr, col("doc_id") === col("__r"), "left_semi")
-          .select(col("batch_id").cast("string").as("eb"))
-    val keySet = outKeys.toSet
+          .select(col("batch_id").cast("string").as("eb")).distinct()
+          .collect().map(_.getString(0)).toSeq)
     // stale index rows may name partitions an earlier retraction
-    // already deleted — keep only what the output actually has
-    hits.distinct().collect().map(_.getString(0)).filter(keySet)
+    // already deleted — keep only what each table actually has (one
+    // listing per AFFECTED table, bounded by the hit set, not age)
+    ebHits.map(ebTarget(outTable, _))
+      .filter(_._2 != batchKey)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (tbl, pairs) =>
+        val existing =
+          (if (tbl == outTable) baseKeys
+           else catalog.listPartitions(tbl, "batch_id")).toSet
+        val keys = pairs.map(_._2).distinct.filter(existing)
+        if (keys.isEmpty) None else Some(tbl -> keys)
+      }
   }
 
   /** The seen corpus's sig-carrying band rows for the cross-batch
@@ -1146,12 +1242,13 @@ object CorpusStream {
                   stateTable: String = "corpus_state",
                   outTable: String = "corpus_sampled",
                   threshold: Double = CorpusPipeline.NearDupThreshold,
-                  benchmark: Option[DataFrame] = None): StreamingQuery =
+                  benchmark: Option[DataFrame] = None,
+                  epochEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, catalog, stateTable, outTable, batchId,
-          threshold, benchmark)
+          threshold, benchmark, epochEvery = epochEvery)
       }
       .start()
 }

@@ -53,13 +53,12 @@ object ProbeEmit {
       .toDF("__r").persist()
     retr.count()
     def timeLookup(label: String, reps: Int = 3): Unit = {
-      val outKeys = cat.listPartitions("pe_out", "batch_id")
       (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
-        val a = CorpusStream.affectedOutputBatches(cat, "pe_state",
-          "pe_out", "999999", retr, outKeys)
+        val a = CorpusStream.affectedOutputPartitions(cat, "pe_state",
+          "pe_out", "999999", retr)
         println(f"LOOKUP $label ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
-          s" affected=${a.length}")
+          s" affected=${a.map(_._2.size).sum}")
       }
     }
     var off = 900000000L

@@ -518,6 +518,55 @@ class StreamingSpec extends SparkSpec {
     assert(cat.listPartitions("ck_out", "batch_id").toSet == Set("1", "2"))
   }
 
+  test("output-epoch roll: full epochs roll to new tables, retraction " +
+       "reaches across the boundary, and a replayed batch rewrites " +
+       "its own epoch in place") {
+    val T = fam(9, 60); val U = fam(8, 40); val V = fam(7, 40)
+    val W = fam(6, 40)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_ep_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def run(id: Long, t: String, b: Long): Unit =
+      CorpusStream.processBatch(
+        Seq((id, t, "en")).toDF("doc_id", "text", "lang"),
+        cat, "ep_seen", "ep_out", b, threshold = 0.45,
+        admit = df => df, epochEvery = 2)
+    run(21L, txt("docT", T), 0L)
+    run(22L, txt("docV", U), 1L)
+    // base epoch is full (2 partitions): batch 2 rolls to ep_out__e1
+    run(20L, txt("docW", V), 2L)
+    assert(cat.listPartitions("ep_out", "batch_id").toSet ==
+      Set("0", "1"))
+    assert(cat.listPartitions("ep_out__e1", "batch_id").toSet ==
+      Set("2"))
+    // cross-epoch retraction: 14 dethrones 21, whose partition lives
+    // in the BASE epoch while the new batch writes into e1 — the emit
+    // index's eb addressing must reach back across the roll
+    run(14L, txt("docU", T.drop(5)), 3L)
+    assert(cat.listPartitions("ep_out", "batch_id").toSet == Set("1"))
+    assert(cat.listPartitions("ep_out__e1", "batch_id").toSet ==
+      Set("2", "3"))
+    // the new batch's emit rows address their epoch explicitly
+    assert(spark.read
+      .parquet(cat.partitionPath("ep_seen_emit", "batch_id", "3"))
+      .select($"eb").as[String].collect().toSet == Set("e1:3"))
+    // e1 full: batch 4 rolls again
+    run(11L, txt("docX", W), 4L)
+    assert(cat.listPartitions("ep_out__e2", "batch_id").toSet ==
+      Set("4"))
+    def allOut = CorpusStream.readOutput(cat, "ep_out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(allOut == Set(11L, 14L, 20L, 22L))
+    // replaying batch 3 (a restart re-delivery) binds to the epoch
+    // already holding its partition — e1, NOT the current e2 — and
+    // converges to the same state
+    run(14L, txt("docU", T.drop(5)), 3L)
+    assert(cat.listPartitions("ep_out__e1", "batch_id").toSet ==
+      Set("2", "3"))
+    assert(cat.listPartitions("ep_out__e2", "batch_id").toSet ==
+      Set("4"))
+    assert(allOut == Set(11L, 14L, 20L, 22L))
+  }
+
   test("member-level bridges resolve through the label state across " +
        "merges and label-table compaction") {
     val S = fam(0, 40); val X = fam(1, 30); val Y = fam(2, 30)
