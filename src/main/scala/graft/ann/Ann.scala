@@ -199,15 +199,15 @@ object Ann {
     * vectors and null-poisons shorter ones, so any frame feeding it gets
     * this check — a wrong-width embedding raises at evaluation instead of
     * corrupting scores. */
-  private def checkedVec(v: Column): Column =
+  private[ann] def checkedVec(v: Column): Column =
     when(size(v) === Dim, v).otherwise(raise_error(concat(
       lit(s"Ann: expected $Dim-dim embedding, got "),
       size(v).cast("string"), lit(" elements"))))
 
   /** Vectors + per-row norms, fenced so downstream references reuse the
     * computed columns. */
-  private def withNorms(data: DataFrame, idCol: String,
-                        vecCol: String): DataFrame =
+  private[ann] def withNorms(data: DataFrame, idCol: String,
+                             vecCol: String): DataFrame =
     graft.core.Fence(graft.core.Par.ensure(
         data.select(col(idCol).as("id"),
           checkedVec(toDouble(col(vecCol))).as("v")))
@@ -559,16 +559,25 @@ object Ann {
     require(numCells >= 1 && nprobe >= 1 && k >= 1 && trainIters >= 0)
     val d = withNorms(data, idCol, vecCol)
     val cents = kmeansCentroids(d, numCells, trainIters)
-    def cellScores(v: Column, nrm: Column): Column =
-      centroidScores(cents, v, nrm)
     val assigned = graft.core.Fence(d.withColumn("cell",
-      array_max(cellScores(col("v"), col("nrm"))).getField("cell")))
+      array_max(centroidScores(cents, col("v"), col("nrm")))
+        .getField("cell")))
+    ivfProbe(assigned, cents, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The probe half of [[ivfTopK]] over an ALREADY-ASSIGNED frame
+    * (id, v, nrm, cell) and centroid constants — shared with the
+    * persisted-index path ([[AnnIndex.ivfTopKFromIndex]]), which loads
+    * both from catalog tables instead of re-fitting per query. */
+  private[ann] def ivfProbe(assigned: DataFrame,
+      cents: Array[(Seq[Double], Double)], queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val q = withNorms(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("v").as("qv"),
               col("nrm").as("qnrm"))
     val probes = graft.core.Fence(q.withColumn("probe",
         explode(slice(reverse(array_sort(
-          cellScores(col("qv"), col("qnrm")))), 1, nprobe)))
+          centroidScores(cents, col("qv"), col("qnrm")))), 1, nprobe)))
       .select(col("q_id"), col("qv"), col("qnrm"),
               col("probe").getField("cell").as("cell")))
     val cand = probes.join(assigned, Seq("cell"))
@@ -589,8 +598,8 @@ object Ann {
     * numCells×Dim unrolled terms in one projection overflows Janino's
     * 64 KB limit (see [[nearDupBandBucket]]), and assignment runs once
     * per ROW, never per pair. */
-  private def centroidScores(cents: Array[(Seq[Double], Double)],
-                             v: Column, nrm: Column): Column =
+  private[ann] def centroidScores(cents: Array[(Seq[Double], Double)],
+                                  v: Column, nrm: Column): Column =
     array(cents.indices.map(j => struct(
       (dot(v, typedLit(cents(j)._1)) / (nrm * lit(cents(j)._2)))
         .as("cos"),
@@ -673,11 +682,20 @@ object Ann {
   def lshBucketNeighbors(data: DataFrame, idCol: String, vecCol: String,
                          planes: Int = Planes,
                          hotCap: Int = NearDupHotCap,
-                         hotSalts: Int = NearDupHotSalts): DataFrame = {
-    val d = graft.core.Fence(data.select(col(idCol).as("id"),
-      checkedVec(toDouble(col(vecCol))).as("v"))
-      .withColumn("bucket", bucket(col("v"), planes))
-      .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v")))))
+                         hotSalts: Int = NearDupHotSalts): DataFrame =
+    bucketNeighborsFrom(
+      graft.core.Fence(data.select(col(idCol).as("id"),
+        checkedVec(toDouble(col(vecCol))).as("v"))
+        .withColumn("bucket", bucket(col("v"), planes))
+        .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v"))))),
+      hotCap, hotSalts)
+
+  /** The within-bucket top-1 core over an already-bucketed frame
+    * (id, v, nrm, bucket) — shared with the persisted-index path
+    * ([[AnnIndex.lshNeighborsFromIndex]]), which loads the frame from
+    * a catalog table instead of re-fitting/re-bucketing per query. */
+  private[ann] def bucketNeighborsFrom(d: DataFrame, hotCap: Int,
+                                       hotSalts: Int): DataFrame = {
     val mirrored = graft.core.SkewJoin.guardedPairs(d, d, Seq("bucket"),
         selfJoin = true, hotCap, hotSalts) { j =>
       // cos is computed once per unordered pair (projection below the

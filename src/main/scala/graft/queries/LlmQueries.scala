@@ -431,6 +431,36 @@ object LlmQueries {
     // floor(v·2^20 + 0.5) integers so the sum is order-free (float
     // addition is not associative; a shuffled double sum would not
     // reproduce), then divided back out as DOUBLE on both sides.
+    // Persisted-index probes: build the index artifact into a scratch
+    // warehouse (the fit paid once — plane count / trained centroids +
+    // bucket assignments as catalog tables), then answer the query
+    // from the LOADED index with no refit. Results must be
+    // bit-identical to the fit-inline forms, so the oracles are
+    // ann06's / ann05's verbatim.
+    "ann07_index_probe" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann07_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      AnnIndex.buildLsh(cat, t(s, dir, "embeddings"), "vec_id",
+        "embedding", "ann_idx", targetBucketRows = 1)
+      AnnIndex.lshNeighborsFromIndex(cat, "ann_idx")
+        .orderBy(col("vec_id"))
+    }),
+
+    "ann08_ivf_index" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann08_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildIvf(cat, e, "vec_id", "embedding", "ann_ivf",
+        numCells = 16, trainIters = 2)
+      AnnIndex.ivfTopKFromIndex(cat, "ann_ivf",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "ann04_centroids" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"),
@@ -728,7 +758,7 @@ object LlmQueries {
         ORDER BY doc_id"""
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "dd01_exact_dedup" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT *, row_number() OVER (
@@ -1243,4 +1273,12 @@ object LlmQueries {
          END AS pcm
          FROM documents ORDER BY doc_id"""
   )
+
+  /** ann07/ann08 probe a PERSISTED index artifact that must be
+    * bit-identical to the fresh fit — so their oracles ARE ann06's
+    * and ann05's: the index adds no semantics, it removes the
+    * per-query fit cost. */
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "ann07_index_probe" -> oracleBase("ann06_lsh_auto"),
+    "ann08_ivf_index" -> oracleBase("ann05_ivf_kmeans"))
 }

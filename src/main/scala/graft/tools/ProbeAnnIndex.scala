@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ann.{Ann, AnnIndex}
+import graft.catalog.TableCatalog
+
+/** Dev-only: the persisted-index claim measured directly — a serving
+  * workload that answers R repeated neighbor/top-k queries should pay
+  * the fit ONCE (at build), not once per query. Times R repetitions of
+  * (a) the fit-inline forms (lshBucketNeighborsAuto / trained ivfTopK,
+  * which re-count, re-bucket, re-train every call) against (b) one
+  * index build + R probes off the loaded artifact.
+  * Args: [sfDir] [reps]. */
+object ProbeAnnIndex {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val wh = java.nio.file.Files
+      .createTempDirectory("probe_annidx_").toString
+    val cat = new TableCatalog(spark, wh)
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        s" rows=$n")
+    }
+    println(s"=== LSH neighbors, $reps reps ===")
+    (1 to reps).foreach { _ =>
+      timed("fresh-fit ") {
+        Ann.lshBucketNeighborsAuto(e, "vec_id", "embedding", 1).count()
+      }
+    }
+    timed("build     ") {
+      AnnIndex.buildLsh(cat, e, "vec_id", "embedding", "ix",
+        targetBucketRows = 1).toLong
+    }
+    (1 to reps).foreach { _ =>
+      timed("from-index") {
+        AnnIndex.lshNeighborsFromIndex(cat, "ix").count()
+      }
+    }
+    println(s"=== IVF top-10 (2 Lloyd rounds), $reps reps ===")
+    (1 to reps).foreach { _ =>
+      timed("fresh-fit ") {
+        Ann.ivfTopK(e, q, "vec_id", "embedding", 10, trainIters = 2)
+          .count()
+      }
+    }
+    timed("build     ") {
+      AnnIndex.buildIvf(cat, e, "vec_id", "embedding", "ivf",
+        trainIters = 2); 0L
+    }
+    (1 to reps).foreach { _ =>
+      timed("from-index") {
+        AnnIndex.ivfTopKFromIndex(cat, "ivf", q, "vec_id", "embedding",
+          10).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -191,6 +191,50 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(r2 > 0.5, s"trained recall implausibly low: $r2 (untrained $r0)")
   }
 
+  test("persisted ANN index: probes off the loaded artifact are " +
+       "bit-identical to the fresh fit, and a missing or mismatched " +
+       "index fails loudly") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("annidx_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    // LSH: fitted planes persist; the from-index result equals the
+    // fit-inline form row for row (scores bit-exact)
+    val planes = AnnIndex.buildLsh(cat, vecs, "vec_id", "embedding",
+      "ix", targetBucketRows = 1)
+    assert(planes == Ann.autoPlanes(40, 1))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"vec_id")
+        .select($"vec_id".cast("long"), $"bucket".cast("long"),
+          $"neighbor".cast("long"), $"cos")
+        .collect().toSeq
+    assert(canon(AnnIndex.lshNeighborsFromIndex(cat, "ix")) ==
+      canon(Ann.lshBucketNeighborsAuto(vecs, "vec_id", "embedding", 1)))
+    // IVF: trained centroids + assignments persist; probe equals
+    // ivfTopK with the same training
+    AnnIndex.buildIvf(cat, vecs, "vec_id", "embedding", "ivf",
+      numCells = 4, trainIters = 2)
+    val q = vecs.filter($"vec_id" < 3)
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"cos").collect().toSeq
+    assert(canon2(AnnIndex.ivfTopKFromIndex(cat, "ivf", q, "vec_id",
+        "embedding", 5)) ==
+      canon2(Ann.ivfTopK(vecs, q, "vec_id", "embedding", 5,
+        numCells = 4, trainIters = 2)))
+    // guard rails: absent meta and kind mismatch
+    intercept[IllegalArgumentException] {
+      AnnIndex.lshNeighborsFromIndex(cat, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      AnnIndex.ivfTopKFromIndex(cat, "ix", q, "vec_id", "embedding", 5)
+    }
+  }
+
   test("kmeansCentroids: a cell that loses all members keeps its " +
        "previous centroid") {
     // two identical vectors seed both cells; assignment ties to the
