@@ -276,6 +276,33 @@ class TextSimSpec extends SparkSpec {
       10L).columns.toSeq == Seq("id", "n_toks", "chunk"))
   }
 
+  test("tokenChunks detects a degenerate id layout and re-buckets by " +
+       "id quantiles, row-identically") {
+    import graft.text.Packing
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    // the detection rule itself: scale-free fair-share multiple
+    assert(Packing.isSkewed(Seq(60L, 1L), buckets = 32))
+    assert(!Packing.isSkewed(Seq.fill(32)(10L), buckets = 32))
+    assert(!Packing.isSkewed(Seq.empty, buckets = 32))
+    // one range holds all but one row at buckets=32 — >8x fair share,
+    // so the quantile re-cut engages; the output must not move a row
+    // (boundaries only steer parallelism)
+    val skewed = ((1 to 200).map(i => (1000000L + i, 5L)) :+
+        (9000000000L, 5L))
+      .toDF("doc_id", "nt")
+    val w = Window.orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = skewed.withColumn("cum", fsum(col("nt")).over(w) - col("nt"))
+      .select(col("doc_id"), ((col("cum") - col("cum") % 40L) / 40L)
+        .cast("long").as("chunk"))
+      .as[(Long, Long)].collect().toMap
+    val got = Packing.tokenChunks(skewed, "doc_id", col("nt"), 40L,
+        buckets = 32)
+      .select($"id", $"chunk").as[(Long, Long)].collect().toMap
+    assert(got == ref && got.values.toSet.size > 10)
+  }
+
   test("tfidfTopTerms ranks per-doc terms by (tf desc, df asc, term)") {
     val docs = Seq(
       (1L, "apple apple banana common common common"),
