@@ -438,7 +438,11 @@ object CorpusStream {
       else catalog.listPartitions(table, "batch_id")
         .filter(k => k != excludeBatchKey && numOf(k).isDefined)
     var moved = false
-    // sketch table: uniform layout, one partition-pruned read
+    // sketch table: mixed layout like the bands (plain small batches vs
+    // pk-split large ones — round 12), read shape-aware; the compacted
+    // partition is large by construction so it always takes the
+    // pk-split layout, which is also what heals a legacy all-plain
+    // state into the pruned-fetch fast path
     val sk = sourcesOf(stateTable)
     if (sk.size >= 2) {
       val key = "c" + sk.flatMap(numOf).max
@@ -448,22 +452,20 @@ object CorpusStream {
         // rewrite from the sources only: a crashed half-written target
         // is replaced wholesale by the overwrite (its intended content
         // was exactly this union — sources are deleted strictly after
-        // the target commits, so they are all still present here)
-        val merged = catalog.read(stateTable)
-          .filter(col("batch_id").isin(srcs: _*))
-        val sb = if (merged.columns.contains("sb"))
-            coalesce(col("sb"), MinHashLSH.bottomKCol(col("sh")))
-          else MinHashLSH.bottomKCol(col("sh"))
+        // the target commits, so they are all still present here).
+        // [[readSketchBatches]] normalizes the legacy optional sb.
+        val merged = readSketchBatches(catalog, stateTable, srcs, None)
         // dropDuplicates: a crash that stranded an OLDER compacted
         // partition beside its undeleted sources makes the union carry
         // identical rows twice; by-id dedup restores the one-row-per-doc
         // invariant (a no-op shuffle on the clean path)
-        catalog.writePartition(
-          merged.select(col("id"), col("fp"), col("sh"), col("n"),
-            col("sig"), sb.as("sb"))
-            .dropDuplicates("id")
-            .withColumn("batch_id", lit(key)),
-          stateTable, "batch_id", key)
+        merged.foreach(m =>
+          catalog.writeSubPartitioned(
+            m.dropDuplicates("id")
+              .withColumn("pk", emitPkCol(col("id")))
+              .withColumn("batch_id", lit(key))
+              .repartition(col("pk")),
+            stateTable, "batch_id", key, "pk"))
       }
       failpoint("sketch-target-written")
       srcs.foreach(catalog.deletePartition(stateTable, "batch_id", _))
@@ -686,20 +688,17 @@ object CorpusStream {
     try {
     // 2. sketch state from EARLIER batches (a replay of this batch
     //    excludes its own half-written partition, so reprocessing is
-    //    idempotent end-to-end)
+    //    idempotent end-to-end). Shape-aware lazy union (round 12 —
+    //    batch partitions may be pk-split); only the LEGACY fallbacks
+    //    below ever evaluate it fully, the hot paths read pruned.
+    //    A table whose only partition is this batch's own reads as
+    //    null — the fresh-state path, which a batch-0 replay re-takes.
     val state =
-      if (catalog.tableExists(stateTable)) {
-        val raw = catalog.read(stateTable)
-          .filter(col("batch_id").cast("string") =!= batchKey)
-        // per-doc bottom-k sketch: persisted since round 8 (computed
-        // once on arrival); legacy rows/tables re-sort on read
-        val sb =
-          if (raw.columns.contains("sb"))
-            coalesce(col("sb"), MinHashLSH.bottomKCol(col("sh")))
-          else MinHashLSH.bottomKCol(col("sh"))
-        raw.select(col("id"), col("fp"), col("sh"), col("n"), col("sig"),
-          sb.as("sb"))
-      } else null
+      if (!catalog.tableExists(stateTable)) null
+      else readSketchBatches(catalog, stateTable,
+          catalog.listPartitions(stateTable, "batch_id")
+            .filter(_ != batchKey),
+          None).orNull
     if (state != null)
       requireCompatibleState(state, geom, stateTable, threshold)
     // persist the local batch once it has several consumers: the fp-pk
@@ -756,10 +755,6 @@ object CorpusStream {
     val newBands = MinHashLSH.bandFrameWithSig(newSigs, geom)
     val newSk = newSigs.select(col("id"), col("sh"), col("n"),
       col("sig"), col("sb"))
-    val allSigs =
-      if (state == null) newSk
-      else newSk.unionByName(state.select(col("id"), col("sh"),
-        col("n"), col("sig"), col("sb")))
     // internal pairs are new×new: their sample/verify fetches touch
     // only this batch's sketches, never the state
     val internal = MinHashLSH.verifySurvivors(
@@ -774,21 +769,54 @@ object CorpusStream {
     val crossPairs =
       if (state == null) null
       else {
+        val covered = bandsCovered(catalog, stateTable, batchKey)
         val seenBands = seenBandFrame(catalog, stateTable, batchKey,
-          state, newBands, geom)
-        // fused and unpersisted: the capped pair collect below is the
-        // ONE action that evaluates this cascade (band join -> floor ->
-        // sample prune -> exact verify) — materializing it here would
-        // split the fused pipeline into separate cached executions
-        // (measured +9 s on the dp03 chain when tried in round 11)
-        val verified = MinHashLSH.verifySurvivors(
-            MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
-              geom, selfJoin = false),
-            allSigs, threshold,
-            sb = Some(allSigs.select(col("id"), col("sb"))))
-          .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        (if (fpForced == null) verified
-         else verified.unionByName(fpForced)).distinct()
+          state, newBands, geom, covered)
+        // the verify stage fetches `sh` arrays for the SEEN side of
+        // every candidate pair. Those seen docs all appear in
+        // `seenBands` (candidates share a band key by construction),
+        // so the fetch reads only the pk buckets their ids hash into
+        // ([[readSketchBatches]]) — the sketch-table analog of the fp
+        // index, closing the last linear-in-state per-batch scan. The
+        // pk-set collect is bounded by [[StatePartitions]] and costs
+        // one extra pass over the already-pruned band dirs (NOT the
+        // state); an empty set means no stored band collides, and the
+        // whole verify cascade short-circuits driver-side. The legacy
+        // not-covered path (pre-round-8 state, no bands table) keeps
+        // the full-state fetch — it re-bands the full state anyway.
+        val seenSigs =
+          if (!covered) state
+          else {
+            val ipks = seenBands
+              .select(emitPkCol(col("id")).as("pk")).distinct()
+              .collect().map(_.getLong(0)).toSet
+            if (ipks.isEmpty) null
+            else readSketchBatches(catalog, stateTable,
+                catalog.listPartitions(stateTable, "batch_id")
+                  .filter(_ != batchKey),
+                Some(ipks)).orNull
+          }
+        if (seenSigs == null) {
+          // nothing collides: the only possible cross edges are the
+          // forced fp-duplicate pairs
+          if (fpForced == null) null else fpForced.distinct()
+        } else {
+          val sigs = newSk.unionByName(seenSigs.select(col("id"),
+            col("sh"), col("n"), col("sig"), col("sb")))
+          // fused and unpersisted: the capped pair collect below is the
+          // ONE action that evaluates this cascade (band join -> floor ->
+          // sample prune -> exact verify) — materializing it here would
+          // split the fused pipeline into separate cached executions
+          // (measured +9 s on the dp03 chain when tried in round 11)
+          val verified = MinHashLSH.verifySurvivors(
+              MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
+                geom, selfJoin = false),
+              sigs, threshold,
+              sb = Some(sigs.select(col("id"), col("sb"))))
+            .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          (if (fpForced == null) verified
+           else verified.unionByName(fpForced)).distinct()
+        }
       }
     // 5. component resolution within the batch — the capped driver
     //    union-find ([[cappedComponents]]): a batch's internal
@@ -917,16 +945,28 @@ object CorpusStream {
     //    the per-doc sketch (arrays, partitioned by batch) and the
     //    pre-banded rows partitioned by (batch, band-key bucket) so
     //    later batches prune their cross join at the storage layer.
-    catalog.writePartition(
-      newSigs.join(newDocs.select(col("doc_id").as("id"), fp.as("fp")),
-          Seq("id"))
-        .select(col("id"), col("fp"), col("sh"), col("n"), col("sig"),
-          col("sb"))
-        .withColumn("batch_id", lit(batchKey)),
-      stateTable, "batch_id", batchKey)
+    //    The sketch partition takes the same granularity-aware
+    //    `pk = xxhash64(id) mod StatePartitions` layout as the
+    //    bands/fp/emit tables (round 12), so the cross-verify `sh`
+    //    fetch above prunes at the directory level; small batches stay
+    //    one plain file — pk is a pure function of id, so plain files
+    //    never store it (see [[readSketchBatches]]).
+    val nSigs = newSigs.count()
+    val skDf = newSigs
+      .join(newDocs.select(col("doc_id").as("id"), fp.as("fp")),
+        Seq("id"))
+      .select(col("id"), col("fp"), col("sh"), col("n"), col("sig"),
+        col("sb"))
+      .withColumn("batch_id", lit(batchKey))
+    if (nSigs >= pkSplitMinRows)
+      catalog.writeSubPartitioned(
+        skDf.withColumn("pk", emitPkCol(col("id")))
+          .repartition(col("pk")),
+        stateTable, "batch_id", batchKey, "pk")
+    else
+      catalog.writePartition(skDf, stateTable, "batch_id", batchKey)
     val bandsDf = newBands.withColumn("pk", pkCol)
       .withColumn("batch_id", lit(batchKey))
-    val nSigs = newSigs.count()
     if (nSigs * geom.bands >= pkSplitMinRows)
       // repartition by pk first: otherwise every shuffle task writes a
       // file into every pk dir (tasks × 64 small files); this way each
@@ -1117,17 +1157,22 @@ object CorpusStream {
     * set loses no colliding pair. Fallback (bands table missing or not
     * covering every sketch batch — a pre-round-8 state): re-band the
     * sketch state in memory, the old per-batch linear scan. */
-  private def seenBandFrame(catalog: TableCatalog, stateTable: String,
-      batchKey: String, state: DataFrame, newBands: DataFrame,
-      geom: graft.sim.LshGeometry): DataFrame = {
+  private def bandsCovered(catalog: TableCatalog, stateTable: String,
+      batchKey: String): Boolean = {
     val bandsTable = bandsTableOf(stateTable)
-    val covered = catalog.tableExists(bandsTable) && {
+    catalog.tableExists(bandsTable) && {
       val sk = catalog.listPartitions(stateTable, "batch_id").toSet -
         batchKey
       val bd = catalog.listPartitions(bandsTable, "batch_id").toSet -
         batchKey
       sk.subsetOf(bd)
     }
+  }
+
+  private def seenBandFrame(catalog: TableCatalog, stateTable: String,
+      batchKey: String, state: DataFrame, newBands: DataFrame,
+      geom: graft.sim.LshGeometry, covered: Boolean): DataFrame = {
+    val bandsTable = bandsTableOf(stateTable)
     if (!covered) MinHashLSH.bandFrameWithSig(state, geom)
     else {
       val pks = newBands.select(pkCol.as("pk")).distinct()
@@ -1178,6 +1223,76 @@ object CorpusStream {
       else None).flatten
     if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
+
+  /** Shape-aware read of the given sketch-table batch partitions
+    * (round 12 — the sketch table joined the pk-bucketed layouts):
+    * batch partitions with ≥ `pkSplitMinRows` rows are laid out as
+    * `pk = xxhash64(id) mod StatePartitions` sub-directories, smaller
+    * ones stay plain files — so a table-ROOT read's partition
+    * discovery would see conflicting directory depths. Each shape
+    * group reads through [[TableCatalog.readPaths]] (uniform depth
+    * within a group), the legacy optional `sb` column normalizes per
+    * group, and the groups union.
+    *
+    * With `pks` set, pk-split partitions prune at the DIRECTORY level
+    * and plain partitions — tiny by construction, or legacy ones this
+    * degrades gracefully on until compaction rewrites them split —
+    * prune on the COMPUTED pk: pk is a pure function of id, so plain
+    * files never store it and legacy states need no backfill pass.
+    * None when no listed partition holds a matching row source. */
+  private def readSketchBatches(catalog: TableCatalog,
+      stateTable: String, keys: Seq[String],
+      pks: Option[Set[Long]]): Option[DataFrame] = {
+    val withSubs = keys.map(b => b ->
+      catalog.listSubPartitions(stateTable, "batch_id", b, "pk"))
+    val (split, plain0) = withSubs.partition(_._2.nonEmpty)
+    val plain = plain0.map(_._1)
+      .filter(catalog.partitionHasDataFiles(stateTable, "batch_id", _))
+    def normalize(df: DataFrame): DataFrame = {
+      val sb = if (df.columns.contains("sb"))
+          coalesce(col("sb"), MinHashLSH.bottomKCol(col("sh")))
+        else MinHashLSH.bottomKCol(col("sh"))
+      df.select(col("id"), col("fp"), col("sh"), col("n"), col("sig"),
+        sb.as("sb"))
+    }
+    val splitDirs = pks match {
+      case Some(ps) => for {
+        (b, subs) <- split
+        p <- subs.filter(s =>
+          scala.util.Try(s.toLong).toOption.exists(ps.contains))
+      } yield s"${catalog.partitionPath(stateTable, "batch_id", b)}/pk=$p"
+      case None => split.map(s =>
+        catalog.partitionPath(stateTable, "batch_id", s._1))
+    }
+    val splitFrame =
+      if (splitDirs.isEmpty) None
+      else Some(normalize(catalog.readPaths(stateTable, splitDirs)))
+    val plainFrame =
+      if (plain.isEmpty) None
+      else {
+        val raw = catalog.readPaths(stateTable,
+          plain.map(catalog.partitionPath(stateTable, "batch_id", _)))
+        Some(normalize(pks match {
+          case Some(ps) =>
+            raw.filter(emitPkCol(col("id")).isin(ps.toSeq: _*))
+          case None => raw
+        }))
+      }
+    (splitFrame, plainFrame) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** Public shape-aware reader for a sketch state table (mixed
+    * plain/pk-split partitions — see [[readSketchBatches]]): what
+    * tests and tools must use instead of a table-root read. Falls back
+    * to the root read when no committed batch partition exists (the
+    * `_schema`-anchor empty-table case). */
+  def readState(catalog: TableCatalog, stateTable: String): DataFrame =
+    readSketchBatches(catalog, stateTable,
+        catalog.listPartitions(stateTable, "batch_id"), None)
+      .getOrElse(catalog.read(stateTable))
 
   /** Stored `(__seen_fp, __seen_id)` rows that could fp-collide with
     * this batch, from the pk-bucketed `_fp` index ([[fpTableOf]])

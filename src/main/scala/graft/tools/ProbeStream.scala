@@ -53,7 +53,7 @@ object ProbeStream {
       CorpusStream.processBatch(batch, cat, "probe_state", "probe_out",
         k.toLong, admit = identity)
       val secs = (System.nanoTime() - t0) / 1e9
-      val stateRows = cat.read("probe_state").count()
+      val stateRows = CorpusStream.readState(cat, "probe_state").count()
       println(f"BATCH $k%2d  ${secs}%6.2f s   state=$stateRows rows")
     }
     spark.stop()

@@ -659,7 +659,7 @@ class StreamingSpec extends SparkSpec {
       }
       val out = cat.read("cm_out").select($"doc_id", $"lang", $"n_toks")
         .as[(Long, String, Int)].collect().toSet
-      val state = cat.read("cm_seen").select($"id", $"fp")
+      val state = CorpusStream.readState(cat, "cm_seen").select($"id", $"fp")
         .as[(Long, String)].collect().toSet
       (out, state, cat.listPartitions("cm_seen", "batch_id").size, cat)
     }
@@ -673,7 +673,7 @@ class StreamingSpec extends SparkSpec {
     assert(compDirs <= 3, s"expected <=3 state dirs, got $compDirs")
     // a further compaction over the final state is idempotent
     assert(CorpusStream.compactState(compCat, "cm_seen", "99"))
-    val again = compCat.read("cm_seen").select($"id", $"fp")
+    val again = CorpusStream.readState(compCat, "cm_seen").select($"id", $"fp")
       .as[(Long, String)].collect().toSet
     assert(again == plainState)
     assert(compCat.listPartitions("cm_seen", "batch_id").size == 1)
@@ -703,7 +703,7 @@ class StreamingSpec extends SparkSpec {
       CorpusStream.processBatch(b, cat, "cr_seen", "cr_out", i.toLong,
         compactEvery = 0)
     }
-    val state = cat.read("cr_seen").select($"id", $"fp")
+    val state = CorpusStream.readState(cat, "cr_seen").select($"id", $"fp")
       .as[(Long, String)].collect().toSet
     val bands = cat.read("cr_seen_bands")
       .select($"id", $"band_idx", $"band_key")
@@ -725,19 +725,19 @@ class StreamingSpec extends SparkSpec {
       // pre-heal: duplicated rows (committed target + undeleted sources)
       // must not change any consumer's semantics — a batch processed
       // before the healing pass sees the same seen-corpus
-      assert(cat.read("cr_seen").select($"id", $"fp")
+      assert(CorpusStream.readState(cat, "cr_seen").select($"id", $"fp")
         .as[(Long, String)].collect().toSet == wantState,
         s"$window: set-of-rows state changed by the crash")
       // heal: rerun skips the committed target's rewrite, finishes the
       // deletes, and ends bit-identical to the never-crashed run
       CorpusStream.compactState(cat, "cr_seen", "99")
-      assert(cat.read("cr_seen").select($"id", $"fp")
+      assert(CorpusStream.readState(cat, "cr_seen").select($"id", $"fp")
         .as[(Long, String)].collect().toSet == wantState, window)
       assert(cat.read("cr_seen_bands")
         .select($"id", $"band_idx", $"band_key")
         .as[(Long, Int, String)].collect().toSet == wantBands, window)
       // one-row-per-doc invariant restored (no duplicate ids survive)
-      val ids = cat.read("cr_seen").select($"id").as[Long].collect()
+      val ids = CorpusStream.readState(cat, "cr_seen").select($"id").as[Long].collect()
       assert(ids.length == ids.distinct.length, window)
       assert(cat.listPartitions("cr_seen", "batch_id") ==
         control.listPartitions("cr_seen", "batch_id"), window)
@@ -761,7 +761,7 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.createDirectories(dir.resolve("_temporary"))
     }
     CorpusStream.compactState(cat, "cr_seen", "99")
-    assert(cat.read("cr_seen").select($"id", $"fp")
+    assert(CorpusStream.readState(cat, "cr_seen").select($"id", $"fp")
       .as[(Long, String)].collect().toSet == wantState)
     assert(cat.read("cr_seen_bands")
       .select($"id", $"band_idx", $"band_key")
@@ -801,6 +801,64 @@ class StreamingSpec extends SparkSpec {
     val b0 = new java.io.File(s"$splitWh/pk_seen_bands/batch_id=0")
     assert(b0.listFiles().exists(f =>
       f.isDirectory && f.getName.startsWith("pk=")))
+    // ... and the SKETCH table too (round 12): the cross-verify sh
+    // fetch of batches 1/2 ran against pk-pruned directory reads
+    val s0 = new java.io.File(s"$splitWh/pk_seen/batch_id=0")
+    assert(s0.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("pk=")))
+  }
+
+  test("mixed sketch layouts (plain + pk-split) interoperate: " +
+       "cross-batch near-dups verify across shapes and compaction " +
+       "heals to one pk-split partition") {
+    val T = fam(6, 60)
+    val wh = java.nio.file.Files.createTempDirectory("corpus_mx_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    // batch 0 PLAIN (default threshold), batch 1 SPLIT (forced): the
+    // split batch's near-dup (J ~ 0.9) must still verify against the
+    // plain stored sketch — the pruned fetch reads the plain partition
+    // through the computed-pk filter, no stored pk column needed
+    CorpusStream.processBatch(
+      Seq((41L, txt("docM", T), "en")).toDF("doc_id", "text", "lang"),
+      cat, "mx_seen", "mx_out", 0L, threshold = 0.45, admit = df => df)
+    CorpusStream.processBatch(
+      Seq((51L, txt("docN", T.drop(5)), "en"),
+          (52L, txt("docO", fam(7, 40)), "en"))
+        .toDF("doc_id", "text", "lang"),
+      cat, "mx_seen", "mx_out", 1L, threshold = 0.45, admit = df => df,
+      pkSplitMinRows = 1L)
+    def out() = cat.read("mx_out").select($"doc_id")
+      .as[Long].collect().toSet
+    // 51 verified against stored 41 (across shapes) and died; 52 is a
+    // different family and survived
+    assert(out() == Set(41L, 52L))
+    // now the reverse direction: a PLAIN batch verifying against a
+    // SPLIT stored partition (and a smaller id, so 41 is retracted)
+    CorpusStream.processBatch(
+      Seq((33L, txt("docP", T.drop(10)), "en"))
+        .toDF("doc_id", "text", "lang"),
+      cat, "mx_seen", "mx_out", 2L, threshold = 0.45, admit = df => df)
+    assert(out() == Set(33L, 52L))
+    val preCompact = CorpusStream.readState(cat, "mx_seen")
+      .select($"id", $"fp").as[(Long, String)].collect().toSet
+    assert(preCompact.map(_._1) == Set(33L, 41L, 51L, 52L))
+    // compaction folds both shapes into ONE pk-split partition,
+    // row-identically
+    assert(CorpusStream.compactState(cat, "mx_seen", "99"))
+    assert(cat.listPartitions("mx_seen", "batch_id") == Seq("c2"))
+    val cdir = new java.io.File(s"$wh/mx_seen/batch_id=c2")
+    assert(cdir.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("pk=")))
+    assert(CorpusStream.readState(cat, "mx_seen")
+      .select($"id", $"fp").as[(Long, String)].collect().toSet
+      == preCompact)
+    // and the healed state still serves the pruned fetch: one more
+    // near-dup arrival dies against the compacted pk-split partition
+    CorpusStream.processBatch(
+      Seq((60L, txt("docQ", T.drop(15)), "en"))
+        .toDF("doc_id", "text", "lang"),
+      cat, "mx_seen", "mx_out", 3L, threshold = 0.45, admit = df => df)
+    assert(out() == Set(33L, 52L))
   }
 
   test("incremental corpus pipeline fails fast when the state table's " +
@@ -852,7 +910,7 @@ class StreamingSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(contaminated.nonEmpty, "degenerate fixture: nothing overlaps")
     assert(streamed.intersect(contaminated).isEmpty)
-    val state = cat.read("corpus_state")
+    val state = CorpusStream.readState(cat, "corpus_state")
       .select($"id").as[Long].collect().toSet
     assert(state.intersect(contaminated).isEmpty)
   }
