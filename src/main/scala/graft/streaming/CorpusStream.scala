@@ -267,6 +267,12 @@ object CorpusStream {
     * components, not docs). */
   val MergeGraphCap = 1 << 20
 
+  /** Largest candidate-id set pushed into the sketch fetch's `id IN`
+    * filter (parquet row-group pruning over the sorted-by-id pk
+    * files); past it the literal list costs more to plan than it
+    * prunes and the pk-directory pruning stands alone. */
+  val IsinCap = 1 << 16
+
   /** Capped connected components over a pair frame — the per-batch
     * component machinery shared by the internal near-dup graph and
     * the contracted cross-batch merge graph. Up to [[MergeGraphCap]]
@@ -464,7 +470,8 @@ object CorpusStream {
             m.dropDuplicates("id")
               .withColumn("pk", emitPkCol(col("id")))
               .withColumn("batch_id", lit(key))
-              .repartition(col("pk")),
+              .repartition(col("pk"))
+              .sortWithinPartitions(col("id")),
             stateTable, "batch_id", key, "pk"))
       }
       failpoint("sketch-target-written")
@@ -772,50 +779,86 @@ object CorpusStream {
         val covered = bandsCovered(catalog, stateTable, batchKey)
         val seenBands = seenBandFrame(catalog, stateTable, batchKey,
           state, newBands, geom, covered)
-        // the verify stage fetches `sh` arrays for the SEEN side of
-        // every candidate pair. Those seen docs all appear in
-        // `seenBands` (candidates share a band key by construction),
-        // so the fetch reads only the pk buckets their ids hash into
-        // ([[readSketchBatches]]) — the sketch-table analog of the fp
-        // index, closing the last linear-in-state per-batch scan. The
-        // pk-set collect is bounded by [[StatePartitions]] and costs
-        // one extra pass over the already-pruned band dirs (NOT the
-        // state); an empty set means no stored band collides, and the
-        // whole verify cascade short-circuits driver-side. The legacy
-        // not-covered path (pre-round-8 state, no bands table) keeps
-        // the full-state fetch — it re-bands the full state anyway.
-        val seenSigs =
-          if (!covered) state
-          else {
-            val ipks = seenBands
-              .select(emitPkCol(col("id")).as("pk")).distinct()
-              .collect().map(_.getLong(0)).toSet
-            if (ipks.isEmpty) null
-            else readSketchBatches(catalog, stateTable,
-                catalog.listPartitions(stateTable, "batch_id")
-                  .filter(_ != batchKey),
-                Some(ipks)).orNull
-          }
-        if (seenSigs == null) {
-          // nothing collides: the only possible cross edges are the
-          // forced fp-duplicate pairs
-          if (fpForced == null) null else fpForced.distinct()
-        } else {
-          val sigs = newSk.unionByName(seenSigs.select(col("id"),
+        def fullStateVerify(survivors: DataFrame): DataFrame = {
+          val sigs = newSk.unionByName(state.select(col("id"),
             col("sh"), col("n"), col("sig"), col("sb")))
-          // fused and unpersisted: the capped pair collect below is the
-          // ONE action that evaluates this cascade (band join -> floor ->
-          // sample prune -> exact verify) — materializing it here would
-          // split the fused pipeline into separate cached executions
-          // (measured +9 s on the dp03 chain when tried in round 11)
-          val verified = MinHashLSH.verifySurvivors(
-              MinHashLSH.collidedSurvivors(newBands, seenBands, threshold,
-                geom, selfJoin = false),
-              sigs, threshold,
+          MinHashLSH.verifySurvivors(survivors, sigs, threshold,
               sb = Some(sigs.select(col("id"), col("sb"))))
             .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-          (if (fpForced == null) verified
-           else verified.unionByName(fpForced)).distinct()
+        }
+        val verified =
+          if (!covered)
+            // legacy not-covered path (pre-round-8 state, no bands
+            // table): the full-state fetch — it re-bands the full
+            // state anyway, and the one pair collect below evaluates
+            // the fused cascade exactly once
+            fullStateVerify(MinHashLSH.collidedSurvivors(newBands,
+              seenBands, threshold, geom, selfJoin = false))
+          else {
+            // the verify stage fetches `sh` arrays for the SEEN side
+            // of every candidate pair. Collect the candidates (band
+            // join + agreement floor — the cheap prefix of the
+            // cascade, NOT the array verify) up to the merge cap,
+            // with each seen id's sketch pk riding along in the same
+            // job; the fetch then reads only the colliding pk
+            // DIRECTORIES of the pk-split sketch partitions, and
+            // inside them only the row groups the (sorted-by-id)
+            // candidate id IN-filter survives — metadata-scale, where
+            // the round-12 first cut (pk set of every id in colliding
+            // band BUCKETS) saturated all 64 buckets on any batch
+            // with a few hundred collisions and pruned nothing
+            // (ProbeSketch measured split slower than plain). The
+            // verify re-joins the collected pairs as a broadcast
+            // LOCAL relation, so the cascade prefix still runs once.
+            // Over the cap — a pathological mass-collision batch —
+            // the cascade re-derives distributed against the full
+            // state, the same fallback shape as [[cappedComponents]].
+            val cand = MinHashLSH.collidedSurvivors(newBands, seenBands,
+              threshold, geom, selfJoin = false)
+            val candRows = cand
+              .select(col("doc_a").cast("long"),
+                col("doc_b").cast("long"),
+                emitPkCol(col("doc_b")).as("__pk"))
+              .limit(MergeGraphCap + 1).collect()
+            if (candRows.length > MergeGraphCap)
+              fullStateVerify(cand)
+            else if (candRows.isEmpty)
+              // nothing survived the floor: no cross verify at all
+              null
+            else {
+              val ids = candRows.map(_.getLong(1)).distinct
+              val ipks = candRows.map(_.getLong(2)).toSet
+              val fetched = readSketchBatches(catalog, stateTable,
+                  catalog.listPartitions(stateTable, "batch_id")
+                    .filter(_ != batchKey),
+                  Some(ipks))
+                .map { f =>
+                  // the IN pushdown prunes row groups; past the cap
+                  // the literal list costs more than it prunes and
+                  // the directory pruning stands alone
+                  if (ids.length <= IsinCap)
+                    f.filter(col("id").isin(ids.toIndexedSeq: _*))
+                  else f
+                }
+                .getOrElse(state)
+              val sigs = newSk.unionByName(fetched.select(col("id"),
+                col("sh"), col("n"), col("sig"), col("sb")))
+              val spark = batch.sparkSession
+              import spark.implicits._
+              val pairsLocal = candRows
+                .map(r => (r.getLong(0), r.getLong(1))).toSeq
+                .toDF("doc_a", "doc_b")
+              MinHashLSH.verifySurvivors(pairsLocal, sigs, threshold,
+                  sb = Some(sigs.select(col("id"), col("sb"))))
+                .select(col("doc_a").cast("long"),
+                  col("doc_b").cast("long"))
+            }
+          }
+        (verified, fpForced) match {
+          case (null, null) => null
+          case (null, f) => f.distinct()
+          case (v, null) => v.distinct()
+          case (v, f) => v.unionByName(f).distinct()
         }
       }
     // 5. component resolution within the batch — the capped driver
@@ -959,9 +1002,13 @@ object CorpusStream {
         col("sb"))
       .withColumn("batch_id", lit(batchKey))
     if (nSigs >= pkSplitMinRows)
+      // sortWithinPartitions(id): tight per-row-group id min/max, so
+      // the cross-verify fetch's candidate-id IN filter skips row
+      // groups, not just directories
       catalog.writeSubPartitioned(
         skDf.withColumn("pk", emitPkCol(col("id")))
-          .repartition(col("pk")),
+          .repartition(col("pk"))
+          .sortWithinPartitions(col("id")),
         stateTable, "batch_id", batchKey, "pk")
     else
       catalog.writePartition(skDf, stateTable, "batch_id", batchKey)
@@ -1240,7 +1287,7 @@ object CorpusStream {
     * prune on the COMPUTED pk: pk is a pure function of id, so plain
     * files never store it and legacy states need no backfill pass.
     * None when no listed partition holds a matching row source. */
-  private def readSketchBatches(catalog: TableCatalog,
+  private[graft] def readSketchBatches(catalog: TableCatalog,
       stateTable: String, keys: Seq[String],
       pks: Option[Set[Long]]): Option[DataFrame] = {
     val withSubs = keys.map(b => b ->
