@@ -99,6 +99,35 @@ object LlmQueries {
           size(TextHash.tokens(col("text"))).cast("long"), 10000L)
         .orderBy(col("id"))),
 
+    // Deterministic WEIGHTED sampling (priority sampling,
+    // Duffield–Lund–Thorup): each doc draws priority w/u from a
+    // seeded md5 uniform and the top-k priorities win — longer docs
+    // proportionally more likely, yet exactly reproducible across
+    // engines (u is an integer hash; the one division is
+    // IEEE-deterministic, unlike ln-based A-ES keys). The weighted
+    // complement of a08's uniform seeded sample; top-k plans as
+    // TakeOrdered, never a full sort.
+    "ts12_weighted_sample" -> ((s, dir) => {
+      val u = conv(substring(
+          md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") + lit(1L)
+      t(s, dir, "documents")
+        .withColumn("__prio",
+          col("n_chars").cast("double") / u.cast("double"))
+        .orderBy(col("__prio").desc, col("doc_id").asc)
+        .limit(150)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-trained bigram fluency (the CCNet perplexity-proxy
+    // quality signal, self-trained — see text/LmScore.scala for the
+    // engine-exact numerics and the distributed LM-count topology).
+    "ts13_bigram_fluency" -> ((s, dir) =>
+      graft.text.LmScore.bigramFluency(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("id"))),
+
     // TF-IDF keyword extraction: top-3 distinctive terms per document,
     // integer-ordered (tf DESC, df ASC, term ASC) so the ranking is
     // engine-exact; (tf, df, n_docs) ride along for a float idf
@@ -811,6 +840,43 @@ object LlmQueries {
     "ts11_token_chunks" ->
       graft.text.Packing.tokenChunksSql("documents", "doc_id",
         "len(string_split(text, ' '))", 10000L),
+    // priority = n_chars / (hex(md5[0:8]) + 1): the hex fold builds
+    // the identical integer Spark's conv() derives, and the single
+    // double division is IEEE-deterministic — same top-150 both sides
+    "ts12_weighted_sample" -> {
+      val u = """(list_reduce(list_transform(
+          string_split_regex(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+            ''),
+          c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+                    ELSE ascii(c) - 87 END AS BIGINT)),
+          (a, b) -> a * 16 + b) + 1)"""
+      s"""SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+              CAST(n_chars AS DOUBLE) / CAST($u AS DOUBLE) AS prio
+            FROM documents ORDER BY prio DESC, doc_id LIMIT 150)
+          ORDER BY doc_id"""
+    },
+    "ts13_bigram_fluency" -> {
+      val toks = "string_split(text, ' ')"
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          b AS (SELECT doc_id,
+            ${TextAnalysis.bigramsSql("toks")} AS bgs FROM t),
+          i AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+          p AS (SELECT bg, COUNT(*) AS c12 FROM i GROUP BY bg),
+          cx AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1
+            FROM p GROUP BY 1),
+          m AS (SELECT p.bg,
+              CAST(FLOOR(1000000.0 * CAST(p.c12 AS DOUBLE)
+                / CAST(cx.c1 AS DOUBLE) + 0.5) AS BIGINT) AS p6
+            FROM p JOIN cx ON split_part(p.bg, ' ', 1) = cx.w1),
+          d AS (SELECT i.doc_id, SUM(m.p6) AS fl6, COUNT(*) AS nb
+            FROM i JOIN m USING (bg) GROUP BY i.doc_id)
+          SELECT t.doc_id AS id, CAST(COALESCE(d.nb, 0) AS INT)
+              AS n_bigrams,
+            CAST(d.fl6 AS DOUBLE) / 1000000.0 / CAST(d.nb AS DOUBLE)
+              AS fluency
+          FROM t LEFT JOIN d USING (doc_id) ORDER BY t.doc_id"""
+    },
     "ts08_pii_redact" -> {
       val synth = """substring(text, 1, 40) || ' contact user' ||
         CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.0.' ||

@@ -303,6 +303,35 @@ class TextSimSpec extends SparkSpec {
     assert(got == ref && got.values.toSet.size > 10)
   }
 
+  test("bigramFluency equals a naive single-node bigram LM on a tiny " +
+       "corpus, including the zero-bigram row") {
+    import graft.text.LmScore
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "cat sat on a mat"),
+      (4L, "zz")) // single token: no bigrams, null fluency
+      .toDF("doc_id", "text")
+    // naive model over every doc's adjacent word pairs
+    val corpus = docs.as[(Long, String)].collect()
+    val allBg = corpus.flatMap { case (_, t) =>
+      val w = t.split(" "); w.zip(w.drop(1)) }
+    val c12 = allBg.groupBy(identity).view.mapValues(_.length).toMap
+    val c1 = allBg.groupBy(_._1).view.mapValues(_.length).toMap
+    def p6(bg: (String, String)): Long =
+      math.floor(1000000.0 * c12(bg).toDouble /
+        c1(bg._1).toDouble + 0.5).toLong
+    val want = corpus.map { case (id, t) =>
+      val w = t.split(" "); val bgs = w.zip(w.drop(1))
+      if (bgs.isEmpty) (id, 0, None)
+      else (id, bgs.length, Some(
+        bgs.map(p6).sum.toDouble / 1000000.0 / bgs.length.toDouble))
+    }.toSet
+    val got = LmScore.bigramFluency(docs, "doc_id", "text")
+      .as[(Long, Int, Option[Double])].collect().toSet
+    assert(got == want)
+  }
+
   test("tfidfTopTerms ranks per-doc terms by (tf desc, df asc, term)") {
     val docs = Seq(
       (1L, "apple apple banana common common common"),
