@@ -32,7 +32,41 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType,
   * pair would be silently skipped. [[requireIntegralIds]] fails fast at
   * plan time instead.
   */
-private[sim] object SetVerify {
+private[graft] object SetVerify {
+
+  /** Linear merge-count of two SORTED arrays — the intersection size
+    * both the distributed kernel and the driver-side verify fast path
+    * ([[graft.streaming.CorpusStream]]) share, so the two paths
+    * cannot drift. */
+  private[graft] def sortedIntersect(x: Array[Long],
+                                     y: Array[Long]): Int = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  /** Bottom-k sampled-Jaccard counts over two PRESORTED bottom-k
+    * sketches: (intersection, taken) over the k smallest distinct
+    * union values — shared by the distributed [[samplePrune]] kernel
+    * and the driver-side fast path. */
+  private[graft] def bottomKInterTaken(x: Array[Long], y: Array[Long],
+                                       k: Int): (Int, Int) = {
+    var i = 0; var j = 0; var taken = 0; var inter = 0
+    while (taken < k && (i < x.length || j < y.length)) {
+      if (i < x.length && j < y.length && x(i) == y(j)) {
+        inter += 1; taken += 1; i += 1; j += 1
+      } else if (j >= y.length || (i < x.length && x(i) < y(j))) {
+        taken += 1; i += 1
+      } else {
+        taken += 1; j += 1
+      }
+    }
+    (inter, taken)
+  }
 
   /** The kernels join and memoize on `id` cast to long; any non-integral
     * id type (string, decimal, …) casts to null and would make the
@@ -79,12 +113,7 @@ private[sim] object SetVerify {
             s
           }
           val x = sortedOf(da, 2); val y = sortedOf(db, 3)
-          var i = 0; var j = 0; var inter = 0
-          while (i < x.length && j < y.length) {
-            if (x(i) == y(j)) { inter += 1; i += 1; j += 1 }
-            else if (x(i) < y(j)) i += 1
-            else j += 1
-          }
+          val inter = sortedIntersect(x, y)
           val union = x.length + y.length - inter
           val jacc = inter.toDouble / union
           if (jacc >= threshold)
@@ -144,17 +173,7 @@ private[sim] object SetVerify {
             s
           }
           val x = arrOf(da, 2); val y = arrOf(db, 3)
-          var i = 0; var j = 0; var taken = 0; var inter = 0
-          while (taken < k && (i < x.length || j < y.length)) {
-            if (i < x.length && j < y.length && x(i) == y(j)) {
-              inter += 1; taken += 1; i += 1; j += 1
-            } else if (j >= y.length ||
-                (i < x.length && x(i) < y(j))) {
-              taken += 1; i += 1
-            } else {
-              taken += 1; j += 1
-            }
-          }
+          val (inter, taken) = bottomKInterTaken(x, y, k)
           if (taken > 0 && inter.toDouble / taken >= floor)
             Iterator.single(org.apache.spark.sql.Row(da, db))
           else Iterator.empty

@@ -273,6 +273,18 @@ object CorpusStream {
     * prunes and the pk-directory pruning stands alone. */
   val IsinCap = 1 << 16
 
+  /** When a batch's cross-batch candidate set is this small — the
+    * common small-batch-on-big-state shape — the verify runs in the
+    * DRIVER: the candidate docs' (sh, sb) arrays are collected (one
+    * pruned read, bytes bounded by caps × corpus-gated doc size) and
+    * each pair runs the SAME scalar kernels the distributed cascade
+    * uses ([[graft.sim.SetVerify.sortedIntersect]] /
+    * `bottomKInterTaken` — shared code, so the paths cannot drift).
+    * This removes the distributed sample-prune + verify joins' worth
+    * of per-batch jobs where the data is metadata-scale anyway. */
+  val DriverVerifyIdCap = 64
+  val DriverVerifyPairCap = 256
+
   /** Capped connected components over a pair frame — the per-batch
     * component machinery shared by the internal near-dup graph and
     * the contracted cross-batch merge graph. Up to [[MergeGraphCap]]
@@ -827,6 +839,7 @@ object CorpusStream {
               null
             else {
               val ids = candRows.map(_.getLong(1)).distinct
+              val aIds = candRows.map(_.getLong(0)).distinct
               val ipks = candRows.map(_.getLong(2)).toSet
               val fetched = readSketchBatches(catalog, stateTable,
                   catalog.listPartitions(stateTable, "batch_id")
@@ -841,17 +854,68 @@ object CorpusStream {
                   else f
                 }
                 .getOrElse(state)
-              val sigs = newSk.unionByName(fetched.select(col("id"),
-                col("sh"), col("n"), col("sig"), col("sb")))
               val spark = batch.sparkSession
               import spark.implicits._
-              val pairsLocal = candRows
-                .map(r => (r.getLong(0), r.getLong(1))).toSeq
-                .toDF("doc_a", "doc_b")
-              MinHashLSH.verifySurvivors(pairsLocal, sigs, threshold,
-                  sb = Some(sigs.select(col("id"), col("sb"))))
-                .select(col("doc_a").cast("long"),
-                  col("doc_b").cast("long"))
+              if (candRows.length <= DriverVerifyPairCap &&
+                  ids.length <= DriverVerifyIdCap &&
+                  aIds.length <= DriverVerifyIdCap) {
+                // driver fast path (see [[DriverVerifyIdCap]]): two
+                // bounded array collects, then the shared scalar
+                // kernels decide each pair — no distributed
+                // prune/verify joins for a metadata-scale candidate
+                // set
+                def arrMap(df: DataFrame, sel: Seq[Long])
+                    : Map[Long, (Array[Long], Array[Long])] =
+                  df.filter(col("id").isin(sel.toIndexedSeq: _*))
+                    .select(col("id"), col("sh"), col("sb"))
+                    .collect()
+                    .flatMap { r =>
+                      if (r.isNullAt(1) || r.isNullAt(2)) None
+                      else Some(r.getLong(0) ->
+                        (r.getSeq[Long](1).toArray,
+                         r.getSeq[Long](2).toArray))
+                    }.toMap
+                val bArr = arrMap(fetched, ids.toSeq)
+                val aArr = arrMap(newSk, aIds.toSeq)
+                val floor = threshold - 0.05
+                val usePrune = threshold < MinHashLSH.SampleCutoff
+                val kept = candRows.iterator.flatMap { r =>
+                  val a = r.getLong(0); val b = r.getLong(1)
+                  (aArr.get(a), bArr.get(b)) match {
+                    case (Some((sha, sba)), Some((shb, sbb))) =>
+                      val pass = !usePrune || {
+                        val (inter, taken) = graft.sim.SetVerify
+                          .bottomKInterTaken(sba, sbb,
+                            MinHashLSH.BottomK)
+                        taken > 0 && inter.toDouble / taken >= floor
+                      }
+                      if (!pass) None
+                      else {
+                        val xs = sha.clone; java.util.Arrays.sort(xs)
+                        val ys = shb.clone; java.util.Arrays.sort(ys)
+                        val inter =
+                          graft.sim.SetVerify.sortedIntersect(xs, ys)
+                        val union = xs.length + ys.length - inter
+                        if (inter.toDouble / union >= threshold)
+                          Some((a, b))
+                        else None
+                      }
+                    case _ => None // an absent/null array never joins
+                  }
+                }.toSeq
+                if (kept.isEmpty) null
+                else kept.toDF("doc_a", "doc_b")
+              } else {
+                val sigs = newSk.unionByName(fetched.select(col("id"),
+                  col("sh"), col("n"), col("sig"), col("sb")))
+                val pairsLocal = candRows
+                  .map(r => (r.getLong(0), r.getLong(1))).toSeq
+                  .toDF("doc_a", "doc_b")
+                MinHashLSH.verifySurvivors(pairsLocal, sigs, threshold,
+                    sb = Some(sigs.select(col("id"), col("sb"))))
+                  .select(col("doc_a").cast("long"),
+                    col("doc_b").cast("long"))
+              }
             }
           }
         (verified, fpForced) match {
