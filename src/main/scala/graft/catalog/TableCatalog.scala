@@ -127,6 +127,23 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
       spark.read.parquet(tablePath(table) + "/_schema")
   }
 
+  /** [[read]] with a caller-supplied schema (see the schema-bearing
+    * [[readPaths]] overload for why): skips the footer-inference job
+    * and pins partition-column types (a directory set like `2`, `7`
+    * would otherwise infer as int one day and string the next). */
+  def read(table: String, schema: StructType): DataFrame = {
+    val hasData = listStatusOrEmpty(new Path(tablePath(table)))
+      .exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (hasData)
+      spark.read.schema(schema).option("basePath", tablePath(table))
+        .parquet(tablePath(table))
+    else
+      spark.read.schema(schema).parquet(tablePath(table) + "/_schema")
+  }
+
   /** Read an explicit subset of a table's partition directories,
     * partition columns recovered relative to the table root — the
     * pruned-LISTING companion to [[read]] for callers that enumerate
@@ -135,6 +152,20 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
     * the data). */
   def readPaths(table: String, paths: Seq[String]): DataFrame =
     spark.read.option("basePath", tablePath(table)).parquet(paths: _*)
+
+  /** [[readPaths]] with a caller-supplied schema. Every pruned
+    * per-batch read without a schema pays a footer-inference Spark job
+    * before the real scan — pure fixed cost on tables whose schema the
+    * caller statically knows (the incremental pipeline's state tables).
+    * The supplied schema is the FULL output schema: partition-directory
+    * columns are only recovered if present in it, and a declared column
+    * missing from a file reads as null (the mixed-layout escape hatch —
+    * e.g. `sb` on pre-bottom-k sketch partitions, healed by coalesce
+    * downstream). */
+  def readPaths(table: String, paths: Seq[String],
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).option("basePath", tablePath(table))
+      .parquet(paths: _*)
 
   /** Remove one partition directory — the cleanup half of a compaction
     * pass ([[graft.streaming.CorpusStream.compactState]]): the merged

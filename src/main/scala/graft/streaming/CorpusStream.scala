@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
+  StringType, StructType}
 
 import graft.catalog.TableCatalog
 import graft.ops.Dedup
@@ -89,6 +91,34 @@ object CorpusStream {
 
   private def pkCol: org.apache.spark.sql.Column =
     pmod(xxhash64(col("band_key")), lit(StatePartitions.toLong))
+
+  /** Static DATA schemas of the pipeline's own state tables, supplied
+    * to every pruned read so Spark skips the per-read footer-inference
+    * job — on a minutes-cadence stream that job is a fixed per-batch
+    * driver round-trip repeated for each of the fp/bands/emit/sketch
+    * reads (16 of dp03's ~158 jobs before this). Plain-layout
+    * partitions additionally store `pk` as a data column
+    * ([[PkSplitMinRows]]); pk-split partitions carry it as a
+    * directory, so the plain branches read [[withPk]] of these. A
+    * declared column missing from a legacy file (e.g. `sb` on
+    * pre-bottom-k sketches) reads as null and is healed downstream by
+    * coalesce — same contract as schema evolution. */
+  private[streaming] val FpDataSchema: StructType = new StructType()
+    .add("id", LongType).add("fp", StringType)
+  private[streaming] val EmitDataSchema: StructType = new StructType()
+    .add("id", LongType).add("eb", StringType)
+  private[streaming] val BandsDataSchema: StructType = new StructType()
+    .add("id", LongType).add("n", IntegerType)
+    .add("sig", ArrayType(LongType)).add("band_idx", IntegerType)
+    .add("band_key", StringType)
+  private[streaming] val SketchDataSchema: StructType = new StructType()
+    .add("id", LongType).add("fp", StringType)
+    .add("sh", ArrayType(LongType)).add("n", IntegerType)
+    .add("sig", ArrayType(LongType)).add("sb", ArrayType(LongType))
+  private[streaming] val LblSchema: StructType = new StructType()
+    .add("id", LongType).add("lbl", LongType).add("b", LongType)
+    .add("batch_id", StringType)
+  private def withPk(s: StructType): StructType = s.add("pk", LongType)
 
   private def bandsTableOf(stateTable: String): String =
     stateTable + "_bands"
@@ -349,7 +379,7 @@ object CorpusStream {
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id")).orderBy(col("b").desc)
-      catalog.read(lblTable)
+      catalog.read(lblTable, LblSchema)
         .filter(col("batch_id").cast("string") =!= batchKey)
         .select(col("id"), col("lbl"), col("b"))
         .withColumn("__rn", row_number().over(w))
@@ -509,12 +539,14 @@ object CorpusStream {
         val parts = Seq(
           if (split.nonEmpty)
             Some(catalog.readPaths(bandsTable,
-                split.map(catalog.partitionPath(bandsTable, "batch_id", _)))
+                split.map(catalog.partitionPath(bandsTable, "batch_id", _)),
+                BandsDataSchema)
               .select(cols: _*))
           else None,
           if (plain.nonEmpty)
             Some(catalog.readPaths(bandsTable,
-                plain.map(catalog.partitionPath(bandsTable, "batch_id", _)))
+                plain.map(catalog.partitionPath(bandsTable, "batch_id", _)),
+                withPk(BandsDataSchema))
               .select(cols: _*))
           else None).flatten
         if (parts.nonEmpty)
@@ -543,7 +575,7 @@ object CorpusStream {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("id")).orderBy(col("b").desc)
         catalog.writePartition(
-          catalog.read(lblTable)
+          catalog.read(lblTable, LblSchema)
             .filter(col("batch_id").isin(srcs: _*))
             .select(col("id"), col("lbl"), col("b"))
             .withColumn("__rn", row_number().over(w))
@@ -575,7 +607,8 @@ object CorpusStream {
         val parts = Seq(
           if (split.nonEmpty)
             Some(catalog.readPaths(emitTable,
-                split.map(catalog.partitionPath(emitTable, "batch_id", _)))
+                split.map(catalog.partitionPath(emitTable, "batch_id", _)),
+                EmitDataSchema)
               .select(cols: _*))
           else None,
           if (plain.nonEmpty) {
@@ -583,7 +616,8 @@ object CorpusStream {
               catalog.partitionHasDataFiles(emitTable, "batch_id", _))
             if (withData.isEmpty) None
             else Some(catalog.readPaths(emitTable,
-                withData.map(catalog.partitionPath(emitTable, "batch_id", _)))
+                withData.map(catalog.partitionPath(emitTable, "batch_id", _)),
+                withPk(EmitDataSchema))
               .select(cols: _*))
           } else None).flatten
         if (parts.nonEmpty)
@@ -631,7 +665,8 @@ object CorpusStream {
         val parts = Seq(
           if (split.nonEmpty)
             Some(catalog.readPaths(fpTable,
-                split.map(catalog.partitionPath(fpTable, "batch_id", _)))
+                split.map(catalog.partitionPath(fpTable, "batch_id", _)),
+                FpDataSchema)
               .select(cols: _*))
           else None,
           if (plain.nonEmpty) {
@@ -639,7 +674,8 @@ object CorpusStream {
               catalog.partitionHasDataFiles(fpTable, "batch_id", _))
             if (withData.isEmpty) None
             else Some(catalog.readPaths(fpTable,
-                withData.map(catalog.partitionPath(fpTable, "batch_id", _)))
+                withData.map(catalog.partitionPath(fpTable, "batch_id", _)),
+                withPk(FpDataSchema))
               .select(cols: _*))
           } else None).flatten
         if (parts.nonEmpty)
@@ -1226,7 +1262,7 @@ object CorpusStream {
       val pks = retr.select(emitPkCol(col("__r")).as("pk"))
         .distinct().collect().map(_.getLong(0)).toSet
       prunedStateRead(catalog, emitTable, batchKey, pks,
-          Seq(col("id"), col("eb"))) match {
+          Seq(col("id"), col("eb")), EmitDataSchema) match {
         case None => Seq.empty
         case Some(em) =>
           em.join(retr, col("id") === col("__r"), "left_semi")
@@ -1290,7 +1326,7 @@ object CorpusStream {
         .collect().map(_.getLong(0)).toSet
       prunedStateRead(catalog, bandsTable, batchKey, pks,
           Seq(col("id"), col("n"), col("sig"), col("band_idx"),
-            col("band_key")))
+            col("band_key")), BandsDataSchema)
         .getOrElse(newBands.limit(0))
     }
   }
@@ -1309,7 +1345,8 @@ object CorpusStream {
     * driver-side. None when nothing collides. */
   private def prunedStateRead(catalog: TableCatalog, table: String,
       batchKey: String, pks: Set[Long],
-      cols: Seq[org.apache.spark.sql.Column]): Option[DataFrame] = {
+      cols: Seq[org.apache.spark.sql.Column],
+      dataSchema: StructType): Option[DataFrame] = {
     val withSubs = catalog
       .listPartitions(table, "batch_id")
       .filter(_ != batchKey)
@@ -1326,10 +1363,11 @@ object CorpusStream {
       .map(catalog.partitionPath(table, "batch_id", _))
     val parts = Seq(
       if (splitDirs.nonEmpty)
-        Some(catalog.readPaths(table, splitDirs).select(cols: _*))
+        Some(catalog.readPaths(table, splitDirs, dataSchema)
+          .select(cols: _*))
       else None,
       if (plainDirs.nonEmpty)
-        Some(catalog.readPaths(table, plainDirs)
+        Some(catalog.readPaths(table, plainDirs, withPk(dataSchema))
           .filter(col("pk").isin(pks.toSeq: _*)).select(cols: _*))
       else None).flatten
     if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
@@ -1377,12 +1415,14 @@ object CorpusStream {
     }
     val splitFrame =
       if (splitDirs.isEmpty) None
-      else Some(normalize(catalog.readPaths(stateTable, splitDirs)))
+      else Some(normalize(catalog.readPaths(stateTable, splitDirs,
+        SketchDataSchema)))
     val plainFrame =
       if (plain.isEmpty) None
       else {
         val raw = catalog.readPaths(stateTable,
-          plain.map(catalog.partitionPath(stateTable, "batch_id", _)))
+          plain.map(catalog.partitionPath(stateTable, "batch_id", _)),
+          SketchDataSchema)
         Some(normalize(pks match {
           case Some(ps) =>
             raw.filter(emitPkCol(col("id")).isin(ps.toSeq: _*))
@@ -1432,7 +1472,8 @@ object CorpusStream {
       try {
         (skKeys -- fpKeys).foreach { b =>
           val rows = catalog.readPaths(stateTable,
-              Seq(catalog.partitionPath(stateTable, "batch_id", b)))
+              Seq(catalog.partitionPath(stateTable, "batch_id", b)),
+              FpDataSchema)
             .select(col("id"), col("fp"))
             .withColumn("pk", fpPkCol(col("fp")))
             .withColumn("batch_id", lit(b))
@@ -1454,7 +1495,8 @@ object CorpusStream {
       val pks = localDeduped.select(fpPkCol(fp).as("pk")).distinct()
         .collect().map(_.getLong(0)).toSet
       prunedStateRead(catalog, fpTable, batchKey, pks,
-          Seq(col("fp").as("__seen_fp"), col("id").as("__seen_id")))
+          Seq(col("fp").as("__seen_fp"), col("id").as("__seen_id")),
+          FpDataSchema)
         .orNull
     }
   }

@@ -23,15 +23,26 @@ object ProbeJobs {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobStart = new ConcurrentHashMap[Int, Long]()
+    val jobSite = new ConcurrentHashMap[Int, String]()
     @volatile var base = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobStart.put(js.jobId, js.time)
+        val props = Option(js.properties)
+          .map(p => Seq("spark.job.description", "callSite.short",
+              "spark.sql.execution.id")
+            .flatMap(k => Option(p.getProperty(k))).mkString(" | "))
+          .getOrElse("")
+        val stages = js.stageInfos.map(_.name.takeWhile(_ != '\n'))
+          .mkString(" ; ")
+        jobSite.put(js.jobId, s"$props  //$stages")
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val t0 = jobStart.getOrDefault(je.jobId, je.time)
         println(f"JOB ${je.jobId}%3d  [${(t0 - base) / 1000.0}%6.2f -> " +
           f"${(je.time - base) / 1000.0}%6.2f]  " +
-          f"${(je.time - t0) / 1000.0}%6.2f s")
+          f"${(je.time - t0) / 1000.0}%6.2f s  " +
+          jobSite.getOrDefault(je.jobId, ""))
       }
       override def onStageCompleted(
           sc: SparkListenerStageCompleted): Unit = {
