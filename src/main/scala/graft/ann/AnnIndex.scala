@@ -14,88 +14,164 @@ import graft.catalog.TableCatalog
   * [[Ann.ivfTopK]]) do.
   *
   * Layout under one logical index name:
-  *   `<index>`         1-row meta (kind, geometry, dim, fitted-over n).
-  *                     Written LAST, so a crash mid-build leaves no
-  *                     meta and readers see "no index" instead of a
-  *                     half-written artifact.
-  *   `<index>_assign`  per-vector rows (id, v, nrm, bucket|cell).
-  *                     IVF partitions by `cell` directly (numCells is
-  *                     a small constant, and a probe's cell equi-join
-  *                     prunes to the probed cells at the storage layer
-  *                     via dynamic partition pruning — nprobe/numCells
-  *                     of the corpus). LSH buckets number ~n/target —
-  *                     one directory per bucket would explode into
+  *   `<index>`         1-row meta (kind, geometry, dim, fitted-over n,
+  *                     indexed n). Written LAST, so a crash mid-build
+  *                     (or mid-append) leaves no meta and readers see
+  *                     "no index" instead of a half-written artifact.
+  *   `<index>_assign`  per-vector rows (id, v, nrm, bucket|cell), one
+  *                     `seg=` partition per build/append segment
+  *                     (round 13 — segments let [[appendLsh]] /
+  *                     [[appendIvf]] land new vectors without
+  *                     rewriting the corpus-sized table, and a
+  *                     replayed append overwrites its own segment
+  *                     idempotently). IVF sub-partitions each segment
+  *                     by `cell` (numCells is a small constant, and a
+  *                     probe's cell equi-join prunes to the probed
+  *                     cells at the storage layer — nprobe/numCells of
+  *                     the corpus). LSH buckets number ~n/target — one
+  *                     directory per bucket would explode into
   *                     corpus-many tiny files (measured 20 s to build
   *                     and probes SLOWER than the fit at sf0.1) — so
   *                     the LSH layout buckets by
-  *                     `pk = pmod(bucket, StatePartitions)`: bounded
+  *                     `pk = pmod(bucket, LshPkBuckets)`: bounded
   *                     directory count, and a point-lookup still reads
   *                     only its bucket's pk directory.
   *   `<index>_cent`    IVF only: (cell, pos, val) centroid components.
   *
   * Vectors and norms round-trip parquet exactly (doubles are stored
   * bit-for-bit), so a probe over the loaded index is bit-identical to
-  * the fit-inline operator over the same corpus — gated by
-  * ann07/ann08 against the ann06/ann05 oracles. */
+  * the fit-inline operator over the same corpus — gated by ann07/ann08
+  * against the ann06/ann05 oracles, and by ann09/ann10 for the
+  * build-half + append-half lifecycle against the same oracles.
+  *
+  * Lifecycle (round 13): the geometry is sized for the corpus the fit
+  * SAW (`fitted_n` — or an explicit planned `capacityRows`, the
+  * production sizing knob); appends grow `indexed_n` without refitting.
+  * Past [[MaxDriftFactor]] × fitted_n the geometry is undersized —
+  * overfull LSH buckets, overloaded IVF cells, degraded neighbor
+  * quality — so both the append and the probes fail loudly naming the
+  * rebuild instead of silently serving from a stale fit
+  * (`allowStale = true` is the explicit operator override). */
 object AnnIndex {
-
-  /** Build + persist the LSH bucket index: fits the plane count to the
-    * corpus ([[Ann.autoPlanes]]), buckets every vector, writes the
-    * assignment table partitioned by bucket, then the meta row.
-    * Returns the fitted plane count. */
-  def buildLsh(catalog: TableCatalog, data: DataFrame, idCol: String,
-               vecCol: String, indexTable: String,
-               targetBucketRows: Int = 1024): Int = {
-    val n = data.count()
-    val planes = Ann.autoPlanes(n, targetBucketRows)
-    val d = data.select(col(idCol).as("id"),
-        Ann.checkedVec(Ann.toDouble(col(vecCol))).as("v"))
-      .withColumn("nrm", sqrt(Ann.dotUnrolled(col("v"), col("v"))))
-      .withColumn("bucket", Ann.bucket(col("v"), planes))
-      .withColumn("pk", pmod(col("bucket"), lit(LshPkBuckets)))
-    catalog.writePartitioned(d.repartition(col("pk")),
-      indexTable + "_assign", "pk")
-    writeMeta(catalog, indexTable, "lsh", planes, n)
-    planes
-  }
 
   /** Directory-count bound for the LSH assignment layout (the
     * [[graft.streaming.CorpusStream.StatePartitions]] rationale). */
   val LshPkBuckets = 64L
 
+  /** Staleness bound: once `indexed_n` exceeds this factor of
+    * `fitted_n`, appends and probes fail loudly (refit required).
+    * One doubling is where [[Ann.autoPlanes]] would have added a
+    * plane and k-means-per-cell load doubles — past it the fit is
+    * demonstrably for a different corpus. */
+  val MaxDriftFactor = 2.0
+
+  private def assignTableOf(indexTable: String) = indexTable + "_assign"
+
+  /** Build + persist the LSH bucket index: fits the plane count to the
+    * corpus ([[Ann.autoPlanes]]) — or to `capacityRows`, the planned
+    * corpus size, when the caller will [[appendLsh]] the rest later —
+    * buckets every vector, writes the assignment segment, then the
+    * meta row. Returns the fitted plane count. */
+  def buildLsh(catalog: TableCatalog, data: DataFrame, idCol: String,
+               vecCol: String, indexTable: String,
+               targetBucketRows: Int = 1024,
+               capacityRows: Option[Long] = None): Int = {
+    val n = data.count()
+    val fitN = capacityRows.getOrElse(n)
+    require(fitN >= n,
+      s"AnnIndex: capacityRows=$fitN is smaller than the build corpus " +
+        s"($n rows) — the planned capacity must cover the initial load")
+    val planes = Ann.autoPlanes(fitN, targetBucketRows)
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      writeSeg(catalog, indexTable,
+        assignLsh(data, idCol, vecCol, planes), "0", "pk")
+      dropOtherSegs(catalog, indexTable, keep = "0") // rebuild hygiene
+      writeMeta(catalog, indexTable, "lsh", planes, fitN, n)
+    }
+    planes
+  }
+
   /** Build + persist the IVF index: trains the coarse quantizer
     * ([[Ann.kmeansCentroids]], `trainIters` deterministic Lloyd
-    * rounds), assigns every vector to its nearest cell, writes the
-    * centroid table and the cell-partitioned assignment table, then
-    * the meta row. */
+    * rounds) on `trainData` (default: the build corpus — pass the
+    * full/historical corpus when bulk-loading a slice now and
+    * appending the rest later), assigns every vector to its nearest
+    * cell, writes the centroid table and the cell-partitioned
+    * assignment segment, then the meta row. */
   def buildIvf(catalog: TableCatalog, data: DataFrame, idCol: String,
                vecCol: String, indexTable: String, numCells: Int = 16,
-               trainIters: Int = 0): Unit = {
+               trainIters: Int = 0,
+               trainData: Option[DataFrame] = None): Unit = {
     val spark = data.sparkSession
     import spark.implicits._
-    val d = Ann.withNorms(data, idCol, vecCol)
-    val cents = Ann.kmeansCentroids(d, numCells, trainIters)
+    val trainD = trainData
+      .map(td => Ann.withNorms(td, idCol, vecCol))
+      .getOrElse(Ann.withNorms(data, idCol, vecCol))
+    val cents = Ann.kmeansCentroids(trainD, numCells, trainIters)
+    val fitN = trainData.map(_.count()).getOrElse(data.count())
     val centRows = cents.zipWithIndex.flatMap { case ((v, _), c) =>
       v.zipWithIndex.map { case (x, p) => (c, p, x) }
     }.toSeq
-    catalog.writeFull(centRows.toDF("cell", "pos", "val"),
-      indexTable + "_cent")
-    val assigned = d.withColumn("cell",
-      array_max(Ann.centroidScores(cents, col("v"), col("nrm")))
-        .getField("cell"))
-    catalog.writePartitioned(assigned, indexTable + "_assign", "cell")
-    writeMeta(catalog, indexTable, "ivf", numCells, data.count())
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      catalog.writeFull(centRows.toDF("cell", "pos", "val"),
+        indexTable + "_cent")
+      writeSeg(catalog, indexTable,
+        assignIvf(data, idCol, vecCol, cents), "0", "cell")
+      dropOtherSegs(catalog, indexTable, keep = "0")
+      writeMeta(catalog, indexTable, "ivf", numCells, fitN, data.count())
+    }
+  }
+
+  /** Append new vectors to a persisted LSH index under its FROZEN
+    * geometry — no recount, no re-bucketing of stored vectors, one new
+    * assignment segment. Runs under the assignment table's writer
+    * lock; `segKey` (default: next numeric segment) makes a replaying
+    * caller overwrite its own segment instead of duplicating.
+    * `indexed_n` is recounted from the table after the write, so the
+    * meta stays exact under replay; past [[MaxDriftFactor]] the append
+    * fails loudly (the fit no longer covers the corpus) unless
+    * `allowStale` overrides. */
+  def appendLsh(catalog: TableCatalog, data: DataFrame, idCol: String,
+                vecCol: String, indexTable: String,
+                segKey: Option[String] = None,
+                allowStale: Boolean = false): Unit = {
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      val m = readMeta(catalog, indexTable, "lsh")
+      appendSeg(catalog, indexTable, m,
+        assignLsh(data, idCol, vecCol, m.geometry), data.count(),
+        segKey, "pk", allowStale)
+    }
+  }
+
+  /** Append new vectors to a persisted IVF index under its FROZEN
+    * quantizer: the trained centroids are LOADED from the `_cent`
+    * table (never re-derived — the whole point of persisting the fit)
+    * and the new vectors join the cell layout as one new segment.
+    * Same lock / replay / drift contract as [[appendLsh]]. */
+  def appendIvf(catalog: TableCatalog, data: DataFrame, idCol: String,
+                vecCol: String, indexTable: String,
+                segKey: Option[String] = None,
+                allowStale: Boolean = false): Unit = {
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      val m = readMeta(catalog, indexTable, "ivf")
+      val cents = readCentroids(catalog, indexTable)
+      appendSeg(catalog, indexTable, m,
+        assignIvf(data, idCol, vecCol, cents), data.count(),
+        segKey, "cell", allowStale)
+    }
   }
 
   /** Within-bucket top-1 neighbors from a persisted LSH index — the
     * [[Ann.lshBucketNeighborsAuto]] result without the count, the
     * norm pass, or the planes×dim bucketing dots: everything comes
-    * off the assignment table. */
-  def lshNeighborsFromIndex(catalog: TableCatalog,
-                            indexTable: String): DataFrame = {
-    requireKind(catalog, indexTable, "lsh")
+    * off the assignment table. Fails on a stale index (corpus grown
+    * past [[MaxDriftFactor]] × the fitted size) unless `allowStale`. */
+  def lshNeighborsFromIndex(catalog: TableCatalog, indexTable: String,
+                            allowStale: Boolean = false): DataFrame = {
+    val m = readMeta(catalog, indexTable, "lsh")
+    requireFresh(m, indexTable, allowStale)
     Ann.bucketNeighborsFrom(
-      graft.core.Fence(catalog.read(indexTable + "_assign")
+      graft.core.Fence(catalog.read(assignTableOf(indexTable))
         .select(col("id"), col("v"), col("nrm"), col("bucket"))),
       Ann.NearDupHotCap, Ann.NearDupHotSalts)
   }
@@ -105,17 +181,87 @@ object AnnIndex {
     * probe loads the trained centroids (a numCells×dim driver
     * constant, same bound as the broadcast the fit-inline form
     * already pays) and equi-joins the probed cells against the
-    * cell-partitioned assignment table. */
+    * cell-partitioned assignment table. Same staleness contract as
+    * [[lshNeighborsFromIndex]]. */
   def ivfTopKFromIndex(catalog: TableCatalog, indexTable: String,
                        queries: DataFrame, idCol: String, vecCol: String,
-                       k: Int, nprobe: Int = 2): DataFrame = {
-    requireKind(catalog, indexTable, "ivf")
+                       k: Int, nprobe: Int = 2,
+                       allowStale: Boolean = false): DataFrame = {
+    val m = readMeta(catalog, indexTable, "ivf")
+    requireFresh(m, indexTable, allowStale)
+    val cents = readCentroids(catalog, indexTable)
+    val assigned = catalog.read(assignTableOf(indexTable))
+      .select(col("id"), col("v"), col("nrm"),
+        col("cell").cast("int").as("cell"))
+    Ann.ivfProbe(assigned, cents, queries, idCol, vecCol, k, nprobe)
+  }
+
+  // ---- internals ------------------------------------------------------
+
+  private def assignLsh(data: DataFrame, idCol: String, vecCol: String,
+                        planes: Int): DataFrame =
+    data.select(col(idCol).as("id"),
+        Ann.checkedVec(Ann.toDouble(col(vecCol))).as("v"))
+      .withColumn("nrm", sqrt(Ann.dotUnrolled(col("v"), col("v"))))
+      .withColumn("bucket", Ann.bucket(col("v"), planes))
+      .withColumn("pk", pmod(col("bucket"), lit(LshPkBuckets)))
+
+  private def assignIvf(data: DataFrame, idCol: String, vecCol: String,
+                        cents: Array[(Seq[Double], Double)]): DataFrame =
+    Ann.withNorms(data, idCol, vecCol)
+      .withColumn("cell",
+        array_max(Ann.centroidScores(cents, col("v"), col("nrm")))
+          .getField("cell"))
+
+  /** One assignment segment: overwrites exactly `_assign/seg=<key>`
+    * (other segments untouched), sub-laid-out by pk (LSH) or cell
+    * (IVF). `repartition(subField)` first so each sub-directory gets
+    * ~one file instead of one per shuffle task. */
+  private def writeSeg(catalog: TableCatalog, indexTable: String,
+                       assigned: DataFrame, segKey: String,
+                       subField: String): Unit =
+    catalog.writeSubPartitioned(
+      assigned.withColumn("seg", lit(segKey))
+        .repartition(col(subField)),
+      assignTableOf(indexTable), "seg", segKey, subField)
+
+  private def appendSeg(catalog: TableCatalog, indexTable: String,
+                        m: Meta, assigned: DataFrame, incoming: Long,
+                        segKey: Option[String], subField: String,
+                        allowStale: Boolean): Unit = {
+    val assignTable = assignTableOf(indexTable)
+    val key = segKey.getOrElse {
+      val next = catalog.listPartitions(assignTable, "seg")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .foldLeft(0L)(math.max) + 1
+      next.toString
+    }
+    // post-append total, exact under replay: rows outside this segment
+    // plus the incoming batch (a replayed segKey overwrites itself).
+    // Checked BEFORE the write — a refused append must not leave
+    // orphan segment rows that probes (which read the whole table,
+    // not the meta's count) would silently serve.
+    val indexed = catalog.read(assignTable)
+      .filter(col("seg").cast("string") =!= key).count() + incoming
+    requireFresh(m.copy(indexedN = indexed), indexTable, allowStale)
+    writeSeg(catalog, indexTable, assigned, key, subField)
+    writeMeta(catalog, indexTable, m.kind, m.geometry, m.fittedN, indexed)
+  }
+
+  private def dropOtherSegs(catalog: TableCatalog, indexTable: String,
+                            keep: String): Unit =
+    catalog.listPartitions(assignTableOf(indexTable), "seg")
+      .filter(_ != keep)
+      .foreach(catalog.deletePartition(assignTableOf(indexTable), "seg", _))
+
+  private def readCentroids(catalog: TableCatalog,
+      indexTable: String): Array[(Seq[Double], Double)] = {
     def normOf(v: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       math.sqrt(s)
     }
-    val cents = catalog.read(indexTable + "_cent")
+    catalog.read(indexTable + "_cent")
       .orderBy(col("cell"), col("pos")).collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
@@ -123,24 +269,24 @@ object AnnIndex {
           .map(_.getDouble(2)).toSeq
         (v, normOf(v))
       }.toArray
-    val assigned = catalog.read(indexTable + "_assign")
-      .select(col("id"), col("v"), col("nrm"),
-        col("cell").cast("int").as("cell"))
-    Ann.ivfProbe(assigned, cents, queries, idCol, vecCol, k, nprobe)
   }
 
+  private case class Meta(kind: String, geometry: Int, dim: Int,
+                          fittedN: Long, indexedN: Long)
+
   private def writeMeta(catalog: TableCatalog, indexTable: String,
-                        kind: String, geometry: Int, n: Long): Unit = {
+                        kind: String, geometry: Int, fittedN: Long,
+                        indexedN: Long): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     catalog.writeFull(
-      Seq((kind, geometry, Ann.Dim, n)).toDF("kind", "geometry", "dim",
-        "fitted_n"),
+      Seq((kind, geometry, Ann.Dim, fittedN, indexedN))
+        .toDF("kind", "geometry", "dim", "fitted_n", "indexed_n"),
       indexTable)
   }
 
-  private def requireKind(catalog: TableCatalog, indexTable: String,
-                          kind: String): Unit = {
+  private def readMeta(catalog: TableCatalog, indexTable: String,
+                       kind: String): Meta = {
     require(catalog.tableExists(indexTable),
       s"AnnIndex: no index meta at '$indexTable' — build it first " +
         "(a missing meta also covers a build that crashed mid-write)")
@@ -148,5 +294,25 @@ object AnnIndex {
     val k = row.getString(row.fieldIndex("kind"))
     require(k == kind,
       s"AnnIndex: '$indexTable' is a '$k' index, expected '$kind'")
+    val fitted = row.getLong(row.fieldIndex("fitted_n"))
+    // a pre-round-13 meta has no indexed_n: the table was never
+    // appended to, so indexed == fitted
+    val indexed =
+      if (row.schema.fieldNames.contains("indexed_n"))
+        row.getLong(row.fieldIndex("indexed_n"))
+      else fitted
+    Meta(k, row.getInt(row.fieldIndex("geometry")),
+      row.getInt(row.fieldIndex("dim")), fitted, indexed)
   }
+
+  private def requireFresh(m: Meta, indexTable: String,
+                           allowStale: Boolean): Unit =
+    require(allowStale ||
+        m.indexedN.toDouble <= MaxDriftFactor * m.fittedN.toDouble,
+      s"AnnIndex: '$indexTable' holds ${m.indexedN} vectors but its " +
+        s"${m.kind} geometry was fitted for ${m.fittedN} " +
+        f"(drift ${m.indexedN.toDouble / m.fittedN}%.2fx > " +
+        f"$MaxDriftFactor%.1fx) — rebuild with AnnIndex.build" +
+        s"${if (m.kind == "lsh") "Lsh" else "Ivf"} (or pass " +
+        "allowStale = true to serve from the stale fit anyway)")
 }

@@ -351,10 +351,23 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
     val token = owner + ":" + java.util.UUID.randomUUID().toString
     def verifiedHold(settleMs: Long = 0L): Boolean = {
       if (settleMs > 0) Thread.sleep(settleMs)
-      (try readMarker(table, LockName) catch {
+      val held = (try readMarker(table, LockName) catch {
         case _: java.io.IOException => None // torn/unreadable: not ours
-      }).contains(token) && {
-        heldTokens.put(table, token); true
+      }).contains(token)
+      if (held) { heldTokens.put(table, token); true }
+      else {
+        // A transiently-failed fencing read after OUR successful create
+        // would otherwise orphan the lock: the file carries this call's
+        // token but no holder or heartbeat, blocking every writer for a
+        // full lease. Best-effort: retry the read, and if the lock still
+        // carries our token, delete it before giving up. Both the retry
+        // read and the delete may themselves fail (same outage) — then
+        // the lease ages the orphan out, the documented worst case.
+        try {
+          if (readMarker(table, LockName).contains(token))
+            fs.delete(p, false)
+        } catch { case _: java.io.IOException => () }
+        false
       }
     }
     if (createWith(p, token)) verifiedHold()
@@ -431,6 +444,24 @@ class TableCatalog(spark: SparkSession, warehouse: String) {
       throw new java.util.ConcurrentModificationException(
         s"table '$table' is locked by another writer " +
           s"(${lockPath(table)}; lease ${leaseMs} ms)")
+    runHeldSection(table, leaseMs)(f)
+  }
+
+  /** [[withTableLock]]'s skip-instead-of-throw form: None when another
+    * writer holds the lock (the caller defers — a periodic compaction,
+    * a backfill a later batch can retry), Some(result) when the
+    * section ran. The section gets the SAME leaseMs/3 heartbeat and
+    * lost-lock check as [[withTableLock]] — a bare
+    * [[tryAcquireTableLock]] around a multi-write section would lose
+    * its lease mid-write if the section overran 15 minutes, the exact
+    * window the heartbeat exists to close. */
+  def withTableLockIfFree[T](table: String, owner: String = "graft",
+      leaseMs: Long = DefaultLeaseMs)(f: => T): Option[T] =
+    if (!tryAcquireTableLock(table, owner, leaseMs)) None
+    else Some(runHeldSection(table, leaseMs)(f))
+
+  private def runHeldSection[T](table: String, leaseMs: Long)
+      (f: => T): T = {
     val token = heldTokens.get(table)
     val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val stop = new java.util.concurrent.CountDownLatch(1)

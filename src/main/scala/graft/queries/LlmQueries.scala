@@ -490,6 +490,49 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Index LIFECYCLE (round 13): bulk-load HALF the corpus, APPEND
+    // the other half under the frozen fit, probe — must be
+    // bit-identical to the full build (and so to the fit-inline
+    // oracle). For LSH the geometry is sized to the PLANNED capacity
+    // (the production sizing knob: autoPlanes over the corpus you
+    // intend to ingest, not the slice you load first), so bucketing —
+    // a pure function of (vector, planes) — is identical however the
+    // vectors arrive. For IVF the quantizer trains once on the full
+    // corpus and appended vectors are assigned under the PERSISTED
+    // centroids loaded back from the `_cent` table — bit-equality
+    // proves the parquet round-trip and the frozen-fit assignment,
+    // the two things a serving append must not drift on.
+    "ann09_lsh_append" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann09_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      val (first, rest) = (e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      AnnIndex.buildLsh(cat, first, "vec_id", "embedding", "ann_idx",
+        targetBucketRows = 1, capacityRows = Some(e.count()))
+      AnnIndex.appendLsh(cat, rest, "vec_id", "embedding", "ann_idx")
+      AnnIndex.lshNeighborsFromIndex(cat, "ann_idx")
+        .orderBy(col("vec_id"))
+    }),
+
+    "ann10_ivf_append" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann10_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      val (first, rest) = (e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      AnnIndex.buildIvf(cat, first, "vec_id", "embedding", "ann_ivf",
+        numCells = 16, trainIters = 2, trainData = Some(e))
+      AnnIndex.appendIvf(cat, rest, "vec_id", "embedding", "ann_ivf")
+      AnnIndex.ivfTopKFromIndex(cat, "ann_ivf",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "ann04_centroids" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"),
@@ -1346,5 +1389,9 @@ object LlmQueries {
     * per-query fit cost. */
   val oracle: Map[String, String] = oracleBase ++ Map(
     "ann07_index_probe" -> oracleBase("ann06_lsh_auto"),
-    "ann08_ivf_index" -> oracleBase("ann05_ivf_kmeans"))
+    "ann08_ivf_index" -> oracleBase("ann05_ivf_kmeans"),
+    // the lifecycle gates (build half + append half) must be
+    // bit-identical to the full build, hence to the same oracles
+    "ann09_lsh_append" -> oracleBase("ann06_lsh_auto"),
+    "ann10_ivf_append" -> oracleBase("ann05_ivf_kmeans"))
 }

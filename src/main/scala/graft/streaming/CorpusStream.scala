@@ -198,6 +198,26 @@ object CorpusStream {
   private def rangesContain(rs: Seq[(Long, Long)], v: Long): Boolean =
     rs.exists { case (lo, hi) => v >= lo && v <= hi }
 
+  /** The `_covered_keys` marker's on-disk form: the range-set plus a
+    * trailing `;` terminator. A torn write (the marker overwrite is
+    * not atomic on every store) truncates to a strict PREFIX of the
+    * intended bytes — and a prefix of a valid range-set can itself be
+    * valid-but-wrong (`100-120` torn to `10` claims coverage for a key
+    * that was never folded, and a wrongly-covered pre-index output
+    * partition would let a retraction skip the fallback scan). The
+    * terminator is the LAST byte, so no strict prefix carries it:
+    * [[decodeCoveredKeys]] treats a terminator-less marker — torn, or
+    * written by pre-round-13 code — as ABSENT, degrading to the safe
+    * full-scan fallback (and, at the next fold, to re-recording the
+    * still-listable keys). */
+  private[graft] def encodeCoveredKeys(keys: Seq[(Long, Long)]): String =
+    encodeRanges(keys) + ";"
+
+  private[graft] def decodeCoveredKeys(s: String): Option[Seq[(Long, Long)]] = {
+    val t = s.trim
+    if (!t.endsWith(";")) None else Some(parseRanges(t.dropRight(1)))
+  }
+
   private[graft] def emitPkCol(id: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     pmod(xxhash64(id), lit(StatePartitions.toLong))
@@ -270,7 +290,11 @@ object CorpusStream {
       .map(k => epochTableName(outTable, k))
       .filter(catalog.tableExists)
       .map(catalog.read)
-    frames.reduce(_ unionByName _)
+    // no epoch table exists yet (fresh warehouse, stream never ran):
+    // defer to catalog.read's empty-table behavior (the `_schema`
+    // anchor) instead of reduce-ing an empty sequence
+    frames.reduceOption(_ unionByName _)
+      .getOrElse(catalog.read(outTable))
   }
 
   /** Fingerprint-index state (round 12 — closes the per-batch linear
@@ -470,11 +494,13 @@ object CorpusStream {
     * StreamingSpec throws from it to simulate the crash windows. */
   def compactState(catalog: TableCatalog, stateTable: String,
                    excludeBatchKey: String,
-                   failpoint: String => Unit = _ => ()): Boolean = {
-    if (!catalog.tryAcquireTableLock(stateTable)) return false
-    try compactStateLocked(catalog, stateTable, excludeBatchKey, failpoint)
-    finally catalog.releaseTableLock(stateTable)
-  }
+                   failpoint: String => Unit = _ => ()): Boolean =
+    // heartbeated hold (round 13): a compaction over a huge state can
+    // outlive the 15-min lease; the bare acquire would let a waiter
+    // break the lock mid-rewrite
+    catalog.withTableLockIfFree(stateTable) {
+      compactStateLocked(catalog, stateTable, excludeBatchKey, failpoint)
+    }.getOrElse(false)
 
   private def compactStateLocked(catalog: TableCatalog, stateTable: String,
                                  excludeBatchKey: String,
@@ -641,10 +667,14 @@ object CorpusStream {
       val folded = srcs.filter(k =>
         scala.util.Try(k.toLong).isSuccess).map(_.toLong)
       if (folded.nonEmpty) {
+        // a torn/legacy prior marker decodes to absent: its keys are
+        // re-recorded here only if their directories still exist (they
+        // do — this fold is what deletes them); already-deleted ones
+        // stay safely uncovered until the fallback scan ages them out
         val prior = catalog.readMarker(emitTable, CoveredKeysMarker)
-          .map(parseRanges).getOrElse(Seq.empty)
+          .flatMap(decodeCoveredKeys).getOrElse(Seq.empty)
         catalog.writeMarker(emitTable, CoveredKeysMarker,
-          encodeRanges(prior ++ folded.map(k => (k, k))))
+          encodeCoveredKeys(prior ++ folded.map(k => (k, k))))
       }
       srcs.foreach(catalog.deletePartition(emitTable, "batch_id", _))
       moved = true
@@ -1111,7 +1141,15 @@ object CorpusStream {
           .sortWithinPartitions(col("id")),
         stateTable, "batch_id", batchKey, "pk")
     else
-      catalog.writePartition(skDf, stateTable, "batch_id", batchKey)
+      // ONE sorted file, like the other plain-layout tables (round 13:
+      // skDf comes off a shuffle join, so the unfused write left ~32
+      // hash-scattered files whose row-group id spans covered the whole
+      // partition — the residual per-state term ProbeSketch measured;
+      // one file sorted by id costs one open and prunes by row-group
+      // min/max under the candidate IN filter)
+      catalog.writePartition(
+        skDf.coalesce(1).sortWithinPartitions(col("id")),
+        stateTable, "batch_id", batchKey)
     val bandsDf = newBands.withColumn("pk", pkCol)
       .withColumn("batch_id", lit(batchKey))
     if (nSigs * geom.bands >= pkSplitMinRows)
@@ -1249,7 +1287,7 @@ object CorpusStream {
       if (!catalog.tableExists(emitTable)) Set.empty
       else catalog.listPartitions(emitTable, "batch_id").toSet - batchKey
     val foldedKeys = catalog.readMarker(emitTable, CoveredKeysMarker)
-      .map(parseRanges).getOrElse(Seq.empty)
+      .flatMap(decodeCoveredKeys).getOrElse(Seq.empty)
     val coveredFrom = catalog.readMarker(emitTable, CoveredFromMarker)
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
     val baseCovered = baseKeys.forall(k =>
@@ -1468,8 +1506,13 @@ object CorpusStream {
       if (!catalog.tableExists(fpTable)) Set.empty[String]
       else catalog.listPartitions(fpTable, "batch_id").toSet - batchKey
     var covered = skKeys.subsetOf(fpKeys)
-    if (!covered && catalog.tryAcquireTableLock(stateTable)) {
-      try {
+    if (!covered) {
+      // heartbeated hold (round 13): a backfill over a 10^10-doc
+      // pre-index state is one column-pruned pass per missing batch
+      // and can outlive the 15-min lease — a bare acquire would let a
+      // waiter break the lock mid-write. Lock held elsewhere: fall
+      // back to the full fp scan; the next batch retries.
+      covered = catalog.withTableLockIfFree(stateTable) {
         (skKeys -- fpKeys).foreach { b =>
           val rows = catalog.readPaths(stateTable,
               Seq(catalog.partitionPath(stateTable, "batch_id", b)),
@@ -1486,8 +1529,7 @@ object CorpusStream {
             catalog.writePartition(rows.coalesce(1), fpTable,
               "batch_id", b)
         }
-        covered = true
-      } finally catalog.releaseTableLock(stateTable)
+      }.isDefined
     }
     if (!covered)
       state.select(col("fp").as("__seen_fp"), col("id").as("__seen_id"))

@@ -235,6 +235,74 @@ class AnnMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ANN index lifecycle: build-half + append-half equals the full " +
+       "build bit for bit, a replayed append is idempotent, and " +
+       "staleness past the drift bound fails loudly") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val first = vecs.filter($"vec_id" % 2 === 0)
+    val rest = vecs.filter($"vec_id" % 2 === 1)
+    val wh = java.nio.file.Files.createTempDirectory("annlc_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"vec_id")
+        .select($"vec_id".cast("long"), $"bucket".cast("long"),
+          $"neighbor".cast("long"), $"cos")
+        .collect().toSeq
+    // LSH: geometry sized to the planned capacity, append under it
+    AnnIndex.buildLsh(cat, first, "vec_id", "embedding", "lc",
+      targetBucketRows = 1, capacityRows = Some(40L))
+    AnnIndex.appendLsh(cat, rest, "vec_id", "embedding", "lc")
+    val once = canon(AnnIndex.lshNeighborsFromIndex(cat, "lc"))
+    assert(once ==
+      canon(Ann.lshBucketNeighborsAuto(vecs, "vec_id", "embedding", 1)))
+    // replayed append (same segKey) overwrites its own segment
+    AnnIndex.appendLsh(cat, rest, "vec_id", "embedding", "lc",
+      segKey = Some("1"))
+    assert(canon(AnnIndex.lshNeighborsFromIndex(cat, "lc")) == once)
+    // IVF: quantizer trained once on the full corpus, appended vectors
+    // assigned under the PERSISTED centroids
+    AnnIndex.buildIvf(cat, first, "vec_id", "embedding", "lcivf",
+      numCells = 4, trainIters = 2, trainData = Some(vecs))
+    AnnIndex.appendIvf(cat, rest, "vec_id", "embedding", "lcivf")
+    val q = vecs.filter($"vec_id" < 3)
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"cos").collect().toSeq
+    assert(canon2(AnnIndex.ivfTopKFromIndex(cat, "lcivf", q, "vec_id",
+        "embedding", 5)) ==
+      canon2(Ann.ivfTopK(vecs, q, "vec_id", "embedding", 5,
+        numCells = 4, trainIters = 2)))
+    // staleness: a capacity-10 index holds 10 appended past the bound
+    // (10 -> 30 > 2x) only under allowStale; then both probes refuse
+    // without it and serve with it
+    val small = vecs.filter($"vec_id" < 10)
+    AnnIndex.buildLsh(cat, small, "vec_id", "embedding", "st",
+      targetBucketRows = 1)
+    val more = vecs.filter($"vec_id" >= 10)
+    val exAppend = intercept[IllegalArgumentException] {
+      AnnIndex.appendLsh(cat, more, "vec_id", "embedding", "st")
+    }
+    assert(exAppend.getMessage.contains("rebuild with AnnIndex.buildLsh"))
+    // the refused append left no orphan rows: the index still serves
+    assert(canon(AnnIndex.lshNeighborsFromIndex(cat, "st")) ==
+      canon(Ann.lshBucketNeighborsAuto(small, "vec_id", "embedding", 1)))
+    AnnIndex.appendLsh(cat, more, "vec_id", "embedding", "st",
+      allowStale = true)
+    val exProbe = intercept[IllegalArgumentException] {
+      AnnIndex.lshNeighborsFromIndex(cat, "st")
+    }
+    assert(exProbe.getMessage.contains("drift"))
+    // the stale geometry still buckets correctly (pure function of v):
+    // the override serves the full corpus
+    assert(AnnIndex.lshNeighborsFromIndex(cat, "st", allowStale = true)
+      .count() == 40)
+  }
+
   test("kmeansCentroids: a cell that loses all members keeps its " +
        "previous centroid") {
     // two identical vectors seed both cells; assignment ties to the

@@ -400,6 +400,32 @@ class CatalogIoSpec extends SparkSpec {
     new TableCatalog(spark, wh).releaseTableLock("t") // admin cleanup
   }
 
+  test("withTableLockIfFree: skips (None) under a foreign lock, and a " +
+       "section LONGER than the lease keeps its heartbeated hold") {
+    val wh = tmp("catlock_iffree_")
+    val a = new TableCatalog(spark, wh)
+    val b = new TableCatalog(spark, wh)
+    a.writePartition(Seq(("a", 1)).toDF("d", "v"), "t", "d", "a")
+    // foreign holder: the if-free form defers instead of throwing
+    assert(a.tryAcquireTableLock("t", owner = "holder"))
+    assert(b.withTableLockIfFree("t", owner = "B") {
+      fail("must not enter under a foreign lock") }.isEmpty)
+    a.releaseTableLock("t")
+    // free: the section runs past the lease (the fp-backfill /
+    // compaction shape) and the heartbeat keeps B out throughout
+    val r = a.withTableLockIfFree("t", owner = "A", leaseMs = 400) {
+      Thread.sleep(600)
+      val mid = b.tryAcquireTableLock("t", owner = "B", leaseMs = 400)
+      Thread.sleep(600)
+      val late = b.tryAcquireTableLock("t", owner = "B", leaseMs = 400)
+      (mid, late)
+    }
+    assert(r.contains((false, false)))
+    // released on exit
+    assert(b.tryAcquireTableLock("t", owner = "B", leaseMs = 400))
+    b.releaseTableLock("t")
+  }
+
   test("Enrich.viaService appends a service column per partition") {
     val df = Seq((1, "addr one"), (2, "")).toDF("id", "addr")
     val out = Enrich.viaService(df, "addr", "geo")(

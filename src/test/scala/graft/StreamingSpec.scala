@@ -460,6 +460,20 @@ class StreamingSpec extends SparkSpec {
       Seq((3L, 4L), (7L, 7L)))
     assert(CorpusStream.encodeRanges(
       CorpusStream.parseRanges("0-3,2-6")) == "0-6")
+    // the on-disk form carries a trailing terminator so a TORN write —
+    // a strict byte prefix, which can itself be a valid-but-wrong
+    // range-set ("100-120" torn to "10") — decodes as ABSENT, never as
+    // fabricated coverage
+    val enc = CorpusStream.encodeCoveredKeys(Seq((100L, 120L)))
+    assert(enc == "100-120;")
+    assert(CorpusStream.decodeCoveredKeys(enc) == Some(Seq((100L, 120L))))
+    (1 until enc.length).foreach { cut =>
+      assert(CorpusStream.decodeCoveredKeys(enc.take(cut)).isEmpty,
+        s"torn prefix '${enc.take(cut)}' must decode as absent")
+    }
+    // legacy (pre-terminator) markers also read as absent — the safe
+    // full-scan fallback, not a wrong answer
+    assert(CorpusStream.decodeCoveredKeys("0-2,5").isEmpty)
   }
 
   test("an output partition with no emit partition (pre-index) forces " +
@@ -512,7 +526,8 @@ class StreamingSpec extends SparkSpec {
     assert(cat.listPartitions("ck_seen_emit", "batch_id")
       .forall(k => k == "c1" || k == "2"))
     val mk = cat.readMarker("ck_seen_emit", "_covered_keys")
-    assert(mk.contains("0-1"), s"marker was $mk")
+    assert(mk.flatMap(CorpusStream.decodeCoveredKeys)
+      .contains(Seq((0L, 1L))), s"marker was $mk")
     assert(cat.read("ck_out").select($"doc_id").as[Long].collect()
       .toSet == Set(14L, 22L))
     assert(cat.listPartitions("ck_out", "batch_id").toSet == Set("1", "2"))
