@@ -128,6 +128,29 @@ object LlmQueries {
           "doc_id", "text")
         .orderBy(col("id"))),
 
+    // Corpus-trained subword vocabulary (BPE-style greedy pair
+    // merging — see text/Bpe.scala for the distribution topology:
+    // ONE corpus-sized word-count aggregate, a TakeOrdered top-V
+    // driver fetch, driver merge loop). ts14 gates the TRAINED merge
+    // table; ts15 gates the ENCODING of every document under it
+    // (distinct words encode once, docs re-join). Both integer-exact;
+    // the oracles replay the identical algorithm as unrolled
+    // materialized CTE stages.
+    "ts14_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Bpe.train(t(s, dir, "documents"), "text")
+        .map(m => (m.rank, m.left, m.right, m.left + m.right, m.count))
+        .toDF("rank", "l_sym", "r_sym", "merged", "pair_n")
+        .orderBy(col("rank"))
+    }),
+
+    "ts15_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.train(docs, "text")
+      graft.text.Bpe.encodeStats(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF keyword extraction: top-3 distinctive terms per document,
     // integer-ordered (tf DESC, df ASC, term ASC) so the ranking is
     // engine-exact; (tf, df, n_docs) ride along for a float idf
@@ -381,6 +404,36 @@ object LlmQueries {
             i.toLong, compactEvery = 2)
         }
       cat.read("dp03_out")
+        .select(col("doc_id"), col("lang"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // dp03 with the OUTPUT-EPOCH ROLL forced on at its most aggressive
+    // setting (epochEvery = 1: every batch rolls to a fresh epoch
+    // table), under the same dp01 oracle — the long-lived-stream
+    // mechanism (bounded per-table directory counts, retraction
+    // addressed across epoch boundaries through the emit index's
+    // e<k>:<batch> keys, readOutput unioning every epoch) runs under
+    // the hard correctness signal, not only under StreamingSpec.
+    "dp04_epoch_roll" -> ((s, dir) => {
+      import graft.streaming.CorpusStream
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val b = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")),
+        org.apache.spark.sql.functions.max(col("doc_id"))).head()
+      val lo = b.getLong(0); val hi = b.getLong(1)
+      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dp04_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      Seq(docs.filter(col("doc_id") <= cut1),
+          docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+          docs.filter(col("doc_id") > cut2))
+        .zipWithIndex.foreach { case (batch, i) =>
+          CorpusStream.processBatch(batch, cat, "dp04_seen", "dp04_out",
+            i.toLong, compactEvery = 2, epochEvery = 1)
+        }
+      CorpusStream.readOutput(cat, "dp04_out")
         .select(col("doc_id"), col("lang"), col("n_toks"))
         .orderBy(col("doc_id"))
     }),
@@ -929,6 +982,8 @@ object LlmQueries {
             AS redacted
           FROM documents ORDER BY doc_id"""
     },
+    "ts14_bpe_vocab" -> graft.text.Bpe.vocabSql(),
+    "ts15_bpe_encode" -> graft.text.Bpe.encodeSql(),
     "ts01_langid" -> {
       val toks = "string_split(text, ' ')"
       s"""SELECT doc_id,
@@ -971,6 +1026,9 @@ object LlmQueries {
     // global keep-smallest-id semantics (the StreamingSpec equality),
     // so the same recursive-CTE oracle gates the streaming path
     "dp03_incremental_corpus" -> dp01OracleSql,
+    // dp04 = dp03 with every batch rolling to a fresh output epoch;
+    // the roll is pure storage layout, so the oracle is unchanged
+    "dp04_epoch_roll" -> dp01OracleSql,
     "dp02_corpus_report" -> {
       val toks = "string_split(text, ' ')"
       s"""WITH perdoc AS (SELECT lang, n_chars,

@@ -298,9 +298,11 @@ class AnnMultimodalSpec extends SparkSpec {
     }
     assert(exProbe.getMessage.contains("drift"))
     // the stale geometry still buckets correctly (pure function of v):
-    // the override serves the full corpus
-    assert(AnnIndex.lshNeighborsFromIndex(cat, "st", allowStale = true)
-      .count() == 40)
+    // the override serves the full corpus — identical to the inline
+    // fit, which at 40 rows lands on the same 8-plane floor geometry
+    assert(canon(AnnIndex.lshNeighborsFromIndex(cat, "st",
+        allowStale = true)) ==
+      canon(Ann.lshBucketNeighborsAuto(vecs, "vec_id", "embedding", 1)))
   }
 
   test("kmeansCentroids: a cell that loses all members keeps its " +

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeTokens is greedy left-to-right non-overlapping") {
+    def m(t: Seq[String], l: String, r: String) =
+      Bpe.mergeTokens(t.toArray, l, r).toSeq
+    assert(m(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(m(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(m(Seq("x", "a", "a", "a"), "a", "a") == Seq("x", "aa", "a"))
+    assert(m(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    // a fused symbol never re-fuses with the next token in the same
+    // pass (it is strictly longer than l)
+    assert(m(Seq("a", "a", "aa"), "a", "a") == Seq("aa", "aa"))
+    assert(m(Seq.empty, "a", "a") == Seq.empty)
+  }
+
+  test("encodeWord is lossless: subword concatenation reproduces the " +
+       "word under any merge list") {
+    val merges = Seq(("e", "r"), ("er", "s"), ("a", "n"), ("t", "h"))
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val w = (0 until (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      val enc = Bpe.encodeWord(w, merges)
+      assert(enc.mkString == w, s"lossy encode of '$w': $enc")
+      assert(enc.forall(_.nonEmpty))
+    }
+  }
+
+  test("re-encoding the training corpus reproduces the merge order " +
+       "deterministically (each rank is the argmax of the corpus " +
+       "re-encoded under the earlier merges)") {
+    val wc = Array(("banana", 30L), ("bandana", 20L), ("ananas", 10L),
+      ("cabana", 7L), ("nab", 5L))
+    val merges = Bpe.trainOnCounts(wc, 8)
+    assert(merges.map(_.rank) == (1 to merges.length))
+    merges.indices.foreach { i =>
+      val prior = merges.take(i).map(m => (m.left, m.right))
+      // re-encode every training word under merges 1..i, recount
+      // pairs, and check merge i+1 is exactly the (count desc, left,
+      // right) argmax — training is a pure function of the corpus
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      wc.foreach { case (w, c) =>
+        val t = Bpe.encodeWord(w, prior)
+        (0 until t.length - 1).foreach { j =>
+          pc((t(j), t(j + 1))) = pc.getOrElse((t(j), t(j + 1)), 0L) + c
+        }
+      }
+      val ((l, r), n) = pc.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+      val m = merges(i)
+      assert((m.left, m.right, m.count) == (l, r, n),
+        s"rank ${i + 1}: trained ${(m.left, m.right, m.count)} vs " +
+          s"re-derived ${(l, r, n)}")
+    }
+    // and the whole train is reproducible
+    assert(Bpe.trainOnCounts(wc, 8) == merges)
+    // early stop: single-char words have no pairs to merge
+    assert(Bpe.trainOnCounts(Array(("a", 5L), ("b", 3L)), 4).isEmpty)
+  }
+
+  test("distributed train equals the driver loop on hand counts, and " +
+       "encodeStats sums per-doc subwords") {
+    val docs = Seq(
+      (1L, "Banana banana BANDANA!"),
+      (2L, "ananas & bandana"),
+      (3L, "nab nab banana"),
+      (4L, ""),             // no words: no encodeStats row
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val wc = Array(("banana", 3L), ("bandana", 2L), ("nab", 2L),
+      ("ananas", 1L))
+    val expect = Bpe.trainOnCounts(wc, 6)
+    assert(Bpe.train(docs, "text", numMerges = 6) == expect)
+    // truncation: maxWords=1 trains on the top word only (count desc,
+    // word asc is a total order)
+    assert(Bpe.train(docs, "text", numMerges = 2, maxWords = 1) ==
+      Bpe.trainOnCounts(Array(("banana", 3L)), 2))
+    val stats = Bpe.encodeStats(docs, "doc_id", "text", expect)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect()
+    val ms = expect.map(m => (m.left, m.right))
+    def nsub(ws: Seq[String]) =
+      ws.map(w => Bpe.encodeWord(w, ms).length.toLong).sum
+    assert(stats.toSeq == Seq(
+      (1L, 3L, nsub(Seq("banana", "banana", "bandana"))),
+      (2L, 2L, nsub(Seq("ananas", "bandana"))),
+      (3L, 3L, nsub(Seq("nab", "nab", "banana")))))
+  }
+}
