@@ -194,4 +194,61 @@ class PlanSpec extends SparkSpec {
     val p = sparkPlan("s07_partitions")
     assert(!p.contains("FileScan parquet"), p.take(800))
   }
+
+  test("the fp gate and forced-pair lookup are EQUI joins on the " +
+       "fingerprint — the id inequality rides as a residual condition, " +
+       "never a nested loop (CorpusStream round-12 fpForced shape)") {
+    import org.apache.spark.sql.functions.md5
+    val fp = md5(graft.text.CorpusPipeline.fingerprintPrefix)
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val seen = graft.core.Tables.load(spark, sf, "documents")
+      .select(md5(graft.text.CorpusPipeline.fingerprintPrefix)
+          .as("__seen_fp"),
+        col("doc_id").as("__seen_id"))
+    val anti = docs.join(seen,
+      fp === col("__seen_fp") && col("__seen_id") <= col("doc_id"),
+      "left_anti")
+    val forced = docs.join(seen,
+      fp === col("__seen_fp") && col("__seen_id") > col("doc_id"))
+    Seq(("anti", anti), ("forced", forced)).foreach { case (n, df) =>
+      val p = df.queryExecution.sparkPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"),
+        s"$n join degraded to a nested loop: ${p.take(800)}")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$n join lost the fp equi-key: ${p.take(800)}")
+    }
+  }
+
+  test("readOutput across epoch tables is a plain UNION of scans — no " +
+       "shuffle, no join, however many epochs the stream has rolled") {
+    import spark.implicits._
+    // the rolled layout directly (the real roll + cross-epoch
+    // retraction runs under the dp04 oracle gate; this pin is about
+    // the READ plan): base epoch + two rolled tables
+    val wh = java.nio.file.Files
+      .createTempDirectory("plan_epoch_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    Seq(0, 1, 2).foreach { k =>
+      cat.writePartition(
+        Seq((k.toLong * 10 + 1, "en", 4L, k.toString))
+          .toDF("doc_id", "lang", "n_toks", "batch_id"),
+        graft.streaming.CorpusStream.epochTableName("pe_out", k),
+        "batch_id", k.toString)
+    }
+    val out = graft.streaming.CorpusStream.readOutput(cat, "pe_out")
+    val p = out.queryExecution.sparkPlan.toString
+    assert(p.contains("Union"), p.take(800))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(800))
+    assert(out.select($"doc_id").as[Long].collect().toSet ==
+      Set(1L, 11L, 21L))
+    // fresh warehouse (no epoch table yet): the empty-table fallback,
+    // not an empty-reduce crash (ADVICE r12)
+    val cat2 = new graft.catalog.TableCatalog(spark,
+      java.nio.file.Files.createTempDirectory("plan_epoch2_").toString)
+    cat2.createFromSchema("fresh_out", out.schema)
+    assert(graft.streaming.CorpusStream.readOutput(cat2, "fresh_out")
+      .isEmpty)
+  }
 }

@@ -13,6 +13,16 @@ is recovered.
 Since round 9 the bench line uses SHORT query keys (gate prefix before
 the first underscore; collisions keep the full name). Keys from every
 source are normalized to that scheme so cross-round comparison works.
+
+Since round 12 the bench line carries a code-frozen ambient CANARY
+([start, mid, end] seconds of a graft-independent workload). When every
+input has one, per-query values are ALSO compared canary-adjusted: each
+run's times divide by its canary ratio against the first run, so a
+box-wide 1.2x ambient slowdown stops reading as 131 per-query
+regressions. Raw ratios stay printed beside the adjusted ones — the
+canary settles ambient, it must not hide a real regression (a genuine
+slowdown moves the adjusted ratio too; only box drift moves raw while
+adjusted stays ~1.0).
 """
 import sys, json, re
 
@@ -42,6 +52,21 @@ def normalize(queries):
     return {m[k]: v for k, v in queries.items()}
 
 
+def canary_of(d, tail=None):
+    """Median of the 3-sample canary — the middle sample rejects one
+    outlier position without averaging in a load spike."""
+    c = None
+    if isinstance(d, dict):
+        c = d.get("canary")
+    if c is None and tail:
+        m = re.search(r'"canary":\[([0-9.]+),([0-9.]+),([0-9.]+)\]', tail)
+        if m:
+            c = [float(g) for g in m.groups()]
+    if not c:
+        return None
+    return sorted(float(x) for x in c)[len(c) // 2]
+
+
 def load(path):
     with open(path) as f:
         text = f.read()
@@ -49,14 +74,15 @@ def load(path):
     try:
         d = json.loads(text)
         if isinstance(d, dict) and ("tail" in d or "parsed" in d):
+            tail = d.get("tail") or ""
             if d.get("parsed") and d["parsed"].get("queries"):
-                return normalize(d["parsed"]["queries"]), False
+                return (normalize(d["parsed"]["queries"]), False,
+                        canary_of(d["parsed"], tail))
             # head-truncated tail: recover the complete pairs
-            pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)',
-                               d.get("tail") or "")
+            pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
             q = {k: float(v) for k, v in pairs
                  if k not in ("value",)}
-            return normalize(q), True
+            return normalize(q), True, canary_of(None, tail)
     except (json.JSONDecodeError, AttributeError):
         pass
     # raw bench output: last parseable {..} line wins
@@ -68,7 +94,7 @@ def load(path):
         try:
             d = json.loads(line[i:])
             if "queries" in d:
-                return normalize(d["queries"]), False
+                return normalize(d["queries"]), False, canary_of(d)
         except json.JSONDecodeError:
             continue
     raise SystemExit(f"{path}: no bench JSON found")
@@ -76,35 +102,55 @@ def load(path):
 
 runs = []
 for p in sys.argv[1:]:
-    q, partial = load(p)
-    runs.append((p + (" [partial-tail]" if partial else ""), q))
+    q, partial, canary = load(p)
+    runs.append((p + (" [partial-tail]" if partial else ""), q, canary))
 
 common = set(runs[0][1])
-for _, q in runs[1:]:
+for _, q, _ in runs[1:]:
     common &= set(q)
 common = sorted(common)
 
 if not common:
     print("WARNING: no common queries between the inputs — check that "
           "each input actually parsed (key sets: "
-          + "; ".join(f"{p}: {len(q)}" for p, q in runs) + ")",
+          + "; ".join(f"{p}: {len(q)}" for p, q, _ in runs) + ")",
           file=sys.stderr)
 print(f"common queries: {len(common)}")
-for p, q in runs:
+# ambient scale per run: canary ratio vs the FIRST run (1.0 when any
+# run lacks a canary — pre-round-12 artifacts compare raw-only)
+base_canary = runs[0][2]
+scales = []
+for p, q, c in runs:
     tot = sum(q[k] for k in common)
+    scale = (c / base_canary) if (c and base_canary) else None
+    scales.append(scale if scale else 1.0)
+    ctxt = (f" canary {c:.3f}s (ambient x{scale:.2f})"
+            if scale else (f" canary {c:.3f}s" if c else ""))
     print(f"  {p}: common-tail total {tot:.1f} s "
-          f"(full {sum(q.values()):.1f} s over {len(q)})")
+          f"(full {sum(q.values()):.1f} s over {len(q)}){ctxt}")
+adjusted = all(s is not None for s in scales) and base_canary is not None
 
 rows = []
 for k in common:
-    vals = [q[k] for _, q in runs]
-    rows.append((max(vals) / min(vals), k, vals))
+    vals = [q[k] for _, q, _ in runs]
+    adj = [v / s for v, s in zip(vals, scales)]
+    raw_r = max(vals) / min(vals)
+    adj_r = max(adj) / min(adj)
+    rows.append(((adj_r if adjusted else raw_r), raw_r, k, vals, adj))
 rows.sort(reverse=True)
-print("\nquery spreads (max/min > 1.5x):")
-for r, k, vals in rows:
-    if r > 1.5:
-        print(f"  {k}: {' '.join(f'{v:.2f}' for v in vals)}  ({r:.2f}x)")
+hdr = ("query spreads (canary-ADJUSTED max/min > 1.5x; raw beside)"
+       if adjusted else "query spreads (max/min > 1.5x; no canary)")
+print(f"\n{hdr}:")
+for flag_r, raw_r, k, vals, adj in rows:
+    if flag_r > 1.5:
+        txt = " ".join(f"{v:.2f}" for v in vals)
+        if adjusted:
+            atxt = " ".join(f"{v:.2f}" for v in adj)
+            print(f"  {k}: raw {txt} ({raw_r:.2f}x) "
+                  f"adj {atxt} ({flag_r:.2f}x)")
+        else:
+            print(f"  {k}: {txt}  ({raw_r:.2f}x)")
 print("\nslowest in last run:")
 last = runs[-1][1]
 for k in sorted(common, key=lambda k: -last[k])[:10]:
-    print(f"  {k}: {' '.join(f'{q[k]:.2f}' for _, q in runs)}")
+    print(f"  {k}: {' '.join(f'{q[k]:.2f}' for _, q, _ in runs)}")
