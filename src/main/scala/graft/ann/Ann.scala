@@ -725,4 +725,71 @@ object Ann {
                              targetBucketRows: Int = 1024): DataFrame =
     lshBucketNeighbors(data, idCol, vecCol,
       autoPlanes(data.count(), targetBucketRows))
+
+  // ----- Int8 scalar quantization (SQ8) -----
+  //
+  // The memory-bandwidth scale path: a 100 TB float corpus scanned for
+  // brute-force or IVF-cell scoring is 4× cheaper read as int8 codes,
+  // and the integer dot is SIMD-trivial. Symmetric per-vector
+  // quantization (q_i = round(x_i·127 / max|x|)) keeps cosine
+  // SCALE-FREE: the per-vector scales cancel in
+  // dot(q_a,q_b)/(|q_a||q_b|), so quantized cosine approximates true
+  // cosine with no dequantization step and ranks identically across
+  // engines — every op below (array_max, the round, integer sums, one
+  // sqrt+division on integer-valued doubles) is IEEE-deterministic, so
+  // the DuckDB oracle gates bit-exact.
+
+  /** Per-vector symmetric quantization scale max|x_i| — array_max is
+    * order-free, so no float-fold reproducibility concern. */
+  def sqScale(v: Column): Column = array_max(transform(v, x => abs(x)))
+
+  /** Int8 codes floor(x·127/m + 0.5) as `array<int>` (conceptually
+    * int8: values lie in [-127, 127]; a production table layout packs
+    * them into a 1-byte-per-dim binary column — the 4× scan saving —
+    * while this transient form keeps the gate declarative). `m` MUST
+    * be a materialized column, not an inline [[sqScale]] subtree:
+    * higher-order lambdas are interpreted and re-evaluate referenced
+    * subtrees per element, which would turn the O(dim) transform into
+    * O(dim²). The all-zero vector (m=0) quantizes to zeros. */
+  def sq8Codes(v: Column, m: Column): Column =
+    when(m === lit(0.0), transform(v, _ => lit(0)))
+      .otherwise(transform(v, x =>
+        floor(x * lit(127.0) / m + lit(0.5)).cast("int")))
+
+  /** [[dotUnrolled]] over integer code arrays, accumulated in LONG —
+    * exact (order-free integer sum) and whole-stage-codegen friendly. */
+  def dotUnrolledLong(a: Column, b: Column, dim: Int = Dim): Column =
+    (1 to dim).map(i => element_at(a, i).cast("long") * element_at(b, i))
+      .foldLeft(lit(0L))(_ + _)
+
+  /** Brute-force top-k over SQ8-quantized vectors: quantize both sides
+    * once (codes + integer self-dot materialized per row — the columns
+    * a quantized index stores), broadcast the query side, rank by
+    * quantized cosine. Output: (q_id, rank, vec_id, qcos). */
+  def sq8TopK(data: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int = Dim): DataFrame = {
+    def quantized(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), toDouble(col(vecCol)).as("__v"))
+        .withColumn("__m", sqScale(col("__v")))
+        .withColumn(s"${id}_q", sq8Codes(col("__v"), col("__m")))
+        .withColumn(s"${id}_qq",
+          dotUnrolledLong(col(s"${id}_q"), col(s"${id}_q"), dim))
+        .drop("__v", "__m")
+    val d = quantized(data, "vec_id")
+    val q = broadcast(quantized(queries, "q_id"))
+    val scored = d.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("qcos",
+        when(col("vec_id_qq") === lit(0L) || col("q_id_qq") === lit(0L),
+            lit(0.0))
+          .otherwise(
+            dotUnrolledLong(col("q_id_q"), col("vec_id_q"), dim)
+              .cast("double") /
+              (sqrt(col("vec_id_qq").cast("double")) *
+                sqrt(col("q_id_qq").cast("double")))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("qcos"))
+  }
 }

@@ -151,6 +151,41 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // KMV (k-minimum-values) distinct-count sketch over the corpus's
+    // word-trigram shingles — the cardinality estimate that sizes a
+    // dedup/decontamination run without counting. Each distinct gram
+    // re-hashes to a uniform 60-bit value (md5, like ts12's priority
+    // draw — the base-31 shingle hashes themselves are NOT uniform);
+    // the k smallest survive and (k−1)·2⁶⁰/u₍ₖ₎ estimates the
+    // cardinality. The distinct dedups map-side (partial hash
+    // aggregate), so shuffle volume is per-partition-distinct, and the
+    // top-k plans as TakeOrdered — never a global sort. The
+    // exact_distinct column is the gate-scale demonstrator of
+    // estimator quality; a production run emits the estimate only.
+    "ts16_kmv_distinct" -> ((s, dir) => {
+      val k = 256
+      val grams = t(s, dir, "documents")
+        .withColumn("__th", TextHash.tokenHashes(col("text")))
+        .select(explode(TextHash
+          .wordShingleHashesFromTokenHashes(col("__th"), 3)).as("g"))
+      val u = conv(substring(
+          md5(col("g").cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long")
+      val hashes = grams.select(u.as("u")).distinct()
+      val sk = hashes.orderBy(col("u").asc).limit(k)
+        .agg(max(col("u")).as("kth_u"),
+          count(lit(1)).cast("int").as("k"))
+      // 2^60 and (k-1)·2^60 are exactly representable doubles, so the
+      // single division is the only rounding step — IEEE-identical in
+      // both engines.
+      sk.crossJoin(hashes.agg(count(lit(1)).as("exact_distinct")))
+        .select(col("k"), col("kth_u"),
+          ((col("k") - lit(1)).cast("double") *
+            lit(1152921504606846976.0) / col("kth_u").cast("double"))
+            .as("est_distinct"),
+          col("exact_distinct"))
+    }),
+
     // TF-IDF keyword extraction: top-3 distinctive terms per document,
     // integer-ordered (tf DESC, df ASC, term ASC) so the ranking is
     // engine-exact; (tf, df, n_docs) ride along for a float idf
@@ -586,6 +621,16 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // SQ8-quantized brute-force top-k (the memory-bandwidth scale
+    // path: int8 codes are a 4× cheaper scan than floats and the score
+    // is an integer dot) — same query set as ann01, so quantization
+    // recall is directly comparable against the exact baseline.
+    "ann11_sq8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.sq8TopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "ann04_centroids" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"),
@@ -984,6 +1029,29 @@ object LlmQueries {
     },
     "ts14_bpe_vocab" -> graft.text.Bpe.vocabSql(),
     "ts15_bpe_encode" -> graft.text.Bpe.encodeSql(),
+    // hex fold builds the identical 60-bit integer Spark's conv()
+    // derives (the ts12 pattern, 15 hex chars); (k-1)·2^60 is an exact
+    // double product, so the one division is the only rounding step
+    "ts16_kmv_distinct" -> {
+      val fold = """(list_reduce(list_transform(
+          string_split_regex(substr(md5(CAST(g AS VARCHAR)), 1, 15), ''),
+          c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+                    ELSE ascii(c) - 87 END AS BIGINT)),
+          (a, b) -> a * 16 + b))"""
+      s"""WITH th AS (SELECT ${TextHash.tokenHashesSql("text")} AS th
+            FROM documents),
+          g AS (SELECT unnest(${TextHash.wordShingleHashesSql("th", 3)})
+            AS g FROM th),
+          u AS (SELECT DISTINCT $fold AS u FROM g),
+          sk AS (SELECT MAX(u) AS kth_u, CAST(COUNT(*) AS INT) AS k
+            FROM (SELECT u FROM u ORDER BY u LIMIT 256)),
+          e AS (SELECT COUNT(*) AS exact_distinct FROM u)
+          SELECT k, kth_u,
+            CAST(k - 1 AS DOUBLE) * 1152921504606846976.0
+              / CAST(kth_u AS DOUBLE) AS est_distinct,
+            exact_distinct
+          FROM sk CROSS JOIN e"""
+    },
     "ts01_langid" -> {
       val toks = "string_split(text, ' ')"
       s"""SELECT doc_id,
@@ -1065,6 +1133,41 @@ object LlmQueries {
           list_aggregate(${TextHash.shingleHashesSql("text", 8)}, 'min')
             AS win8
           FROM documents ORDER BY doc_id""",
+    // SQ8: identical quantize (list_max scale, floor(x·127/m + 0.5)
+    // codes), integer dots (DuckDB sums to HUGEINT — value-equal), one
+    // sqrt+division on integer-valued doubles — every step
+    // IEEE-deterministic, so ranks and scores gate bit-exact.
+    "ann11_sq8_topk" -> {
+      def idot(a: String, b: String) =
+        s"list_aggregate(list_transform(list_zip($a, $b), " +
+          s"s -> s[1] * s[2]), 'sum')"
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          mq AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) AS m FROM v),
+          qz AS (SELECT vec_id,
+            CASE WHEN m = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                x -> CAST(FLOOR(x * 127.0 / m + 0.5) AS BIGINT)) END AS q
+            FROM mq),
+          qn AS (SELECT vec_id, q, ${idot("q", "q")} AS qq FROM qz),
+          qs AS (SELECT vec_id AS q_id, q AS qa, qq AS qqa
+            FROM qn WHERE vec_id < 5),
+          scored AS (SELECT qs.q_id, d.vec_id,
+              CASE WHEN d.qq = 0 OR qs.qqa = 0 THEN 0.0
+                ELSE CAST(${idot("qs.qa", "d.q")} AS DOUBLE)
+                  / (sqrt(CAST(d.qq AS DOUBLE)) *
+                     sqrt(CAST(qs.qqa AS DOUBLE))) END AS qcos
+            FROM qs JOIN qn d ON d.vec_id <> qs.q_id),
+          ranked AS (SELECT q_id, vec_id, qcos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY qcos DESC, vec_id ASC) AS INT) AS rank
+            FROM scored)
+        SELECT q_id, rank, vec_id, qcos FROM ranked
+        WHERE rank <= 10 ORDER BY q_id, rank"""
+    },
     "ann01_cosine_topk" -> {
       val cos = Ann.cosineSql("q.v", "d.v")
       s"""WITH v AS (SELECT vec_id,

@@ -20,6 +20,38 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("sq8TopK: quantized cosine tracks exact cosine and preserves " +
+       "the exact ranking on separated vectors") {
+    // directions far enough apart that int8 rounding (≤ 1/254 per
+    // component) cannot reorder them
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(4)(i => (((seed * 31 + i * 7) % 13) - 6) / 6.0f)
+    val vecs = Seq((0L, v(1)), (1L, v(1).map(x => x * 0.3f)),
+        (2L, v(5)), (3L, v(9)))
+      .toDF("vec_id", "embedding")
+    val q = Ann.sq8TopK(vecs, vecs.filter($"vec_id" === 0), "vec_id",
+        "embedding", 3, dim = 4)
+      .orderBy($"rank")
+      .select($"vec_id", $"qcos").as[(Long, Double)].collect()
+    // the scaled copy of v(1) must rank first with qcos ≈ 1: the
+    // per-vector scales cancel, so quantized cosine is scale-free
+    assert(q.head._1 == 1L && q.head._2 > 0.999, q.toSeq)
+    val exact = Ann.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", 3)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    assert(q.map(_._1).toSeq == exact.toSeq, s"${q.toSeq} vs ${exact.toSeq}")
+  }
+
+  test("sq8TopK: the all-zero vector quantizes to zeros and scores 0, " +
+       "not NaN") {
+    val vecs = Seq((0L, Array.fill(4)(0.0f)), (1L, Array.fill(4)(1.0f)),
+        (2L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    val out = Ann.sq8TopK(vecs, vecs.filter($"vec_id" === 0), "vec_id",
+        "embedding", 2, dim = 4)
+      .select($"qcos").as[Double].collect()
+    assert(out.forall(c => c == 0.0 && !c.isNaN), out.toSeq)
+  }
+
   test("lshBucketNeighbors: same-direction vectors share a bucket") {
     val vecs = Seq(
       (0L, Array.fill(64)(0.5f)),

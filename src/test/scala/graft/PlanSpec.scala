@@ -251,4 +251,21 @@ class PlanSpec extends SparkSpec {
     assert(graft.streaming.CorpusStream.readOutput(cat2, "fresh_out")
       .isEmpty)
   }
+
+  test("ann11: the SQ8 scoring join broadcasts the quantized query " +
+       "side and never degrades to a cartesian over the corpus") {
+    val p = sparkPlan("ann11_sq8_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("ts16: the KMV sketch plans as TakeOrdered over a map-side " +
+       "partially-deduped distinct — never a global sort") {
+    val p = sparkPlan("ts16_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("Sort ["), p.take(1200))
+    // the distinct gets a partial stage before its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
 }

@@ -609,4 +609,31 @@ class TextSimSpec extends SparkSpec {
       .collect().toSeq
     assert(viaKernel == viaColumns)
   }
+
+  test("KMV distinct-count estimator lands within its statistical band " +
+       "on a known cardinality (and is exactly reproducible)") {
+    // 40k distinct values; k=256 gives relative std error ~1/sqrt(k-2)
+    // ≈ 6.3%, so a 25% band is a ~4-sigma assertion
+    val n = 40000
+    val k = 256
+    val u = conv(substring(
+        md5(col("g").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long")
+    def estimate(): (Long, Double) = {
+      val hashes = spark.range(n).toDF("g").select(u.as("u")).distinct()
+      val r = hashes.orderBy(col("u").asc).limit(k)
+        .agg(max(col("u")).as("kth"), count(lit(1)).cast("int").as("ka"))
+        .select(col("kth"),
+          ((col("ka") - lit(1)).cast("double") *
+            lit(1152921504606846976.0) / col("kth").cast("double"))
+            .as("est"))
+        .as[(Long, Double)].head()
+      r
+    }
+    val (kth1, est1) = estimate()
+    assert(math.abs(est1 - n) / n < 0.25, s"est $est1 vs $n")
+    // deterministic: the sketch is a pure function of the value set
+    val (kth2, est2) = estimate()
+    assert(kth1 == kth2 && est1 == est2)
+  }
 }
