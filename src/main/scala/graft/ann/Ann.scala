@@ -762,22 +762,24 @@ object Ann {
     (1 to dim).map(i => element_at(a, i).cast("long") * element_at(b, i))
       .foldLeft(lit(0L))(_ + _)
 
-  /** Brute-force top-k over SQ8-quantized vectors: quantize both sides
-    * once (codes + integer self-dot materialized per row — the columns
-    * a quantized index stores), broadcast the query side, rank by
-    * quantized cosine. Output: (q_id, rank, vec_id, qcos). */
-  def sq8TopK(data: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, dim: Int = Dim): DataFrame = {
-    def quantized(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), toDouble(col(vecCol)).as("__v"))
-        .withColumn("__m", sqScale(col("__v")))
-        .withColumn(s"${id}_q", sq8Codes(col("__v"), col("__m")))
-        .withColumn(s"${id}_qq",
-          dotUnrolledLong(col(s"${id}_q"), col(s"${id}_q"), dim))
-        .drop("__v", "__m")
-    val d = quantized(data, "vec_id")
-    val q = broadcast(quantized(queries, "q_id"))
-    val scored = d.join(q, col("vec_id") =!= col("q_id"))
+  /** Quantize a vector frame to `(<id>, <id>_q, <id>_qq)` — the code
+    * array and integer self-dot an SQ8 index stores per row. */
+  def sq8Quantized(df: DataFrame, idCol: String, vecCol: String,
+                   id: String, dim: Int = Dim): DataFrame =
+    df.select(col(idCol).as(id), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__m", sqScale(col("__v")))
+      .withColumn(s"${id}_q", sq8Codes(col("__v"), col("__m")))
+      .withColumn(s"${id}_qq",
+        dotUnrolledLong(col(s"${id}_q"), col(s"${id}_q"), dim))
+      .drop("__v", "__m")
+
+  /** Scoring core over ALREADY-quantized sides — shared with the
+    * persisted-index probe ([[AnnIndex.sq8TopKFromIndex]]), which
+    * loads `d` from a catalog table instead of quantizing per query.
+    * Expects [[sq8Quantized]] column names (`vec_id`/`q_id`). */
+  private[ann] def sq8TopKFrom(d: DataFrame, q: DataFrame, k: Int,
+                               dim: Int): DataFrame = {
+    val scored = d.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("qcos",
         when(col("vec_id_qq") === lit(0L) || col("q_id_qq") === lit(0L),
             lit(0.0))
@@ -792,4 +794,13 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("qcos"))
   }
+
+  /** Brute-force top-k over SQ8-quantized vectors: quantize both sides
+    * once (codes + integer self-dot materialized per row — the columns
+    * a quantized index stores), broadcast the query side, rank by
+    * quantized cosine. Output: (q_id, rank, vec_id, qcos). */
+  def sq8TopK(data: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int = Dim): DataFrame =
+    sq8TopKFrom(sq8Quantized(data, idCol, vecCol, "vec_id", dim),
+      sq8Quantized(queries, idCol, vecCol, "q_id", dim), k, dim)
 }

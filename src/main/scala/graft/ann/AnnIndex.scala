@@ -161,6 +161,55 @@ object AnnIndex {
     }
   }
 
+  /** Build + persist the SQ8 code index: every vector quantized once
+    * to int8 codes + integer self-dot ([[Ann.sq8Quantized]]), stored
+    * as `array<tinyint>` — the 4×-cheaper scan a quantized serving
+    * corpus reads instead of floats. No corpus-level fit: the
+    * quantization scale is PER-VECTOR, so unlike LSH planes or IVF
+    * centroids there is no geometry to go stale and appends never
+    * require a rebuild ([[requireFresh]] is kind-aware). `geometry`
+    * records the code scale (127) for observability. */
+  def buildSq8(catalog: TableCatalog, data: DataFrame, idCol: String,
+               vecCol: String, indexTable: String): Unit = {
+    val n = data.count()
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      writeSeg(catalog, indexTable, assignSq8(data, idCol, vecCol),
+        "0", "pk")
+      dropOtherSegs(catalog, indexTable, keep = "0")
+      writeMeta(catalog, indexTable, "sq8", 127, n, n)
+    }
+  }
+
+  /** Append new vectors to a persisted SQ8 index — quantize the batch,
+    * land it as one new segment. Same lock / replay contract as
+    * [[appendLsh]]; never stale (per-vector scales). */
+  def appendSq8(catalog: TableCatalog, data: DataFrame, idCol: String,
+                vecCol: String, indexTable: String,
+                segKey: Option[String] = None): Unit =
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      val m = readMeta(catalog, indexTable, "sq8")
+      appendSeg(catalog, indexTable, m,
+        assignSq8(data, idCol, vecCol), data.count(),
+        segKey, "pk", allowStale = false)
+    }
+
+  /** Brute-force top-k off the persisted SQ8 codes — the
+    * [[Ann.sq8TopK]] result with the corpus side read as 1-byte codes
+    * + precomputed self-dots (no float vectors touched, no
+    * re-quantization); only the small query side quantizes per call.
+    * Bit-identical to the fit-inline form (integer dots are
+    * arrival-order-free), gated by ann12 against the ann11 oracle. */
+  def sq8TopKFromIndex(catalog: TableCatalog, indexTable: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
+    val m = readMeta(catalog, indexTable, "sq8")
+    val d = catalog.read(assignTableOf(indexTable))
+      .select(col("id").as("vec_id"), col("q").as("vec_id_q"),
+        col("qq").as("vec_id_qq"))
+    Ann.sq8TopKFrom(d,
+      Ann.sq8Quantized(queries, idCol, vecCol, "q_id", m.dim), k, m.dim)
+  }
+
   /** Within-bucket top-1 neighbors from a persisted LSH index — the
     * [[Ann.lshBucketNeighborsAuto]] result without the count, the
     * norm pass, or the planes×dim bucketing dots: everything comes
@@ -205,6 +254,20 @@ object AnnIndex {
       .withColumn("nrm", sqrt(Ann.dotUnrolled(col("v"), col("v"))))
       .withColumn("bucket", Ann.bucket(col("v"), planes))
       .withColumn("pk", pmod(col("bucket"), lit(LshPkBuckets)))
+
+  /** (id, codes-as-tinyint, integer self-dot, pk): codes are always in
+    * [-127, 127] so the byte cast is lossless, and parquet's
+    * annotated-int8 + dictionary encoding stores them at code (not
+    * float) width — the scan-cost saving the index exists for. pk
+    * sub-layout bounds directory counts and serves point lookups;
+    * a top-k probe scans all buckets by design (brute force). */
+  private def assignSq8(data: DataFrame, idCol: String,
+                        vecCol: String): DataFrame =
+    Ann.sq8Quantized(data, idCol, vecCol, "id")
+      .select(col("id"),
+        transform(col("id_q"), x => x.cast("byte")).as("q"),
+        col("id_qq").as("qq"))
+      .withColumn("pk", pmod(col("id"), lit(LshPkBuckets)))
 
   private def assignIvf(data: DataFrame, idCol: String, vecCol: String,
                         cents: Array[(Seq[Double], Double)]): DataFrame =
@@ -307,6 +370,8 @@ object AnnIndex {
 
   private def requireFresh(m: Meta, indexTable: String,
                            allowStale: Boolean): Unit =
+    // sq8 quantizes per-vector — no corpus-level fit exists to drift
+    if (m.kind != "sq8")
     require(allowStale ||
         m.indexedN.toDouble <= MaxDriftFactor * m.fittedN.toDouble,
       s"AnnIndex: '$indexTable' holds ${m.indexedN} vectors but its " +

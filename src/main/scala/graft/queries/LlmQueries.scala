@@ -621,6 +621,26 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Persisted SQ8 code index, full lifecycle in one gate: build on
+    // half the corpus, append the other half, answer off the stored
+    // 1-byte codes (no float vectors touched on the corpus side).
+    // Quantization is per-vector, so the result is bit-identical to
+    // fit-inline ann11 — its oracle verbatim.
+    "ann12_sq8_index" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann12_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      val (first, rest) = (e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      AnnIndex.buildSq8(cat, first, "vec_id", "embedding", "ann_sq8")
+      AnnIndex.appendSq8(cat, rest, "vec_id", "embedding", "ann_sq8")
+      AnnIndex.sq8TopKFromIndex(cat, "ann_sq8",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // SQ8-quantized brute-force top-k (the memory-bandwidth scale
     // path: int8 codes are a 4× cheaper scan than floats and the score
     // is an integer dot) — same query set as ann01, so quantization
@@ -1554,5 +1574,8 @@ object LlmQueries {
     // the lifecycle gates (build half + append half) must be
     // bit-identical to the full build, hence to the same oracles
     "ann09_lsh_append" -> oracleBase("ann06_lsh_auto"),
-    "ann10_ivf_append" -> oracleBase("ann05_ivf_kmeans"))
+    "ann10_ivf_append" -> oracleBase("ann05_ivf_kmeans"),
+    // quantization is per-vector, so build-half + append-half is
+    // bit-identical to quantizing the whole corpus — ann11's oracle
+    "ann12_sq8_index" -> oracleBase("ann11_sq8_topk"))
 }

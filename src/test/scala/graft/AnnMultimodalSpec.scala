@@ -267,6 +267,38 @@ class AnnMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 index lifecycle: probe off stored byte codes equals the " +
+       "fit-inline form bit for bit; replayed append is idempotent; " +
+       "drift never blocks (per-vector scales have no fit to go stale)") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("annsq8_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"qcos").collect().toSeq
+    AnnIndex.buildSq8(cat, vecs.filter($"vec_id" < 5), "vec_id",
+      "embedding", "sq8")
+    AnnIndex.appendSq8(cat, vecs.filter($"vec_id" >= 5), "vec_id",
+      "embedding", "sq8")
+    val q = vecs.filter($"vec_id" < 3)
+    val once = canon(AnnIndex.sq8TopKFromIndex(cat, "sq8", q,
+      "vec_id", "embedding", 5))
+    assert(once ==
+      canon(Ann.sq8TopK(vecs, q, "vec_id", "embedding", 5)))
+    // replay the append (same segKey): no duplicates, same answer —
+    // and the 5->30 growth (6x the built size) never trips a
+    // staleness guard, because there is no corpus-level fit
+    AnnIndex.appendSq8(cat, vecs.filter($"vec_id" >= 5), "vec_id",
+      "embedding", "sq8", segKey = Some("1"))
+    assert(canon(AnnIndex.sq8TopKFromIndex(cat, "sq8", q,
+      "vec_id", "embedding", 5)) == once)
+  }
+
   test("ANN index lifecycle: build-half + append-half equals the full " +
        "build bit for bit, a replayed append is idempotent, and " +
        "staleness past the drift bound fails loudly") {
