@@ -53,6 +53,19 @@ object ProbeJobs {
           f"${(c0 - base) / 1000.0}%6.2f] tasks=${si.numTasks}%3d  " +
           si.name.takeWhile(_ != '\n'))
       }
+      // per-execution attribution: AQE splinters one SQL execution into
+      // many anonymous jobs, so job call sites alone can't say WHICH
+      // query a job belongs to — the SQLExecutionStart description can
+      override def onOtherEvent(
+          event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui
+              .SparkListenerSQLExecutionStart =>
+            println(f"EXEC ${e.executionId}%3d  " +
+              e.description.linesIterator.nextOption().getOrElse("")
+                .take(160))
+          case _ => ()
+        }
     })
     base = System.currentTimeMillis()
     // warmup at sf0.001 like Bench, so codegen/classloading is excluded

@@ -150,6 +150,18 @@ object ProbeSketch {
             f"${(System.nanoTime() - t0) / 1e9}%6.2f s")
       }
     }
+    // the residual per-step slope above is the UNCOMPACTED batch-dir
+    // term (each inflation step is its own state partition, so a fetch
+    // opens |touched pks| files per partition). Production bounds it
+    // with periodic compaction; demonstrate the bound: compact, fetch
+    // again — opens collapse to the single compacted partition's
+    // touched pks, independent of how many batches fed it
+    println("=== post-compact ===")
+    Seq(("plain", plainCat), ("split", splitCat)).foreach {
+      case (label, cat) =>
+        CorpusStream.compactState(cat, "ps_state", "zz-none")
+        timeFetch(label, cat, 99)
+    }
     spark.stop()
   }
 }
