@@ -803,4 +803,171 @@ object Ann {
               vecCol: String, k: Int, dim: Int = Dim): DataFrame =
     sq8TopKFrom(sq8Quantized(data, idCol, vecCol, "vec_id", dim),
       sq8Quantized(queries, idCol, vecCol, "q_id", dim), k, dim)
+
+  // ----- Product quantization (PQ / ADC) -----
+  //
+  // The extreme-compression ANN path: each unit-normalized vector is
+  // cut into M subvectors and each subvector replaced by the id of its
+  // nearest codebook centroid (per-subspace L2 k-means) — M small ints
+  // per vector (here 4×3 bits; 64 floats → 4 bytes in a packed
+  // production layout, 64× smaller than the corpus). A query scores a
+  // candidate WITHOUT touching its floats: asymmetric distance
+  // computation (ADC) sums the query-subvector · assigned-centroid
+  // dots, approximating the cosine of the originals (inputs are unit
+  // vectors). Every step is engine-mirrored: the division by the norm,
+  // the L2 argmin (as argmax of 2·s·c − c·c, a tie-identical
+  // reformulation that drops the per-row constant s·s), the
+  // integer-cents Lloyd means of [[kmeansCentroids]], and the fixed
+  // left-fold of the M partial scores — so the DuckDB oracle replays
+  // the identical fit and gates bit-exact.
+
+  val PqSubspaces = 4
+  val PqSubDim = Dim / PqSubspaces
+  val PqCodebook = 8
+
+  /** Unit-normalize against a MATERIALIZED norm column (the zero
+    * vector stays as-is rather than dividing by zero). */
+  private[ann] def unitVec(v: Column, nrm: Column): Column =
+    when(nrm === lit(0.0), v).otherwise(transform(v, x => x / nrm))
+
+  /** Per-cell (score, cell) array for L2 assignment of subvector `s`
+    * against centroid constants carried as (values, self-dot):
+    * argmin ‖s−c‖² = argmax 2·s·c − c·c (the s·s term is constant per
+    * row, and equal distances give equal scores, so ties break
+    * identically — to the larger cell, like the cosine form). */
+  private[ann] def centroidScoresL2(cents: Array[(Seq[Double], Double)],
+                                    s: Column): Column =
+    array(cents.indices.map(j => struct(
+      (lit(2.0) * dot(s, typedLit(cents(j)._1)) - lit(cents(j)._2))
+        .as("score"),
+      lit(j).as("cell"))): _*)
+
+  /** Deterministic L2 k-means over a subvector frame (id, s) — the
+    * [[kmeansCentroids]] procedure with the L2 scorer: smallest-id
+    * seeds, fixed `iters` Lloyd rounds, integer-cents means, empty
+    * cells keep their previous centroid. Returns (values, self-dot)
+    * pairs (the self-dot is the assignment constant, computed with the
+    * same left fold as the oracle's `list_aggregate`). */
+  def kmeansCentroidsL2(dSub: DataFrame, numCells: Int,
+                        iters: Int): Array[(Seq[Double], Double)] = {
+    def selfDot(v: Seq[Double]): Double = {
+      var t = 0.0; var i = 0
+      while (i < v.length) { t += v(i) * v(i); i += 1 }
+      t
+    }
+    var cents: Array[(Seq[Double], Double)] = dSub
+      .orderBy(col("id")).limit(numCells).select(col("s"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](0); (v, selfDot(v))
+      }
+    var round = 0
+    while (round < iters) {
+      val assigned = dSub.withColumn("cell",
+        array_max(centroidScoresL2(cents, col("s"))).getField("cell"))
+      val meanRows = assigned
+        .select(col("cell"), posexplode(col("s")).as(Seq("pos", "val")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(floor(col("val") * lit(1048576.0) + lit(0.5))
+            .cast("long")).cast("double") / 1048576.0 /
+          count(lit(1)).cast("double")).as("m"))
+        .collect()
+      val byCell = meanRows.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val v: Seq[Double] = rows.sortBy(_.getInt(1))
+              .map(_.getDouble(2)).toSeq
+            (v, selfDot(v))
+          case None => cents(c)
+        }
+      }.toArray
+      round += 1
+    }
+    cents
+  }
+
+  /** Train the M per-subspace codebooks over the unit-normalized
+    * corpus. Scale shape: each Lloyd round per subspace is one linear
+    * assignment pass + one partial-aggregated mean (numCells·subDim
+    * output rows); production trains on a sample — pass it as `data`
+    * and encode the full corpus separately. */
+  def pqTrain(data: DataFrame, idCol: String, vecCol: String,
+              iters: Int = 2): Array[Array[(Seq[Double], Double)]] = {
+    val un = graft.core.Fence(withNorms(data, idCol, vecCol)
+      .withColumn("u", unitVec(col("v"), col("nrm"))))
+    (0 until PqSubspaces).map { m =>
+      kmeansCentroidsL2(
+        un.select(col("id"),
+          slice(col("u"), m * PqSubDim + 1, PqSubDim).as("s")),
+        PqCodebook, iters)
+    }.toArray
+  }
+
+  /** Encode every vector to its M codebook cells — the rows a PQ index
+    * stores: (id, c0 … c_{M−1}), M small ints per vector. One pass;
+    * subvector slices materialized before the interpreted assignment
+    * scorer so nothing re-derives per cell. */
+  def pqEncode(data: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[(Seq[Double], Double)]]): DataFrame = {
+    val un = withNorms(data, idCol, vecCol)
+      .withColumn("u", unitVec(col("v"), col("nrm")))
+    val sliced = (0 until PqSubspaces).foldLeft(un) { (df, m) =>
+      df.withColumn(s"__s$m",
+        slice(col("u"), m * PqSubDim + 1, PqSubDim))
+    }
+    (0 until PqSubspaces).foldLeft(sliced) { (df, m) =>
+      df.withColumn(s"c$m",
+        array_max(centroidScoresL2(books(m), col(s"__s$m")))
+          .getField("cell"))
+    }.select(col("id") +:
+      (0 until PqSubspaces).map(m => col(s"c$m")): _*)
+  }
+
+  /** ADC top-k: score every encoded row against each query by summing
+    * the M (query subvector · assigned centroid) dots in a FIXED left
+    * fold. The corpus side is M broadcast equi-joins on the code
+    * columns against the 8-row codebook frames — map-side only, no
+    * shuffle until the per-query rank — and reads nothing but the
+    * codes. Output: (q_id, rank, vec_id, score). */
+  def pqTopKFromCodes(codes: DataFrame, books:
+      Array[Array[(Seq[Double], Double)]], queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qn = withNorms(queries, idCol, vecCol)
+      .withColumn("u", unitVec(col("v"), col("nrm")))
+    val qWide = broadcast(graft.core.Fence(
+      (0 until PqSubspaces).foldLeft(
+        qn.select(col("id").as("q_id"), col("u"))) { (df, m) =>
+        df.withColumn(s"qs$m",
+          slice(col("u"), m * PqSubDim + 1, PqSubDim))
+      }.drop("u")))
+    val joined = (0 until PqSubspaces).foldLeft(
+      codes.join(qWide, col("id") =!= col("q_id"))) { (df, m) =>
+      val cents = books(m).zipWithIndex
+        .map { case ((v, _), j) => (j, v) }.toSeq
+        .toDF(s"cell$m", s"cv$m")
+      df.join(broadcast(cents), col(s"c$m") === col(s"cell$m"))
+    }
+    val scored = joined.withColumn("score",
+      (0 until PqSubspaces)
+        .map(m => dotUnrolled(col(s"qs$m"), col(s"cv$m"), PqSubDim))
+        .reduceLeft(_ + _))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("vec_id"),
+        col("score"))
+  }
+
+  /** Train + encode + ADC-probe in one call (the fit-inline gate form;
+    * a serving deployment persists the codebooks and codes — see the
+    * SQ8/LSH/IVF index artifacts for the pattern). */
+  def pqTopK(data: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, iters: Int = 2): DataFrame = {
+    val books = pqTrain(data, idCol, vecCol, iters)
+    pqTopKFromCodes(graft.core.Fence(pqEncode(data, idCol, vecCol, books)),
+      books, queries, idCol, vecCol, k)
+  }
 }

@@ -651,6 +651,18 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Product quantization + ADC (the extreme-compression ANN path:
+    // 4 codebook cells per vector — 64× smaller than the floats in a
+    // packed layout; queries score candidates from the codes alone).
+    // Deterministic per-subspace L2 k-means (2 Lloyd rounds, the
+    // ann05 reduction) — the oracle replays the identical fit per
+    // subspace. Same query set as ann01 for recall comparison.
+    "ann13_pq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "ann04_centroids" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"),
@@ -1153,6 +1165,79 @@ object LlmQueries {
           list_aggregate(${TextHash.shingleHashesSql("text", 8)}, 'min')
             AS win8
           FROM documents ORDER BY doc_id""",
+    // PQ/ADC: the oracle replays the per-subspace fit exactly — unit
+    // normalization, smallest-id seeds, 2 Lloyd rounds of L2 argmin
+    // (as argmax 2·s·c − c·c, ties to the larger cell) with
+    // integer-cents means, then codes → centroid join → the fixed
+    // left-fold of the 4 partial dots. Engine-identical at every
+    // floating-point step, so ranks and scores gate bit-exact.
+    "ann13_pq_adc" -> {
+      def dt(a: String, b: String) = Ann.dotSql(a, b)
+      val M = Ann.PqSubspaces
+      val sd = Ann.PqSubDim
+      val K = Ann.PqCodebook
+      def l2(s: String, c: String) =
+        s"2.0 * ${dt(s, c + ".cv")} - ${dt(c + ".cv", c + ".cv")}"
+      def chain(m: Int): String = {
+        val lo = m * sd + 1
+        val hi = (m + 1) * sd
+        def round(i: Int): String = {
+          val prev = s"c${m}_${i - 1}"
+          s"""a${m}_$i AS (SELECT vec_id, s, cell FROM (
+                SELECT sv.vec_id, sv.s, c.cell,
+                  row_number() OVER (PARTITION BY sv.vec_id
+                    ORDER BY ${l2("sv.s", "c")} DESC, c.cell DESC) AS rn
+                FROM sv$m sv CROSS JOIN $prev c) WHERE rn = 1),
+              n${m}_$i AS (SELECT cell, CAST(pos AS INT) AS pos,
+                  CAST(SUM(CAST(FLOOR(val * 1048576.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1048576.0 / CAST(COUNT(*) AS DOUBLE)
+                    AS mm
+                FROM (SELECT cell, CAST(unnest(s) AS DOUBLE) AS val,
+                        unnest(generate_series(1, len(s))) - 1 AS pos
+                      FROM a${m}_$i)
+                GROUP BY cell, pos),
+              g${m}_$i AS (SELECT cell, list(mm ORDER BY pos) AS cv
+                FROM n${m}_$i GROUP BY cell),
+              c${m}_$i AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+                FROM $prev p LEFT JOIN g${m}_$i n USING (cell))"""
+        }
+        s"""sv$m AS (SELECT vec_id, u[$lo:$hi] AS s FROM un),
+            c${m}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+                  AS INT) - 1 AS cell, s AS cv
+              FROM (SELECT vec_id, s FROM sv$m
+                    ORDER BY vec_id LIMIT $K)),
+            ${round(1)},
+            ${round(2)},
+            k$m AS (SELECT vec_id, cell FROM (
+                SELECT sv.vec_id, c.cell,
+                  row_number() OVER (PARTITION BY sv.vec_id
+                    ORDER BY ${l2("sv.s", "c")} DESC, c.cell DESC) AS rn
+                FROM sv$m sv CROSS JOIN c${m}_2 c) WHERE rn = 1),
+            p$m AS (SELECT q.vec_id AS q_id, kk.vec_id,
+                ${dt("q.s", "c.cv")} AS sp
+              FROM sv$m q, k$m kk, c${m}_2 c
+              WHERE q.vec_id < 5 AND kk.cell = c.cell
+                AND kk.vec_id <> q.vec_id)"""
+      }
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm FROM v),
+          un AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v
+              ELSE list_transform(v, x -> x / nrm) END AS u FROM vn),
+          ${(0 until M).map(chain).mkString(",\n")},
+          scored AS (SELECT p0.q_id, p0.vec_id,
+              p0.sp + p1.sp + p2.sp + p3.sp AS score
+            FROM p0 JOIN p1 USING (q_id, vec_id)
+              JOIN p2 USING (q_id, vec_id)
+              JOIN p3 USING (q_id, vec_id)),
+          ranked AS (SELECT q_id, vec_id, score,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+            FROM scored)
+        SELECT q_id, rank, vec_id, score FROM ranked
+        WHERE rank <= 10 ORDER BY q_id, rank"""
+    },
     // SQ8: identical quantize (list_max scale, floor(x·127/m + 0.5)
     // codes), integer dots (DuckDB sums to HUGEINT — value-equal), one
     // sqrt+division on integer-valued doubles — every step

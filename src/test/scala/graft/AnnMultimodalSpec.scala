@@ -267,6 +267,33 @@ class AnnMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PQ/ADC recovers planted clusters: a query's top neighbors are " +
+       "its own cluster's members, and the whole procedure is " +
+       "deterministic across runs") {
+    // 3 tight clusters of 8 vectors around orthogonal-ish directions;
+    // ADC over 4x8 codebooks must rank same-cluster vectors first
+    val rnd = new scala.util.Random(7)
+    def base(c: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i % 3 == c) 1.0f else 0.1f)
+    val vecs = (0 until 24).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    def run() = Ann.pqTopK(vecs, q, "vec_id", "embedding", 7)
+      .orderBy($"q_id", $"rank")
+      .select($"q_id", $"rank", $"vec_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val out = run()
+    (0L until 3L).foreach { qid =>
+      val neigh = out.filter(_._1 == qid).map(_._3)
+      assert(neigh.size == 7 &&
+        neigh.forall(n => n % 3 == qid % 3),
+        s"q$qid neighbors $neigh not all from its cluster")
+    }
+    assert(run() == out) // fit + encode + probe fully deterministic
+  }
+
   test("SQ8 index lifecycle: probe off stored byte codes equals the " +
        "fit-inline form bit for bit; replayed append is idempotent; " +
        "drift never blocks (per-vector scales have no fit to go stale)") {
