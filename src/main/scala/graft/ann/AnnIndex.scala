@@ -210,6 +210,71 @@ object AnnIndex {
       Ann.sq8Quantized(queries, idCol, vecCol, "q_id", m.dim), k, m.dim)
   }
 
+  /** Build + persist the PQ index: train the per-subspace codebooks
+    * ONCE ([[Ann.pqTrain]] — on `trainData` when bulk-loading a slice
+    * now and appending the rest later), encode every vector to its M
+    * codebook cells, write the codebooks (`_pqcent`: m, cell, pos,
+    * val) and the code segment. The serving payoff is the largest of
+    * the index family: probes read M small ints per vector (4 bytes
+    * packed) instead of Dim floats. Codebooks are a corpus-level fit,
+    * so the [[MaxDriftFactor]] staleness contract applies like IVF's. */
+  def buildPq(catalog: TableCatalog, data: DataFrame, idCol: String,
+              vecCol: String, indexTable: String, trainIters: Int = 2,
+              trainData: Option[DataFrame] = None): Unit = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val books = Ann.pqTrain(trainData.getOrElse(data), idCol, vecCol,
+      trainIters)
+    val fitN = trainData.map(_.count()).getOrElse(data.count())
+    val rows = for {
+      m <- books.indices
+      j <- books(m).indices
+      (x, p) <- books(m)(j)._1.zipWithIndex
+    } yield (m, j, p, x)
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      catalog.writeFull(rows.toDF("m", "cell", "pos", "val"),
+        indexTable + "_pqcent")
+      writeSeg(catalog, indexTable,
+        assignPq(data, idCol, vecCol, books), "0", "pk")
+      dropOtherSegs(catalog, indexTable, keep = "0")
+      writeMeta(catalog, indexTable, "pq", Ann.PqCodebook, fitN,
+        data.count())
+    }
+  }
+
+  /** Append new vectors to a persisted PQ index — encode under the
+    * LOADED codebooks (never re-derived), land as one new segment.
+    * Same lock / replay / drift contract as [[appendIvf]]. */
+  def appendPq(catalog: TableCatalog, data: DataFrame, idCol: String,
+               vecCol: String, indexTable: String,
+               segKey: Option[String] = None,
+               allowStale: Boolean = false): Unit =
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      val m = readMeta(catalog, indexTable, "pq")
+      val books = readBooks(catalog, indexTable)
+      appendSeg(catalog, indexTable, m,
+        assignPq(data, idCol, vecCol, books), data.count(),
+        segKey, "pk", allowStale)
+    }
+
+  /** ADC top-k off the persisted codes — [[Ann.pqTopK]] without the
+    * training or encoding passes: codebooks load as a driver constant
+    * (M·K·subDim doubles), the corpus side is nothing but the stored
+    * code columns. Bit-identical to fit-inline ann13 (codes are a
+    * pure function of vector × frozen codebooks), gated by ann14
+    * against the ann13 oracle. */
+  def pqTopKFromIndex(catalog: TableCatalog, indexTable: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, allowStale: Boolean = false): DataFrame = {
+    val m = readMeta(catalog, indexTable, "pq")
+    requireFresh(m, indexTable, allowStale)
+    val books = readBooks(catalog, indexTable)
+    val codes = catalog.read(assignTableOf(indexTable))
+      .select(col("id") +:
+        (0 until Ann.PqSubspaces).map(i => col(s"c$i")): _*)
+    Ann.pqTopKFromCodes(codes, books, queries, idCol, vecCol, k)
+  }
+
   /** Within-bucket top-1 neighbors from a persisted LSH index — the
     * [[Ann.lshBucketNeighborsAuto]] result without the count, the
     * norm pass, or the planes×dim bucketing dots: everything comes
@@ -268,6 +333,36 @@ object AnnIndex {
         transform(col("id_q"), x => x.cast("byte")).as("q"),
         col("id_qq").as("qq"))
       .withColumn("pk", pmod(col("id"), lit(LshPkBuckets)))
+
+  /** (id, c0 … c_{M−1}, pk): the PQ code row — M small ints per
+    * vector ([[Ann.pqEncode]]), pk sub-layout as in [[assignSq8]]. */
+  private def assignPq(data: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[(Seq[Double], Double)]]): DataFrame =
+    Ann.pqEncode(data, idCol, vecCol, books)
+      .withColumn("pk", pmod(col("id"), lit(LshPkBuckets)))
+
+  /** Codebooks back from `_pqcent`, with self-dots recomputed by the
+    * same left fold the training used — the (values, self-dot) shape
+    * [[Ann.centroidScoresL2]] assigns against. */
+  private def readBooks(catalog: TableCatalog,
+      indexTable: String): Array[Array[(Seq[Double], Double)]] = {
+    def selfDot(v: Seq[Double]): Double = {
+      var t = 0.0; var i = 0
+      while (i < v.length) { t += v(i) * v(i); i += 1 }
+      t
+    }
+    catalog.read(indexTable + "_pqcent")
+      .orderBy(col("m"), col("cell"), col("pos")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, mRows) =>
+        mRows.groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+          .map { case (_, rows) =>
+            val v: Seq[Double] = rows.sortBy(_.getInt(2))
+              .map(_.getDouble(3)).toSeq
+            (v, selfDot(v))
+          }.toArray
+      }.toArray
+  }
 
   private def assignIvf(data: DataFrame, idCol: String, vecCol: String,
                         cents: Array[(Seq[Double], Double)]): DataFrame =
@@ -378,6 +473,8 @@ object AnnIndex {
         s"${m.kind} geometry was fitted for ${m.fittedN} " +
         f"(drift ${m.indexedN.toDouble / m.fittedN}%.2fx > " +
         f"$MaxDriftFactor%.1fx) — rebuild with AnnIndex.build" +
-        s"${if (m.kind == "lsh") "Lsh" else "Ivf"} (or pass " +
+        s"${m.kind.capitalize match {
+          case "Lsh" => "Lsh"; case "Pq" => "Pq"; case _ => "Ivf"
+        }} (or pass " +
         "allowStale = true to serve from the stale fit anyway)")
 }

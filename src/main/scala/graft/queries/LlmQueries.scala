@@ -641,6 +641,28 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Persisted PQ index, full lifecycle: codebooks trained once on
+    // the full corpus, half bulk-loaded, half appended as codes under
+    // the LOADED (never re-derived) codebooks, ADC probe off the
+    // stored code columns alone. Codes are a pure function of
+    // vector × frozen codebooks, so the result is bit-identical to
+    // fit-inline ann13 — its oracle verbatim.
+    "ann14_pq_index" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann14_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      val (first, rest) = (e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      AnnIndex.buildPq(cat, first, "vec_id", "embedding", "ann_pq",
+        trainIters = 2, trainData = Some(e))
+      AnnIndex.appendPq(cat, rest, "vec_id", "embedding", "ann_pq")
+      AnnIndex.pqTopKFromIndex(cat, "ann_pq",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // SQ8-quantized brute-force top-k (the memory-bandwidth scale
     // path: int8 codes are a 4× cheaper scan than floats and the score
     // is an integer dot) — same query set as ann01, so quantization
@@ -1662,5 +1684,8 @@ object LlmQueries {
     "ann10_ivf_append" -> oracleBase("ann05_ivf_kmeans"),
     // quantization is per-vector, so build-half + append-half is
     // bit-identical to quantizing the whole corpus — ann11's oracle
-    "ann12_sq8_index" -> oracleBase("ann11_sq8_topk"))
+    "ann12_sq8_index" -> oracleBase("ann11_sq8_topk"),
+    // codebooks train on the full corpus; codes are pure functions of
+    // vector × frozen books — ann13's oracle verbatim
+    "ann14_pq_index" -> oracleBase("ann13_pq_adc"))
 }

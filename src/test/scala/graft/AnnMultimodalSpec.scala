@@ -294,6 +294,52 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(run() == out) // fit + encode + probe fully deterministic
   }
 
+  test("PQ index lifecycle: probe off stored codes equals fit-inline " +
+       "bit for bit; replayed append idempotent; drift past the bound " +
+       "fails loudly (codebooks ARE a corpus-level fit)") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("annpq_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"score").collect().toSeq
+    val first = vecs.filter($"vec_id" % 2 === 0)
+    val rest = vecs.filter($"vec_id" % 2 === 1)
+    AnnIndex.buildPq(cat, first, "vec_id", "embedding", "pq",
+      trainIters = 2, trainData = Some(vecs))
+    AnnIndex.appendPq(cat, rest, "vec_id", "embedding", "pq")
+    val q = vecs.filter($"vec_id" < 3)
+    val once = canon(AnnIndex.pqTopKFromIndex(cat, "pq", q,
+      "vec_id", "embedding", 5))
+    assert(once == canon(Ann.pqTopK(vecs, q, "vec_id", "embedding", 5)))
+    AnnIndex.appendPq(cat, rest, "vec_id", "embedding", "pq",
+      segKey = Some("1"))
+    assert(canon(AnnIndex.pqTopKFromIndex(cat, "pq", q,
+      "vec_id", "embedding", 5)) == once)
+    // codebooks fitted on 10 vectors refuse to index 30 (3x > 2x)
+    // without allowStale, and the probe refuses too
+    AnnIndex.buildPq(cat, vecs.filter($"vec_id" < 10), "vec_id",
+      "embedding", "pqsmall", trainIters = 1)
+    val ex = intercept[Exception] {
+      AnnIndex.appendPq(cat, vecs.filter($"vec_id" >= 10), "vec_id",
+        "embedding", "pqsmall")
+    }
+    assert(ex.getMessage.contains("drift"), ex.getMessage)
+    AnnIndex.appendPq(cat, vecs.filter($"vec_id" >= 10), "vec_id",
+      "embedding", "pqsmall", allowStale = true)
+    intercept[Exception] {
+      AnnIndex.pqTopKFromIndex(cat, "pqsmall", q, "vec_id",
+        "embedding", 5)
+    }
+    assert(canon(AnnIndex.pqTopKFromIndex(cat, "pqsmall", q, "vec_id",
+      "embedding", 5, allowStale = true)).nonEmpty)
+  }
+
   test("SQ8 index lifecycle: probe off stored byte codes equals the " +
        "fit-inline form bit for bit; replayed append is idempotent; " +
        "drift never blocks (per-vector scales have no fit to go stale)") {
