@@ -923,27 +923,29 @@ object Ann {
       (0 until PqSubspaces).map(m => col(s"c$m")): _*)
   }
 
-  /** ADC top-k: score every encoded row against each query by summing
-    * the M (query subvector · assigned centroid) dots in a FIXED left
-    * fold. The corpus side is M broadcast equi-joins on the code
-    * columns against the 8-row codebook frames — map-side only, no
-    * shuffle until the per-query rank — and reads nothing but the
-    * codes. Output: (q_id, rank, vec_id, score). */
-  def pqTopKFromCodes(codes: DataFrame, books:
-      Array[Array[(Seq[Double], Double)]], queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val spark = codes.sparkSession
+  /** Query side of ADC: (q_id, qs0 … qs_{M−1}) — the unit-normalized
+    * query subvector slices, fenced and broadcast-sized. */
+  private[ann] def pqQuerySlices(queries: DataFrame, idCol: String,
+                                 vecCol: String): DataFrame =
+    graft.core.Fence((0 until PqSubspaces).foldLeft(
+      withNorms(queries, idCol, vecCol)
+        .withColumn("u", unitVec(col("v"), col("nrm")))
+        .select(col("id").as("q_id"), col("u"))) { (df, m) =>
+      df.withColumn(s"qs$m",
+        slice(col("u"), m * PqSubDim + 1, PqSubDim))
+    }.drop("u"))
+
+  /** ADC scoring + rank over a candidate frame carrying the code
+    * columns (id, c0 …) and the query slices (q_id, qs0 …): M
+    * broadcast equi-joins against the K-row codebook frames — map-side
+    * only, no shuffle until the per-query rank — summing the partial
+    * dots in a fixed left fold. Shared by the brute-force, persisted-
+    * index, and IVF-pruned probes. */
+  private[ann] def pqAdcRank(cand: DataFrame,
+      books: Array[Array[(Seq[Double], Double)]], k: Int): DataFrame = {
+    val spark = cand.sparkSession
     import spark.implicits._
-    val qn = withNorms(queries, idCol, vecCol)
-      .withColumn("u", unitVec(col("v"), col("nrm")))
-    val qWide = broadcast(graft.core.Fence(
-      (0 until PqSubspaces).foldLeft(
-        qn.select(col("id").as("q_id"), col("u"))) { (df, m) =>
-        df.withColumn(s"qs$m",
-          slice(col("u"), m * PqSubDim + 1, PqSubDim))
-      }.drop("u")))
-    val joined = (0 until PqSubspaces).foldLeft(
-      codes.join(qWide, col("id") =!= col("q_id"))) { (df, m) =>
+    val joined = (0 until PqSubspaces).foldLeft(cand) { (df, m) =>
       val cents = books(m).zipWithIndex
         .map { case ((v, _), j) => (j, v) }.toSeq
         .toDF(s"cell$m", s"cv$m")
@@ -961,6 +963,15 @@ object Ann {
         col("score"))
   }
 
+  /** ADC top-k: score every encoded row against each query from the
+    * codes alone. Output: (q_id, rank, vec_id, score). */
+  def pqTopKFromCodes(codes: DataFrame, books:
+      Array[Array[(Seq[Double], Double)]], queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qWide = broadcast(pqQuerySlices(queries, idCol, vecCol))
+    pqAdcRank(codes.join(qWide, col("id") =!= col("q_id")), books, k)
+  }
+
   /** Train + encode + ADC-probe in one call (the fit-inline gate form;
     * a serving deployment persists the codebooks and codes — see the
     * SQ8/LSH/IVF index artifacts for the pattern). */
@@ -969,5 +980,44 @@ object Ann {
     val books = pqTrain(data, idCol, vecCol, iters)
     pqTopKFromCodes(graft.core.Fence(pqEncode(data, idCol, vecCol, books)),
       books, queries, idCol, vecCol, k)
+  }
+
+  /** IVF-PQ: the production serving shape — an IVF coarse quantizer
+    * prunes to nprobe/numCells of the corpus (the [[ivfTopK]]
+    * machinery, cell partition pruning at the storage layer in the
+    * persisted form) and PQ/ADC scores the survivors from their codes
+    * alone. Candidate generation is a cell EQUI-join (never all
+    * pairs); scoring reads M code ints per candidate. Both fits are
+    * the established deterministic procedures, so the oracle replays
+    * them and gates bit-exact. Output: (q_id, rank, vec_id, score). */
+  def ivfPqTopK(data: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, numCells: Int = 16,
+                nprobe: Int = 2, trainIters: Int = 2,
+                pqIters: Int = 2): DataFrame = {
+    // coarse: ann05's spherical k-means cells over the raw vectors
+    val d = withNorms(data, idCol, vecCol)
+    val cents = kmeansCentroids(d, numCells, trainIters)
+    val assigned = d.withColumn("cell",
+        array_max(centroidScores(cents, col("v"), col("nrm")))
+          .getField("cell"))
+      .select(col("id"), col("cell"))
+    // fine: PQ codebooks + codes over the unit vectors
+    val books = pqTrain(data, idCol, vecCol, pqIters)
+    val codes = graft.core.Fence(pqEncode(data, idCol, vecCol, books)
+      .join(assigned, Seq("id")))
+    // query probe cells (cos desc, cell desc — the ann05 order) joined
+    // to the query's ADC slices
+    val q = withNorms(queries, idCol, vecCol)
+      .select(col("id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val probes = q.withColumn("probe",
+        explode(slice(reverse(array_sort(
+          centroidScores(cents, col("qv"), col("qnrm")))), 1, nprobe)))
+      .select(col("q_id"), col("probe").getField("cell").as("cell"))
+    val qWide = broadcast(graft.core.Fence(probes.join(
+      pqQuerySlices(queries, idCol, vecCol), Seq("q_id"))))
+    pqAdcRank(
+      codes.join(qWide, Seq("cell")).filter(col("id") =!= col("q_id")),
+      books, k)
   }
 }

@@ -641,6 +641,18 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF-PQ combined probe — the production serving shape: IVF cells
+    // prune candidates to nprobe/numCells of the corpus, PQ/ADC
+    // scores the survivors from 4 code ints each. Same query set as
+    // ann01/ann03/ann13, so the pruning+quantization recall stack is
+    // directly comparable.
+    "ann15_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Persisted PQ index, full lifecycle: codebooks trained once on
     // the full corpus, half bulk-loaded, half appended as codes under
     // the LOADED (never re-derived) codebooks, ADC probe off the
@@ -1187,6 +1199,121 @@ object LlmQueries {
           list_aggregate(${TextHash.shingleHashesSql("text", 8)}, 'min')
             AS win8
           FROM documents ORDER BY doc_id""",
+    // IVF-PQ: ann05's coarse-quantizer chain (cells for every vector,
+    // probe cells per query) composed with ann13's PQ chains; the
+    // candidate set is the cell equi-join and scoring is the ADC fold
+    // over the candidates only. Both fits replayed exactly.
+    "ann15_ivfpq" -> {
+      def dt(a: String, b: String) = Ann.dotSql(a, b)
+      // --- coarse chain: verbatim generation pattern of ann05 ---
+      def ivfRound(i: Int): String = {
+        val prev = s"cent${i - 1}"
+        s"""iasg$i AS (SELECT vec_id, v, nrm, cell FROM (
+              SELECT vn.vec_id, vn.v, vn.nrm, c.cell,
+                row_number() OVER (PARTITION BY vn.vec_id
+                  ORDER BY ${dt("vn.v", "c.cv")} / (vn.nrm * c.cnrm)
+                    DESC, c.cell DESC) AS rn
+              FROM vn CROSS JOIN $prev c) WHERE rn = 1),
+            imean$i AS (SELECT cell, CAST(pos AS INT) AS pos,
+                CAST(SUM(CAST(FLOOR(val * 1048576.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1048576.0 / CAST(COUNT(*) AS DOUBLE) AS m
+              FROM (SELECT cell, CAST(unnest(v) AS DOUBLE) AS val,
+                      unnest(generate_series(1, len(v))) - 1 AS pos
+                    FROM iasg$i)
+              GROUP BY cell, pos),
+            icm$i AS (SELECT cell, list(m ORDER BY pos) AS cv
+              FROM imean$i GROUP BY cell),
+            cent$i AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv,
+                CASE WHEN n.cv IS NULL THEN p.cnrm
+                     ELSE sqrt(${dt("n.cv", "n.cv")}) END AS cnrm
+              FROM $prev p LEFT JOIN icm$i n USING (cell))"""
+      }
+      // --- fine chains: verbatim generation pattern of ann13 ---
+      val M = Ann.PqSubspaces
+      val sd = Ann.PqSubDim
+      val K = Ann.PqCodebook
+      def l2(s: String, c: String) =
+        s"2.0 * ${dt(s, c + ".cv")} - ${dt(c + ".cv", c + ".cv")}"
+      def chain(m: Int): String = {
+        val lo = m * sd + 1
+        val hi = (m + 1) * sd
+        def round(i: Int): String = {
+          val prev = s"c${m}_${i - 1}"
+          s"""a${m}_$i AS (SELECT vec_id, s, cell FROM (
+                SELECT sv.vec_id, sv.s, c.cell,
+                  row_number() OVER (PARTITION BY sv.vec_id
+                    ORDER BY ${l2("sv.s", "c")} DESC, c.cell DESC) AS rn
+                FROM sv$m sv CROSS JOIN $prev c) WHERE rn = 1),
+              n${m}_$i AS (SELECT cell, CAST(pos AS INT) AS pos,
+                  CAST(SUM(CAST(FLOOR(val * 1048576.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1048576.0 / CAST(COUNT(*) AS DOUBLE)
+                    AS mm
+                FROM (SELECT cell, CAST(unnest(s) AS DOUBLE) AS val,
+                        unnest(generate_series(1, len(s))) - 1 AS pos
+                      FROM a${m}_$i)
+                GROUP BY cell, pos),
+              g${m}_$i AS (SELECT cell, list(mm ORDER BY pos) AS cv
+                FROM n${m}_$i GROUP BY cell),
+              c${m}_$i AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+                FROM $prev p LEFT JOIN g${m}_$i n USING (cell))"""
+        }
+        s"""sv$m AS (SELECT vec_id, u[$lo:$hi] AS s FROM un),
+            c${m}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+                  AS INT) - 1 AS cell, s AS cv
+              FROM (SELECT vec_id, s FROM sv$m
+                    ORDER BY vec_id LIMIT $K)),
+            ${round(1)},
+            ${round(2)},
+            k$m AS (SELECT vec_id, cell FROM (
+                SELECT sv.vec_id, c.cell,
+                  row_number() OVER (PARTITION BY sv.vec_id
+                    ORDER BY ${l2("sv.s", "c")} DESC, c.cell DESC) AS rn
+                FROM sv$m sv CROSS JOIN c${m}_2 c) WHERE rn = 1),
+            p$m AS (SELECT cd.q_id, cd.vec_id, ${dt("q.s", "c.cv")} AS sp
+              FROM cand cd
+              JOIN k$m kk ON kk.vec_id = cd.vec_id
+              JOIN c${m}_2 c ON kk.cell = c.cell
+              JOIN sv$m q ON q.vec_id = cd.q_id)"""
+      }
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm FROM v),
+          cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+                AS INT) - 1 AS cell, v AS cv, nrm AS cnrm
+            FROM vn ORDER BY vec_id LIMIT 16),
+          ${ivfRound(1)},
+          ${ivfRound(2)},
+          asg AS (SELECT vec_id, cell FROM (
+            SELECT vn.vec_id, cent2.cell,
+              row_number() OVER (PARTITION BY vn.vec_id
+                ORDER BY ${dt("vn.v", "cent2.cv")} / (vn.nrm * cent2.cnrm)
+                  DESC, cent2.cell DESC) AS rn
+            FROM vn CROSS JOIN cent2) WHERE rn = 1),
+          qp AS (SELECT vec_id AS q_id, cell FROM (
+            SELECT vn.vec_id, cent2.cell,
+              row_number() OVER (PARTITION BY vn.vec_id
+                ORDER BY ${dt("vn.v", "cent2.cv")} / (vn.nrm * cent2.cnrm)
+                  DESC, cent2.cell DESC) AS rn
+            FROM vn CROSS JOIN cent2 WHERE vn.vec_id < 5) WHERE rn <= 2),
+          cand AS (SELECT qp.q_id, a.vec_id
+            FROM qp JOIN asg a USING (cell)
+            WHERE a.vec_id <> qp.q_id),
+          un AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v
+              ELSE list_transform(v, x -> x / nrm) END AS u FROM vn),
+          ${(0 until M).map(chain).mkString(",\n")},
+          scored AS (SELECT p0.q_id, p0.vec_id,
+              p0.sp + p1.sp + p2.sp + p3.sp AS score
+            FROM p0 JOIN p1 USING (q_id, vec_id)
+              JOIN p2 USING (q_id, vec_id)
+              JOIN p3 USING (q_id, vec_id)),
+          ranked AS (SELECT q_id, vec_id, score,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+            FROM scored)
+        SELECT q_id, rank, vec_id, score FROM ranked
+        WHERE rank <= 10 ORDER BY q_id, rank"""
+    },
     // PQ/ADC: the oracle replays the per-subspace fit exactly — unit
     // normalization, smallest-id seeds, 2 Lloyd rounds of L2 argmin
     // (as argmax 2·s·c − c·c, ties to the larger cell) with

@@ -252,6 +252,13 @@ class PlanSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("ann15: IVF-PQ candidate generation is a cell EQUI-join and " +
+       "the codebook lookups are broadcast hash joins — no cartesian") {
+    val p = sparkPlan("ann15_ivfpq")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("ann11: the SQ8 scoring join broadcasts the quantized query " +
        "side and never degrades to a cartesian over the corpus") {
     val p = sparkPlan("ann11_sq8_topk")
