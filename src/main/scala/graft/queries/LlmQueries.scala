@@ -409,6 +409,34 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The FULL training-shard path — dp01's survivor chain extended
+    // the way a real corpus build finishes: per-language token-budget
+    // mixture cut (ts10's operator, the "keep the best N tokens per
+    // language" step) then token-budget sequence chunking into
+    // training shards (ts11's operator). One oracle over the whole
+    // chain: a user gets filtered, deduped, budgeted, shard-assigned
+    // training data from one composition of gated operators.
+    "dp05_training_shards" -> ((s, dir) => {
+      val cp = graft.text.CorpusPipeline
+      val gated = cp.gate(t(s, dir, "documents"))
+      val deduped = graft.core.Fence(Dedup.exactDedup(gated,
+        cp.fingerprintPrefix, col("doc_id")))
+      val pairs = MinHashLSH.nearDupPairs(deduped, "doc_id", "text",
+        threshold = cp.NearDupThreshold)
+      val clustered = Dedup.clusterDedup(deduped, "doc_id", pairs,
+        "doc_a", "doc_b")
+      val surv = clustered.filter(cp.samplePredicate)
+      val toks = TextHash.tokens(col("text"))
+      val kept = graft.core.Fence(graft.text.Mixture.tokenBudgetSample(
+        surv, "doc_id", "lang", size(toks).cast("long"),
+        TextAnalysis.qualityScore(toks), 20000L))
+      val chunked = graft.text.Packing.tokenChunks(kept, "id",
+        col("n_toks"), 8000L)
+      chunked.join(kept.select(col("id"), col("lang")), Seq("id"))
+        .select(col("id"), col("lang"), col("n_toks"), col("chunk"))
+        .orderBy(col("id"))
+    }),
+
     // The INCREMENTAL corpus pipeline under the dp01 oracle: three
     // ascending-id micro-batches through CorpusStream.processBatch
     // (fresh temp warehouse per invocation — replaying over stale
@@ -967,10 +995,13 @@ object LlmQueries {
     })
   )
 
-  private val dp01OracleSql: String = {
+  /** The dp01 chain's CTE body (gate → exact dedup → near-dup pairs →
+    * cluster losers) and the survivor predicate — shared by the
+    * dp01/dp03/dp04 oracles and dp05's extension of the chain. */
+  private val dp01ChainCtes: String = {
     val toks = "string_split(text, ' ')"
     val cp = graft.text.CorpusPipeline
-    s"""WITH RECURSIVE gated AS (SELECT * FROM documents
+    s"""gated AS (SELECT * FROM documents
           WHERE ${TextAnalysis.langIdSql(toks)} <> 'und'
             AND ${TextAnalysis.qualityScoreSql(toks)} >=
               ${cp.QualityFloor}),
@@ -982,15 +1013,25 @@ object LlmQueries {
         pairs AS (
           ${MinHashLSH.nearDupPairsSql("deduped", "doc_id", "text",
             threshold = cp.NearDupThreshold)}),
-        ${Dedup.clusterLosersSql("pairs", "doc_a", "doc_b")}
+        ${Dedup.clusterLosersSql("pairs", "doc_a", "doc_b")}"""
+  }
+
+  private val dp01SurvivorPredicate: String = {
+    val cp = graft.text.CorpusPipeline
+    s"""NOT EXISTS (SELECT 1 FROM losers
+          WHERE losers.id = deduped.doc_id)
+        AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          (CASE WHEN lang = 'en' THEN '${cp.SampleBucketEn}'
+            ELSE '${cp.SampleBucketOther}' END)"""
+  }
+
+  private val dp01OracleSql: String = {
+    val toks = "string_split(text, ' ')"
+    s"""WITH RECURSIVE $dp01ChainCtes
         SELECT doc_id, lang,
           CAST(len($toks) AS INT) AS n_toks
         FROM deduped
-        WHERE NOT EXISTS (SELECT 1 FROM losers
-            WHERE losers.id = deduped.doc_id)
-          AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-            (CASE WHEN lang = 'en' THEN '${cp.SampleBucketEn}'
-              ELSE '${cp.SampleBucketOther}' END)
+        WHERE $dp01SurvivorPredicate
         ORDER BY doc_id"""
   }
 
@@ -1163,6 +1204,30 @@ object LlmQueries {
     // dp04 = dp03 with every batch rolling to a fresh output epoch;
     // the roll is pure storage layout, so the oracle is unchanged
     "dp04_epoch_roll" -> dp01OracleSql,
+    // dp05 = the dp01 chain + ts10's one-window mixture reference +
+    // ts11's one-window chunking reference, composed
+    "dp05_training_shards" -> {
+      val toks = "string_split(text, ' ')"
+      s"""WITH RECURSIVE $dp01ChainCtes,
+          surv AS (SELECT doc_id, lang, text FROM deduped
+            WHERE $dp01SurvivorPredicate),
+          scored AS (SELECT doc_id AS id, lang,
+              CAST(len($toks) AS BIGINT) AS n_toks,
+              ${TextAnalysis.qualityScoreSql(toks)} AS q
+            FROM surv),
+          cum AS (SELECT id, lang, n_toks,
+              SUM(n_toks) OVER (PARTITION BY lang
+                ORDER BY q DESC, id ASC
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM scored),
+          kept AS (SELECT id, lang, n_toks FROM cum WHERE cum <= 20000),
+          chunked AS (SELECT id, lang, n_toks,
+              CAST((SUM(n_toks) OVER (ORDER BY id ASC
+                  ROWS UNBOUNDED PRECEDING) - n_toks) // 8000
+                AS BIGINT) AS chunk
+            FROM kept)
+          SELECT id, lang, n_toks, chunk FROM chunked ORDER BY id"""
+    },
     "dp02_corpus_report" -> {
       val toks = "string_split(text, ' ')"
       s"""WITH perdoc AS (SELECT lang, n_chars,
