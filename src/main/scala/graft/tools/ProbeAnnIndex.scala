@@ -67,6 +67,37 @@ object ProbeAnnIndex {
           10).count()
       }
     }
+    println(s"=== SQ8 top-10, $reps reps ===")
+    (1 to reps).foreach { _ =>
+      timed("fresh-fit ") {
+        Ann.sq8TopK(e, q, "vec_id", "embedding", 10).count()
+      }
+    }
+    timed("build     ") {
+      AnnIndex.buildSq8(cat, e, "vec_id", "embedding", "sq8"); 0L
+    }
+    (1 to reps).foreach { _ =>
+      timed("from-index") {
+        AnnIndex.sq8TopKFromIndex(cat, "sq8", q, "vec_id", "embedding",
+          10).count()
+      }
+    }
+    println(s"=== PQ/ADC top-10 (4x8 codebooks, 2 rounds), $reps reps ===")
+    (1 to reps).foreach { _ =>
+      timed("fresh-fit ") {
+        Ann.pqTopK(e, q, "vec_id", "embedding", 10).count()
+      }
+    }
+    timed("build     ") {
+      AnnIndex.buildPq(cat, e, "vec_id", "embedding", "pq",
+        trainIters = 2); 0L
+    }
+    (1 to reps).foreach { _ =>
+      timed("from-index") {
+        AnnIndex.pqTopKFromIndex(cat, "pq", q, "vec_id", "embedding",
+          10).count()
+      }
+    }
     spark.stop()
   }
 }
