@@ -171,7 +171,9 @@ object LlmQueries {
       val u = conv(substring(
           md5(col("g").cast("string").cast("binary")), 1, 15),
           16, 10).cast("long")
-      val hashes = grams.select(u.as("u")).distinct()
+      // soft-fenced: the distinct feeds BOTH the sketch and the
+      // exact-count demonstrator — one shingle+dedup pass, not two
+      val hashes = graft.core.Fence.soft(grams.select(u.as("u")).distinct())
       val sk = hashes.orderBy(col("u").asc).limit(k)
         .agg(max(col("u")).as("kth_u"),
           count(lit(1)).cast("int").as("k"))

@@ -267,6 +267,42 @@ class AnnMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("quantized-family recall@10 vs exact cosine on the gate corpus " +
+       "stays above pinned floors (sq8 ~exact, pq/ivfpq lossy-bounded)") {
+    // the real embeddings table at gate scale: quality regressions in
+    // the quantizers (bad scale, broken codebook training, wrong cell
+    // probe) show up here as recall collapse long before a user does
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    def top10(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"q_id".cast("long"), $"vec_id".cast("long"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (k, v) => (k, v.map(_._2).toSet) }
+    val exact = top10(Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10))
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.map { case (k, ex) =>
+        m.getOrElse(k, Set.empty).intersect(ex).size.toDouble / ex.size
+      }.sum / exact.size
+    val sq8 = recall(top10(
+      Ann.sq8TopK(e, q, "vec_id", "embedding", 10)))
+    val pq = recall(top10(
+      Ann.pqTopK(e, q, "vec_id", "embedding", 10)))
+    val ivfpq = recall(top10(
+      Ann.ivfPqTopK(e, q, "vec_id", "embedding", 10)))
+    info(f"recall@10 sq8=$sq8%.2f pq=$pq%.2f ivfpq=$ivfpq%.2f")
+    assert(sq8 >= 0.9, s"sq8 recall $sq8 — int8 rounding should be " +
+      "nearly lossless at 64 dims (measured 1.00 at pin time)")
+    // this corpus is near-uniform synthetic — the hardest case for a
+    // 4x8 codebook (measured 0.20 at pin time = 10x the 10/500 ~ 0.02
+    // random floor; real clustered corpora fare far better, see the
+    // planted-cluster test)
+    assert(pq >= 0.1, s"pq recall $pq collapsed toward random")
+    // ivfpq EXCEEDS plain pq here (measured 0.40): the cell filter
+    // removes candidates the lossy codes over-rank
+    assert(ivfpq >= 0.2, s"ivfpq recall $ivfpq — cell pruning may " +
+      "drop true neighbors but must stay far above random")
+  }
+
   test("PQ/ADC recovers planted clusters: a query's top neighbors are " +
        "its own cluster's members, and the whole procedure is " +
        "deterministic across runs") {
