@@ -84,6 +84,30 @@ object JoinQueries {
         .withColumn("lon", split(geo, ",").getItem(1))
         .select(col("p_partkey"), col("p_name"), col("lat"), col("lon"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // Beyond the reference: distributed RANGE join (point-in-interval
+    // as an equi-bucketed join — see ops/RangeJoin.scala). Lineitems
+    // shipped inside each sampled order's 30-day window, aggregated
+    // per window; the oracle is the plain theta join, which the
+    // bucket join must reproduce row-exactly.
+    "j09_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .as("lo"))
+        .withColumn("hi", col("lo") + 29)
+      val pts = t(s, dir, "lineitem")
+        .select(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .as("p"),
+          col("l_quantity"))
+      graft.ops.RangeJoin.pointInInterval(pts, col("p"),
+          iv, col("lo"), col("hi"), bucketWidth = 30L)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("win_id"))
     })
   )
 
@@ -126,6 +150,15 @@ object JoinQueries {
            CAST(round(p_retailprice, 2) AS VARCHAR) AS geo FROM part)
          SELECT p_partkey, p_name, string_split(geo, ',')[1] AS lat,
                 string_split(geo, ',')[2] AS lon
-         FROM b ORDER BY p_partkey"""
+         FROM b ORDER BY p_partkey""",
+    // day-granular on both sides (DATE casts; DATE + 29 = days)
+    "j09_range_join" ->
+      """SELECT o_orderkey AS win_id, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM orders JOIN lineitem
+           ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+          AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 29
+         WHERE o_orderkey % 997 = 0
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -93,4 +93,33 @@ class OpsSpec extends SparkSpec {
       .as[String].collect()
     assert(dur.toSeq == Seq("1 jour", "3 jours", "2 jours"))
   }
+
+  test("RangeJoin equals the naive theta join: inclusive bounds, " +
+       "multi-bucket intervals, negative domain, inverted interval") {
+    val points = Seq(-31L, -30L, -1L, 0L, 5L, 29L, 30L, 61L, 100L)
+      .toDF("p_val")
+    val intervals = Seq(
+      (1L, 0L, 29L),    // exactly one bucket at w=30
+      (2L, -30L, 30L),  // spans three buckets, crosses the origin
+      (3L, 29L, 30L),   // straddles a bucket boundary
+      (4L, 50L, 40L),   // inverted: matches nothing
+      (5L, 100L, 100L)) // single-point interval
+      .toDF("iv_id", "lo_v", "hi_v")
+    val got = graft.ops.RangeJoin.pointInInterval(
+        points, col("p_val"), intervals, col("lo_v"), col("hi_v"), 30L)
+      .select($"iv_id", $"p_val").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      p <- Seq(-31L, -30L, -1L, 0L, 5L, 29L, 30L, 61L, 100L)
+      (id, lo, hi) <- Seq((1L, 0L, 29L), (2L, -30L, 30L),
+        (3L, 29L, 30L), (4L, 50L, 40L), (5L, 100L, 100L))
+      if lo <= p && p <= hi
+    } yield (id, p)).toSet
+    assert(got == naive, s"got $got expected $naive")
+    // duplicate-free by construction: multi-bucket interval 2 emits
+    // each matching point exactly once
+    val rows = graft.ops.RangeJoin.pointInInterval(
+        points, col("p_val"), intervals, col("lo_v"), col("hi_v"), 30L)
+      .collect()
+    assert(rows.length == naive.size)
+  }
 }

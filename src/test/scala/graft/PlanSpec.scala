@@ -252,6 +252,14 @@ class PlanSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("j09: the range join is an equi-bucket join — never the " +
+       "nested loop Spark's planner gives a raw theta join") {
+    val p = sparkPlan("j09_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("Join"), p.take(1200))
+  }
+
   test("ann15: IVF-PQ candidate generation is a cell EQUI-join and " +
        "the codebook lookups are broadcast hash joins — no cartesian") {
     val p = sparkPlan("ann15_ivfpq")
