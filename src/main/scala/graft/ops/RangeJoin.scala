@@ -54,4 +54,33 @@ object RangeJoin {
               col("__rj_p") <= col("__rj_hi"))
       .drop("__rj_bk", "__rj_p", "__rj_lo", "__rj_hi")
   }
+
+  /** Interval × interval OVERLAP join: pairs where
+    * `[alo, ahi] ∩ [blo, bhi] ≠ ∅`, equi-bucketed like
+    * [[pointInInterval]]. Both sides replicate to their covered
+    * buckets; a pair would meet in every bucket the overlap spans, so
+    * the join keeps it only in the overlap's START bucket
+    * (`bucketOf(max(alo, blo))` — a bucket both sides necessarily
+    * cover when they overlap), restoring exactly-once by
+    * construction. Inputs must not share column names. */
+  def intervalOverlap(left: DataFrame, aLo: Column, aHi: Column,
+                      right: DataFrame, bLo: Column, bHi: Column,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    def exploded(df: DataFrame, lo: Column, hi: Column,
+                 loN: String, hiN: String): DataFrame =
+      df.withColumn(loN, lo.cast("long")).withColumn(hiN, hi.cast("long"))
+        .filter(col(loN) <= col(hiN))
+        .withColumn("__rj_bk", explode(sequence(
+          bucketOf(col(loN), bucketWidth),
+          bucketOf(col(hiN), bucketWidth))))
+    val a = exploded(left, aLo, aHi, "__rj_alo", "__rj_ahi")
+    val b = exploded(right, bLo, bHi, "__rj_blo", "__rj_bhi")
+    a.join(b, Seq("__rj_bk"))
+      .filter(greatest(col("__rj_alo"), col("__rj_blo")) <=
+                least(col("__rj_ahi"), col("__rj_bhi")) &&
+              col("__rj_bk") === bucketOf(
+                greatest(col("__rj_alo"), col("__rj_blo")), bucketWidth))
+      .drop("__rj_bk", "__rj_alo", "__rj_ahi", "__rj_blo", "__rj_bhi")
+  }
 }

@@ -108,6 +108,30 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy(col("win_id"))
+    }),
+
+    // Interval × interval overlap join (two sampled order-window
+    // sets; per left window: how many right windows overlap it and
+    // the longest overlap) — the bucketed join keeps each pair only
+    // in the overlap's start bucket, so it reproduces the theta join
+    // with no dedup pass.
+    "j10_interval_overlap" -> ((s, dir) => {
+      def wins(m: Int, id: String, lo: String, hi: String) =
+        t(s, dir, "orders").filter(col("o_orderkey") % m === 0)
+          .select(col("o_orderkey").as(id),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+              .as(lo))
+          .withColumn(hi, col(lo) + 59)
+      val a = wins(97, "a_id", "a_lo", "a_hi")
+      val b = wins(101, "b_id", "b_lo", "b_hi")
+      graft.ops.RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+          b, col("b_lo"), col("b_hi"), bucketWidth = 60L)
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          max(least(col("a_hi"), col("b_hi")) -
+              greatest(col("a_lo"), col("b_lo")) + 1).cast("long")
+            .as("max_overlap_days"))
+        .orderBy(col("a_id"))
     })
   )
 
@@ -159,6 +183,20 @@ object JoinQueries {
            ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
           AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 29
          WHERE o_orderkey % 997 = 0
+         GROUP BY 1 ORDER BY 1""",
+    "j10_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_id,
+             CAST(o_orderdate AS DATE) AS alo,
+             CAST(o_orderdate AS DATE) + 59 AS ahi
+           FROM orders WHERE o_orderkey % 97 = 0),
+         b AS (SELECT o_orderkey AS b_id,
+             CAST(o_orderdate AS DATE) AS blo,
+             CAST(o_orderdate AS DATE) + 59 AS bhi
+           FROM orders WHERE o_orderkey % 101 = 0)
+         SELECT a_id, COUNT(*) AS n_overlaps,
+           CAST(MAX(datediff('day', greatest(alo, blo),
+             least(ahi, bhi)) + 1) AS BIGINT) AS max_overlap_days
+         FROM a JOIN b ON greatest(alo, blo) <= least(ahi, bhi)
          GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -122,4 +122,24 @@ class OpsSpec extends SparkSpec {
       .collect()
     assert(rows.length == naive.size)
   }
+
+  test("RangeJoin.intervalOverlap equals the naive theta join with " +
+       "no duplicates, including pairs whose overlap spans buckets") {
+    val as = Seq((1L, 0L, 100L), (2L, -50L, -10L), (3L, 200L, 210L))
+    val bs = Seq((10L, 90L, 150L),  // overlaps a1 across buckets
+      (20L, -20L, 5L),              // overlaps a1 and a2, crosses 0
+      (30L, 300L, 400L),            // overlaps nothing
+      (40L, 205L, 205L))            // point-interval inside a3
+    val aDf = as.toDF("a_id", "a_lo", "a_hi")
+    val bDf = bs.toDF("b_id", "b_lo", "b_hi")
+    val got = graft.ops.RangeJoin.intervalOverlap(aDf, col("a_lo"),
+        col("a_hi"), bDf, col("b_lo"), col("b_hi"), 30L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    val naive = for {
+      (ai, alo, ahi) <- as; (bi, blo, bhi) <- bs
+      if math.max(alo, blo) <= math.min(ahi, bhi)
+    } yield (ai, bi)
+    assert(got.toSet == naive.toSet, s"${got.toSeq} vs $naive")
+    assert(got.length == naive.size) // exactly-once per pair
+  }
 }
