@@ -64,6 +64,37 @@ object AggWindowQueries {
         FROM graft_a09_events GROUP BY event_type ORDER BY event_type""")
     }),
 
+    // Quantiles from a DETERMINISTIC 1/64 hash sample (md5 of the row
+    // key < '04'/256) — the 100 TB estimation path: reproducible
+    // across engines and runs (unlike TABLESAMPLE), order-free, and
+    // percentile_disc picks an ELEMENT so even the estimate is
+    // bit-exact. The exact quantiles ride along as the gate-scale
+    // error demonstrator; a production run computes only the sample
+    // side (1/64 of the scan feeding the sort-based aggregate).
+    "a10_sampled_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_a10_li")
+      s.sql("""WITH s AS (SELECT l_returnflag, l_extendedprice
+          FROM graft_a10_li
+          WHERE substring(md5(CAST(CAST(l_orderkey AS STRING) || '-' ||
+            CAST(l_linenumber AS STRING) AS BINARY)), 1, 2) < '04'),
+        ags AS (SELECT l_returnflag, COUNT(*) AS n_sampled,
+            percentile_disc(0.5) WITHIN GROUP
+              (ORDER BY l_extendedprice) AS p50_est,
+            percentile_disc(0.95) WITHIN GROUP
+              (ORDER BY l_extendedprice) AS p95_est
+          FROM s GROUP BY l_returnflag),
+        age AS (SELECT l_returnflag,
+            percentile_disc(0.5) WITHIN GROUP
+              (ORDER BY l_extendedprice) AS p50_exact,
+            percentile_disc(0.95) WITHIN GROUP
+              (ORDER BY l_extendedprice) AS p95_exact
+          FROM graft_a10_li GROUP BY l_returnflag)
+        SELECT ags.l_returnflag, n_sampled, p50_est, p95_est,
+          p50_exact, p95_exact
+        FROM ags JOIN age ON ags.l_returnflag = age.l_returnflag
+        ORDER BY ags.l_returnflag""")
+    }),
+
     // W6 sliding-frame window aggregate: per-user rolling sum/count of
     // the last 4 events (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW).
     // Sums ride floor(x*100+0.5) integer cents — sliding-window sums
@@ -122,6 +153,26 @@ object AggWindowQueries {
          percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
          percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "a10_sampled_percentiles" ->
+      """WITH s AS (SELECT l_returnflag, l_extendedprice FROM lineitem
+           WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+             CAST(l_linenumber AS VARCHAR)), 1, 2) < '04'),
+         ags AS (SELECT l_returnflag, COUNT(*) AS n_sampled,
+             percentile_disc(0.5) WITHIN GROUP
+               (ORDER BY l_extendedprice) AS p50_est,
+             percentile_disc(0.95) WITHIN GROUP
+               (ORDER BY l_extendedprice) AS p95_est
+           FROM s GROUP BY l_returnflag),
+         age AS (SELECT l_returnflag,
+             percentile_disc(0.5) WITHIN GROUP
+               (ORDER BY l_extendedprice) AS p50_exact,
+             percentile_disc(0.95) WITHIN GROUP
+               (ORDER BY l_extendedprice) AS p95_exact
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT ags.l_returnflag, n_sampled, p50_est, p95_est,
+           p50_exact, p95_exact
+         FROM ags JOIN age ON ags.l_returnflag = age.l_returnflag
+         ORDER BY ags.l_returnflag""",
     "w06_rolling_sum" ->
       """SELECT user_id, event_id, ts::TIMESTAMP AS ts,
          CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER w
