@@ -254,6 +254,55 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Stream-static RANGE join: the bucketed form is an EQUI join,
+    // which is exactly why it STREAMS — Structured Streaming supports
+    // stream-static equi joins per micro-batch but has no theta-join
+    // path at all (a raw `p BETWEEN lo AND hi` join is unplannable on
+    // a stream). Points arrive in 3 micro-batches, join the static
+    // interval table (append mode, stateless for stream-static
+    // inner), and the materialized sink must aggregate to the batch
+    // j09 answer restricted to the streamed 1/7 subset.
+    "ev09_stream_range" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .as("lo"))
+        .withColumn("hi", col("lo") + 29)
+      val rows = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .as("p"),
+          col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .as[(Int, Double, Long, Int)].collect()
+      val n = rows.length
+      val mem = MemoryStream[(Int, Double)]
+      val sink = "ev09_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s, 8) {
+        val q = graft.ops.RangeJoin.pointInInterval(
+            mem.toDF().toDF("p", "l_quantity"), col("p"),
+            iv, col("lo"), col("hi"), bucketWidth = 30L)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+              rows.slice(2 * n / 3, n)).foreach { chunk =>
+            mem.addData(chunk.map(r => (r._1, r._2)).toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(sink).groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("win_id"))
+    }),
+
     // Typed JSON extraction from the props payload column (schema-on-read
     // over a semi-structured field), rolled up per event type. from_json
     // with an explicit schema, not a UDF — stays in codegen.
@@ -345,6 +394,15 @@ object EventQueries {
     "ev08_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // the j09 theta-join oracle restricted to the streamed 1/7 subset
+    "ev09_stream_range" ->
+      """SELECT o_orderkey AS win_id, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM orders JOIN lineitem
+           ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+          AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 29
+         WHERE o_orderkey % 997 = 0 AND l_orderkey % 7 = 0
+         GROUP BY 1 ORDER BY 1""",
     "ev04_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
