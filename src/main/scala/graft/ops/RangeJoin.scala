@@ -23,24 +23,70 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Floor-division bucket, exact for negative domains too (`div`
-    * truncates toward zero, which would split bucket 0 across the
-    * origin). The subtraction makes the dividend an exact multiple of
-    * `w`, so the double division is exact while |v| < 2^53 — any
-    * calendar or epoch-seconds domain. */
+  /** Internal helper column names. Both entry points REQUIRE these to
+    * be absent from the inputs (checked up front) — `withColumn`
+    * would otherwise silently replace a same-named input column and
+    * the trailing `drop` would then remove user data. */
+  private val Reserved =
+    Seq("__rj_p", "__rj_bk", "__rj_lo", "__rj_hi",
+        "__rj_alo", "__rj_ahi", "__rj_blo", "__rj_bhi")
+
+  private def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val clash = df.columns.toSet.intersect(Reserved.toSet)
+    require(clash.isEmpty,
+      s"$side input must not contain RangeJoin helper columns " +
+        s"${clash.mkString(", ")} — rename them before the join")
+  }
+
+  /** Per-interval replication cap: an interval spanning more than
+    * this many buckets fails LOUDLY at runtime (per row, via
+    * `raise_error`) instead of exploding an arbitrarily large —
+    * eventually `sequence()`-rejected (hard cap ~2^31 elements) or
+    * OOM-ing — bucket array. A correctly-sized `bucketWidth` keeps
+    * typical intervals to a handful of buckets; hitting this cap
+    * means the width is wrong for the data, not that the cap is
+    * tight. */
+  val MaxBucketsPerInterval: Long = 1L << 16
+
+  /** Floor-division bucket, exact on the FULL long domain (epoch
+    * nanos included): the subtraction makes the dividend an exact
+    * multiple of `w`, and integral `div` on longs has no rounding —
+    * unlike double `/`, which loses exactness past 2^53. `div`
+    * truncates toward zero, which is safe here because the dividend
+    * is already the floored multiple (negative domains included:
+    * `pmod` is nonnegative). */
   private def bucketOf(v: Column, w: Long): Column =
-    ((v - pmod(v, lit(w))) / lit(w)).cast("long")
+    call_function("div", v - pmod(v, lit(w)), lit(w))
+
+  /** `bucketOf(hi)` guarded by the replication cap: raises a runtime
+    * error naming the offending span when `[lo, hi]` covers more than
+    * [[MaxBucketsPerInterval]] buckets, otherwise passes the hi
+    * bucket through for `sequence()` to expand. */
+  private def guardedHiBucket(lo: Column, hi: Column, w: Long): Column = {
+    val bkLo = bucketOf(lo, w)
+    val bkHi = bucketOf(hi, w)
+    when(bkHi - bkLo < lit(MaxBucketsPerInterval), bkHi)
+      .otherwise(raise_error(concat(
+        lit(s"RangeJoin: interval spans more than $MaxBucketsPerInterval " +
+            s"buckets at bucketWidth=$w (lo="), lo.cast("string"),
+        lit(", hi="), hi.cast("string"),
+        lit(") — increase bucketWidth"))))
+  }
 
   /** Rows of `points` × `intervals` where
     * `loCol <= pointCol <= hiCol`, as an equi-bucketed join. Inputs
     * must not share column names (select/alias first, as with any
-    * join); the expressions are evaluated as LONG — days, epoch
-    * seconds, any integral domain. Empty/inverted intervals
-    * (`lo > hi`) match nothing. */
+    * join) and must not contain `__rj_*` columns (checked); the
+    * expressions are evaluated as LONG — days, epoch seconds, any
+    * integral domain. Empty/inverted intervals (`lo > hi`) match
+    * nothing. Intervals wider than [[MaxBucketsPerInterval]] buckets
+    * fail loudly — size `bucketWidth` to the data. */
   def pointInInterval(points: DataFrame, pointCol: Column,
                       intervals: DataFrame, loCol: Column, hiCol: Column,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    requireNoReserved(points, "points")
+    requireNoReserved(intervals, "intervals")
     val pt = points.withColumn("__rj_p", pointCol.cast("long"))
       .withColumn("__rj_bk", bucketOf(col("__rj_p"), bucketWidth))
     val iv = intervals.withColumn("__rj_lo", loCol.cast("long"))
@@ -48,7 +94,7 @@ object RangeJoin {
       .filter(col("__rj_lo") <= col("__rj_hi"))
       .withColumn("__rj_bk", explode(sequence(
         bucketOf(col("__rj_lo"), bucketWidth),
-        bucketOf(col("__rj_hi"), bucketWidth))))
+        guardedHiBucket(col("__rj_lo"), col("__rj_hi"), bucketWidth))))
     pt.join(iv, Seq("__rj_bk"))
       .filter(col("__rj_p") >= col("__rj_lo") &&
               col("__rj_p") <= col("__rj_hi"))
@@ -62,18 +108,21 @@ object RangeJoin {
     * the join keeps it only in the overlap's START bucket
     * (`bucketOf(max(alo, blo))` — a bucket both sides necessarily
     * cover when they overlap), restoring exactly-once by
-    * construction. Inputs must not share column names. */
+    * construction. Inputs must not share column names and must not
+    * contain `__rj_*` columns (checked). */
   def intervalOverlap(left: DataFrame, aLo: Column, aHi: Column,
                       right: DataFrame, bLo: Column, bHi: Column,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
     def exploded(df: DataFrame, lo: Column, hi: Column,
                  loN: String, hiN: String): DataFrame =
       df.withColumn(loN, lo.cast("long")).withColumn(hiN, hi.cast("long"))
         .filter(col(loN) <= col(hiN))
         .withColumn("__rj_bk", explode(sequence(
           bucketOf(col(loN), bucketWidth),
-          bucketOf(col(hiN), bucketWidth))))
+          guardedHiBucket(col(loN), col(hiN), bucketWidth))))
     val a = exploded(left, aLo, aHi, "__rj_alo", "__rj_ahi")
     val b = exploded(right, bLo, bHi, "__rj_blo", "__rj_bhi")
     a.join(b, Seq("__rj_bk"))

@@ -142,4 +142,31 @@ class OpsSpec extends SparkSpec {
     assert(got.toSet == naive.toSet, s"${got.toSeq} vs $naive")
     assert(got.length == naive.size) // exactly-once per pair
   }
+
+  test("RangeJoin is exact past 2^53 (integral bucket division) and " +
+       "guards reserved names and runaway replication") {
+    // epoch-nanos-scale values: double division would mis-bucket these
+    val big = (1L << 60) + 7L
+    val pts = Seq(big, big + 1L, big - 1L).toDF("p_val")
+    val ivs = Seq((1L, big, big)).toDF("iv_id", "lo_v", "hi_v")
+    val got = graft.ops.RangeJoin.pointInInterval(
+        pts, col("p_val"), ivs, col("lo_v"), col("hi_v"), 1000L)
+      .select($"p_val").as[Long].collect().toSeq
+    assert(got == Seq(big), s"got $got")
+    // reserved helper names rejected up front, not silently dropped
+    val bad = Seq((1L, 2L)).toDF("__rj_p", "x")
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.pointInInterval(
+        bad, col("x"), ivs, col("lo_v"), col("hi_v"), 10L)
+    }
+    // an interval spanning > MaxBucketsPerInterval buckets fails
+    // loudly instead of exploding an unbounded sequence
+    val wide = Seq((1L, 0L, (1L << 40))).toDF("iv_id", "lo_v", "hi_v")
+    val ex = intercept[Exception] {
+      graft.ops.RangeJoin.pointInInterval(
+        pts, col("p_val"), wide, col("lo_v"), col("hi_v"), 1L)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
