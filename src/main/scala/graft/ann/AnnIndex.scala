@@ -37,6 +37,14 @@ import graft.catalog.TableCatalog
   *                     directory count, and a point-lookup still reads
   *                     only its bucket's pk directory.
   *   `<index>_cent`    IVF only: (cell, pos, val) centroid components.
+  *   `<index>_segmeta` one (seg, rows) row per segment (round 14) —
+  *                     the O(#segments) counts that make an append's
+  *                     `indexed_n` update O(batch) instead of a
+  *                     corpus-sized recount; reconciled against the
+  *                     on-disk `seg=` partitions so a crash between
+  *                     the segment write and the count write (or a
+  *                     pre-r14 index) costs one O(that-segment)
+  *                     recount, never a full-table pass.
   *
   * Vectors and norms round-trip parquet exactly (doubles are stored
   * bit-for-bit), so a probe over the loaded index is bit-identical to
@@ -66,6 +74,7 @@ object AnnIndex {
   val MaxDriftFactor = 2.0
 
   private def assignTableOf(indexTable: String) = indexTable + "_assign"
+  private def segMetaTableOf(indexTable: String) = indexTable + "_segmeta"
 
   /** Build + persist the LSH bucket index: fits the plane count to the
     * corpus ([[Ann.autoPlanes]]) — or to `capacityRows`, the planned
@@ -86,6 +95,7 @@ object AnnIndex {
       writeSeg(catalog, indexTable,
         assignLsh(data, idCol, vecCol, planes), "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0") // rebuild hygiene
+      writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "lsh", planes, fitN, n)
     }
     planes
@@ -108,7 +118,8 @@ object AnnIndex {
       .map(td => Ann.withNorms(td, idCol, vecCol))
       .getOrElse(Ann.withNorms(data, idCol, vecCol))
     val cents = Ann.kmeansCentroids(trainD, numCells, trainIters)
-    val fitN = trainData.map(_.count()).getOrElse(data.count())
+    val n = data.count()
+    val fitN = trainData.map(_.count()).getOrElse(n)
     val centRows = cents.zipWithIndex.flatMap { case ((v, _), c) =>
       v.zipWithIndex.map { case (x, p) => (c, p, x) }
     }.toSeq
@@ -118,7 +129,8 @@ object AnnIndex {
       writeSeg(catalog, indexTable,
         assignIvf(data, idCol, vecCol, cents), "0", "cell")
       dropOtherSegs(catalog, indexTable, keep = "0")
-      writeMeta(catalog, indexTable, "ivf", numCells, fitN, data.count())
+      writeSegCounts(catalog, indexTable, Map("0" -> n))
+      writeMeta(catalog, indexTable, "ivf", numCells, fitN, n)
     }
   }
 
@@ -176,6 +188,7 @@ object AnnIndex {
       writeSeg(catalog, indexTable, assignSq8(data, idCol, vecCol),
         "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0")
+      writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "sq8", 127, n, n)
     }
   }
@@ -225,7 +238,8 @@ object AnnIndex {
     import spark.implicits._
     val books = Ann.pqTrain(trainData.getOrElse(data), idCol, vecCol,
       trainIters)
-    val fitN = trainData.map(_.count()).getOrElse(data.count())
+    val n = data.count()
+    val fitN = trainData.map(_.count()).getOrElse(n)
     val rows = for {
       m <- books.indices
       j <- books(m).indices
@@ -237,8 +251,8 @@ object AnnIndex {
       writeSeg(catalog, indexTable,
         assignPq(data, idCol, vecCol, books), "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0")
-      writeMeta(catalog, indexTable, "pq", Ann.PqCodebook, fitN,
-        data.count())
+      writeSegCounts(catalog, indexTable, Map("0" -> n))
+      writeMeta(catalog, indexTable, "pq", Ann.PqCodebook, fitN, n)
     }
   }
 
@@ -383,6 +397,46 @@ object AnnIndex {
         .repartition(col(subField)),
       assignTableOf(indexTable), "seg", segKey, subField)
 
+  /** Per-segment row counts, the O(#segments) metadata that makes an
+    * append O(batch): `indexed_n` is the sum of the OTHER segments'
+    * recorded counts plus the incoming batch — never a corpus-sized
+    * recount of the assignment table (the r13 form read and counted
+    * the whole table on every append). The `_segmeta` table holds one
+    * (seg, rows) row per segment and is fully rewritten inside the
+    * table lock on every build/append — O(#segments), tiny.
+    *
+    * Reconciliation keeps the count exact without trusting `_segmeta`
+    * blindly: any `seg=` partition present on disk but absent from the
+    * table (a pre-r14 index, or a crash between the segment write and
+    * the `_segmeta` write) is counted directly — partition pruning
+    * makes that O(that segment), and under the replay contract it
+    * happens at most once per such segment. */
+  private def readSegCounts(catalog: TableCatalog,
+                            indexTable: String): Map[String, Long] = {
+    val assignTable = assignTableOf(indexTable)
+    val known: Map[String, Long] =
+      if (!catalog.tableExists(segMetaTableOf(indexTable))) Map.empty
+      else catalog.read(segMetaTableOf(indexTable)).collect()
+        .map(r => (r.getString(r.fieldIndex("seg")),
+          r.getLong(r.fieldIndex("rows")))).toMap
+    val onDisk = catalog.listPartitions(assignTable, "seg")
+    val unrecorded = onDisk.filterNot(known.contains)
+    known.view.filterKeys(onDisk.contains).toMap ++
+      unrecorded.map { s =>
+        s -> catalog.read(assignTable)
+          .filter(col("seg").cast("string") === s).count()
+      }.toMap
+  }
+
+  private def writeSegCounts(catalog: TableCatalog, indexTable: String,
+                             counts: Map[String, Long]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    catalog.writeFull(
+      counts.toSeq.sortBy(_._1).toDF("seg", "rows"),
+      segMetaTableOf(indexTable))
+  }
+
   private def appendSeg(catalog: TableCatalog, indexTable: String,
                         m: Meta, assigned: DataFrame, incoming: Long,
                         segKey: Option[String], subField: String,
@@ -395,14 +449,19 @@ object AnnIndex {
       next.toString
     }
     // post-append total, exact under replay: rows outside this segment
-    // plus the incoming batch (a replayed segKey overwrites itself).
-    // Checked BEFORE the write — a refused append must not leave
-    // orphan segment rows that probes (which read the whole table,
-    // not the meta's count) would silently serve.
-    val indexed = catalog.read(assignTable)
-      .filter(col("seg").cast("string") =!= key).count() + incoming
+    // plus the incoming batch (a replayed segKey overwrites itself —
+    // its old count drops out of the sum). Checked BEFORE the write —
+    // a refused append must not leave orphan segment rows that probes
+    // (which read the whole table, not the meta's count) would
+    // silently serve.
+    val prior = readSegCounts(catalog, indexTable)
+    val indexed = prior.collect {
+      case (s, n) if s != key => n
+    }.sum + incoming
     requireFresh(m.copy(indexedN = indexed), indexTable, allowStale)
     writeSeg(catalog, indexTable, assigned, key, subField)
+    writeSegCounts(catalog, indexTable,
+      prior - key + (key -> incoming))
     writeMeta(catalog, indexTable, m.kind, m.geometry, m.fittedN, indexed)
   }
 

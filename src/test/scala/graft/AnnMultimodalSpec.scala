@@ -408,6 +408,53 @@ class AnnMultimodalSpec extends SparkSpec {
       "vec_id", "embedding", 5)) == once)
   }
 
+  test("ANN append bookkeeping is O(batch): per-segment counts keep " +
+       "indexed_n exact under replay, and a missing _segmeta (pre-r14 " +
+       "index or crash before the count write) reconciles per-segment") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("annsm_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def indexedN: Long = {
+      val r = cat.read("sm").collect()(0)
+      r.getLong(r.fieldIndex("indexed_n"))
+    }
+    AnnIndex.buildSq8(cat, vecs.filter($"vec_id" < 10), "vec_id",
+      "embedding", "sm")
+    assert(indexedN == 10)
+    val batch = vecs.filter($"vec_id" >= 10 && $"vec_id" < 15)
+    AnnIndex.appendSq8(cat, batch, "vec_id", "embedding", "sm",
+      segKey = Some("1"))
+    assert(indexedN == 15)
+    // re-delivered segKey: the old seg-1 count drops out of the sum,
+    // the overwrite lands, indexed_n stays exact (not 20)
+    AnnIndex.appendSq8(cat, batch, "vec_id", "embedding", "sm",
+      segKey = Some("1"))
+    assert(indexedN == 15)
+    // simulate the crash window between the segment write and the
+    // count write (equivalently: a pre-r14 index with no _segmeta) —
+    // the next append reconciles the unrecorded segments from their
+    // own partitions, never a corpus recount
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(java.nio.file.Paths.get(wh, "sm_segmeta"))
+    AnnIndex.appendSq8(cat, vecs.filter($"vec_id" >= 15), "vec_id",
+      "embedding", "sm", segKey = Some("2"))
+    assert(indexedN == 20)
+    // and the rebuilt counts carry every segment: one more replay of
+    // seg 2 keeps the total exact
+    AnnIndex.appendSq8(cat, vecs.filter($"vec_id" >= 15), "vec_id",
+      "embedding", "sm", segKey = Some("2"))
+    assert(indexedN == 20)
+  }
+
   test("ANN index lifecycle: build-half + append-half equals the full " +
        "build bit for bit, a replayed append is idempotent, and " +
        "staleness past the drift bound fails loudly") {
