@@ -892,26 +892,39 @@ object Ann {
     * output rows); production trains on a sample — pass it as `data`
     * and encode the full corpus separately. */
   def pqTrain(data: DataFrame, idCol: String, vecCol: String,
-              iters: Int = 2): Array[Array[(Seq[Double], Double)]] = {
-    val un = graft.core.Fence(withNorms(data, idCol, vecCol)
-      .withColumn("u", unitVec(col("v"), col("nrm"))))
+              iters: Int = 2): Array[Array[(Seq[Double], Double)]] =
+    pqTrainOn(graft.core.Fence(withNorms(data, idCol, vecCol)
+      .withColumn("u", unitVec(col("v"), col("nrm")))), iters)
+
+  /** [[pqTrain]] over a prepared frame carrying the vector PQ should
+    * encode as a materialized `u` column — the unit vectors for the
+    * plain form, the coarse-cell RESIDUALS for the IVFADC form. */
+  def pqTrainOn(frame: DataFrame,
+                iters: Int): Array[Array[(Seq[Double], Double)]] =
     (0 until PqSubspaces).map { m =>
       kmeansCentroidsL2(
-        un.select(col("id"),
+        frame.select(col("id"),
           slice(col("u"), m * PqSubDim + 1, PqSubDim).as("s")),
         PqCodebook, iters)
     }.toArray
-  }
 
   /** Encode every vector to its M codebook cells — the rows a PQ index
     * stores: (id, c0 … c_{M−1}), M small ints per vector. One pass;
     * subvector slices materialized before the interpreted assignment
     * scorer so nothing re-derives per cell. */
   def pqEncode(data: DataFrame, idCol: String, vecCol: String,
-               books: Array[Array[(Seq[Double], Double)]]): DataFrame = {
-    val un = withNorms(data, idCol, vecCol)
-      .withColumn("u", unitVec(col("v"), col("nrm")))
-    val sliced = (0 until PqSubspaces).foldLeft(un) { (df, m) =>
+               books: Array[Array[(Seq[Double], Double)]]): DataFrame =
+    pqEncodeOn(withNorms(data, idCol, vecCol)
+        .withColumn("u", unitVec(col("v"), col("nrm"))),
+      books, keep = Seq("id"))
+
+  /** [[pqEncode]] over a prepared frame (materialized `u` = the vector
+    * to encode), keeping `keep` alongside the code columns — the
+    * IVFADC form keeps the coarse cell so probes stay an equi-join. */
+  def pqEncodeOn(frame: DataFrame,
+                 books: Array[Array[(Seq[Double], Double)]],
+                 keep: Seq[String]): DataFrame = {
+    val sliced = (0 until PqSubspaces).foldLeft(frame) { (df, m) =>
       df.withColumn(s"__s$m",
         slice(col("u"), m * PqSubDim + 1, PqSubDim))
     }
@@ -919,7 +932,7 @@ object Ann {
       df.withColumn(s"c$m",
         array_max(centroidScoresL2(books(m), col(s"__s$m")))
           .getField("cell"))
-    }.select(col("id") +:
+    }.select(keep.map(col) ++
       (0 until PqSubspaces).map(m => col(s"c$m")): _*)
   }
 
@@ -1019,5 +1032,132 @@ object Ann {
     pqAdcRank(
       codes.join(qWide, Seq("cell")).filter(col("id") =!= col("q_id")),
       books, k)
+  }
+
+  // ---- residual IVF-PQ (IVFADC) + exact re-rank -------------------------
+  //
+  // The classic two fixes for [[ivfPqTopK]]'s recall loss (Jégou et
+  // al.'s IVFADC shape, both public): (1) PQ-encode the RESIDUAL
+  // u − centroid(cell) instead of the raw unit vector — residuals are
+  // smaller and better centered, so the same 4×8 codebook budget spends
+  // its cells on the part of the vector the coarse quantizer did NOT
+  // explain; (2) re-score the top-R code-ranked candidates EXACTLY from
+  // the float vectors — the universal two-stage serving shape (code
+  // scan narrows the corpus to R, floats are touched for R rows only).
+  // Every step is the established deterministic procedure, so the
+  // DuckDB oracle replays the whole fit and ann16 gates bit-exact.
+
+  /** Elementwise difference of two materialized double-array columns
+    * (IEEE subtraction — exact and engine-identical given identical
+    * inputs). */
+  private[ann] def vecSub(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x - y)
+
+  /** ADC rank with the residual-correct L2 scoring. Under a shared
+    * coarse cell, ‖qu − u‖² = ‖qr − r‖² exactly (the centroid cancels),
+    * so the code-approximated score is
+    * `−‖qr − r̂‖² = Σ_m (2·qr_m·cb_m − ‖cb_m‖²) − qr·qr` — comparable
+    * ACROSS a query's probed cells, unlike the raw cross term
+    * [[pqAdcRank]] uses (fine there: the plain form has one global
+    * codebook space). `cand` carries the code columns (id, c0 …), the
+    * per-(query, cell) residual slices (qs0 …) and the materialized
+    * residual self-dot `qq`. */
+  private[ann] def pqAdcRankL2(cand: DataFrame,
+      books: Array[Array[(Seq[Double], Double)]], k: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val joined = (0 until PqSubspaces).foldLeft(cand) { (df, m) =>
+      val cents = books(m).zipWithIndex
+        .map { case ((v, cc), j) => (j, v, cc) }.toSeq
+        .toDF(s"cell$m", s"cv$m", s"cc$m")
+      df.join(broadcast(cents), col(s"c$m") === col(s"cell$m"))
+    }
+    val scored = joined.withColumn("score",
+      (0 until PqSubspaces)
+        .map(m => lit(2.0) *
+          dotUnrolled(col(s"qs$m"), col(s"cv$m"), PqSubDim) -
+          col(s"cc$m"))
+        .reduceLeft(_ + _) - col("qq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id").as("vec_id"),
+        col("score"))
+  }
+
+  /** Residual IVF-PQ with exact top-R re-rank. Candidate generation is
+    * the IVF cell equi-join (nprobe/numCells of the corpus), scoring is
+    * ADC over residual codes (M ints per candidate), and `refine > 0`
+    * re-scores the top-`refine` code-ranked rows per query with the
+    * exact float dot — floats touched for `refine` rows per query, not
+    * the corpus. `refine <= 0` returns the pure code ranking. The
+    * coarse quantizer is a deterministic L2 k-means over the UNIT
+    * vectors ([[kmeansCentroidsL2]] on the full dim), so the residual
+    * decomposition ‖qu−u‖² = ‖qr−r‖² holds exactly per shared cell.
+    * Output: (q_id, rank, vec_id, score) — score is the exact unit dot
+    * (= cosine) when refining, the negative squared ADC distance
+    * otherwise. Default `refine` sized for serving (~4k floats per
+    * query is noise next to the code scan it replaces). */
+  def ivfPqResidualTopK(data: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        numCells: Int = 16, nprobe: Int = 2,
+                        trainIters: Int = 2, pqIters: Int = 2,
+                        refine: Int = 4096): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val un = graft.core.Fence(withNorms(data, idCol, vecCol)
+      .withColumn("u", unitVec(col("v"), col("nrm")))
+      .select(col("id"), col("u")))
+    // coarse: L2 cells over the unit vectors, full dim
+    val cents = kmeansCentroidsL2(
+      un.select(col("id"), col("u").as("s")), numCells, trainIters)
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case ((v, _), j) => (j, v) }.toSeq.toDF("cell", "cv"))
+    val assigned = un.withColumn("cell",
+      array_max(centroidScoresL2(cents, col("u"))).getField("cell"))
+    // residuals, materialized before the subspace machinery reads them
+    val resid = graft.core.Fence(assigned.join(centDf, Seq("cell"))
+      .withColumn("ru", vecSub(col("u"), col("cv")))
+      .select(col("id"), col("cell"), col("ru").as("u")))
+    // fine: books + codes over the residuals, cell kept for the probe
+    val books = pqTrainOn(resid, pqIters)
+    val codes = graft.core.Fence(
+      pqEncodeOn(resid, books, keep = Seq("id", "cell")))
+    // query side: probed cells, per-cell residual slices + self-dot
+    val qUn = graft.core.Fence(withNorms(queries, idCol, vecCol)
+      .withColumn("u", unitVec(col("v"), col("nrm")))
+      .select(col("id").as("q_id"), col("u").as("qu")))
+    val probes = qUn.withColumn("probe",
+        explode(slice(reverse(array_sort(
+          centroidScoresL2(cents, col("qu")))), 1, nprobe)))
+      .select(col("q_id"),
+        col("probe").getField("cell").as("cell"), col("qu"))
+    val qRes = probes.join(centDf, Seq("cell"))
+      .withColumn("qr", vecSub(col("qu"), col("cv")))
+    val qSliced = (0 until PqSubspaces).foldLeft(qRes) { (df, m) =>
+      df.withColumn(s"qs$m", slice(col("qr"), m * PqSubDim + 1, PqSubDim))
+    }
+    val qWide = broadcast(graft.core.Fence(qSliced
+      .withColumn("qq", (0 until PqSubspaces)
+        .map(m => dotUnrolled(col(s"qs$m"), col(s"qs$m"), PqSubDim))
+        .reduceLeft(_ + _))
+      .select(col("q_id") +: col("cell") +:
+        (0 until PqSubspaces).map(m => col(s"qs$m")) :+ col("qq"): _*)))
+    val adc = pqAdcRankL2(
+      codes.join(qWide, Seq("cell")).filter(col("id") =!= col("q_id")),
+      books, if (refine > 0) refine else k)
+    if (refine <= 0) adc
+    else {
+      val exact = adc.select(col("q_id"), col("vec_id"))
+        .join(un.select(col("id").as("vec_id"), col("u")), Seq("vec_id"))
+        .join(broadcast(qUn), Seq("q_id"))
+        .withColumn("score", dotUnrolled(col("qu"), col("u")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+    }
   }
 }

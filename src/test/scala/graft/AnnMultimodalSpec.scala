@@ -289,7 +289,14 @@ class AnnMultimodalSpec extends SparkSpec {
       Ann.pqTopK(e, q, "vec_id", "embedding", 10)))
     val ivfpq = recall(top10(
       Ann.ivfPqTopK(e, q, "vec_id", "embedding", 10)))
-    info(f"recall@10 sq8=$sq8%.2f pq=$pq%.2f ivfpq=$ivfpq%.2f")
+    val refined = recall(top10(
+      Ann.ivfPqResidualTopK(e, q, "vec_id", "embedding", 10,
+        refine = 64)))
+    val unrefined = recall(top10(
+      Ann.ivfPqResidualTopK(e, q, "vec_id", "embedding", 10,
+        refine = 0)))
+    info(f"recall@10 sq8=$sq8%.2f pq=$pq%.2f ivfpq=$ivfpq%.2f " +
+      f"residual+refine=$refined%.2f residual-only=$unrefined%.2f")
     assert(sq8 >= 0.9, s"sq8 recall $sq8 — int8 rounding should be " +
       "nearly lossless at 64 dims (measured 1.00 at pin time)")
     // this corpus is near-uniform synthetic — the hardest case for a
@@ -301,6 +308,17 @@ class AnnMultimodalSpec extends SparkSpec {
     // removes candidates the lossy codes over-rank
     assert(ivfpq >= 0.2, s"ivfpq recall $ivfpq — cell pruning may " +
       "drop true neighbors but must stay far above random")
+    // residual encoding alone beats the raw-vector codes (measured
+    // 0.52 vs 0.40): the codebook budget models what the coarse
+    // quantizer did NOT explain
+    assert(unrefined >= 0.3, s"residual ADC recall $unrefined — " +
+      "should clearly beat the raw-vector ivfpq form")
+    // the two-stage probe (top-64 by code score, exact re-rank) is the
+    // serving-quality shape: recall is capped only by cell pruning
+    // (measured 0.82 at pin time on this worst-case uniform corpus)
+    assert(refined >= 0.7, s"residual+refine recall $refined — exact " +
+      "re-rank over 64 candidates must recover most of the cell " +
+      "pruning ceiling")
   }
 
   test("PQ/ADC recovers planted clusters: a query's top neighbors are " +
