@@ -188,6 +188,42 @@ object LlmQueries {
           col("exact_distinct"))
     }),
 
+    // Grouped KMV + exact sketch merge: per-language distinct-shingle
+    // estimates — what sizes PER-SLICE dedup runs — computed through
+    // the MERGE path: each half of the corpus sketches independently
+    // (one bounded-state aggregation each, O(k) per group per
+    // partition), the per-group k-min sets union exactly, and the
+    // oracle computes the whole-corpus per-group sketch directly —
+    // equality IS the lossless-merge proof, at all three SFs.
+    "ts17_kmv_grouped" -> ((s, dir) => {
+      import graft.ops.Kmv
+      val k = 128
+      val grams = graft.core.Fence.soft(t(s, dir, "documents")
+        .withColumn("__th", TextHash.tokenHashes(col("text")))
+        .select(col("doc_id"), col("lang"), explode(TextHash
+          .wordShingleHashesFromTokenHashes(col("__th"), 3)).as("g")))
+      val s0 = Kmv.sketchAgg(grams.filter(pmod(col("doc_id"),
+          lit(2)) === 0), Seq("lang"), col("g"), k)
+        .withColumnRenamed("kmin", "kmin0")
+      val s1 = Kmv.sketchAgg(grams.filter(pmod(col("doc_id"),
+          lit(2)) === 1), Seq("lang"), col("g"), k)
+        .withColumnRenamed("kmin", "kmin1")
+      val none = typedLit(Array.empty[Long])
+      val merged = s0.join(s1, Seq("lang"), "full_outer")
+        .select(col("lang"), Kmv.mergeSketches(
+          coalesce(col("kmin0"), none), coalesce(col("kmin1"), none),
+          k).as("kmin"))
+      val exact = grams
+        .select(col("lang"), Kmv.uniformHash(col("g")).as("u"))
+        .distinct()
+        .groupBy(col("lang")).agg(count(lit(1)).as("exact_distinct"))
+      Kmv.withEstimate(merged, k)
+        .join(exact, Seq("lang"))
+        .select(col("lang"), col("k"), col("kth_u"),
+          col("est_distinct"), col("exact_distinct"))
+        .orderBy(col("lang"))
+    }),
+
     // TF-IDF keyword extraction: top-3 distinctive terms per document,
     // integer-ordered (tf DESC, df ASC, term ASC) so the ranking is
     // engine-exact; (tf, df, n_docs) ride along for a float idf
@@ -1174,6 +1210,35 @@ object LlmQueries {
               / CAST(kth_u AS DOUBLE) AS est_distinct,
             exact_distinct
           FROM sk CROSS JOIN e"""
+    },
+    // Grouped KMV: the oracle sketches the WHOLE corpus per group
+    // directly (distinct rehash, k smallest per lang) — matching the
+    // gate's sketch-halves-then-merge result proves the merge lossless.
+    "ts17_kmv_grouped" -> {
+      val fold = """(list_reduce(list_transform(
+          string_split_regex(substr(md5(CAST(g AS VARCHAR)), 1, 15), ''),
+          c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+                    ELSE ascii(c) - 87 END AS BIGINT)),
+          (a, b) -> a * 16 + b))"""
+      s"""WITH th AS (SELECT doc_id, lang,
+            ${TextHash.tokenHashesSql("text")} AS th FROM documents),
+          g AS (SELECT lang,
+            unnest(${TextHash.wordShingleHashesSql("th", 3)}) AS g
+            FROM th),
+          u AS (SELECT DISTINCT lang, $fold AS u FROM g),
+          r AS (SELECT lang, u,
+            row_number() OVER (PARTITION BY lang ORDER BY u) AS rn
+            FROM u),
+          sk AS (SELECT lang, CAST(COUNT(*) AS INT) AS k,
+            MAX(u) AS kth_u FROM r WHERE rn <= 128 GROUP BY lang),
+          e AS (SELECT lang, COUNT(*) AS exact_distinct FROM u
+            GROUP BY lang)
+          SELECT sk.lang, k, kth_u,
+            CASE WHEN k < 128 THEN CAST(k AS DOUBLE)
+                 ELSE CAST(k - 1 AS DOUBLE) * 1152921504606846976.0
+                   / CAST(kth_u AS DOUBLE) END AS est_distinct,
+            exact_distinct
+          FROM sk JOIN e USING (lang) ORDER BY lang"""
     },
     "ts01_langid" -> {
       val toks = "string_split(text, ' ')"

@@ -143,6 +143,43 @@ class OpsSpec extends SparkSpec {
     assert(got.length == naive.size) // exactly-once per pair
   }
 
+  test("Kmv: merged half-sketches equal the whole-corpus sketch " +
+       "exactly, estimates track truth, small groups report exact") {
+    import graft.ops.Kmv
+    val k = 16
+    // group a: 400 distinct values (sketch saturates); group b: 5
+    // distinct (below k — the sketch IS the set, estimate exact)
+    val rows = (0 until 400).map(i => ("a", s"va$i")) ++
+      (0 until 5).flatMap(i => Seq(("b", s"vb$i"), ("b", s"vb$i")))
+    val df = rows.toDF("grp", "v")
+    val whole = Kmv.sketchAgg(df, Seq("grp"), $"v", k)
+      .as[(String, Seq[Long])].collect().toMap
+    // sketch two arbitrary halves, merge per group
+    val h1 = Kmv.sketchAgg(df.filter(length($"v") % 2 === 0),
+      Seq("grp"), $"v", k).withColumnRenamed("kmin", "kmin1")
+    val h2 = Kmv.sketchAgg(df.filter(length($"v") % 2 === 1),
+      Seq("grp"), $"v", k).withColumnRenamed("kmin", "kmin2")
+    val none = typedLit(Array.empty[Long])
+    val merged = h1.join(h2, Seq("grp"), "full_outer")
+      .select($"grp", Kmv.mergeSketches(coalesce($"kmin1", none),
+        coalesce($"kmin2", none), k).as("kmin"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged == whole) // lossless merge, element for element
+    val est = Kmv.withEstimate(
+        Kmv.sketchAgg(df, Seq("grp"), $"v", k), k)
+      .select($"grp", $"k", $"est_distinct")
+      .as[(String, Int, Double)].collect()
+      .map(r => (r._1, (r._2, r._3))).toMap
+    assert(est("b") == ((5, 5.0))) // below k: exact by construction
+    assert(est("a")._1 == k)
+    assert(est("a")._2 > 200 && est("a")._2 < 800, // KMV @ k=16 is
+      s"estimate ${est("a")._2} implausible for 400") // ~±25% 1σ
+    // sketches are arrival-order-free: reversed input, same sketch
+    val rev = Kmv.sketchAgg(df.orderBy($"v".desc), Seq("grp"), $"v", k)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(rev == whole)
+  }
+
   test("RangeJoin is exact past 2^53 (integral bucket division) and " +
        "guards reserved names and runaway replication") {
     // epoch-nanos-scale values: double division would mis-bucket these
