@@ -151,6 +151,25 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Persisted BPE artifact, full lifecycle in one gate: train on the
+    // even-doc_id half of the corpus, persist the merge table
+    // (meta-last, the AnnIndex pattern), then encode the WHOLE corpus
+    // under the LOADED merges — never the in-memory list. The merge
+    // table is integer/string-exact, so the loaded-path encode is
+    // bit-identical to the fresh-fit one; the oracle replays the
+    // half-corpus training and the full-corpus encode.
+    "ts18_bpe_index" -> ((s, dir) => {
+      import graft.text.BpeIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ts18_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val docs = t(s, dir, "documents")
+      BpeIndex.build(cat, docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "bpe")
+      BpeIndex.encodeStatsFromIndex(cat, "bpe", docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // KMV (k-minimum-values) distinct-count sketch over the corpus's
     // word-trigram shingles — the cardinality estimate that sizes a
     // dedup/decontamination run without counting. Each distinct gram
@@ -1188,6 +1207,10 @@ object LlmQueries {
     },
     "ts14_bpe_vocab" -> graft.text.Bpe.vocabSql(),
     "ts15_bpe_encode" -> graft.text.Bpe.encodeSql(),
+    // trains on the even-doc_id half, encodes the whole corpus — the
+    // BpeIndex persisted-artifact lifecycle replayed
+    "ts18_bpe_index" -> graft.text.Bpe.encodeSql(
+      trainWhere = "WHERE doc_id % 2 = 0"),
     // hex fold builds the identical 60-bit integer Spark's conv()
     // derives (the ts12 pattern, 15 hex chars); (k-1)·2^60 is an exact
     // double product, so the one division is the only rounding step

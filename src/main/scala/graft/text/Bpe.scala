@@ -172,10 +172,11 @@ object Bpe {
          $S||$l||$r||$S), $S), x -> x <> '') END"""
   }
 
-  private def trainStages(numMerges: Int, maxWords: Int): String = {
+  private def trainStages(numMerges: Int, maxWords: Int,
+                          trainWhere: String = ""): String = {
     val head = s"""w0 AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS c
-      FROM (SELECT unnest($WordsSql) AS w FROM documents)
+      FROM (SELECT unnest($WordsSql) AS w FROM documents $trainWhere)
       GROUP BY w ORDER BY c DESC, w LIMIT $maxWords),
     t0 AS MATERIALIZED (SELECT w, c, string_split(w, '') AS toks FROM w0)"""
     val stages = (1 to numMerges).map { k =>
@@ -209,15 +210,19 @@ object Bpe {
   /** Oracle for per-doc encoding: the trained merges replay over the
     * FULL distinct-word set (out-of-vocabulary words encode under the
     * same merge list, exactly as [[encodeStats]] does), then each doc
-    * sums its words' subword counts. */
+    * sums its words' subword counts. `trainWhere` restricts the
+    * TRAINING slice only (e.g. `"WHERE doc_id % 2 = 0"` — the
+    * [[BpeIndex]] train-slice/encode-full lifecycle); the encode
+    * always runs over the whole table. */
   def encodeSql(numMerges: Int = DefaultMerges,
-                maxWords: Int = DefaultMaxWords): String = {
+                maxWords: Int = DefaultMaxWords,
+                trainWhere: String = ""): String = {
     val applies = (1 to numMerges).map { k =>
       s"""a$k AS MATERIALIZED (
         SELECT w, ${sqlApply("b.l", "b.r")} AS toks
         FROM a${k - 1} LEFT JOIN best$k b ON TRUE)"""
     }.mkString(",\n")
-    s"""WITH ${trainStages(numMerges, maxWords)},
+    s"""WITH ${trainStages(numMerges, maxWords, trainWhere)},
     docw AS MATERIALIZED (
       SELECT doc_id, unnest($WordsSql) AS w FROM documents),
     a0 AS MATERIALIZED (

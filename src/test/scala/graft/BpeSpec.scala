@@ -92,4 +92,35 @@ class BpeSpec extends SparkSpec {
       (2L, 2L, nsub(Seq("ananas", "bandana"))),
       (3L, 3L, nsub(Seq("nab", "nab", "banana")))))
   }
+
+  test("BpeIndex round-trips the persisted merge table and encodes " +
+       "identically under the loaded artifact; missing meta fails " +
+       "loudly") {
+    import graft.text.BpeIndex
+    val docs = Seq(
+      (1L, "banana banana bandana"),
+      (2L, "ananas bandana nab"),
+      (3L, "nab nab banana banana")
+    ).toDF("doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("bpeidx_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    val trained = BpeIndex.build(cat, docs, "text", "voc",
+      numMerges = 6, maxWords = 8)
+    // the persisted table loads back to the exact same merge list
+    assert(BpeIndex.loadMerges(cat, "voc") == trained)
+    // encode under the loaded artifact == encode under the fresh fit
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(canon(BpeIndex.encodeStatsFromIndex(cat, "voc", docs,
+        "doc_id", "text")) ==
+      canon(Bpe.encodeStats(docs, "doc_id", "text", trained)))
+    // a rebuild overwrites cleanly (different knobs, new meta)
+    val retrained = BpeIndex.build(cat, docs, "text", "voc",
+      numMerges = 2, maxWords = 8)
+    assert(BpeIndex.loadMerges(cat, "voc") == retrained)
+    assert(retrained.length == 2)
+    intercept[IllegalArgumentException] {
+      BpeIndex.loadMerges(cat, "nope")
+    }
+  }
 }
