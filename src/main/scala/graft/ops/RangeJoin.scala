@@ -29,7 +29,8 @@ object RangeJoin {
     * the trailing `drop` would then remove user data. */
   private val Reserved =
     Seq("__rj_p", "__rj_bk", "__rj_lo", "__rj_hi",
-        "__rj_alo", "__rj_ahi", "__rj_blo", "__rj_bhi")
+        "__rj_alo", "__rj_ahi", "__rj_blo", "__rj_bhi",
+        "__rj_abk", "__rj_bbk")
 
   private def requireNoReserved(df: DataFrame, side: String): Unit = {
     val clash = df.columns.toSet.intersect(Reserved.toSet)
@@ -131,5 +132,60 @@ object RangeJoin {
               col("__rj_bk") === bucketOf(
                 greatest(col("__rj_alo"), col("__rj_blo")), bucketWidth))
       .drop("__rj_bk", "__rj_alo", "__rj_ahi", "__rj_blo", "__rj_bhi")
+  }
+
+  /** Watermarked STREAM-STREAM interval-overlap join — [[intervalOverlap]]
+    * where BOTH sides are live feeds. Two things make it plannable
+    * where the raw theta join is not: the bucket replication turns the
+    * overlap predicate into an EQUI key (Structured Streaming has no
+    * stream-stream theta path), and the join condition carries an
+    * event-time bound between the two sides' watermarked timestamp
+    * columns — the constraint the engine needs to EVICT state: a row
+    * is dropped from the join state once the other side's watermark
+    * passes `its event time + maxSpan`, so state is bounded by
+    * watermark delay + maxSpan worth of rows, not the streams' history.
+    *
+    * Contract: `aTime`/`bTime` name each side's event-time TIMESTAMP
+    * columns (the interval START instants — callers apply
+    * `withWatermark` on them before the join), every interval spans at
+    * most `maxSpan` (a SQL interval literal, e.g. "60 days"), so two
+    * overlapping intervals' starts are within `maxSpan` of each other
+    * and the time bound never excludes a real overlap. Inputs must not
+    * share column names and must not contain `__rj_*` columns
+    * (checked). Exactly-once per overlapping pair, as in
+    * [[intervalOverlap]] (start-bucket dedup). Event times must sit
+    * strictly AFTER the epoch: the engine's initial watermark is
+    * 1970-01-01T00:00Z, and a first-batch row at exactly that instant
+    * is treated as late and silently dropped (StreamingSpec pins the
+    * behavior away from the boundary). */
+  def intervalOverlapStream(left: DataFrame, aLo: Column, aHi: Column,
+                            aTime: String,
+                            right: DataFrame, bLo: Column, bHi: Column,
+                            bTime: String,
+                            bucketWidth: Long, maxSpan: String): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
+    def exploded(df: DataFrame, lo: Column, hi: Column,
+                 loN: String, hiN: String, bkN: String): DataFrame =
+      df.withColumn(loN, lo.cast("long")).withColumn(hiN, hi.cast("long"))
+        .filter(col(loN) <= col(hiN))
+        .withColumn(bkN, explode(sequence(
+          bucketOf(col(loN), bucketWidth),
+          guardedHiBucket(col(loN), col(hiN), bucketWidth))))
+    val a = exploded(left, aLo, aHi, "__rj_alo", "__rj_ahi", "__rj_abk")
+    val b = exploded(right, bLo, bHi, "__rj_blo", "__rj_bhi", "__rj_bbk")
+    val span = expr(s"INTERVAL $maxSpan")
+    a.join(b,
+        col("__rj_abk") === col("__rj_bbk") &&
+          col(bTime) >= col(aTime) - span &&
+          col(bTime) <= col(aTime) + span,
+        "inner")
+      .filter(greatest(col("__rj_alo"), col("__rj_blo")) <=
+                least(col("__rj_ahi"), col("__rj_bhi")) &&
+              col("__rj_abk") === bucketOf(
+                greatest(col("__rj_alo"), col("__rj_blo")), bucketWidth))
+      .drop("__rj_abk", "__rj_bbk", "__rj_alo", "__rj_ahi",
+        "__rj_blo", "__rj_bhi")
   }
 }

@@ -303,6 +303,63 @@ object EventQueries {
         .orderBy(col("win_id"))
     }),
 
+    // STREAM-STREAM interval-overlap join: both window feeds are live
+    // (3 interleaved micro-batches each), joined on the bucketed
+    // equi-key with an event-time bound between the two watermarked
+    // start timestamps — the shape Structured Streaming needs to plan
+    // a stream-stream join AND evict its state (pinned in
+    // StreamingSpec; the gate's watermark delay is sized so nothing is
+    // late and the sink aggregates to the batch j10 answer exactly).
+    "ev10_stream_interval" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      def winRows(m: Int) = t(s, dir, "orders")
+        .filter(col("o_orderkey") % m === 0)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+        .orderBy(col("o_orderkey"))
+        .as[(Long, Int)].collect()
+      val (aRows, bRows) = (winRows(97), winRows(101))
+      val memA = MemoryStream[(Long, Int)]
+      val memB = MemoryStream[(Long, Int)]
+      def winDf(mem: MemoryStream[(Long, Int)], id: String, lo: String,
+                hi: String, ts: String) =
+        mem.toDF().toDF(id, lo)
+          .withColumn(hi, col(lo) + 59)
+          .withColumn(ts, timestamp_seconds(col(lo).cast("long") * 86400))
+          .withWatermark(ts, "3650 days")
+      val a = winDf(memA, "a_id", "a_lo", "a_hi", "a_ts")
+      val b = winDf(memB, "b_id", "b_lo", "b_hi", "b_ts")
+      val sink = "ev10_mem_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(s, 8) {
+        val q = graft.ops.RangeJoin.intervalOverlapStream(
+            a, col("a_lo"), col("a_hi"), "a_ts",
+            b, col("b_lo"), col("b_hi"), "b_ts",
+            bucketWidth = 60L, maxSpan = "60 days")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          def third[T](rows: Array[T], i: Int): Seq[T] = {
+            val n = rows.length
+            rows.slice(i * n / 3, (i + 1) * n / 3).toSeq
+          }
+          (0 until 3).foreach { i =>
+            memA.addData(third(aRows, i))
+            memB.addData(third(bRows, i))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(sink).groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          max(least(col("a_hi"), col("b_hi")) -
+              greatest(col("a_lo"), col("b_lo")) + 1).cast("long")
+            .as("max_overlap_days"))
+        .orderBy(col("a_id"))
+    }),
+
     // Typed JSON extraction from the props payload column (schema-on-read
     // over a semi-structured field), rolled up per event type. from_json
     // with an explicit schema, not a UDF — stays in codegen.
@@ -402,6 +459,22 @@ object EventQueries {
            ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
           AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 29
          WHERE o_orderkey % 997 = 0 AND l_orderkey % 7 = 0
+         GROUP BY 1 ORDER BY 1""",
+    // the j10 theta-join oracle verbatim — ev10 streams BOTH window
+    // sets in full, so the streamed answer must equal the batch one
+    "ev10_stream_interval" ->
+      """WITH a AS (SELECT o_orderkey AS a_id,
+             CAST(o_orderdate AS DATE) AS alo,
+             CAST(o_orderdate AS DATE) + 59 AS ahi
+           FROM orders WHERE o_orderkey % 97 = 0),
+         b AS (SELECT o_orderkey AS b_id,
+             CAST(o_orderdate AS DATE) AS blo,
+             CAST(o_orderdate AS DATE) + 59 AS bhi
+           FROM orders WHERE o_orderkey % 101 = 0)
+         SELECT a_id, COUNT(*) AS n_overlaps,
+           CAST(MAX(datediff('day', greatest(alo, blo),
+             least(ahi, bhi)) + 1) AS BIGINT) AS max_overlap_days
+         FROM a JOIN b ON greatest(alo, blo) <= least(ahi, bhi)
          GROUP BY 1 ORDER BY 1""",
     "ev04_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -71,6 +71,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: cross-batch pairs match while " +
+       "state lives, and the watermark ACTUALLY evicts it (the ev10 " +
+       "gate's machinery)") {
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Long, Long)] // (a_id, lo-day)
+    val memB = MemoryStream[(Long, Long)]
+    def winDf(mem: MemoryStream[(Long, Long)], id: String, lo: String,
+              hi: String, tsN: String) =
+      mem.toDF().toDF(id, lo)
+        .withColumn(hi, col(lo) + 9)
+        .withColumn(tsN, timestamp_seconds(col(lo) * 86400))
+        .withWatermark(tsN, "0 seconds")
+    val joined = graft.ops.RangeJoin.intervalOverlapStream(
+      winDf(memA, "a_id", "a_lo", "a_hi", "a_ts"), $"a_lo", $"a_hi",
+      "a_ts",
+      winDf(memB, "b_id", "b_lo", "b_hi", "b_ts"), $"b_lo", $"b_hi",
+      "b_ts",
+      bucketWidth = 10L, maxSpan = "10 days")
+    val q = joined.writeStream.format("memory").queryName("ss_iv")
+      .outputMode("append").start()
+    try {
+      // batch 1: one overlap within the batch
+      memA.addData((1L, 1000L)); memB.addData((10L, 1005L))
+      q.processAllAvailable()
+      // batch 2: a CROSS-BATCH match against a(1) still in state
+      // (day 1008 >= the day-1000 watermark), plus a far jump that
+      // advances the watermark past batch 1's eviction horizon
+      memA.addData((2L, 1100L)); memB.addData((11L, 1008L), (20L, 1103L))
+      q.processAllAvailable()
+      // batch 3: watermark is now ~day 1100 — batch-1 state must be
+      // GONE, and the new in-batch overlap still emits
+      memA.addData((3L, 1200L)); memB.addData((30L, 1206L))
+      q.processAllAvailable()
+      val got = spark.table("ss_iv").select($"a_id", $"b_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L)))
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed > 0, "watermark never evicted any join state")
+      val live = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // only the recent windows' exploded rows remain, not the history
+      assert(live <= 8, s"join state not bounded: $live rows")
+      // plan pin: the REAL stream-stream join operator, not a
+      // stream-static or broadcast fallback
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming
+          .runtime.StreamingQueryWrapper].streamingQuery.lastExecution
+        .executedPlan.toString
+      assert(plan.contains("StreamingSymmetricHashJoin"),
+        s"expected a symmetric hash join, plan:\n$plan")
+    } finally q.stop()
+  }
+
   test("stateful sessionize over a MemoryStream spans micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
