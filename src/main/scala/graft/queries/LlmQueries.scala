@@ -563,23 +563,46 @@ object LlmQueries {
     // integer micro-units so the double sum is order-free) and exact
     // char-count percentiles (percentile_disc picks an element, so the
     // result is bit-exact and the aggregate distributes sort-based —
-    // the a09 rule applied to corpus reporting).
+    // the a09 rule applied to corpus reporting). Round 14: the a10
+    // hash-sample pattern rides along — percentile ESTIMATES from a
+    // deterministic 1/8 md5 sample of doc_ids (the 100 TB path, where
+    // the exact columns' full sort is the cost; production shrinks the
+    // fraction and computes only the sample side). Same bit-exact
+    // discipline: the sample membership is a pure function of doc_id,
+    // and percentile_disc picks elements, so even the estimates gate
+    // hash-exact. Languages with no sampled docs report NULL estimates
+    // (LEFT JOIN), never a dropped row.
     "dp02_corpus_report" -> ((s, dir) => {
       val toks = TextHash.tokens(col("text"))
-      t(s, dir, "documents").select(col("lang"), col("n_chars"),
-          size(toks).as("n_toks"),
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars"), size(toks).as("n_toks"),
           floor(TextAnalysis.qualityScore(toks) * lit(1000000.0) +
             lit(0.5)).cast("long").as("q6"))
         .createOrReplaceTempView("graft_dp02")
-      s.sql("""SELECT lang, COUNT(*) AS n_docs,
-        CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-        CAST(SUM(q6) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
-          AS mean_quality,
-        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
-          AS BIGINT) AS p50_chars,
-        CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
-          AS BIGINT) AS p95_chars
-        FROM graft_dp02 GROUP BY lang ORDER BY lang""")
+      s.sql("""WITH base AS (SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+          CAST(SUM(q6) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+            AS mean_quality,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+            AS BIGINT) AS p50_chars,
+          CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
+            AS BIGINT) AS p95_chars
+          FROM graft_dp02 GROUP BY lang),
+        samp AS (SELECT lang, COUNT(*) AS n_sampled,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+            AS BIGINT) AS p50_chars_est,
+          CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
+            AS BIGINT) AS p95_chars_est
+          FROM graft_dp02
+          WHERE substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)),
+            1, 2) < '20'
+          GROUP BY lang)
+        SELECT base.lang, n_docs, total_tokens, mean_quality,
+          p50_chars, p95_chars,
+          COALESCE(n_sampled, CAST(0 AS BIGINT)) AS n_sampled,
+          p50_chars_est, p95_chars_est
+        FROM base LEFT JOIN samp ON base.lang = samp.lang
+        ORDER BY base.lang""")
     }),
 
     // Brute-force cosine top-k (correctness baseline for ANN)
@@ -1334,12 +1357,12 @@ object LlmQueries {
     },
     "dp02_corpus_report" -> {
       val toks = "string_split(text, ' ')"
-      s"""WITH perdoc AS (SELECT lang, n_chars,
+      s"""WITH perdoc AS (SELECT doc_id, lang, n_chars,
             CAST(len($toks) AS INT) AS n_toks,
             CAST(FLOOR((${TextAnalysis.qualityScoreSql(toks)})
               * 1000000.0 + 0.5) AS BIGINT) AS q6
-          FROM documents)
-          SELECT lang, COUNT(*) AS n_docs,
+          FROM documents),
+          base AS (SELECT lang, COUNT(*) AS n_docs,
             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
             CAST(SUM(q6) AS DOUBLE) / 1000000.0
               / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
@@ -1347,7 +1370,21 @@ object LlmQueries {
               AS BIGINT) AS p50_chars,
             CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
               AS BIGINT) AS p95_chars
-          FROM perdoc GROUP BY lang ORDER BY lang"""
+          FROM perdoc GROUP BY lang),
+          samp AS (SELECT lang, COUNT(*) AS n_sampled,
+            CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS p50_chars_est,
+            CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
+              AS BIGINT) AS p95_chars_est
+          FROM perdoc
+          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+          GROUP BY lang)
+          SELECT base.lang, n_docs, total_tokens, mean_quality,
+            p50_chars, p95_chars,
+            COALESCE(n_sampled, CAST(0 AS BIGINT)) AS n_sampled,
+            p50_chars_est, p95_chars_est
+          FROM base LEFT JOIN samp ON base.lang = samp.lang
+          ORDER BY base.lang"""
     },
     "ts06_stratified_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
