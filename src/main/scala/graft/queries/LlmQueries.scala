@@ -571,14 +571,27 @@ object LlmQueries {
     // discipline: the sample membership is a pure function of doc_id,
     // and percentile_disc picks elements, so even the estimates gate
     // hash-exact. Languages with no sampled docs report NULL estimates
-    // (LEFT JOIN), never a dropped row.
+    // (LEFT JOIN), never a dropped row. A per-language KMV
+    // distinct-shingle estimate (ts17's sketch, k=128) rides along
+    // too — the number that sizes a per-slice dedup run, straight off
+    // the report.
     "dp02_corpus_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
       val toks = TextHash.tokens(col("text"))
-      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      docs.select(col("doc_id"), col("lang"),
           col("n_chars"), size(toks).as("n_toks"),
           floor(TextAnalysis.qualityScore(toks) * lit(1000000.0) +
             lit(0.5)).cast("long").as("q6"))
         .createOrReplaceTempView("graft_dp02")
+      val shingles = graft.ops.Kmv.withEstimate(
+        graft.ops.Kmv.sketchAgg(
+          docs.withColumn("__th", TextHash.tokenHashes(col("text")))
+            .select(col("lang"), explode(TextHash
+              .wordShingleHashesFromTokenHashes(col("__th"), 3))
+              .as("g")),
+          Seq("lang"), col("g"), 128), 128)
+        .select(col("lang"),
+          col("est_distinct").as("est_distinct_shingles"))
       s.sql("""WITH base AS (SELECT lang, COUNT(*) AS n_docs,
           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
           CAST(SUM(q6) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
@@ -601,8 +614,9 @@ object LlmQueries {
           p50_chars, p95_chars,
           COALESCE(n_sampled, CAST(0 AS BIGINT)) AS n_sampled,
           p50_chars_est, p95_chars_est
-        FROM base LEFT JOIN samp ON base.lang = samp.lang
-        ORDER BY base.lang""")
+        FROM base LEFT JOIN samp ON base.lang = samp.lang""")
+        .join(shingles, Seq("lang"))
+        .orderBy(col("lang"))
     }),
 
     // Brute-force cosine top-k (correctness baseline for ANN)
@@ -1357,6 +1371,11 @@ object LlmQueries {
     },
     "dp02_corpus_report" -> {
       val toks = "string_split(text, ' ')"
+      val fold = """(list_reduce(list_transform(
+          string_split_regex(substr(md5(CAST(g AS VARCHAR)), 1, 15), ''),
+          c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+                    ELSE ascii(c) - 87 END AS BIGINT)),
+          (a, b) -> a * 16 + b))"""
       s"""WITH perdoc AS (SELECT doc_id, lang, n_chars,
             CAST(len($toks) AS INT) AS n_toks,
             CAST(FLOOR((${TextAnalysis.qualityScoreSql(toks)})
@@ -1378,12 +1397,27 @@ object LlmQueries {
               AS BIGINT) AS p95_chars_est
           FROM perdoc
           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
-          GROUP BY lang)
+          GROUP BY lang),
+          kth AS (SELECT doc_id, lang,
+            ${TextHash.tokenHashesSql("text")} AS th FROM documents),
+          kg AS (SELECT lang,
+            unnest(${TextHash.wordShingleHashesSql("th", 3)}) AS g
+            FROM kth),
+          ku AS (SELECT DISTINCT lang, $fold AS u FROM kg),
+          kr AS (SELECT lang, u,
+            row_number() OVER (PARTITION BY lang ORDER BY u) AS rn
+            FROM ku),
+          ksk AS (SELECT lang, CAST(COUNT(*) AS INT) AS kk,
+            MAX(u) AS kth_u FROM kr WHERE rn <= 128 GROUP BY lang)
           SELECT base.lang, n_docs, total_tokens, mean_quality,
             p50_chars, p95_chars,
             COALESCE(n_sampled, CAST(0 AS BIGINT)) AS n_sampled,
-            p50_chars_est, p95_chars_est
+            p50_chars_est, p95_chars_est,
+            CASE WHEN kk < 128 THEN CAST(kk AS DOUBLE)
+                 ELSE CAST(kk - 1 AS DOUBLE) * 1152921504606846976.0
+                   / CAST(kth_u AS DOUBLE) END AS est_distinct_shingles
           FROM base LEFT JOIN samp ON base.lang = samp.lang
+          JOIN ksk ON base.lang = ksk.lang
           ORDER BY base.lang"""
     },
     "ts06_stratified_sample" ->
