@@ -98,6 +98,25 @@ object ProbeAnnIndex {
           10).count()
       }
     }
+    // r14: appends are O(batch) — indexed_n comes from the _segmeta
+    // counts, never a corpus recount, so a 16-row append onto the
+    // corpus-sized index should cost the same at every SF (run the
+    // probe at two sfDirs to see the flat line).
+    println(s"=== 16-row appends onto the corpus index, $reps reps ===")
+    val batch = e.filter(col("vec_id") < 16)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    (1 to reps).foreach { i =>
+      timed("append-sq8") {
+        AnnIndex.appendSq8(cat, batch, "vec_id", "embedding", "sq8",
+          segKey = Some(s"probe$i")); 16L
+      }
+    }
+    (1 to reps).foreach { i =>
+      timed("append-lsh") {
+        AnnIndex.appendLsh(cat, batch, "vec_id", "embedding", "ix",
+          segKey = Some(s"probe$i")); 16L
+      }
+    }
     spark.stop()
   }
 }
