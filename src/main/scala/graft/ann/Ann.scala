@@ -1053,6 +1053,35 @@ object Ann {
   private[ann] def vecSub(a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x - y)
 
+  /** (id, u) unit-vector frame, fenced — the shared front of the
+    * residual family (and the refine stage's exact-score source). */
+  private[ann] def unitFrame(data: DataFrame, idCol: String,
+                             vecCol: String): DataFrame =
+    graft.core.Fence(withNorms(data, idCol, vecCol)
+      .withColumn("u", unitVec(col("v"), col("nrm")))
+      .select(col("id"), col("u")))
+
+  /** Broadcastable (cell, cv) frame of L2 centroid values. */
+  private[ann] def centsToDf(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Seq[Double], Double)]): DataFrame = {
+    import spark.implicits._
+    broadcast(cents.zipWithIndex
+      .map { case ((v, _), j) => (j, v) }.toSeq.toDF("cell", "cv"))
+  }
+
+  /** Assign each unit vector to its L2 cell and subtract the cell
+    * centroid: (id, cell, u = RESIDUAL), fenced. The frame PQ trains
+    * and encodes over in the IVFADC family. */
+  private[ann] def residualFrame(un: DataFrame,
+      cents: Array[(Seq[Double], Double)]): DataFrame = {
+    val centDf = centsToDf(un.sparkSession, cents)
+    graft.core.Fence(un.withColumn("cell",
+        array_max(centroidScoresL2(cents, col("u"))).getField("cell"))
+      .join(centDf, Seq("cell"))
+      .withColumn("ru", vecSub(col("u"), col("cv")))
+      .select(col("id"), col("cell"), col("ru").as("u")))
+  }
+
   /** ADC rank with the residual-correct L2 scoring. Under a shared
     * coarse cell, ‖qu − u‖² = ‖qr − r‖² exactly (the centroid cancels),
     * so the code-approximated score is
@@ -1104,27 +1133,32 @@ object Ann {
                         numCells: Int = 16, nprobe: Int = 2,
                         trainIters: Int = 2, pqIters: Int = 2,
                         refine: Int = 4096): DataFrame = {
-    val spark = data.sparkSession
-    import spark.implicits._
-    val un = graft.core.Fence(withNorms(data, idCol, vecCol)
-      .withColumn("u", unitVec(col("v"), col("nrm")))
-      .select(col("id"), col("u")))
+    val un = unitFrame(data, idCol, vecCol)
     // coarse: L2 cells over the unit vectors, full dim
     val cents = kmeansCentroidsL2(
       un.select(col("id"), col("u").as("s")), numCells, trainIters)
-    val centDf = broadcast(cents.zipWithIndex
-      .map { case ((v, _), j) => (j, v) }.toSeq.toDF("cell", "cv"))
-    val assigned = un.withColumn("cell",
-      array_max(centroidScoresL2(cents, col("u"))).getField("cell"))
-    // residuals, materialized before the subspace machinery reads them
-    val resid = graft.core.Fence(assigned.join(centDf, Seq("cell"))
-      .withColumn("ru", vecSub(col("u"), col("cv")))
-      .select(col("id"), col("cell"), col("ru").as("u")))
+    val resid = residualFrame(un, cents)
     // fine: books + codes over the residuals, cell kept for the probe
     val books = pqTrainOn(resid, pqIters)
     val codes = graft.core.Fence(
       pqEncodeOn(resid, books, keep = Seq("id", "cell")))
-    // query side: probed cells, per-cell residual slices + self-dot
+    ivfPqRefineProbe(codes, cents, books, un, queries, idCol, vecCol,
+      k, nprobe, refine)
+  }
+
+  /** The probe half of the residual family, shared by the fit-inline
+    * form and the persisted index: probed cells per query, per-cell
+    * query residual slices + self-dot, the L2 ADC rank, and (when
+    * `refine > 0`) the exact re-rank against `un` — the (id, u)
+    * unit-vector store, which the persisted form reads from the
+    * PRIMARY vector table (the index keeps codes only; the two-stage
+    * fetch touches floats for `refine` rows per query). */
+  private[ann] def ivfPqRefineProbe(codes: DataFrame,
+      cents: Array[(Seq[Double], Double)],
+      books: Array[Array[(Seq[Double], Double)]], un: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, refine: Int): DataFrame = {
+    val centDf = centsToDf(codes.sparkSession, cents)
     val qUn = graft.core.Fence(withNorms(queries, idCol, vecCol)
       .withColumn("u", unitVec(col("v"), col("nrm")))
       .select(col("id").as("q_id"), col("u").as("qu")))

@@ -289,6 +289,93 @@ object AnnIndex {
     Ann.pqTopKFromCodes(codes, books, queries, idCol, vecCol, k)
   }
 
+  /** Build + persist the residual IVF-PQ index (the ann16 IVFADC
+    * serving shape as an artifact): the L2 coarse quantizer fits over
+    * the unit vectors of `trainData` (default: the build corpus),
+    * residual codebooks fit over the same corpus's residuals, and
+    * every `data` vector lands as (id, cell, c0…c_{M−1}) in a
+    * CELL-partitioned segment — probes prune to nprobe/numCells at the
+    * storage layer AND read 4 code ints per survivor. Floats are NOT
+    * stored: the refine stage reads them from the primary vector
+    * table (the classic two-stage fetch — see
+    * [[ivfPqRefineTopKFromIndex]]). Both fits are corpus-level, so the
+    * [[MaxDriftFactor]] staleness contract applies. */
+  def buildIvfPq(catalog: TableCatalog, data: DataFrame, idCol: String,
+                 vecCol: String, indexTable: String, numCells: Int = 16,
+                 trainIters: Int = 2, pqIters: Int = 2,
+                 trainData: Option[DataFrame] = None): Unit = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val trainUn = Ann.unitFrame(trainData.getOrElse(data), idCol, vecCol)
+    val cents = Ann.kmeansCentroidsL2(
+      trainUn.select(col("id"), col("u").as("s")), numCells, trainIters)
+    val books = Ann.pqTrainOn(Ann.residualFrame(trainUn, cents), pqIters)
+    val n = data.count()
+    val fitN = trainData.map(_.count()).getOrElse(n)
+    val centRows = cents.zipWithIndex.flatMap { case ((v, _), c) =>
+      v.zipWithIndex.map { case (x, p) => (c, p, x) }
+    }.toSeq
+    val bookRows = for {
+      m <- books.indices
+      j <- books(m).indices
+      (x, p) <- books(m)(j)._1.zipWithIndex
+    } yield (m, j, p, x)
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      catalog.writeFull(centRows.toDF("cell", "pos", "val"),
+        indexTable + "_cent")
+      catalog.writeFull(bookRows.toDF("m", "cell", "pos", "val"),
+        indexTable + "_pqcent")
+      writeSeg(catalog, indexTable,
+        assignIvfPq(data, idCol, vecCol, cents, books), "0", "cell")
+      dropOtherSegs(catalog, indexTable, keep = "0")
+      writeSegCounts(catalog, indexTable, Map("0" -> n))
+      writeMeta(catalog, indexTable, "ivfpq", numCells, fitN, n)
+    }
+  }
+
+  /** Append new vectors to a persisted residual IVF-PQ index — cell
+    * assignment, residual, and codes all under the LOADED fits (never
+    * re-derived), one new cell-partitioned segment. Same lock /
+    * replay / drift contract as [[appendIvf]]. */
+  def appendIvfPq(catalog: TableCatalog, data: DataFrame, idCol: String,
+                  vecCol: String, indexTable: String,
+                  segKey: Option[String] = None,
+                  allowStale: Boolean = false): Unit =
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      val m = readMeta(catalog, indexTable, "ivfpq")
+      val cents = readCentroidsL2(catalog, indexTable)
+      val books = readBooks(catalog, indexTable)
+      appendSeg(catalog, indexTable, m,
+        assignIvfPq(data, idCol, vecCol, cents, books), data.count(),
+        segKey, "cell", allowStale)
+    }
+
+  /** Two-stage probe off the persisted residual IVF-PQ index: cell
+    * pruning × residual ADC from the stored codes alone, then the
+    * top-`refine` candidates per query re-scored EXACTLY from
+    * `store` — the PRIMARY vector table, joined by id (floats touched
+    * for refine rows per query, never the corpus). Bit-identical to
+    * the fit-inline [[Ann.ivfPqResidualTopK]] over the same corpus
+    * (codes and cells are pure functions of vector × frozen fits;
+    * unit vectors recompute exactly from the store) — gated by ann17
+    * against the ann16 oracle. */
+  def ivfPqRefineTopKFromIndex(catalog: TableCatalog, indexTable: String,
+                               store: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String, k: Int,
+                               nprobe: Int = 2, refine: Int = 4096,
+                               allowStale: Boolean = false): DataFrame = {
+    val m = readMeta(catalog, indexTable, "ivfpq")
+    requireFresh(m, indexTable, allowStale)
+    val cents = readCentroidsL2(catalog, indexTable)
+    val books = readBooks(catalog, indexTable)
+    val codes = catalog.read(assignTableOf(indexTable))
+      .select(col("id") +: col("cell").cast("int").as("cell") +:
+        (0 until Ann.PqSubspaces).map(i => col(s"c$i")): _*)
+    Ann.ivfPqRefineProbe(codes, cents, books,
+      Ann.unitFrame(store, idCol, vecCol), queries, idCol, vecCol,
+      k, nprobe, refine)
+  }
+
   /** Within-bucket top-1 neighbors from a persisted LSH index — the
     * [[Ann.lshBucketNeighborsAuto]] result without the count, the
     * norm pass, or the planes×dim bucketing dots: everything comes
@@ -384,6 +471,36 @@ object AnnIndex {
       .withColumn("cell",
         array_max(Ann.centroidScores(cents, col("v"), col("nrm")))
           .getField("cell"))
+
+  /** (id, cell, c0 … c_{M−1}): the residual IVF-PQ code row — L2 cell
+    * under the frozen coarse quantizer, residual encoded under the
+    * frozen codebooks ([[Ann.residualFrame]] + [[Ann.pqEncodeOn]]). */
+  private def assignIvfPq(data: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Seq[Double], Double)],
+      books: Array[Array[(Seq[Double], Double)]]): DataFrame =
+    Ann.pqEncodeOn(
+      Ann.residualFrame(Ann.unitFrame(data, idCol, vecCol), cents),
+      books, keep = Seq("id", "cell"))
+
+  /** Centroids back from `_cent` as (values, SELF-DOT) — the shape
+    * [[Ann.centroidScoresL2]] assigns against (the cosine family's
+    * [[readCentroids]] carries (values, norm) instead). */
+  private def readCentroidsL2(catalog: TableCatalog,
+      indexTable: String): Array[(Seq[Double], Double)] = {
+    def selfDot(v: Seq[Double]): Double = {
+      var t = 0.0; var i = 0
+      while (i < v.length) { t += v(i) * v(i); i += 1 }
+      t
+    }
+    catalog.read(indexTable + "_cent")
+      .orderBy(col("cell"), col("pos")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        val v: Seq[Double] = rows.sortBy(_.getInt(1))
+          .map(_.getDouble(2)).toSeq
+        (v, selfDot(v))
+      }.toArray
+  }
 
   /** One assignment segment: overwrites exactly `_assign/seg=<key>`
     * (other segments untouched), sub-laid-out by pk (LSH) or cell
@@ -532,8 +649,9 @@ object AnnIndex {
         s"${m.kind} geometry was fitted for ${m.fittedN} " +
         f"(drift ${m.indexedN.toDouble / m.fittedN}%.2fx > " +
         f"$MaxDriftFactor%.1fx) — rebuild with AnnIndex.build" +
-        s"${m.kind.capitalize match {
-          case "Lsh" => "Lsh"; case "Pq" => "Pq"; case _ => "Ivf"
+        s"${m.kind match {
+          case "lsh" => "Lsh"; case "pq" => "Pq"
+          case "ivfpq" => "IvfPq"; case _ => "Ivf"
         }} (or pass " +
         "allowStale = true to serve from the stale fit anyway)")
 }

@@ -789,6 +789,31 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Persisted residual IVF-PQ index, full lifecycle: both fits
+    // trained once on the full corpus, half bulk-loaded, half appended
+    // as codes under the LOADED fits, then the TWO-STAGE probe — cell
+    // pruning × residual ADC off the stored codes, exact re-rank
+    // fetching floats from the primary table for the top-64 per query.
+    // Cells and codes are pure functions of vector × frozen fits, so
+    // the result is bit-identical to fit-inline ann16 — its oracle
+    // verbatim.
+    "ann17_ivfpq_index" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann17_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      val (first, rest) = (e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      AnnIndex.buildIvfPq(cat, first, "vec_id", "embedding", "ann_ivfpq",
+        trainData = Some(e))
+      AnnIndex.appendIvfPq(cat, rest, "vec_id", "embedding", "ann_ivfpq")
+      AnnIndex.ivfPqRefineTopKFromIndex(cat, "ann_ivfpq", e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          refine = 64)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Persisted PQ index, full lifecycle: codebooks trained once on
     // the full corpus, half bulk-loaded, half appended as codes under
     // the LOADED (never re-derived) codebooks, ADC probe off the
@@ -2202,5 +2227,9 @@ object LlmQueries {
     "ann12_sq8_index" -> oracleBase("ann11_sq8_topk"),
     // codebooks train on the full corpus; codes are pure functions of
     // vector × frozen books — ann13's oracle verbatim
-    "ann14_pq_index" -> oracleBase("ann13_pq_adc"))
+    "ann14_pq_index" -> oracleBase("ann13_pq_adc"),
+    // both residual-family fits train on the full corpus; cells and
+    // codes are pure functions of vector × frozen fits and the refine
+    // reads exact floats — ann16's oracle verbatim
+    "ann17_ivfpq_index" -> oracleBase("ann16_ivfpq_refine"))
 }

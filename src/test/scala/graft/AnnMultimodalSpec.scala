@@ -394,6 +394,56 @@ class AnnMultimodalSpec extends SparkSpec {
       "embedding", 5, allowStale = true)).nonEmpty)
   }
 
+  test("residual IVF-PQ index lifecycle: two-stage probe off stored " +
+       "codes + primary-store refine equals fit-inline bit for bit; " +
+       "replayed append idempotent; drift fails loudly") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("annivfpq_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"score").collect().toSeq
+    val first = vecs.filter($"vec_id" % 2 === 0)
+    val rest = vecs.filter($"vec_id" % 2 === 1)
+    AnnIndex.buildIvfPq(cat, first, "vec_id", "embedding", "rq",
+      numCells = 4, trainData = Some(vecs))
+    AnnIndex.appendIvfPq(cat, rest, "vec_id", "embedding", "rq")
+    val q = vecs.filter($"vec_id" < 3)
+    val once = canon(AnnIndex.ivfPqRefineTopKFromIndex(cat, "rq", vecs,
+      q, "vec_id", "embedding", 5, refine = 8))
+    assert(once == canon(Ann.ivfPqResidualTopK(vecs, q, "vec_id",
+      "embedding", 5, numCells = 4, refine = 8)))
+    // replayed append (same segKey): no duplicates, same answer
+    AnnIndex.appendIvfPq(cat, rest, "vec_id", "embedding", "rq",
+      segKey = Some("1"))
+    assert(canon(AnnIndex.ivfPqRefineTopKFromIndex(cat, "rq", vecs,
+      q, "vec_id", "embedding", 5, refine = 8)) == once)
+    // refine=0 returns the pure code ranking (different scores, same
+    // plumbing) — also off the artifact
+    assert(canon(AnnIndex.ivfPqRefineTopKFromIndex(cat, "rq", vecs,
+        q, "vec_id", "embedding", 5, refine = 0)) ==
+      canon(Ann.ivfPqResidualTopK(vecs, q, "vec_id", "embedding", 5,
+        numCells = 4, refine = 0)))
+    // drift: fits over 10 vectors refuse 30 (3x > 2x) and name the
+    // right rebuild entry point
+    AnnIndex.buildIvfPq(cat, vecs.filter($"vec_id" < 10), "vec_id",
+      "embedding", "rqsmall", numCells = 4)
+    val ex = intercept[Exception] {
+      AnnIndex.appendIvfPq(cat, vecs.filter($"vec_id" >= 10), "vec_id",
+        "embedding", "rqsmall")
+    }
+    assert(ex.getMessage.contains("buildIvfPq"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      AnnIndex.ivfPqRefineTopKFromIndex(cat, "nope", vecs, q,
+        "vec_id", "embedding", 5)
+    }
+  }
+
   test("SQ8 index lifecycle: probe off stored byte codes equals the " +
        "fit-inline form bit for bit; replayed append is idempotent; " +
        "drift never blocks (per-vector scales have no fit to go stale)") {
