@@ -283,4 +283,35 @@ class PlanSpec extends SparkSpec {
     // the distinct gets a partial stage before its exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
   }
+
+  test("ts17: the grouped KMV sketch is a bounded-state aggregation " +
+       "with a PARTIAL stage — no window, no per-group global sort, " +
+       "no cartesian") {
+    val p = sparkPlan("ts17_kmv_grouped")
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the Aggregator-based sketch plans as ObjectHashAggregate with a
+    // partial mode before the group exchange (map-side combine is the
+    // O(k)-per-partition shuffle bound)
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(p.contains("partial_kminagg") || p.contains("partial_KMinAgg")
+      || "ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1600))
+  }
+
+  test("ann16/ann17: residual IVF-PQ probes are cell equi-joins + " +
+       "broadcast lookups with an equi-join refine — no cartesian " +
+       "anywhere in the two-stage path") {
+    for (name <- Seq("ann16_ivfpq_refine", "ann17_ivfpq_index")) {
+      val p = sparkPlan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1200)}")
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(1200)}")
+    }
+  }
+
+  test("ev10's batch twin (j10) stays the equi-bucket overlap join — " +
+       "the property that makes the STREAM form plannable at all") {
+    val p = sparkPlan("j10_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"), p.take(1200))
+  }
 }
