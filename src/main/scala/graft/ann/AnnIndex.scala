@@ -376,6 +376,51 @@ object AnnIndex {
       k, nprobe, refine)
   }
 
+  /** Merge every assignment segment back into a single `seg=0` — the
+    * file-count hygiene step after many appends. Each append adds one
+    * segment directory; probes read them all, and at high append
+    * rates the DIRECTORY count (not the data) becomes the probe cost —
+    * the same growth `CorpusStream.compactState` bounds for the
+    * streaming state. Pure re-layout: same rows, one segment; counts
+    * and meta unchanged; probes before and after are bit-identical
+    * (spec-pinned). Runs under the table lock.
+    *
+    * Crash contract: the input rows are materialized BEFORE any
+    * delete, so no crash loses data — but a crash between the seg-0
+    * rewrite and the old-segment drops leaves duplicate rows visible
+    * to probes until compaction is re-run. The re-run CONVERGES: the
+    * read is full-row `distinct()` (identical rows per id — segments
+    * are pure functions of vector × frozen fits), so leftovers
+    * collapse back to the exact set. Schedule it like any maintenance
+    * job: re-run on failure before serving. */
+  def compactSegs(catalog: TableCatalog, indexTable: String): Unit =
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      val assignTable = assignTableOf(indexTable)
+      require(catalog.tableExists(indexTable),
+        s"AnnIndex: no index meta at '$indexTable' — nothing to compact")
+      val row = catalog.read(indexTable).collect()(0)
+      val kind = row.getString(row.fieldIndex("kind"))
+      val m = readMeta(catalog, indexTable, kind)
+      val segs = catalog.listPartitions(assignTable, "seg")
+      if (segs.size > 1) {
+        val subField =
+          if (kind == "ivf" || kind == "ivfpq") "cell" else "pk"
+        // materialize the full set before touching any directory; the
+        // distinct is what makes a crashed compaction re-runnable
+        val all = graft.core.Fence(
+          catalog.read(assignTable).drop("seg").distinct())
+        // count the materialized set rather than trusting the meta:
+        // compaction is the natural self-heal point after any crashed
+        // append (orphan segment not yet in the counts) or crashed
+        // prior compaction (duplicates the distinct just collapsed)
+        val n = all.count()
+        writeSeg(catalog, indexTable, all, "0", subField)
+        dropOtherSegs(catalog, indexTable, keep = "0")
+        writeSegCounts(catalog, indexTable, Map("0" -> n))
+        writeMeta(catalog, indexTable, m.kind, m.geometry, m.fittedN, n)
+      }
+    }
+
   /** Within-bucket top-1 neighbors from a persisted LSH index — the
     * [[Ann.lshBucketNeighborsAuto]] result without the count, the
     * norm pass, or the planes×dim bucketing dots: everything comes

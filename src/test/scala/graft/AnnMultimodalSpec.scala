@@ -523,6 +523,60 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(indexedN == 20)
   }
 
+  test("ANN index compaction folds every appended segment into one, " +
+       "probes stay bit-identical, and a crashed compaction's leftover " +
+       "duplicates converge on re-run") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 24).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("anncp_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"qcos").collect().toSeq
+    val q = vecs.filter($"vec_id" < 3)
+    AnnIndex.buildSq8(cat, vecs.filter($"vec_id" < 6), "vec_id",
+      "embedding", "cp")
+    (1 to 3).foreach { i =>
+      AnnIndex.appendSq8(cat,
+        vecs.filter($"vec_id" >= 6 * i && $"vec_id" < 6 * (i + 1)),
+        "vec_id", "embedding", "cp")
+    }
+    assert(cat.listPartitions("cp_assign", "seg").size == 4)
+    val before = canon(AnnIndex.sq8TopKFromIndex(cat, "cp", q,
+      "vec_id", "embedding", 5))
+    def indexedN: Long = {
+      val r = cat.read("cp").collect()(0)
+      r.getLong(r.fieldIndex("indexed_n"))
+    }
+    assert(indexedN == 24)
+    AnnIndex.compactSegs(cat, "cp")
+    assert(cat.listPartitions("cp_assign", "seg") == Seq("0"))
+    assert(indexedN == 24)
+    assert(canon(AnnIndex.sq8TopKFromIndex(cat, "cp", q,
+      "vec_id", "embedding", 5)) == before)
+    // simulate the crash window: a leftover pre-compaction segment
+    // still on disk duplicates rows seg 0 already holds — the re-run's
+    // full-row distinct collapses them back to the exact set
+    val src = java.nio.file.Paths.get(wh, "cp_assign", "seg=0")
+    val dst = java.nio.file.Paths.get(wh, "cp_assign", "seg=9")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.toSeq.foreach { p =>
+      java.nio.file.Files.copy(p,
+        dst.resolve(src.relativize(p)),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(cat.listPartitions("cp_assign", "seg").size == 2)
+    AnnIndex.compactSegs(cat, "cp")
+    assert(cat.listPartitions("cp_assign", "seg") == Seq("0"))
+    assert(indexedN == 24) // duplicates collapsed, count self-healed
+    assert(canon(AnnIndex.sq8TopKFromIndex(cat, "cp", q,
+      "vec_id", "embedding", 5)) == before)
+  }
+
   test("ANN index lifecycle: build-half + append-half equals the full " +
        "build bit for bit, a replayed append is idempotent, and " +
        "staleness past the drift bound fails loudly") {
