@@ -98,6 +98,22 @@ object ProbeAnnIndex {
           10).count()
       }
     }
+    println(s"=== residual IVF-PQ + refine top-10 (two-stage), $reps reps ===")
+    (1 to reps).foreach { _ =>
+      timed("fresh-fit ") {
+        Ann.ivfPqResidualTopK(e, q, "vec_id", "embedding", 10,
+          refine = 64).count()
+      }
+    }
+    timed("build     ") {
+      AnnIndex.buildIvfPq(cat, e, "vec_id", "embedding", "rq"); 0L
+    }
+    (1 to reps).foreach { _ =>
+      timed("from-index") {
+        AnnIndex.ivfPqRefineTopKFromIndex(cat, "rq", e, q, "vec_id",
+          "embedding", 10, refine = 64).count()
+      }
+    }
     // r14: appends are O(batch) — indexed_n comes from the _segmeta
     // counts, never a corpus recount, so a 16-row append onto the
     // corpus-sized index should cost the same at every SF (run the
