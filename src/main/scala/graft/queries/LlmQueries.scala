@@ -578,10 +578,13 @@ object LlmQueries {
     "dp02_corpus_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = TextHash.tokens(col("text"))
-      docs.select(col("doc_id"), col("lang"),
+      // soft-fenced: the per-doc projection (incl. the HOF quality
+      // score) feeds BOTH the exact and the sampled aggregates — one
+      // scoring pass, not two
+      graft.core.Fence.soft(docs.select(col("doc_id"), col("lang"),
           col("n_chars"), size(toks).as("n_toks"),
           floor(TextAnalysis.qualityScore(toks) * lit(1000000.0) +
-            lit(0.5)).cast("long").as("q6"))
+            lit(0.5)).cast("long").as("q6")))
         .createOrReplaceTempView("graft_dp02")
       val shingles = graft.ops.Kmv.withEstimate(
         graft.ops.Kmv.sketchAgg(
