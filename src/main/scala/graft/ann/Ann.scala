@@ -1152,12 +1152,23 @@ object Ann {
     * `refine > 0`) the exact re-rank against `un` — the (id, u)
     * unit-vector store, which the persisted form reads from the
     * PRIMARY vector table (the index keeps codes only; the two-stage
-    * fetch touches floats for `refine` rows per query). */
+    * fetch touches floats for `refine` rows per query).
+    *
+    * `broadcastQueries = false` is the BULK-join shape — queries ≈ the
+    * corpus ("attach top-k neighbors to every document"): the query
+    * side sheds its broadcast hints, the cell join and the refine
+    * joins plan as shuffle equi-joins, and the per-query rank window
+    * shuffles by q_id — nothing is required to fit in one executor.
+    * Results are identical either way (join strategy never changes
+    * values; ranking is totally ordered). */
   private[ann] def ivfPqRefineProbe(codes: DataFrame,
       cents: Array[(Seq[Double], Double)],
       books: Array[Array[(Seq[Double], Double)]], un: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int, refine: Int): DataFrame = {
+      nprobe: Int, refine: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (broadcastQueries) broadcast(df) else df
     val centDf = centsToDf(codes.sparkSession, cents)
     val qUn = graft.core.Fence(withNorms(queries, idCol, vecCol)
       .withColumn("u", unitVec(col("v"), col("nrm")))
@@ -1172,7 +1183,7 @@ object Ann {
     val qSliced = (0 until PqSubspaces).foldLeft(qRes) { (df, m) =>
       df.withColumn(s"qs$m", slice(col("qr"), m * PqSubDim + 1, PqSubDim))
     }
-    val qWide = broadcast(graft.core.Fence(qSliced
+    val qWide = maybeBcast(graft.core.Fence(qSliced
       .withColumn("qq", (0 until PqSubspaces)
         .map(m => dotUnrolled(col(s"qs$m"), col(s"qs$m"), PqSubDim))
         .reduceLeft(_ + _))
@@ -1185,7 +1196,7 @@ object Ann {
     else {
       val exact = adc.select(col("q_id"), col("vec_id"))
         .join(un.select(col("id").as("vec_id"), col("u")), Seq("vec_id"))
-        .join(broadcast(qUn), Seq("q_id"))
+        .join(maybeBcast(qUn), Seq("q_id"))
         .withColumn("score", dotUnrolled(col("qu"), col("u")))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("vec_id").asc)

@@ -363,7 +363,9 @@ object AnnIndex {
                                store: DataFrame, queries: DataFrame,
                                idCol: String, vecCol: String, k: Int,
                                nprobe: Int = 2, refine: Int = 4096,
-                               allowStale: Boolean = false): DataFrame = {
+                               allowStale: Boolean = false,
+                               broadcastQueries: Boolean = true)
+      : DataFrame = {
     val m = readMeta(catalog, indexTable, "ivfpq")
     requireFresh(m, indexTable, allowStale)
     val cents = readCentroidsL2(catalog, indexTable)
@@ -373,7 +375,7 @@ object AnnIndex {
         (0 until Ann.PqSubspaces).map(i => col(s"c$i")): _*)
     Ann.ivfPqRefineProbe(codes, cents, books,
       Ann.unitFrame(store, idCol, vecCol), queries, idCol, vecCol,
-      k, nprobe, refine)
+      k, nprobe, refine, broadcastQueries)
   }
 
   /** Merge every assignment segment back into a single `seg=0` — the

@@ -800,6 +800,25 @@ object LlmQueries {
     // Cells and codes are pure functions of vector × frozen fits, so
     // the result is bit-identical to fit-inline ann16 — its oracle
     // verbatim.
+    // Bulk neighbor join off the persisted residual index: EVERY
+    // corpus vector is a query ("attach top-3 neighbors to each
+    // document"), probed with broadcastQueries = false — the query
+    // side plans as shuffle equi-joins and the rank window shuffles
+    // by q_id, so nothing must fit in one executor. Same fits, same
+    // arithmetic — the oracle is the ann16 builder at corpus width.
+    "ann18_ivfpq_bulk" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann18_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildIvfPq(cat, e, "vec_id", "embedding", "ann_bulk")
+      AnnIndex.ivfPqRefineTopKFromIndex(cat, "ann_bulk", e, e,
+          "vec_id", "embedding", 3, refine = 16,
+          broadcastQueries = false)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     "ann17_ivfpq_index" -> ((s, dir) => {
       import graft.ann.AnnIndex
       val wh = java.nio.file.Files
@@ -1169,6 +1188,153 @@ object LlmQueries {
         FROM deduped
         WHERE $dp01SurvivorPredicate
         ORDER BY doc_id"""
+  }
+
+  /** Oracle builder for the residual IVF-PQ + refine family:
+    * `queryWhere` restricts the query set (over `un.vec_id`), `k` the
+    * emitted ranks, `nprobe` the probed cells, `refine` the code-rank
+    * cut. ann16 instantiates the 5-query serving form; ann18 the
+    * corpus-scale bulk-join form (every vector a query). */
+  private def ivfPqRefineOracle(queryWhere: String, k: Int,
+                                nprobe: Int, refine: Int): String = {
+      def dt(a: String, b: String) = Ann.dotSql(a, b)
+      val M = Ann.PqSubspaces
+      val sd = Ann.PqSubDim
+      val K = Ann.PqCodebook
+      def l2(s: String, c: String) =
+        s"2.0 * ${dt(s, c + ".cv")} - ${dt(c + ".cv", c + ".cv")}"
+      // coarse chain: kmeansCentroidsL2 over the FULL unit vector
+      def coarseRound(i: Int): String = {
+        val prev = s"cw${i - 1}"
+        s"""ca$i AS (SELECT vec_id, u, cell FROM (
+              SELECT un.vec_id, un.u, c.cell,
+                row_number() OVER (PARTITION BY un.vec_id
+                  ORDER BY ${l2("un.u", "c")} DESC, c.cell DESC) AS rn
+              FROM un CROSS JOIN $prev c) WHERE rn = 1),
+            cn$i AS (SELECT cell, CAST(pos AS INT) AS pos,
+                CAST(SUM(CAST(FLOOR(val * 1048576.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1048576.0 / CAST(COUNT(*) AS DOUBLE)
+                  AS mm
+              FROM (SELECT cell, CAST(unnest(u) AS DOUBLE) AS val,
+                      unnest(generate_series(1, len(u))) - 1 AS pos
+                    FROM ca$i)
+              GROUP BY cell, pos),
+            cg$i AS (SELECT cell, list(mm ORDER BY pos) AS cv
+              FROM cn$i GROUP BY cell),
+            cw$i AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+              FROM $prev p LEFT JOIN cg$i n USING (cell))"""
+      }
+      // fine chains: the ann13 pattern sourced from the RESIDUALS
+      def chain(m: Int): String = {
+        val lo = m * sd + 1
+        val hi = (m + 1) * sd
+        def round(i: Int): String = {
+          val prev = s"c${m}_${i - 1}"
+          s"""a${m}_$i AS (SELECT vec_id, s, cell FROM (
+                SELECT sv.vec_id, sv.s, c.cell,
+                  row_number() OVER (PARTITION BY sv.vec_id
+                    ORDER BY ${l2("sv.s", "c")} DESC, c.cell DESC) AS rn
+                FROM sv$m sv CROSS JOIN $prev c) WHERE rn = 1),
+              n${m}_$i AS (SELECT cell, CAST(pos AS INT) AS pos,
+                  CAST(SUM(CAST(FLOOR(val * 1048576.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1048576.0 / CAST(COUNT(*) AS DOUBLE)
+                    AS mm
+                FROM (SELECT cell, CAST(unnest(s) AS DOUBLE) AS val,
+                        unnest(generate_series(1, len(s))) - 1 AS pos
+                      FROM a${m}_$i)
+                GROUP BY cell, pos),
+              g${m}_$i AS (SELECT cell, list(mm ORDER BY pos) AS cv
+                FROM n${m}_$i GROUP BY cell),
+              c${m}_$i AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+                FROM $prev p LEFT JOIN g${m}_$i n USING (cell))"""
+        }
+        s"""sv$m AS (SELECT vec_id, r[$lo:$hi] AS s FROM cres),
+            c${m}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+                  AS INT) - 1 AS cell, s AS cv
+              FROM (SELECT vec_id, s FROM sv$m
+                    ORDER BY vec_id LIMIT $K)),
+            ${round(1)},
+            ${round(2)},
+            k$m AS (SELECT vec_id, cell FROM (
+                SELECT sv.vec_id, c.cell,
+                  row_number() OVER (PARTITION BY sv.vec_id
+                    ORDER BY ${l2("sv.s", "c")} DESC, c.cell DESC) AS rn
+                FROM sv$m sv CROSS JOIN c${m}_2 c) WHERE rn = 1),
+            p$m AS (SELECT cd.q_id, cd.vec_id,
+                2.0 * ${dt(s"q.qs$m", "c.cv")} - ${dt("c.cv", "c.cv")}
+                  AS sp
+              FROM cand cd
+              JOIN k$m kk ON kk.vec_id = cd.vec_id
+              JOIN c${m}_2 c ON kk.cell = c.cell
+              JOIN qs q ON q.q_id = cd.q_id AND q.cell = cd.cell)"""
+      }
+      s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm FROM v),
+          un AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v
+              ELSE list_transform(v, x -> x / nrm) END AS u FROM vn),
+          cw0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+                AS INT) - 1 AS cell, u AS cv
+            FROM (SELECT vec_id, u FROM un ORDER BY vec_id LIMIT 16)),
+          ${coarseRound(1)},
+          ${coarseRound(2)},
+          casg AS (SELECT vec_id, cell FROM (
+            SELECT un.vec_id, c.cell,
+              row_number() OVER (PARTITION BY un.vec_id
+                ORDER BY ${l2("un.u", "c")} DESC, c.cell DESC) AS rn
+            FROM un CROSS JOIN cw2 c) WHERE rn = 1),
+          cres AS (SELECT a.vec_id, a.cell,
+              list_transform(list_zip(un.u, c.cv), s -> s[1] - s[2])
+                AS r
+            FROM casg a JOIN un USING (vec_id)
+            JOIN cw2 c ON a.cell = c.cell),
+          qp AS (SELECT vec_id AS q_id, cell FROM (
+            SELECT un.vec_id, c.cell,
+              row_number() OVER (PARTITION BY un.vec_id
+                ORDER BY ${l2("un.u", "c")} DESC, c.cell DESC) AS rn
+            FROM un CROSS JOIN cw2 c $queryWhere)
+            WHERE rn <= $nprobe),
+          qres AS (SELECT qp.q_id, qp.cell,
+              list_transform(list_zip(un.u, c.cv), s -> s[1] - s[2])
+                AS qr
+            FROM qp JOIN un ON un.vec_id = qp.q_id
+            JOIN cw2 c ON qp.cell = c.cell),
+          qsl AS (SELECT q_id, cell,
+              ${(0 until M).map(m =>
+                s"qr[${m * sd + 1}:${(m + 1) * sd}] AS qs$m")
+                .mkString(", ")}
+            FROM qres),
+          qs AS (SELECT q_id, cell,
+              ${(0 until M).map(m => s"qs$m").mkString(", ")},
+              ${(0 until M).map(m => dt(s"qs$m", s"qs$m"))
+                .mkString(" + ")} AS qq
+            FROM qsl),
+          cand AS (SELECT q.q_id, cr.vec_id, q.cell, q.qq
+            FROM qs q JOIN cres cr USING (cell)
+            WHERE cr.vec_id <> q.q_id),
+          ${(0 until M).map(chain).mkString(",\n")},
+          scored AS (SELECT cd.q_id, cd.vec_id,
+              p0.sp + p1.sp + p2.sp + p3.sp - cd.qq AS score
+            FROM cand cd JOIN p0 USING (q_id, vec_id)
+              JOIN p1 USING (q_id, vec_id)
+              JOIN p2 USING (q_id, vec_id)
+              JOIN p3 USING (q_id, vec_id)),
+          topr AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, vec_id ASC) AS crn
+            FROM scored) WHERE crn <= $refine),
+          refined AS (SELECT t.q_id, t.vec_id,
+              ${dt("qu.u", "du.u")} AS score
+            FROM topr t JOIN un qu ON qu.vec_id = t.q_id
+            JOIN un du ON du.vec_id = t.vec_id),
+          ranked AS (SELECT q_id, vec_id, score,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+            FROM refined)
+        SELECT q_id, rank, vec_id, score FROM ranked
+        WHERE rank <= $k ORDER BY q_id, rank"""
   }
 
   private val oracleBase: Map[String, String] = Map(
@@ -1590,146 +1756,12 @@ object LlmQueries {
     // (left-assoc, matching the Spark fold), a top-64 code-rank cut,
     // and the exact unit-dot re-rank. Every floating-point step is
     // engine-identical, so ranks and scores gate bit-exact.
-    "ann16_ivfpq_refine" -> {
-      def dt(a: String, b: String) = Ann.dotSql(a, b)
-      val M = Ann.PqSubspaces
-      val sd = Ann.PqSubDim
-      val K = Ann.PqCodebook
-      def l2(s: String, c: String) =
-        s"2.0 * ${dt(s, c + ".cv")} - ${dt(c + ".cv", c + ".cv")}"
-      // coarse chain: kmeansCentroidsL2 over the FULL unit vector
-      def coarseRound(i: Int): String = {
-        val prev = s"cw${i - 1}"
-        s"""ca$i AS (SELECT vec_id, u, cell FROM (
-              SELECT un.vec_id, un.u, c.cell,
-                row_number() OVER (PARTITION BY un.vec_id
-                  ORDER BY ${l2("un.u", "c")} DESC, c.cell DESC) AS rn
-              FROM un CROSS JOIN $prev c) WHERE rn = 1),
-            cn$i AS (SELECT cell, CAST(pos AS INT) AS pos,
-                CAST(SUM(CAST(FLOOR(val * 1048576.0 + 0.5) AS BIGINT))
-                  AS DOUBLE) / 1048576.0 / CAST(COUNT(*) AS DOUBLE)
-                  AS mm
-              FROM (SELECT cell, CAST(unnest(u) AS DOUBLE) AS val,
-                      unnest(generate_series(1, len(u))) - 1 AS pos
-                    FROM ca$i)
-              GROUP BY cell, pos),
-            cg$i AS (SELECT cell, list(mm ORDER BY pos) AS cv
-              FROM cn$i GROUP BY cell),
-            cw$i AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
-              FROM $prev p LEFT JOIN cg$i n USING (cell))"""
-      }
-      // fine chains: the ann13 pattern sourced from the RESIDUALS
-      def chain(m: Int): String = {
-        val lo = m * sd + 1
-        val hi = (m + 1) * sd
-        def round(i: Int): String = {
-          val prev = s"c${m}_${i - 1}"
-          s"""a${m}_$i AS (SELECT vec_id, s, cell FROM (
-                SELECT sv.vec_id, sv.s, c.cell,
-                  row_number() OVER (PARTITION BY sv.vec_id
-                    ORDER BY ${l2("sv.s", "c")} DESC, c.cell DESC) AS rn
-                FROM sv$m sv CROSS JOIN $prev c) WHERE rn = 1),
-              n${m}_$i AS (SELECT cell, CAST(pos AS INT) AS pos,
-                  CAST(SUM(CAST(FLOOR(val * 1048576.0 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1048576.0 / CAST(COUNT(*) AS DOUBLE)
-                    AS mm
-                FROM (SELECT cell, CAST(unnest(s) AS DOUBLE) AS val,
-                        unnest(generate_series(1, len(s))) - 1 AS pos
-                      FROM a${m}_$i)
-                GROUP BY cell, pos),
-              g${m}_$i AS (SELECT cell, list(mm ORDER BY pos) AS cv
-                FROM n${m}_$i GROUP BY cell),
-              c${m}_$i AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
-                FROM $prev p LEFT JOIN g${m}_$i n USING (cell))"""
-        }
-        s"""sv$m AS (SELECT vec_id, r[$lo:$hi] AS s FROM cres),
-            c${m}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
-                  AS INT) - 1 AS cell, s AS cv
-              FROM (SELECT vec_id, s FROM sv$m
-                    ORDER BY vec_id LIMIT $K)),
-            ${round(1)},
-            ${round(2)},
-            k$m AS (SELECT vec_id, cell FROM (
-                SELECT sv.vec_id, c.cell,
-                  row_number() OVER (PARTITION BY sv.vec_id
-                    ORDER BY ${l2("sv.s", "c")} DESC, c.cell DESC) AS rn
-                FROM sv$m sv CROSS JOIN c${m}_2 c) WHERE rn = 1),
-            p$m AS (SELECT cd.q_id, cd.vec_id,
-                2.0 * ${dt(s"q.qs$m", "c.cv")} - ${dt("c.cv", "c.cv")}
-                  AS sp
-              FROM cand cd
-              JOIN k$m kk ON kk.vec_id = cd.vec_id
-              JOIN c${m}_2 c ON kk.cell = c.cell
-              JOIN qs q ON q.q_id = cd.q_id AND q.cell = cd.cell)"""
-      }
-      s"""WITH v AS (SELECT vec_id,
-            list_transform(embedding, x -> x::DOUBLE) AS v
-            FROM embeddings),
-          vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm FROM v),
-          un AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v
-              ELSE list_transform(v, x -> x / nrm) END AS u FROM vn),
-          cw0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
-                AS INT) - 1 AS cell, u AS cv
-            FROM (SELECT vec_id, u FROM un ORDER BY vec_id LIMIT 16)),
-          ${coarseRound(1)},
-          ${coarseRound(2)},
-          casg AS (SELECT vec_id, cell FROM (
-            SELECT un.vec_id, c.cell,
-              row_number() OVER (PARTITION BY un.vec_id
-                ORDER BY ${l2("un.u", "c")} DESC, c.cell DESC) AS rn
-            FROM un CROSS JOIN cw2 c) WHERE rn = 1),
-          cres AS (SELECT a.vec_id, a.cell,
-              list_transform(list_zip(un.u, c.cv), s -> s[1] - s[2])
-                AS r
-            FROM casg a JOIN un USING (vec_id)
-            JOIN cw2 c ON a.cell = c.cell),
-          qp AS (SELECT vec_id AS q_id, cell FROM (
-            SELECT un.vec_id, c.cell,
-              row_number() OVER (PARTITION BY un.vec_id
-                ORDER BY ${l2("un.u", "c")} DESC, c.cell DESC) AS rn
-            FROM un CROSS JOIN cw2 c WHERE un.vec_id < 5)
-            WHERE rn <= 2),
-          qres AS (SELECT qp.q_id, qp.cell,
-              list_transform(list_zip(un.u, c.cv), s -> s[1] - s[2])
-                AS qr
-            FROM qp JOIN un ON un.vec_id = qp.q_id
-            JOIN cw2 c ON qp.cell = c.cell),
-          qsl AS (SELECT q_id, cell,
-              ${(0 until M).map(m =>
-                s"qr[${m * sd + 1}:${(m + 1) * sd}] AS qs$m")
-                .mkString(", ")}
-            FROM qres),
-          qs AS (SELECT q_id, cell,
-              ${(0 until M).map(m => s"qs$m").mkString(", ")},
-              ${(0 until M).map(m => dt(s"qs$m", s"qs$m"))
-                .mkString(" + ")} AS qq
-            FROM qsl),
-          cand AS (SELECT q.q_id, cr.vec_id, q.cell, q.qq
-            FROM qs q JOIN cres cr USING (cell)
-            WHERE cr.vec_id <> q.q_id),
-          ${(0 until M).map(chain).mkString(",\n")},
-          scored AS (SELECT cd.q_id, cd.vec_id,
-              p0.sp + p1.sp + p2.sp + p3.sp - cd.qq AS score
-            FROM cand cd JOIN p0 USING (q_id, vec_id)
-              JOIN p1 USING (q_id, vec_id)
-              JOIN p2 USING (q_id, vec_id)
-              JOIN p3 USING (q_id, vec_id)),
-          topr AS (SELECT q_id, vec_id FROM (
-            SELECT q_id, vec_id,
-              row_number() OVER (PARTITION BY q_id
-                ORDER BY score DESC, vec_id ASC) AS crn
-            FROM scored) WHERE crn <= 64),
-          refined AS (SELECT t.q_id, t.vec_id,
-              ${dt("qu.u", "du.u")} AS score
-            FROM topr t JOIN un qu ON qu.vec_id = t.q_id
-            JOIN un du ON du.vec_id = t.vec_id),
-          ranked AS (SELECT q_id, vec_id, score,
-            CAST(row_number() OVER (PARTITION BY q_id
-              ORDER BY score DESC, vec_id ASC) AS INT) AS rank
-            FROM refined)
-        SELECT q_id, rank, vec_id, score FROM ranked
-        WHERE rank <= 10 ORDER BY q_id, rank"""
-    },
+    "ann16_ivfpq_refine" -> ivfPqRefineOracle(
+      "WHERE un.vec_id < 5", 10, 2, 64),
+    // the bulk-join form: EVERY corpus vector is a query (k=3,
+    // refine=16) — the "attach neighbors to each document" shape,
+    // probed off the persisted index with NO query-side broadcast
+    "ann18_ivfpq_bulk" -> ivfPqRefineOracle("", 3, 2, 16),
     // PQ/ADC: the oracle replays the per-subspace fit exactly — unit
     // normalization, smallest-id seeds, 2 Lloyd rounds of L2 argmin
     // (as argmax 2·s·c − c·c, ties to the larger cell) with

@@ -308,6 +308,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ann18: the bulk neighbor join never plans a cartesian and " +
+       "carries no query-side broadcast HINT (the planner may still " +
+       "pick broadcast at gate scale from size stats — the pin is " +
+       "that correctness never depends on the query side fitting)") {
+    val df = SparkEntry.queries("ann18_ivfpq_bulk")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the logical plan (pre-strategy) carries no ResolvedHint from the
+    // probe path — broadcastQueries=false removed them
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint"), lp.take(1200))
+  }
+
   test("ev10's batch twin (j10) stays the equi-bucket overlap join — " +
        "the property that makes the STREAM form plannable at all") {
     val p = sparkPlan("j10_interval_overlap")
