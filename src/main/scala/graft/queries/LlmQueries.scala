@@ -800,6 +800,50 @@ object LlmQueries {
     // Cells and codes are pure functions of vector × frozen fits, so
     // the result is bit-identical to fit-inline ann16 — its oracle
     // verbatim.
+    // Streaming ingestion into a persisted ANN index: the corpus's
+    // embedding feed arrives as 3 micro-batches, each appended to the
+    // SQ8 index inside foreachBatch with segKey = batchId — a replayed
+    // micro-batch overwrites its own segment, so the sink is
+    // idempotent end to end (the index lifecycle under continuous
+    // ingestion, the production shape for a live embedding store).
+    // Quantization is per-vector, so seed + streamed appends are
+    // bit-identical to quantizing the whole corpus — ann11's oracle.
+    "ann19_stream_append" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann19_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildSq8(cat, e.filter(pmod(col("vec_id"), lit(4)) === 0),
+        "vec_id", "embedding", "ann_s")
+      val rows = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .as[(Long, Array[Float])].collect()
+      val n = rows.length
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = mem.toDF().toDF("vec_id", "embedding")
+        .writeStream
+        .option("checkpointLocation", wh + "/_ckpt")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          AnnIndex.appendSq8(cat, df, "vec_id", "embedding", "ann_s",
+            segKey = Some(s"b$batchId"))
+        }.start()
+      try {
+        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+            rows.slice(2 * n / 3, n)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      AnnIndex.sq8TopKFromIndex(cat, "ann_s",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Bulk neighbor join off the persisted residual index: EVERY
     // corpus vector is a query ("attach top-3 neighbors to each
     // document"), probed with broadcastQueries = false — the query
@@ -2260,6 +2304,9 @@ object LlmQueries {
     // quantization is per-vector, so build-half + append-half is
     // bit-identical to quantizing the whole corpus — ann11's oracle
     "ann12_sq8_index" -> oracleBase("ann11_sq8_topk"),
+    // same per-vector property under STREAMED appends (one idempotent
+    // segment per micro-batch) — ann11's oracle again
+    "ann19_stream_append" -> oracleBase("ann11_sq8_topk"),
     // codebooks train on the full corpus; codes are pure functions of
     // vector × frozen books — ann13's oracle verbatim
     "ann14_pq_index" -> oracleBase("ann13_pq_adc"),
