@@ -100,10 +100,15 @@ object Kmv {
     * `est_distinct` = (k−1)·2⁶⁰/u₍ₖ₎ — or the EXACT size when the
     * group holds fewer than `k` distinct values (the sketch saw them
     * all). 2⁶⁰ and (k−1)·2⁶⁰ are exactly representable doubles, so
-    * the single division is the only rounding step. */
+    * the single division is the only rounding step. An EMPTY sketch (a
+    * group that contributed no values — legal via [[mergeSketches]] of
+    * two empty arrays) reports `kth_u` NULL and `est_distinct` 0.0
+    * through the exact branch, instead of tripping `element_at`'s
+    * 1-based index check. */
   def withEstimate(df: DataFrame, k: Int): DataFrame =
     df.withColumn("k", size(col("kmin")))
-      .withColumn("kth_u", element_at(col("kmin"), size(col("kmin"))))
+      .withColumn("kth_u",
+        when(col("k") > 0, element_at(col("kmin"), size(col("kmin")))))
       .withColumn("est_distinct",
         when(col("k") < lit(k), col("k").cast("double"))
           .otherwise((col("k") - lit(1)).cast("double") *

@@ -148,10 +148,16 @@ object RangeJoin {
     * Contract: `aTime`/`bTime` name each side's event-time TIMESTAMP
     * columns (the interval START instants — callers apply
     * `withWatermark` on them before the join), every interval spans at
-    * most `maxSpan` (a SQL interval literal, e.g. "60 days"), so two
-    * overlapping intervals' starts are within `maxSpan` of each other
-    * and the time bound never excludes a real overlap. Inputs must not
-    * share column names and must not contain `__rj_*` columns
+    * most `maxSpan` (a SQL day-time interval literal, e.g. "60 days"),
+    * so two overlapping intervals' starts are within `maxSpan` of each
+    * other and the time bound never excludes a real overlap. The span
+    * bound is CHECKED per row (the [[guardedHiBucket]] discipline): an
+    * interval wider than `maxSpan` raises at evaluation instead of
+    * silently losing the overlaps the time bound would have excluded —
+    * `unitSeconds` scales the `lo`/`hi` long domain to seconds (1 for
+    * epoch-seconds intervals, 86400 for day numbers) so the width
+    * compares against the same clock the join bound uses. Inputs must
+    * not share column names and must not contain `__rj_*` columns
     * (checked). Exactly-once per overlapping pair, as in
     * [[intervalOverlap]] (start-bucket dedup). Event times must sit
     * strictly AFTER the epoch: the engine's initial watermark is
@@ -162,13 +168,36 @@ object RangeJoin {
                             aTime: String,
                             right: DataFrame, bLo: Column, bHi: Column,
                             bTime: String,
-                            bucketWidth: Long, maxSpan: String): DataFrame = {
+                            bucketWidth: Long, maxSpan: String,
+                            unitSeconds: Long = 1L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(unitSeconds > 0, s"unitSeconds must be > 0, got $unitSeconds")
     requireNoReserved(left, "left")
     requireNoReserved(right, "right")
+    // maxSpan in lo/hi-domain units (floored — a not-exact-multiple
+    // span just tightens the guard). Day-time only: a month-bearing
+    // interval has no fixed width to check a row against.
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(maxSpan))
+    require(iv.months == 0,
+      s"maxSpan must be a day-time interval (no months/years): $maxSpan")
+    val maxUnits = (iv.days * 86400L * 1000000L + iv.microseconds) /
+      (unitSeconds * 1000000L)
+    // per-row span check, the guardedHiBucket shape: hi passes through
+    // only while the interval fits maxSpan (inverted intervals pass —
+    // the lo<=hi filter drops them before they can match anything)
+    def guardedSpanHi(lo: Column, hi: Column): Column =
+      when(hi < lo || hi - lo <= lit(maxUnits), hi)
+        .otherwise(raise_error(concat(
+          lit(s"RangeJoin: interval wider than maxSpan=$maxSpan (lo="),
+          lo.cast("string"), lit(", hi="), hi.cast("string"),
+          lit(s", unitSeconds=$unitSeconds) — the stream-stream time " +
+            "bound would silently lose its overlaps; widen maxSpan"))))
     def exploded(df: DataFrame, lo: Column, hi: Column,
                  loN: String, hiN: String, bkN: String): DataFrame =
-      df.withColumn(loN, lo.cast("long")).withColumn(hiN, hi.cast("long"))
+      df.withColumn(loN, lo.cast("long"))
+        .withColumn(hiN, guardedSpanHi(col(loN), hi.cast("long")))
         .filter(col(loN) <= col(hiN))
         .withColumn(bkN, explode(sequence(
           bucketOf(col(loN), bucketWidth),

@@ -337,7 +337,8 @@ object EventQueries {
         val q = graft.ops.RangeJoin.intervalOverlapStream(
             a, col("a_lo"), col("a_hi"), "a_ts",
             b, col("b_lo"), col("b_hi"), "b_ts",
-            bucketWidth = 60L, maxSpan = "60 days")
+            bucketWidth = 60L, maxSpan = "60 days",
+            unitSeconds = 86400L)
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
         try {

@@ -574,7 +574,9 @@ object LlmQueries {
     // (LEFT JOIN), never a dropped row. A per-language KMV
     // distinct-shingle estimate (ts17's sketch, k=128) rides along
     // too — the number that sizes a per-slice dedup run, straight off
-    // the report.
+    // the report; a language with no 3-token shingle at all (every doc
+    // under 3 tokens) reports NULL there under the same LEFT-JOIN
+    // discipline instead of vanishing from the report.
     "dp02_corpus_report" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = TextHash.tokens(col("text"))
@@ -618,7 +620,7 @@ object LlmQueries {
           COALESCE(n_sampled, CAST(0 AS BIGINT)) AS n_sampled,
           p50_chars_est, p95_chars_est
         FROM base LEFT JOIN samp ON base.lang = samp.lang""")
-        .join(shingles, Seq("lang"))
+        .join(shingles, Seq("lang"), "left")
         .orderBy(col("lang"))
     }),
 
@@ -1655,7 +1657,7 @@ object LlmQueries {
                  ELSE CAST(kk - 1 AS DOUBLE) * 1152921504606846976.0
                    / CAST(kth_u AS DOUBLE) END AS est_distinct_shingles
           FROM base LEFT JOIN samp ON base.lang = samp.lang
-          JOIN ksk ON base.lang = ksk.lang
+          LEFT JOIN ksk ON base.lang = ksk.lang
           ORDER BY base.lang"""
     },
     "ts06_stratified_sample" ->

@@ -178,6 +178,14 @@ class OpsSpec extends SparkSpec {
     val rev = Kmv.sketchAgg(df.orderBy($"v".desc), Seq("grp"), $"v", k)
       .as[(String, Seq[Long])].collect().toMap
     assert(rev == whole)
+    // an EMPTY sketch — legal via mergeSketches of two empty arrays —
+    // estimates 0.0 with a NULL kth_u instead of tripping element_at
+    val empty = Seq(("e", Array.empty[Long])).toDF("grp", "kmin")
+      .select($"grp", Kmv.mergeSketches($"kmin", $"kmin", k).as("kmin"))
+    val eRow = Kmv.withEstimate(empty, k)
+      .select($"grp", $"k", $"kth_u", $"est_distinct").collect()(0)
+    assert(eRow.getInt(1) == 0 && eRow.isNullAt(2) &&
+      eRow.getDouble(3) == 0.0)
   }
 
   test("RangeJoin is exact past 2^53 (integral bucket division) and " +
@@ -205,5 +213,75 @@ class OpsSpec extends SparkSpec {
         .collect()
     }
     assert(ex.getMessage != null)
+  }
+
+  test("intervalOverlapStream: an interval wider than maxSpan fails " +
+       "loudly (batch and stream) instead of silently losing overlaps") {
+    def winDf(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("id", "lo", "hi")
+      .withColumn("ts", timestamp_seconds(col("lo") * 86400))
+    // batch plan of the streaming operator: a 10-day-wide interval
+    // under maxSpan="5 days" raises at evaluation, naming the span
+    val a = winDf(Seq((1L, 1000L, 1010L)))
+      .toDF("a_id", "a_lo", "a_hi", "a_ts")
+    val b = winDf(Seq((2L, 1001L, 1002L)))
+      .toDF("b_id", "b_lo", "b_hi", "b_ts")
+    val exB = intercept[Exception] {
+      graft.ops.RangeJoin.intervalOverlapStream(
+        a, col("a_lo"), col("a_hi"), "a_ts",
+        b, col("b_lo"), col("b_hi"), "b_ts",
+        bucketWidth = 30L, maxSpan = "5 days", unitSeconds = 86400L)
+        .collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n')
+        c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(exB).contains("wider than maxSpan"), rootMsg(exB))
+    // inverted intervals still pass through (filtered, never raised),
+    // and compliant spans join as before
+    val okA = winDf(Seq((1L, 1000L, 1003L), (9L, 900L, 800L)))
+      .toDF("a_id", "a_lo", "a_hi", "a_ts")
+    val okGot = graft.ops.RangeJoin.intervalOverlapStream(
+        okA, col("a_lo"), col("a_hi"), "a_ts",
+        b, col("b_lo"), col("b_hi"), "b_ts",
+        bucketWidth = 30L, maxSpan = "5 days", unitSeconds = 86400L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(okGot == Set((1L, 2L)))
+    // the same guard fires on a REAL stream: the micro-batch fails
+    // instead of emitting a partial result
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val memA = MemoryStream[(Long, Long, Long)]
+    val memB = MemoryStream[(Long, Long, Long)]
+    def stream(mem: MemoryStream[(Long, Long, Long)], p: String) =
+      mem.toDF().toDF(s"${p}_id", s"${p}_lo", s"${p}_hi")
+        .withColumn(s"${p}_ts",
+          timestamp_seconds(col(s"${p}_lo") * 86400))
+        .withWatermark(s"${p}_ts", "30 days")
+    val q = graft.ops.RangeJoin.intervalOverlapStream(
+        stream(memA, "a"), col("a_lo"), col("a_hi"), "a_ts",
+        stream(memB, "b"), col("b_lo"), col("b_hi"), "b_ts",
+        bucketWidth = 30L, maxSpan = "5 days", unitSeconds = 86400L)
+      .writeStream.format("memory")
+      .queryName("ops_span_guard").outputMode("append").start()
+    try {
+      val exS = intercept[Exception] {
+        memA.addData((1L, 1000L, 1010L))
+        memB.addData((2L, 1001L, 1002L))
+        q.processAllAvailable()
+      }
+      assert(rootMsg(exS).contains("wider than maxSpan"), rootMsg(exS))
+    } finally q.stop()
+    // month-bearing spans have no fixed width — rejected up front
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.intervalOverlapStream(
+        a, col("a_lo"), col("a_hi"), "a_ts",
+        b, col("b_lo"), col("b_hi"), "b_ts",
+        bucketWidth = 30L, maxSpan = "1 month", unitSeconds = 86400L)
+    }
   }
 }

@@ -88,7 +88,7 @@ class StreamingSpec extends SparkSpec {
       "a_ts",
       winDf(memB, "b_id", "b_lo", "b_hi", "b_ts"), $"b_lo", $"b_hi",
       "b_ts",
-      bucketWidth = 10L, maxSpan = "10 days")
+      bucketWidth = 10L, maxSpan = "10 days", unitSeconds = 86400L)
     val q = joined.writeStream.format("memory").queryName("ss_iv")
       .outputMode("append").start()
     try {

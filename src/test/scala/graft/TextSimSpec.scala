@@ -610,6 +610,30 @@ class TextSimSpec extends SparkSpec {
     assert(viaKernel == viaColumns)
   }
 
+  test("dp02 corpus report keeps a language whose docs are all under " +
+       "3 tokens: NULL shingle estimate, never a dropped row") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dp02fix_").toString
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "web", 22L),
+      (2L, "one two three four five six", "en", "web", 27L),
+      // the zero-shingle slice: every 'xx' doc has < 3 tokens, so the
+      // lang contributes NO 3-gram shingle to the KMV frame at all
+      (3L, "hi", "xx", "web", 2L),
+      (4L, "ok go", "xx", "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmQueries
+      .queries("dp02_corpus_report")(spark, dir)
+      .select($"lang", $"n_docs", $"est_distinct_shingles")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got.map(_._1) == Seq("en", "xx"), s"langs: $got")
+    val (en, xx) = (got(0), got(1))
+    assert(en._3.exists(_ > 0.0), s"en estimate missing: $en")
+    assert(xx._2 == 2L && xx._3.isEmpty,
+      s"zero-shingle lang must report NULL, got $xx")
+  }
+
   test("KMV distinct-count estimator lands within its statistical band " +
        "on a known cardinality (and is exactly reproducible)") {
     // 40k distinct values; k=256 gives relative std error ~1/sqrt(k-2)
