@@ -17,7 +17,11 @@ import graft.catalog.TableCatalog
   *   `<index>`         1-row meta (kind, geometry, dim, fitted-over n,
   *                     indexed n). Written LAST, so a crash mid-build
   *                     (or mid-append) leaves no meta and readers see
-  *                     "no index" instead of a half-written artifact.
+  *                     "no index" instead of a half-written artifact;
+  *                     a REBUILD over an existing index first flips the
+  *                     meta to a `rebuilding` marker (round 15), so a
+  *                     crashed rebuild fails loudly too instead of
+  *                     serving mixed-fit rows under the stale meta.
   *   `<index>_assign`  per-vector rows (id, v, nrm, bucket|cell), one
   *                     `seg=` partition per build/append segment
   *                     (round 13 — segments let [[appendLsh]] /
@@ -44,7 +48,13 @@ import graft.catalog.TableCatalog
   *                     on-disk `seg=` partitions so a crash between
   *                     the segment write and the count write (or a
   *                     pre-r14 index) costs one O(that-segment)
-  *                     recount, never a full-table pass.
+  *                     recount, never a full-table pass. A recorded
+  *                     count is never stale (round 15): any write that
+  *                     OVERWRITES an existing segment — a replayed
+  *                     append, a compaction rewrite — tombstones that
+  *                     segment's count first, so a crash mid-overwrite
+  *                     routes the segment through the recount path
+  *                     instead of serving the pre-crash count.
   *
   * Vectors and norms round-trip parquet exactly (doubles are stored
   * bit-for-bit), so a probe over the loaded index is bit-identical to
@@ -92,6 +102,7 @@ object AnnIndex {
         s"($n rows) — the planned capacity must cover the initial load")
     val planes = Ann.autoPlanes(fitN, targetBucketRows)
     catalog.withTableLock(assignTableOf(indexTable)) {
+      markRebuilding(catalog, indexTable)
       writeSeg(catalog, indexTable,
         assignLsh(data, idCol, vecCol, planes), "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0") // rebuild hygiene
@@ -124,6 +135,7 @@ object AnnIndex {
       v.zipWithIndex.map { case (x, p) => (c, p, x) }
     }.toSeq
     catalog.withTableLock(assignTableOf(indexTable)) {
+      markRebuilding(catalog, indexTable)
       catalog.writeFull(centRows.toDF("cell", "pos", "val"),
         indexTable + "_cent")
       writeSeg(catalog, indexTable,
@@ -185,6 +197,7 @@ object AnnIndex {
                vecCol: String, indexTable: String): Unit = {
     val n = data.count()
     catalog.withTableLock(assignTableOf(indexTable)) {
+      markRebuilding(catalog, indexTable)
       writeSeg(catalog, indexTable, assignSq8(data, idCol, vecCol),
         "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0")
@@ -246,6 +259,7 @@ object AnnIndex {
       (x, p) <- books(m)(j)._1.zipWithIndex
     } yield (m, j, p, x)
     catalog.withTableLock(assignTableOf(indexTable)) {
+      markRebuilding(catalog, indexTable)
       catalog.writeFull(rows.toDF("m", "cell", "pos", "val"),
         indexTable + "_pqcent")
       writeSeg(catalog, indexTable,
@@ -321,6 +335,7 @@ object AnnIndex {
       (x, p) <- books(m)(j)._1.zipWithIndex
     } yield (m, j, p, x)
     catalog.withTableLock(assignTableOf(indexTable)) {
+      markRebuilding(catalog, indexTable)
       catalog.writeFull(centRows.toDF("cell", "pos", "val"),
         indexTable + "_cent")
       catalog.writeFull(bookRows.toDF("m", "cell", "pos", "val"),
@@ -416,6 +431,12 @@ object AnnIndex {
         // append (orphan segment not yet in the counts) or crashed
         // prior compaction (duplicates the distinct just collapsed)
         val n = all.count()
+        // same tombstone discipline as appendSeg: seg 0 is about to be
+        // overwritten, so its recorded count must go first — a crash
+        // mid-rewrite then recounts seg 0 from disk instead of
+        // trusting a count for data that may be half-replaced
+        writeSegCounts(catalog, indexTable,
+          readSegCounts(catalog, indexTable) - "0")
         writeSeg(catalog, indexTable, all, "0", subField)
         dropOtherSegs(catalog, indexTable, keep = "0")
         writeSegCounts(catalog, indexTable, Map("0" -> n))
@@ -623,6 +644,13 @@ object AnnIndex {
       case (s, n) if s != key => n
     }.sum + incoming
     requireFresh(m.copy(indexedN = indexed), indexTable, allowStale)
+    // replay tombstone: drop the key's recorded count BEFORE rewriting
+    // its segment, so a crash mid-overwrite leaves a segment that
+    // readSegCounts RECOUNTS from disk (exact for whatever the crash
+    // actually left committed) instead of a stale recorded count that
+    // silently misstates indexed_n until the batch is replayed
+    if (prior.contains(key))
+      writeSegCounts(catalog, indexTable, prior - key)
     writeSeg(catalog, indexTable, assigned, key, subField)
     writeSegCounts(catalog, indexTable,
       prior - key + (key -> incoming))
@@ -666,6 +694,19 @@ object AnnIndex {
       indexTable)
   }
 
+  /** Rebuild marker: a build over an EXISTING index flips the meta to
+    * kind `rebuilding` before touching any data table, so a crash
+    * mid-rebuild fails every subsequent read/append/probe loudly
+    * ([[readMeta]] rejects the marker by name) instead of serving a
+    * mix of old-fit and new-fit rows under the old meta. The
+    * successful build's final [[writeMeta]] replaces the marker; a
+    * first build has no meta to mark (missing meta already reads as
+    * "no index"). */
+  private def markRebuilding(catalog: TableCatalog,
+                             indexTable: String): Unit =
+    if (catalog.tableExists(indexTable))
+      writeMeta(catalog, indexTable, "rebuilding", 0, 0L, 0L)
+
   private def readMeta(catalog: TableCatalog, indexTable: String,
                        kind: String): Meta = {
     require(catalog.tableExists(indexTable),
@@ -673,6 +714,9 @@ object AnnIndex {
         "(a missing meta also covers a build that crashed mid-write)")
     val row = catalog.read(indexTable).collect()(0)
     val k = row.getString(row.fieldIndex("kind"))
+    require(k != "rebuilding",
+      s"AnnIndex: a rebuild of '$indexTable' crashed mid-write — " +
+        "re-run the build before serving from it")
     require(k == kind,
       s"AnnIndex: '$indexTable' is a '$k' index, expected '$kind'")
     val fitted = row.getLong(row.fieldIndex("fitted_n"))

@@ -523,6 +523,70 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(indexedN == 20)
   }
 
+  test("crashed overwrites stay honest: a replayed append that dies " +
+       "mid-write routes its segment through the recount path, and a " +
+       "crashed REBUILD leaves a loud 'rebuilding' marker") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("anncw_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def indexedN: Long = {
+      val r = cat.read("cw").collect()(0)
+      r.getLong(r.fieldIndex("indexed_n"))
+    }
+    AnnIndex.buildSq8(cat, vecs.filter($"vec_id" < 6), "vec_id",
+      "embedding", "cw")
+    val batch = vecs.filter($"vec_id" >= 6 && $"vec_id" < 10)
+    AnnIndex.appendSq8(cat, batch, "vec_id", "embedding", "cw",
+      segKey = Some("b1"))
+    assert(indexedN == 10)
+    // a REPLAY of b1 that crashes mid-write: one row carries a
+    // wrong-length vector, so the up-front data.count() passes
+    // (column-pruned) and the failure lands INSIDE the segment
+    // rewrite — after the r15 tombstone dropped b1's recorded count
+    // (ANSI element_at past the array end raises in the quantizer)
+    def poisoned(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", when($"vec_id" === 7L,
+          array(lit(0.25f))).otherwise($"embedding"))
+    intercept[Exception] {
+      AnnIndex.appendSq8(cat, poisoned(batch), "vec_id", "embedding",
+        "cw", segKey = Some("b1"))
+    }
+    // _segmeta no longer records b1 — the crash window holds no stale
+    // count for a segment whose directory might be half-replaced
+    assert(!cat.read("cw_segmeta").select($"seg")
+      .as[String].collect().contains("b1"))
+    // the failed job never committed, so probes still see the
+    // pre-crash b1 rows, and the NEXT append recounts b1 from disk:
+    // indexed_n lands exact without the batch being replayed first
+    AnnIndex.appendSq8(cat, vecs.filter($"vec_id" >= 10), "vec_id",
+      "embedding", "cw", segKey = Some("b2"))
+    assert(indexedN == 12)
+    // replaying b1 for real restores its recorded count; total exact
+    AnnIndex.appendSq8(cat, batch, "vec_id", "embedding", "cw",
+      segKey = Some("b1"))
+    assert(indexedN == 12)
+    // a crashed REBUILD over the live index: the meta was flipped to
+    // the 'rebuilding' marker first, so every read path fails loudly
+    // instead of serving mixed-fit rows under the stale meta
+    intercept[Exception] {
+      AnnIndex.buildSq8(cat, poisoned(vecs), "vec_id", "embedding", "cw")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.sq8TopKFromIndex(cat, "cw", vecs.filter($"vec_id" < 2),
+        "vec_id", "embedding", 3)
+    }
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+    // re-running the build repairs the artifact end to end
+    AnnIndex.buildSq8(cat, vecs, "vec_id", "embedding", "cw")
+    assert(indexedN == 12)
+    assert(AnnIndex.sq8TopKFromIndex(cat, "cw",
+      vecs.filter($"vec_id" < 2), "vec_id", "embedding", 3).count() > 0)
+  }
+
   test("ANN index compaction folds every appended segment into one, " +
        "probes stay bit-identical, and a crashed compaction's leftover " +
        "duplicates converge on re-run") {
