@@ -89,13 +89,14 @@ object Ann {
     * identical double. The stream is prefix-stable: asking for more rows
     * never changes the earlier ones, so scaled-up plane counts extend
     * the geometry without moving any existing bucket. */
-  def projectionMatrix(rows: Int): IndexedSeq[IndexedSeq[Double]] = {
+  def projectionMatrix(rows: Int,
+                       dim: Int = Dim): IndexedSeq[IndexedSeq[Double]] = {
     var x = 42L
     def next(): Double = {
       x = (1103515245L * x + 12345L) % 2147483648L
       ((x >> 4) % 1024).toDouble / 1024.0 - 0.5
     }
-    IndexedSeq.fill(rows)(IndexedSeq.fill(Dim)(next()))
+    IndexedSeq.fill(rows)(IndexedSeq.fill(dim)(next()))
   }
 
   /** The default matrix: the first [[Planes]] rows are the ANN bucket
@@ -109,10 +110,11 @@ object Ann {
     * gate scale, shared with the oracle SQL); a corpus-sized run wants
     * [[autoPlanes]] so bucket cardinality grows with the data instead
     * of staying a 256-value constant. ≤62 keeps the id in a BIGINT. */
-  def bucket(v: Column, planes: Int = Planes): Column = {
+  def bucket(v: Column, planes: Int = Planes,
+             dim: Int = Dim): Column = {
     require(planes >= 1 && planes <= 62, s"planes must be in [1,62]: $planes")
-    val m = if (planes <= projections.length) projections
-      else projectionMatrix(planes)
+    val m = if (dim == Dim && planes <= projections.length) projections
+      else projectionMatrix(planes, dim)
     (0 until planes).map { j =>
       when(dot(v, typedLit(m(j))) > 0, lit(1L << j))
         .otherwise(lit(0L))
@@ -126,11 +128,14 @@ object Ann {
     * ~target² regardless of corpus scale — the knob that keeps
     * [[lshBucketNeighbors]]'s self-join linear-ish instead of
     * quadratic as n grows past Planes=8's 256-bucket ceiling. */
-  def autoPlanes(corpusRows: Long, targetBucketRows: Int = 1024): Int = {
+  def autoPlanes(corpusRows: Long, targetBucketRows: Int = 1024,
+                 minPlanes: Int = Planes): Int = {
     require(targetBucketRows >= 1)
+    require(minPlanes >= 1 && minPlanes <= 62,
+      s"minPlanes must be in [1,62]: $minPlanes")
     val needed = math.ceil(math.log(math.max(1.0,
       corpusRows.toDouble / targetBucketRows)) / math.log(2.0)).toInt
-    math.min(62, math.max(Planes, needed))
+    math.min(62, math.max(minPlanes, needed))
   }
 
   def bucketSql(v: String): String = {
@@ -148,8 +153,9 @@ object Ann {
     * log2 could only disagree where n/target lands exactly on a power
     * of two; no gate corpus does, and a production caller uses the
     * Scala form on both sides anyway.) */
-  def autoPlanesSql(nExpr: String, targetBucketRows: Int): String =
-    s"GREATEST($Planes, LEAST(62, CAST(CEIL(LOG2(GREATEST(1.0, " +
+  def autoPlanesSql(nExpr: String, targetBucketRows: Int,
+                    minPlanes: Int = Planes): String =
+    s"GREATEST($minPlanes, LEAST(62, CAST(CEIL(LOG2(GREATEST(1.0, " +
       s"($nExpr) / $targetBucketRows.0))) AS INT)))"
 
   /** [[bucketSql]] with the plane count chosen at QUERY time: `pExpr`
@@ -199,19 +205,20 @@ object Ann {
     * vectors and null-poisons shorter ones, so any frame feeding it gets
     * this check — a wrong-width embedding raises at evaluation instead of
     * corrupting scores. */
-  private[ann] def checkedVec(v: Column): Column =
-    when(size(v) === Dim, v).otherwise(raise_error(concat(
-      lit(s"Ann: expected $Dim-dim embedding, got "),
+  private[ann] def checkedVec(v: Column, dim: Int = Dim): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit(s"Ann: expected $dim-dim embedding, got "),
       size(v).cast("string"), lit(" elements"))))
 
   /** Vectors + per-row norms, fenced so downstream references reuse the
     * computed columns. */
   private[ann] def withNorms(data: DataFrame, idCol: String,
-                             vecCol: String): DataFrame =
+                             vecCol: String,
+                             dim: Int = Dim): DataFrame =
     graft.core.Fence(graft.core.Par.ensure(
         data.select(col(idCol).as("id"),
-          checkedVec(toDouble(col(vecCol))).as("v")))
-      .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v")))))
+          checkedVec(toDouble(col(vecCol)), dim).as("v")))
+      .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v"), dim))))
 
   /** Exact-cosine scoring of candidate id-pairs: two id-equi-joins attach
     * (vector, norm) to each pair side, then a JIT'd `mapPartitions`
@@ -555,14 +562,15 @@ object Ann {
     * Output: (q_id, rank, vec_id, cos) as [[bruteForceTopK]]. */
   def ivfTopK(data: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16,
-              nprobe: Int = 2, trainIters: Int = 0): DataFrame = {
+              nprobe: Int = 2, trainIters: Int = 0,
+              dim: Int = Dim): DataFrame = {
     require(numCells >= 1 && nprobe >= 1 && k >= 1 && trainIters >= 0)
-    val d = withNorms(data, idCol, vecCol)
+    val d = withNorms(data, idCol, vecCol, dim)
     val cents = kmeansCentroids(d, numCells, trainIters)
     val assigned = graft.core.Fence(d.withColumn("cell",
       array_max(centroidScores(cents, col("v"), col("nrm")))
         .getField("cell")))
-    ivfProbe(assigned, cents, queries, idCol, vecCol, k, nprobe)
+    ivfProbe(assigned, cents, queries, idCol, vecCol, k, nprobe, dim)
   }
 
   /** The probe half of [[ivfTopK]] over an ALREADY-ASSIGNED frame
@@ -571,8 +579,9 @@ object Ann {
     * both from catalog tables instead of re-fitting per query. */
   private[ann] def ivfProbe(assigned: DataFrame,
       cents: Array[(Seq[Double], Double)], queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val q = withNorms(queries, idCol, vecCol)
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      dim: Int = Dim): DataFrame = {
+    val q = withNorms(queries, idCol, vecCol, dim)
       .select(col("id").as("q_id"), col("v").as("qv"),
               col("nrm").as("qnrm"))
     val probes = graft.core.Fence(q.withColumn("probe",
@@ -583,8 +592,8 @@ object Ann {
     val cand = probes.join(assigned, Seq("cell"))
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("vec_id"),
-        (dotUnrolled(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-          .as("cos"))
+        (dotUnrolled(col("qv"), col("v"), dim) /
+          (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand.withColumn("rank", row_number().over(w))
@@ -682,26 +691,28 @@ object Ann {
   def lshBucketNeighbors(data: DataFrame, idCol: String, vecCol: String,
                          planes: Int = Planes,
                          hotCap: Int = NearDupHotCap,
-                         hotSalts: Int = NearDupHotSalts): DataFrame =
+                         hotSalts: Int = NearDupHotSalts,
+                         dim: Int = Dim): DataFrame =
     bucketNeighborsFrom(
       graft.core.Fence(data.select(col(idCol).as("id"),
-        checkedVec(toDouble(col(vecCol))).as("v"))
-        .withColumn("bucket", bucket(col("v"), planes))
-        .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v"))))),
-      hotCap, hotSalts)
+        checkedVec(toDouble(col(vecCol)), dim).as("v"))
+        .withColumn("bucket", bucket(col("v"), planes, dim))
+        .withColumn("nrm", sqrt(dotUnrolled(col("v"), col("v"), dim)))),
+      hotCap, hotSalts, dim)
 
   /** The within-bucket top-1 core over an already-bucketed frame
     * (id, v, nrm, bucket) — shared with the persisted-index path
     * ([[AnnIndex.lshNeighborsFromIndex]]), which loads the frame from
     * a catalog table instead of re-fitting/re-bucketing per query. */
   private[ann] def bucketNeighborsFrom(d: DataFrame, hotCap: Int,
-                                       hotSalts: Int): DataFrame = {
+                                       hotSalts: Int,
+                                       dim: Int = Dim): DataFrame = {
     val mirrored = graft.core.SkewJoin.guardedPairs(d, d, Seq("bucket"),
         selfJoin = true, hotCap, hotSalts) { j =>
       // cos is computed once per unordered pair (projection below the
       // generator); the explode only duplicates the finished row
       j.select(col("a.bucket").as("bucket"),
-          (dotUnrolled(col("a.v"), col("b.v")) /
+          (dotUnrolled(col("a.v"), col("b.v"), dim) /
             (col("a.nrm") * col("b.nrm"))).as("cos"),
           explode(array(
             struct(col("a.id").as("vec_id"), col("b.id").as("other")),
@@ -722,9 +733,11 @@ object Ann {
     * any size-aware planner decision) before the bucketing pass. */
   def lshBucketNeighborsAuto(data: DataFrame, idCol: String,
                              vecCol: String,
-                             targetBucketRows: Int = 1024): DataFrame =
+                             targetBucketRows: Int = 1024,
+                             minPlanes: Int = Planes,
+                             dim: Int = Dim): DataFrame =
     lshBucketNeighbors(data, idCol, vecCol,
-      autoPlanes(data.count(), targetBucketRows))
+      autoPlanes(data.count(), targetBucketRows, minPlanes), dim = dim)
 
   // ----- Int8 scalar quantization (SQ8) -----
   //
@@ -825,6 +838,29 @@ object Ann {
   val PqSubDim = Dim / PqSubspaces
   val PqCodebook = 8
 
+  /** Per-call ANN geometry: vector dimension plus the PQ shape
+    * (M subspaces x K codewords). Every index-family entry point
+    * takes one (defaulting to the gate geometry [[DefaultGeom]] =
+    * 64/4/8), so a corpus of real 768-dim embeddings — or the
+    * standard M=96, K=256 PQ operating point — runs without
+    * recompiling; [[AnnIndex]] records the geometry in the index meta
+    * and probes serve under the RECORDED one, so a mismatched query
+    * vector fails loudly at evaluation ([[checkedVec]]). The fixed
+    * 64-dim near-dup band family ([[nearDupBandBucket]] and the dd
+    * operators over it) is the deliberate exception: its banding
+    * thresholds are calibrated to the document-embedding corpus. */
+  case class Geom(dim: Int, pqM: Int, pqK: Int) {
+    require(dim >= 1 && dim <= 8192, s"dim must be in [1,8192]: $dim")
+    require(pqM >= 1 && pqM <= dim && dim % pqM == 0,
+      s"pqM must divide dim: dim=$dim, pqM=$pqM")
+    require(pqK >= 1 && pqK <= 256, s"pqK must be in [1,256]: $pqK")
+    /** Subvector width each codebook quantizes. */
+    val subDim: Int = dim / pqM
+  }
+
+  /** The gate geometry — and the compiled-in default everywhere. */
+  val DefaultGeom: Geom = Geom(Dim, PqSubspaces, PqCodebook)
+
   /** Unit-normalize against a MATERIALIZED norm column (the zero
     * vector stays as-is rather than dividing by zero). */
   private[ann] def unitVec(v: Column, nrm: Column): Column =
@@ -892,20 +928,22 @@ object Ann {
     * output rows); production trains on a sample — pass it as `data`
     * and encode the full corpus separately. */
   def pqTrain(data: DataFrame, idCol: String, vecCol: String,
-              iters: Int = 2): Array[Array[(Seq[Double], Double)]] =
-    pqTrainOn(graft.core.Fence(withNorms(data, idCol, vecCol)
-      .withColumn("u", unitVec(col("v"), col("nrm")))), iters)
+              iters: Int = 2, geom: Geom = DefaultGeom)
+      : Array[Array[(Seq[Double], Double)]] =
+    pqTrainOn(graft.core.Fence(withNorms(data, idCol, vecCol, geom.dim)
+      .withColumn("u", unitVec(col("v"), col("nrm")))), iters, geom)
 
   /** [[pqTrain]] over a prepared frame carrying the vector PQ should
     * encode as a materialized `u` column — the unit vectors for the
     * plain form, the coarse-cell RESIDUALS for the IVFADC form. */
-  def pqTrainOn(frame: DataFrame,
-                iters: Int): Array[Array[(Seq[Double], Double)]] =
-    (0 until PqSubspaces).map { m =>
+  def pqTrainOn(frame: DataFrame, iters: Int,
+                geom: Geom = DefaultGeom)
+      : Array[Array[(Seq[Double], Double)]] =
+    (0 until geom.pqM).map { m =>
       kmeansCentroidsL2(
         frame.select(col("id"),
-          slice(col("u"), m * PqSubDim + 1, PqSubDim).as("s")),
-        PqCodebook, iters)
+          slice(col("u"), m * geom.subDim + 1, geom.subDim).as("s")),
+        geom.pqK, iters)
     }.toArray
 
   /** Encode every vector to its M codebook cells — the rows a PQ index
@@ -913,39 +951,42 @@ object Ann {
     * subvector slices materialized before the interpreted assignment
     * scorer so nothing re-derives per cell. */
   def pqEncode(data: DataFrame, idCol: String, vecCol: String,
-               books: Array[Array[(Seq[Double], Double)]]): DataFrame =
-    pqEncodeOn(withNorms(data, idCol, vecCol)
+               books: Array[Array[(Seq[Double], Double)]],
+               geom: Geom = DefaultGeom): DataFrame =
+    pqEncodeOn(withNorms(data, idCol, vecCol, geom.dim)
         .withColumn("u", unitVec(col("v"), col("nrm"))),
-      books, keep = Seq("id"))
+      books, keep = Seq("id"), geom)
 
   /** [[pqEncode]] over a prepared frame (materialized `u` = the vector
     * to encode), keeping `keep` alongside the code columns — the
     * IVFADC form keeps the coarse cell so probes stay an equi-join. */
   def pqEncodeOn(frame: DataFrame,
                  books: Array[Array[(Seq[Double], Double)]],
-                 keep: Seq[String]): DataFrame = {
-    val sliced = (0 until PqSubspaces).foldLeft(frame) { (df, m) =>
+                 keep: Seq[String],
+                 geom: Geom = DefaultGeom): DataFrame = {
+    val sliced = (0 until geom.pqM).foldLeft(frame) { (df, m) =>
       df.withColumn(s"__s$m",
-        slice(col("u"), m * PqSubDim + 1, PqSubDim))
+        slice(col("u"), m * geom.subDim + 1, geom.subDim))
     }
-    (0 until PqSubspaces).foldLeft(sliced) { (df, m) =>
+    (0 until geom.pqM).foldLeft(sliced) { (df, m) =>
       df.withColumn(s"c$m",
         array_max(centroidScoresL2(books(m), col(s"__s$m")))
           .getField("cell"))
     }.select(keep.map(col) ++
-      (0 until PqSubspaces).map(m => col(s"c$m")): _*)
+      (0 until geom.pqM).map(m => col(s"c$m")): _*)
   }
 
   /** Query side of ADC: (q_id, qs0 … qs_{M−1}) — the unit-normalized
     * query subvector slices, fenced and broadcast-sized. */
   private[ann] def pqQuerySlices(queries: DataFrame, idCol: String,
-                                 vecCol: String): DataFrame =
-    graft.core.Fence((0 until PqSubspaces).foldLeft(
-      withNorms(queries, idCol, vecCol)
+                                 vecCol: String,
+                                 geom: Geom = DefaultGeom): DataFrame =
+    graft.core.Fence((0 until geom.pqM).foldLeft(
+      withNorms(queries, idCol, vecCol, geom.dim)
         .withColumn("u", unitVec(col("v"), col("nrm")))
         .select(col("id").as("q_id"), col("u"))) { (df, m) =>
       df.withColumn(s"qs$m",
-        slice(col("u"), m * PqSubDim + 1, PqSubDim))
+        slice(col("u"), m * geom.subDim + 1, geom.subDim))
     }.drop("u"))
 
   /** ADC scoring + rank over a candidate frame carrying the code
@@ -955,18 +996,19 @@ object Ann {
     * dots in a fixed left fold. Shared by the brute-force, persisted-
     * index, and IVF-pruned probes. */
   private[ann] def pqAdcRank(cand: DataFrame,
-      books: Array[Array[(Seq[Double], Double)]], k: Int): DataFrame = {
+      books: Array[Array[(Seq[Double], Double)]], k: Int,
+      geom: Geom = DefaultGeom): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    val joined = (0 until PqSubspaces).foldLeft(cand) { (df, m) =>
+    val joined = (0 until geom.pqM).foldLeft(cand) { (df, m) =>
       val cents = books(m).zipWithIndex
         .map { case ((v, _), j) => (j, v) }.toSeq
         .toDF(s"cell$m", s"cv$m")
       df.join(broadcast(cents), col(s"c$m") === col(s"cell$m"))
     }
     val scored = joined.withColumn("score",
-      (0 until PqSubspaces)
-        .map(m => dotUnrolled(col(s"qs$m"), col(s"cv$m"), PqSubDim))
+      (0 until geom.pqM)
+        .map(m => dotUnrolled(col(s"qs$m"), col(s"cv$m"), geom.subDim))
         .reduceLeft(_ + _))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("id").asc)
@@ -980,19 +1022,23 @@ object Ann {
     * codes alone. Output: (q_id, rank, vec_id, score). */
   def pqTopKFromCodes(codes: DataFrame, books:
       Array[Array[(Seq[Double], Double)]], queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val qWide = broadcast(pqQuerySlices(queries, idCol, vecCol))
-    pqAdcRank(codes.join(qWide, col("id") =!= col("q_id")), books, k)
+      idCol: String, vecCol: String, k: Int,
+      geom: Geom = DefaultGeom): DataFrame = {
+    val qWide = broadcast(pqQuerySlices(queries, idCol, vecCol, geom))
+    pqAdcRank(codes.join(qWide, col("id") =!= col("q_id")), books, k,
+      geom)
   }
 
   /** Train + encode + ADC-probe in one call (the fit-inline gate form;
     * a serving deployment persists the codebooks and codes — see the
     * SQ8/LSH/IVF index artifacts for the pattern). */
   def pqTopK(data: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, iters: Int = 2): DataFrame = {
-    val books = pqTrain(data, idCol, vecCol, iters)
-    pqTopKFromCodes(graft.core.Fence(pqEncode(data, idCol, vecCol, books)),
-      books, queries, idCol, vecCol, k)
+             vecCol: String, k: Int, iters: Int = 2,
+             geom: Geom = DefaultGeom): DataFrame = {
+    val books = pqTrain(data, idCol, vecCol, iters, geom)
+    pqTopKFromCodes(
+      graft.core.Fence(pqEncode(data, idCol, vecCol, books, geom)),
+      books, queries, idCol, vecCol, k, geom)
   }
 
   /** IVF-PQ: the production serving shape — an IVF coarse quantizer
@@ -1006,21 +1052,22 @@ object Ann {
   def ivfPqTopK(data: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, numCells: Int = 16,
                 nprobe: Int = 2, trainIters: Int = 2,
-                pqIters: Int = 2): DataFrame = {
+                pqIters: Int = 2, geom: Geom = DefaultGeom): DataFrame = {
     // coarse: ann05's spherical k-means cells over the raw vectors
-    val d = withNorms(data, idCol, vecCol)
+    val d = withNorms(data, idCol, vecCol, geom.dim)
     val cents = kmeansCentroids(d, numCells, trainIters)
     val assigned = d.withColumn("cell",
         array_max(centroidScores(cents, col("v"), col("nrm")))
           .getField("cell"))
       .select(col("id"), col("cell"))
     // fine: PQ codebooks + codes over the unit vectors
-    val books = pqTrain(data, idCol, vecCol, pqIters)
-    val codes = graft.core.Fence(pqEncode(data, idCol, vecCol, books)
-      .join(assigned, Seq("id")))
+    val books = pqTrain(data, idCol, vecCol, pqIters, geom)
+    val codes = graft.core.Fence(
+      pqEncode(data, idCol, vecCol, books, geom)
+        .join(assigned, Seq("id")))
     // query probe cells (cos desc, cell desc — the ann05 order) joined
     // to the query's ADC slices
-    val q = withNorms(queries, idCol, vecCol)
+    val q = withNorms(queries, idCol, vecCol, geom.dim)
       .select(col("id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     val probes = q.withColumn("probe",
@@ -1028,10 +1075,10 @@ object Ann {
           centroidScores(cents, col("qv"), col("qnrm")))), 1, nprobe)))
       .select(col("q_id"), col("probe").getField("cell").as("cell"))
     val qWide = broadcast(graft.core.Fence(probes.join(
-      pqQuerySlices(queries, idCol, vecCol), Seq("q_id"))))
+      pqQuerySlices(queries, idCol, vecCol, geom), Seq("q_id"))))
     pqAdcRank(
       codes.join(qWide, Seq("cell")).filter(col("id") =!= col("q_id")),
-      books, k)
+      books, k, geom)
   }
 
   // ---- residual IVF-PQ (IVFADC) + exact re-rank -------------------------
@@ -1056,8 +1103,9 @@ object Ann {
   /** (id, u) unit-vector frame, fenced — the shared front of the
     * residual family (and the refine stage's exact-score source). */
   private[ann] def unitFrame(data: DataFrame, idCol: String,
-                             vecCol: String): DataFrame =
-    graft.core.Fence(withNorms(data, idCol, vecCol)
+                             vecCol: String,
+                             dim: Int = Dim): DataFrame =
+    graft.core.Fence(withNorms(data, idCol, vecCol, dim)
       .withColumn("u", unitVec(col("v"), col("nrm")))
       .select(col("id"), col("u")))
 
@@ -1092,19 +1140,20 @@ object Ann {
     * per-(query, cell) residual slices (qs0 …) and the materialized
     * residual self-dot `qq`. */
   private[ann] def pqAdcRankL2(cand: DataFrame,
-      books: Array[Array[(Seq[Double], Double)]], k: Int): DataFrame = {
+      books: Array[Array[(Seq[Double], Double)]], k: Int,
+      geom: Geom = DefaultGeom): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    val joined = (0 until PqSubspaces).foldLeft(cand) { (df, m) =>
+    val joined = (0 until geom.pqM).foldLeft(cand) { (df, m) =>
       val cents = books(m).zipWithIndex
         .map { case ((v, cc), j) => (j, v, cc) }.toSeq
         .toDF(s"cell$m", s"cv$m", s"cc$m")
       df.join(broadcast(cents), col(s"c$m") === col(s"cell$m"))
     }
     val scored = joined.withColumn("score",
-      (0 until PqSubspaces)
+      (0 until geom.pqM)
         .map(m => lit(2.0) *
-          dotUnrolled(col(s"qs$m"), col(s"cv$m"), PqSubDim) -
+          dotUnrolled(col(s"qs$m"), col(s"cv$m"), geom.subDim) -
           col(s"cc$m"))
         .reduceLeft(_ + _) - col("qq"))
     val w = Window.partitionBy(col("q_id"))
@@ -1132,18 +1181,19 @@ object Ann {
                         idCol: String, vecCol: String, k: Int,
                         numCells: Int = 16, nprobe: Int = 2,
                         trainIters: Int = 2, pqIters: Int = 2,
-                        refine: Int = 4096): DataFrame = {
-    val un = unitFrame(data, idCol, vecCol)
+                        refine: Int = 4096,
+                        geom: Geom = DefaultGeom): DataFrame = {
+    val un = unitFrame(data, idCol, vecCol, geom.dim)
     // coarse: L2 cells over the unit vectors, full dim
     val cents = kmeansCentroidsL2(
       un.select(col("id"), col("u").as("s")), numCells, trainIters)
     val resid = residualFrame(un, cents)
     // fine: books + codes over the residuals, cell kept for the probe
-    val books = pqTrainOn(resid, pqIters)
+    val books = pqTrainOn(resid, pqIters, geom)
     val codes = graft.core.Fence(
-      pqEncodeOn(resid, books, keep = Seq("id", "cell")))
+      pqEncodeOn(resid, books, keep = Seq("id", "cell"), geom))
     ivfPqRefineProbe(codes, cents, books, un, queries, idCol, vecCol,
-      k, nprobe, refine)
+      k, nprobe, refine, geom = geom)
   }
 
   /** The probe half of the residual family, shared by the fit-inline
@@ -1166,11 +1216,13 @@ object Ann {
       books: Array[Array[(Seq[Double], Double)]], un: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int, refine: Int,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      geom: Geom = DefaultGeom): DataFrame = {
     def maybeBcast(df: DataFrame): DataFrame =
       if (broadcastQueries) broadcast(df) else df
     val centDf = centsToDf(codes.sparkSession, cents)
-    val qUn = graft.core.Fence(withNorms(queries, idCol, vecCol)
+    val qUn = graft.core.Fence(withNorms(queries, idCol, vecCol,
+        geom.dim)
       .withColumn("u", unitVec(col("v"), col("nrm")))
       .select(col("id").as("q_id"), col("u").as("qu")))
     val probes = qUn.withColumn("probe",
@@ -1180,24 +1232,25 @@ object Ann {
         col("probe").getField("cell").as("cell"), col("qu"))
     val qRes = probes.join(centDf, Seq("cell"))
       .withColumn("qr", vecSub(col("qu"), col("cv")))
-    val qSliced = (0 until PqSubspaces).foldLeft(qRes) { (df, m) =>
-      df.withColumn(s"qs$m", slice(col("qr"), m * PqSubDim + 1, PqSubDim))
+    val qSliced = (0 until geom.pqM).foldLeft(qRes) { (df, m) =>
+      df.withColumn(s"qs$m",
+        slice(col("qr"), m * geom.subDim + 1, geom.subDim))
     }
     val qWide = maybeBcast(graft.core.Fence(qSliced
-      .withColumn("qq", (0 until PqSubspaces)
-        .map(m => dotUnrolled(col(s"qs$m"), col(s"qs$m"), PqSubDim))
+      .withColumn("qq", (0 until geom.pqM)
+        .map(m => dotUnrolled(col(s"qs$m"), col(s"qs$m"), geom.subDim))
         .reduceLeft(_ + _))
       .select(col("q_id") +: col("cell") +:
-        (0 until PqSubspaces).map(m => col(s"qs$m")) :+ col("qq"): _*)))
+        (0 until geom.pqM).map(m => col(s"qs$m")) :+ col("qq"): _*)))
     val adc = pqAdcRankL2(
       codes.join(qWide, Seq("cell")).filter(col("id") =!= col("q_id")),
-      books, if (refine > 0) refine else k)
+      books, if (refine > 0) refine else k, geom)
     if (refine <= 0) adc
     else {
       val exact = adc.select(col("q_id"), col("vec_id"))
         .join(un.select(col("id").as("vec_id"), col("u")), Seq("vec_id"))
         .join(maybeBcast(qUn), Seq("q_id"))
-        .withColumn("score", dotUnrolled(col("qu"), col("u")))
+        .withColumn("score", dotUnrolled(col("qu"), col("u"), geom.dim))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("vec_id").asc)
       exact.withColumn("rank", row_number().over(w))

@@ -94,20 +94,22 @@ object AnnIndex {
   def buildLsh(catalog: TableCatalog, data: DataFrame, idCol: String,
                vecCol: String, indexTable: String,
                targetBucketRows: Int = 1024,
-               capacityRows: Option[Long] = None): Int = {
+               capacityRows: Option[Long] = None,
+               minPlanes: Int = Ann.Planes,
+               dim: Int = Ann.Dim): Int = {
     val n = data.count()
     val fitN = capacityRows.getOrElse(n)
     require(fitN >= n,
       s"AnnIndex: capacityRows=$fitN is smaller than the build corpus " +
         s"($n rows) — the planned capacity must cover the initial load")
-    val planes = Ann.autoPlanes(fitN, targetBucketRows)
+    val planes = Ann.autoPlanes(fitN, targetBucketRows, minPlanes)
     catalog.withTableLock(assignTableOf(indexTable)) {
       markRebuilding(catalog, indexTable)
       writeSeg(catalog, indexTable,
-        assignLsh(data, idCol, vecCol, planes), "0", "pk")
+        assignLsh(data, idCol, vecCol, planes, dim), "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0") // rebuild hygiene
       writeSegCounts(catalog, indexTable, Map("0" -> n))
-      writeMeta(catalog, indexTable, "lsh", planes, fitN, n)
+      writeMeta(catalog, indexTable, "lsh", planes, dim, 0, 0, fitN, n)
     }
     planes
   }
@@ -122,12 +124,13 @@ object AnnIndex {
   def buildIvf(catalog: TableCatalog, data: DataFrame, idCol: String,
                vecCol: String, indexTable: String, numCells: Int = 16,
                trainIters: Int = 0,
-               trainData: Option[DataFrame] = None): Unit = {
+               trainData: Option[DataFrame] = None,
+               dim: Int = Ann.Dim): Unit = {
     val spark = data.sparkSession
     import spark.implicits._
     val trainD = trainData
-      .map(td => Ann.withNorms(td, idCol, vecCol))
-      .getOrElse(Ann.withNorms(data, idCol, vecCol))
+      .map(td => Ann.withNorms(td, idCol, vecCol, dim))
+      .getOrElse(Ann.withNorms(data, idCol, vecCol, dim))
     val cents = Ann.kmeansCentroids(trainD, numCells, trainIters)
     val n = data.count()
     val fitN = trainData.map(_.count()).getOrElse(n)
@@ -139,10 +142,11 @@ object AnnIndex {
       catalog.writeFull(centRows.toDF("cell", "pos", "val"),
         indexTable + "_cent")
       writeSeg(catalog, indexTable,
-        assignIvf(data, idCol, vecCol, cents), "0", "cell")
+        assignIvf(data, idCol, vecCol, cents, dim), "0", "cell")
       dropOtherSegs(catalog, indexTable, keep = "0")
       writeSegCounts(catalog, indexTable, Map("0" -> n))
-      writeMeta(catalog, indexTable, "ivf", numCells, fitN, n)
+      writeMeta(catalog, indexTable, "ivf", numCells, dim, 0, 0,
+        fitN, n)
     }
   }
 
@@ -162,7 +166,7 @@ object AnnIndex {
     catalog.withTableLock(assignTableOf(indexTable)) {
       val m = readMeta(catalog, indexTable, "lsh")
       appendSeg(catalog, indexTable, m,
-        assignLsh(data, idCol, vecCol, m.geometry), data.count(),
+        assignLsh(data, idCol, vecCol, m.geometry, m.dim), data.count(),
         segKey, "pk", allowStale)
     }
   }
@@ -180,7 +184,7 @@ object AnnIndex {
       val m = readMeta(catalog, indexTable, "ivf")
       val cents = readCentroids(catalog, indexTable)
       appendSeg(catalog, indexTable, m,
-        assignIvf(data, idCol, vecCol, cents), data.count(),
+        assignIvf(data, idCol, vecCol, cents, m.dim), data.count(),
         segKey, "cell", allowStale)
     }
   }
@@ -194,15 +198,16 @@ object AnnIndex {
     * require a rebuild ([[requireFresh]] is kind-aware). `geometry`
     * records the code scale (127) for observability. */
   def buildSq8(catalog: TableCatalog, data: DataFrame, idCol: String,
-               vecCol: String, indexTable: String): Unit = {
+               vecCol: String, indexTable: String,
+               dim: Int = Ann.Dim): Unit = {
     val n = data.count()
     catalog.withTableLock(assignTableOf(indexTable)) {
       markRebuilding(catalog, indexTable)
-      writeSeg(catalog, indexTable, assignSq8(data, idCol, vecCol),
+      writeSeg(catalog, indexTable, assignSq8(data, idCol, vecCol, dim),
         "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0")
       writeSegCounts(catalog, indexTable, Map("0" -> n))
-      writeMeta(catalog, indexTable, "sq8", 127, n, n)
+      writeMeta(catalog, indexTable, "sq8", 127, dim, 0, 0, n, n)
     }
   }
 
@@ -215,7 +220,7 @@ object AnnIndex {
     catalog.withTableLock(assignTableOf(indexTable)) {
       val m = readMeta(catalog, indexTable, "sq8")
       appendSeg(catalog, indexTable, m,
-        assignSq8(data, idCol, vecCol), data.count(),
+        assignSq8(data, idCol, vecCol, m.dim), data.count(),
         segKey, "pk", allowStale = false)
     }
 
@@ -246,11 +251,12 @@ object AnnIndex {
     * so the [[MaxDriftFactor]] staleness contract applies like IVF's. */
   def buildPq(catalog: TableCatalog, data: DataFrame, idCol: String,
               vecCol: String, indexTable: String, trainIters: Int = 2,
-              trainData: Option[DataFrame] = None): Unit = {
+              trainData: Option[DataFrame] = None,
+              geom: Ann.Geom = Ann.DefaultGeom): Unit = {
     val spark = data.sparkSession
     import spark.implicits._
     val books = Ann.pqTrain(trainData.getOrElse(data), idCol, vecCol,
-      trainIters)
+      trainIters, geom)
     val n = data.count()
     val fitN = trainData.map(_.count()).getOrElse(n)
     val rows = for {
@@ -263,10 +269,11 @@ object AnnIndex {
       catalog.writeFull(rows.toDF("m", "cell", "pos", "val"),
         indexTable + "_pqcent")
       writeSeg(catalog, indexTable,
-        assignPq(data, idCol, vecCol, books), "0", "pk")
+        assignPq(data, idCol, vecCol, books, geom), "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0")
       writeSegCounts(catalog, indexTable, Map("0" -> n))
-      writeMeta(catalog, indexTable, "pq", Ann.PqCodebook, fitN, n)
+      writeMeta(catalog, indexTable, "pq", geom.pqK, geom.dim,
+        geom.pqM, geom.pqK, fitN, n)
     }
   }
 
@@ -281,7 +288,7 @@ object AnnIndex {
       val m = readMeta(catalog, indexTable, "pq")
       val books = readBooks(catalog, indexTable)
       appendSeg(catalog, indexTable, m,
-        assignPq(data, idCol, vecCol, books), data.count(),
+        assignPq(data, idCol, vecCol, books, m.geom), data.count(),
         segKey, "pk", allowStale)
     }
 
@@ -299,8 +306,8 @@ object AnnIndex {
     val books = readBooks(catalog, indexTable)
     val codes = catalog.read(assignTableOf(indexTable))
       .select(col("id") +:
-        (0 until Ann.PqSubspaces).map(i => col(s"c$i")): _*)
-    Ann.pqTopKFromCodes(codes, books, queries, idCol, vecCol, k)
+        (0 until m.pqM).map(i => col(s"c$i")): _*)
+    Ann.pqTopKFromCodes(codes, books, queries, idCol, vecCol, k, m.geom)
   }
 
   /** Build + persist the residual IVF-PQ index (the ann16 IVFADC
@@ -317,13 +324,16 @@ object AnnIndex {
   def buildIvfPq(catalog: TableCatalog, data: DataFrame, idCol: String,
                  vecCol: String, indexTable: String, numCells: Int = 16,
                  trainIters: Int = 2, pqIters: Int = 2,
-                 trainData: Option[DataFrame] = None): Unit = {
+                 trainData: Option[DataFrame] = None,
+                 geom: Ann.Geom = Ann.DefaultGeom): Unit = {
     val spark = data.sparkSession
     import spark.implicits._
-    val trainUn = Ann.unitFrame(trainData.getOrElse(data), idCol, vecCol)
+    val trainUn = Ann.unitFrame(trainData.getOrElse(data), idCol,
+      vecCol, geom.dim)
     val cents = Ann.kmeansCentroidsL2(
       trainUn.select(col("id"), col("u").as("s")), numCells, trainIters)
-    val books = Ann.pqTrainOn(Ann.residualFrame(trainUn, cents), pqIters)
+    val books = Ann.pqTrainOn(Ann.residualFrame(trainUn, cents),
+      pqIters, geom)
     val n = data.count()
     val fitN = trainData.map(_.count()).getOrElse(n)
     val centRows = cents.zipWithIndex.flatMap { case ((v, _), c) =>
@@ -341,10 +351,12 @@ object AnnIndex {
       catalog.writeFull(bookRows.toDF("m", "cell", "pos", "val"),
         indexTable + "_pqcent")
       writeSeg(catalog, indexTable,
-        assignIvfPq(data, idCol, vecCol, cents, books), "0", "cell")
+        assignIvfPq(data, idCol, vecCol, cents, books, geom),
+        "0", "cell")
       dropOtherSegs(catalog, indexTable, keep = "0")
       writeSegCounts(catalog, indexTable, Map("0" -> n))
-      writeMeta(catalog, indexTable, "ivfpq", numCells, fitN, n)
+      writeMeta(catalog, indexTable, "ivfpq", numCells, geom.dim,
+        geom.pqM, geom.pqK, fitN, n)
     }
   }
 
@@ -361,8 +373,8 @@ object AnnIndex {
       val cents = readCentroidsL2(catalog, indexTable)
       val books = readBooks(catalog, indexTable)
       appendSeg(catalog, indexTable, m,
-        assignIvfPq(data, idCol, vecCol, cents, books), data.count(),
-        segKey, "cell", allowStale)
+        assignIvfPq(data, idCol, vecCol, cents, books, m.geom),
+        data.count(), segKey, "cell", allowStale)
     }
 
   /** Two-stage probe off the persisted residual IVF-PQ index: cell
@@ -387,10 +399,10 @@ object AnnIndex {
     val books = readBooks(catalog, indexTable)
     val codes = catalog.read(assignTableOf(indexTable))
       .select(col("id") +: col("cell").cast("int").as("cell") +:
-        (0 until Ann.PqSubspaces).map(i => col(s"c$i")): _*)
+        (0 until m.pqM).map(i => col(s"c$i")): _*)
     Ann.ivfPqRefineProbe(codes, cents, books,
-      Ann.unitFrame(store, idCol, vecCol), queries, idCol, vecCol,
-      k, nprobe, refine, broadcastQueries)
+      Ann.unitFrame(store, idCol, vecCol, m.dim), queries, idCol,
+      vecCol, k, nprobe, refine, broadcastQueries, m.geom)
   }
 
   /** Merge every assignment segment back into a single `seg=0` — the
@@ -440,7 +452,8 @@ object AnnIndex {
         writeSeg(catalog, indexTable, all, "0", subField)
         dropOtherSegs(catalog, indexTable, keep = "0")
         writeSegCounts(catalog, indexTable, Map("0" -> n))
-        writeMeta(catalog, indexTable, m.kind, m.geometry, m.fittedN, n)
+        writeMeta(catalog, indexTable, m.kind, m.geometry, m.dim,
+          m.pqM, m.pqK, m.fittedN, n)
       }
     }
 
@@ -456,7 +469,7 @@ object AnnIndex {
     Ann.bucketNeighborsFrom(
       graft.core.Fence(catalog.read(assignTableOf(indexTable))
         .select(col("id"), col("v"), col("nrm"), col("bucket"))),
-      Ann.NearDupHotCap, Ann.NearDupHotSalts)
+      Ann.NearDupHotCap, Ann.NearDupHotSalts, m.dim)
   }
 
   /** Top-k from a persisted IVF index — the [[Ann.ivfTopK]] result
@@ -476,17 +489,18 @@ object AnnIndex {
     val assigned = catalog.read(assignTableOf(indexTable))
       .select(col("id"), col("v"), col("nrm"),
         col("cell").cast("int").as("cell"))
-    Ann.ivfProbe(assigned, cents, queries, idCol, vecCol, k, nprobe)
+    Ann.ivfProbe(assigned, cents, queries, idCol, vecCol, k, nprobe,
+      m.dim)
   }
 
   // ---- internals ------------------------------------------------------
 
   private def assignLsh(data: DataFrame, idCol: String, vecCol: String,
-                        planes: Int): DataFrame =
+                        planes: Int, dim: Int): DataFrame =
     data.select(col(idCol).as("id"),
-        Ann.checkedVec(Ann.toDouble(col(vecCol))).as("v"))
-      .withColumn("nrm", sqrt(Ann.dotUnrolled(col("v"), col("v"))))
-      .withColumn("bucket", Ann.bucket(col("v"), planes))
+        Ann.checkedVec(Ann.toDouble(col(vecCol)), dim).as("v"))
+      .withColumn("nrm", sqrt(Ann.dotUnrolled(col("v"), col("v"), dim)))
+      .withColumn("bucket", Ann.bucket(col("v"), planes, dim))
       .withColumn("pk", pmod(col("bucket"), lit(LshPkBuckets)))
 
   /** (id, codes-as-tinyint, integer self-dot, pk): codes are always in
@@ -496,8 +510,8 @@ object AnnIndex {
     * sub-layout bounds directory counts and serves point lookups;
     * a top-k probe scans all buckets by design (brute force). */
   private def assignSq8(data: DataFrame, idCol: String,
-                        vecCol: String): DataFrame =
-    Ann.sq8Quantized(data, idCol, vecCol, "id")
+                        vecCol: String, dim: Int): DataFrame =
+    Ann.sq8Quantized(data, idCol, vecCol, "id", dim)
       .select(col("id"),
         transform(col("id_q"), x => x.cast("byte")).as("q"),
         col("id_qq").as("qq"))
@@ -506,8 +520,9 @@ object AnnIndex {
   /** (id, c0 … c_{M−1}, pk): the PQ code row — M small ints per
     * vector ([[Ann.pqEncode]]), pk sub-layout as in [[assignSq8]]. */
   private def assignPq(data: DataFrame, idCol: String, vecCol: String,
-      books: Array[Array[(Seq[Double], Double)]]): DataFrame =
-    Ann.pqEncode(data, idCol, vecCol, books)
+      books: Array[Array[(Seq[Double], Double)]],
+      geom: Ann.Geom): DataFrame =
+    Ann.pqEncode(data, idCol, vecCol, books, geom)
       .withColumn("pk", pmod(col("id"), lit(LshPkBuckets)))
 
   /** Codebooks back from `_pqcent`, with self-dots recomputed by the
@@ -534,8 +549,9 @@ object AnnIndex {
   }
 
   private def assignIvf(data: DataFrame, idCol: String, vecCol: String,
-                        cents: Array[(Seq[Double], Double)]): DataFrame =
-    Ann.withNorms(data, idCol, vecCol)
+                        cents: Array[(Seq[Double], Double)],
+                        dim: Int): DataFrame =
+    Ann.withNorms(data, idCol, vecCol, dim)
       .withColumn("cell",
         array_max(Ann.centroidScores(cents, col("v"), col("nrm")))
           .getField("cell"))
@@ -545,10 +561,12 @@ object AnnIndex {
     * frozen codebooks ([[Ann.residualFrame]] + [[Ann.pqEncodeOn]]). */
   private def assignIvfPq(data: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Seq[Double], Double)],
-      books: Array[Array[(Seq[Double], Double)]]): DataFrame =
+      books: Array[Array[(Seq[Double], Double)]],
+      geom: Ann.Geom): DataFrame =
     Ann.pqEncodeOn(
-      Ann.residualFrame(Ann.unitFrame(data, idCol, vecCol), cents),
-      books, keep = Seq("id", "cell"))
+      Ann.residualFrame(Ann.unitFrame(data, idCol, vecCol, geom.dim),
+        cents),
+      books, keep = Seq("id", "cell"), geom)
 
   /** Centroids back from `_cent` as (values, SELF-DOT) — the shape
     * [[Ann.centroidScoresL2]] assigns against (the cosine family's
@@ -654,7 +672,8 @@ object AnnIndex {
     writeSeg(catalog, indexTable, assigned, key, subField)
     writeSegCounts(catalog, indexTable,
       prior - key + (key -> incoming))
-    writeMeta(catalog, indexTable, m.kind, m.geometry, m.fittedN, indexed)
+    writeMeta(catalog, indexTable, m.kind, m.geometry, m.dim,
+      m.pqM, m.pqK, m.fittedN, indexed)
   }
 
   private def dropOtherSegs(catalog: TableCatalog, indexTable: String,
@@ -681,16 +700,22 @@ object AnnIndex {
   }
 
   private case class Meta(kind: String, geometry: Int, dim: Int,
-                          fittedN: Long, indexedN: Long)
+                          pqM: Int, pqK: Int,
+                          fittedN: Long, indexedN: Long) {
+    /** The recorded per-call geometry probes must serve under. */
+    def geom: Ann.Geom = Ann.Geom(dim, pqM, pqK)
+  }
 
   private def writeMeta(catalog: TableCatalog, indexTable: String,
-                        kind: String, geometry: Int, fittedN: Long,
+                        kind: String, geometry: Int, dim: Int,
+                        pqM: Int, pqK: Int, fittedN: Long,
                         indexedN: Long): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     catalog.writeFull(
-      Seq((kind, geometry, Ann.Dim, fittedN, indexedN))
-        .toDF("kind", "geometry", "dim", "fitted_n", "indexed_n"),
+      Seq((kind, geometry, dim, pqM, pqK, fittedN, indexedN))
+        .toDF("kind", "geometry", "dim", "pq_m", "pq_k",
+          "fitted_n", "indexed_n"),
       indexTable)
   }
 
@@ -705,7 +730,7 @@ object AnnIndex {
   private def markRebuilding(catalog: TableCatalog,
                              indexTable: String): Unit =
     if (catalog.tableExists(indexTable))
-      writeMeta(catalog, indexTable, "rebuilding", 0, 0L, 0L)
+      writeMeta(catalog, indexTable, "rebuilding", 0, 0, 0, 0, 0L, 0L)
 
   private def readMeta(catalog: TableCatalog, indexTable: String,
                        kind: String): Meta = {
@@ -726,8 +751,16 @@ object AnnIndex {
       if (row.schema.fieldNames.contains("indexed_n"))
         row.getLong(row.fieldIndex("indexed_n"))
       else fitted
+    // a pre-round-15 meta has no PQ shape columns: it was built under
+    // the compiled-in gate geometry
+    def intOr(name: String, dflt: Int): Int =
+      if (row.schema.fieldNames.contains(name))
+        row.getInt(row.fieldIndex(name))
+      else dflt
     Meta(k, row.getInt(row.fieldIndex("geometry")),
-      row.getInt(row.fieldIndex("dim")), fitted, indexed)
+      row.getInt(row.fieldIndex("dim")),
+      intOr("pq_m", Ann.PqSubspaces), intOr("pq_k", Ann.PqCodebook),
+      fitted, indexed)
   }
 
   private def requireFresh(m: Meta, indexTable: String,

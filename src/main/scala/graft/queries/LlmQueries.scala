@@ -790,7 +790,8 @@ object LlmQueries {
     "ann16_ivfpq_refine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Ann.ivfPqResidualTopK(e, e.filter(col("vec_id") < 5), "vec_id",
-          "embedding", 10, refine = 64)
+          "embedding", 10, numCells = 16, nprobe = 2, trainIters = 2,
+          pqIters = 2, refine = 64)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -858,9 +859,10 @@ object LlmQueries {
         .createTempDirectory("graft_ann18_").toString
       val cat = new graft.catalog.TableCatalog(s, wh)
       val e = t(s, dir, "embeddings")
-      AnnIndex.buildIvfPq(cat, e, "vec_id", "embedding", "ann_bulk")
+      AnnIndex.buildIvfPq(cat, e, "vec_id", "embedding", "ann_bulk",
+        numCells = 16, trainIters = 2, pqIters = 2)
       AnnIndex.ivfPqRefineTopKFromIndex(cat, "ann_bulk", e, e,
-          "vec_id", "embedding", 3, refine = 16,
+          "vec_id", "embedding", 3, nprobe = 2, refine = 16,
           broadcastQueries = false)
         .orderBy(col("q_id"), col("rank"))
     }),
@@ -874,11 +876,36 @@ object LlmQueries {
       val (first, rest) = (e.filter(pmod(col("vec_id"), lit(2)) === 0),
         e.filter(pmod(col("vec_id"), lit(2)) === 1))
       AnnIndex.buildIvfPq(cat, first, "vec_id", "embedding", "ann_ivfpq",
-        trainData = Some(e))
+        numCells = 16, trainIters = 2, pqIters = 2, trainData = Some(e))
       AnnIndex.appendIvfPq(cat, rest, "vec_id", "embedding", "ann_ivfpq")
       AnnIndex.ivfPqRefineTopKFromIndex(cat, "ann_ivfpq", e,
           e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
-          refine = 64)
+          nprobe = 2, refine = 64)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // NON-DEFAULT geometry end-to-end (the r14 headline gap): the same
+    // residual IVF-PQ artifact over 32-dim embedding slices with M=8
+    // subspaces x K=16 codewords and 8 coarse cells — nothing
+    // recompiled, the geometry travels as a per-call parameter, is
+    // recorded in the index meta, and the probe serves under the
+    // RECORDED shape (a mismatched query vector fails loudly —
+    // AnnMultimodalSpec pins it). The oracle replays the identical fit
+    // at the same shape, so ranks and scores gate bit-exact.
+    "ann20_ivfpq_geom" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann20_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val g = Ann.Geom(32, 8, 16)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding"))
+      AnnIndex.buildIvfPq(cat, e, "vec_id", "embedding", "ann_g",
+        numCells = 8, trainIters = 2, pqIters = 2, geom = g)
+      AnnIndex.ivfPqRefineTopKFromIndex(cat, "ann_g", e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nprobe = 2, refine = 64)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -1239,14 +1266,23 @@ object LlmQueries {
   /** Oracle builder for the residual IVF-PQ + refine family:
     * `queryWhere` restricts the query set (over `un.vec_id`), `k` the
     * emitted ranks, `nprobe` the probed cells, `refine` the code-rank
-    * cut. ann16 instantiates the 5-query serving form; ann18 the
-    * corpus-scale bulk-join form (every vector a query). */
+    * cut. The FIT knobs are parameters too — `numCells`/`coarseIters`/
+    * `pqIters` and the geometry (dim via `vecExpr`, M x K via `geom`)
+    * — and every gate passes them EXPLICITLY, mirroring the values it
+    * hands the engine, so changing an engine default desynchronizes
+    * nothing silently. ann16 instantiates the 5-query serving form;
+    * ann18 the corpus-scale bulk-join form (every vector a query);
+    * ann20 a non-default geometry (32-dim slices, M=8, K=16). */
   private def ivfPqRefineOracle(queryWhere: String, k: Int,
-                                nprobe: Int, refine: Int): String = {
+                                nprobe: Int, refine: Int,
+                                numCells: Int = 16,
+                                coarseIters: Int = 2, pqIters: Int = 2,
+                                geom: Ann.Geom = Ann.DefaultGeom,
+                                vecExpr: String = "embedding"): String = {
       def dt(a: String, b: String) = Ann.dotSql(a, b)
-      val M = Ann.PqSubspaces
-      val sd = Ann.PqSubDim
-      val K = Ann.PqCodebook
+      val M = geom.pqM
+      val sd = geom.subDim
+      val K = geom.pqK
       def l2(s: String, c: String) =
         s"2.0 * ${dt(s, c + ".cv")} - ${dt(c + ".cv", c + ".cv")}"
       // coarse chain: kmeansCentroidsL2 over the FULL unit vector
@@ -1299,53 +1335,52 @@ object LlmQueries {
                   AS INT) - 1 AS cell, s AS cv
               FROM (SELECT vec_id, s FROM sv$m
                     ORDER BY vec_id LIMIT $K)),
-            ${round(1)},
-            ${round(2)},
+            ${(1 to pqIters).map(round).mkString(",\n")},
             k$m AS (SELECT vec_id, cell FROM (
                 SELECT sv.vec_id, c.cell,
                   row_number() OVER (PARTITION BY sv.vec_id
                     ORDER BY ${l2("sv.s", "c")} DESC, c.cell DESC) AS rn
-                FROM sv$m sv CROSS JOIN c${m}_2 c) WHERE rn = 1),
+                FROM sv$m sv CROSS JOIN c${m}_$pqIters c) WHERE rn = 1),
             p$m AS (SELECT cd.q_id, cd.vec_id,
                 2.0 * ${dt(s"q.qs$m", "c.cv")} - ${dt("c.cv", "c.cv")}
                   AS sp
               FROM cand cd
               JOIN k$m kk ON kk.vec_id = cd.vec_id
-              JOIN c${m}_2 c ON kk.cell = c.cell
+              JOIN c${m}_$pqIters c ON kk.cell = c.cell
               JOIN qs q ON q.q_id = cd.q_id AND q.cell = cd.cell)"""
       }
       s"""WITH v AS (SELECT vec_id,
-            list_transform(embedding, x -> x::DOUBLE) AS v
+            list_transform($vecExpr, x -> x::DOUBLE) AS v
             FROM embeddings),
           vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm FROM v),
           un AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v
               ELSE list_transform(v, x -> x / nrm) END AS u FROM vn),
           cw0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
                 AS INT) - 1 AS cell, u AS cv
-            FROM (SELECT vec_id, u FROM un ORDER BY vec_id LIMIT 16)),
-          ${coarseRound(1)},
-          ${coarseRound(2)},
+            FROM (SELECT vec_id, u FROM un
+                  ORDER BY vec_id LIMIT $numCells)),
+          ${(1 to coarseIters).map(coarseRound).mkString(",\n")},
           casg AS (SELECT vec_id, cell FROM (
             SELECT un.vec_id, c.cell,
               row_number() OVER (PARTITION BY un.vec_id
                 ORDER BY ${l2("un.u", "c")} DESC, c.cell DESC) AS rn
-            FROM un CROSS JOIN cw2 c) WHERE rn = 1),
+            FROM un CROSS JOIN cw$coarseIters c) WHERE rn = 1),
           cres AS (SELECT a.vec_id, a.cell,
               list_transform(list_zip(un.u, c.cv), s -> s[1] - s[2])
                 AS r
             FROM casg a JOIN un USING (vec_id)
-            JOIN cw2 c ON a.cell = c.cell),
+            JOIN cw$coarseIters c ON a.cell = c.cell),
           qp AS (SELECT vec_id AS q_id, cell FROM (
             SELECT un.vec_id, c.cell,
               row_number() OVER (PARTITION BY un.vec_id
                 ORDER BY ${l2("un.u", "c")} DESC, c.cell DESC) AS rn
-            FROM un CROSS JOIN cw2 c $queryWhere)
+            FROM un CROSS JOIN cw$coarseIters c $queryWhere)
             WHERE rn <= $nprobe),
           qres AS (SELECT qp.q_id, qp.cell,
               list_transform(list_zip(un.u, c.cv), s -> s[1] - s[2])
                 AS qr
             FROM qp JOIN un ON un.vec_id = qp.q_id
-            JOIN cw2 c ON qp.cell = c.cell),
+            JOIN cw$coarseIters c ON qp.cell = c.cell),
           qsl AS (SELECT q_id, cell,
               ${(0 until M).map(m =>
                 s"qr[${m * sd + 1}:${(m + 1) * sd}] AS qs$m")
@@ -1361,11 +1396,11 @@ object LlmQueries {
             WHERE cr.vec_id <> q.q_id),
           ${(0 until M).map(chain).mkString(",\n")},
           scored AS (SELECT cd.q_id, cd.vec_id,
-              p0.sp + p1.sp + p2.sp + p3.sp - cd.qq AS score
-            FROM cand cd JOIN p0 USING (q_id, vec_id)
-              JOIN p1 USING (q_id, vec_id)
-              JOIN p2 USING (q_id, vec_id)
-              JOIN p3 USING (q_id, vec_id)),
+              ${(0 until M).map(m => s"p$m.sp").mkString(" + ")}
+                - cd.qq AS score
+            FROM cand cd
+              ${(0 until M).map(m => s"JOIN p$m USING (q_id, vec_id)")
+                .mkString("\n              ")}),
           topr AS (SELECT q_id, vec_id FROM (
             SELECT q_id, vec_id,
               row_number() OVER (PARTITION BY q_id
@@ -1803,11 +1838,18 @@ object LlmQueries {
     // and the exact unit-dot re-rank. Every floating-point step is
     // engine-identical, so ranks and scores gate bit-exact.
     "ann16_ivfpq_refine" -> ivfPqRefineOracle(
-      "WHERE un.vec_id < 5", 10, 2, 64),
+      "WHERE un.vec_id < 5", 10, 2, 64,
+      numCells = 16, coarseIters = 2, pqIters = 2),
     // the bulk-join form: EVERY corpus vector is a query (k=3,
     // refine=16) — the "attach neighbors to each document" shape,
     // probed off the persisted index with NO query-side broadcast
-    "ann18_ivfpq_bulk" -> ivfPqRefineOracle("", 3, 2, 16),
+    "ann18_ivfpq_bulk" -> ivfPqRefineOracle("", 3, 2, 16,
+      numCells = 16, coarseIters = 2, pqIters = 2),
+    // the ann20 fit at its own shape: 32-dim slices, 8 cells, M=8 K=16
+    "ann20_ivfpq_geom" -> ivfPqRefineOracle(
+      "WHERE un.vec_id < 5", 10, 2, 64,
+      numCells = 8, coarseIters = 2, pqIters = 2,
+      geom = Ann.Geom(32, 8, 16), vecExpr = "embedding[1:32]"),
     // PQ/ADC: the oracle replays the per-subspace fit exactly — unit
     // normalization, smallest-id seeds, 2 Lloyd rounds of L2 argmin
     // (as argmax 2·s·c − c·c, ties to the larger cell) with

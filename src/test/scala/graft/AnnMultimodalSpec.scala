@@ -711,6 +711,59 @@ class AnnMultimodalSpec extends SparkSpec {
       canon(Ann.lshBucketNeighborsAuto(vecs, "vec_id", "embedding", 1)))
   }
 
+  test("ANN geometry is per-call: a non-default index records its " +
+       "shape in the meta, serves under it, and a mismatched-dim " +
+       "probe fails loudly") {
+    import graft.ann.{Ann, AnnIndex}
+    val rnd = new scala.util.Random(41)
+    def mk(dim: Int, n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val v32 = mk(32, 40)
+    val wh = java.nio.file.Files.createTempDirectory("anngm_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    val g = Ann.Geom(32, 8, 16)
+    AnnIndex.buildIvfPq(cat, v32, "vec_id", "embedding", "g32",
+      numCells = 4, trainIters = 1, pqIters = 1, geom = g)
+    // the meta records the full shape
+    val row = cat.read("g32").collect()(0)
+    assert(row.getInt(row.fieldIndex("dim")) == 32)
+    assert(row.getInt(row.fieldIndex("pq_m")) == 8)
+    assert(row.getInt(row.fieldIndex("pq_k")) == 16)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"score").collect().toSeq
+    // the probe serves under the RECORDED geometry (no geom argument)
+    val fromIndex = canon(AnnIndex.ivfPqRefineTopKFromIndex(cat, "g32",
+      v32, v32.filter($"vec_id" < 2), "vec_id", "embedding", 5,
+      nprobe = 2, refine = 8))
+    assert(fromIndex.size == 10)
+    // ... and is bit-identical to the fit-inline residual form at the
+    // same non-default shape (the ann17 equivalence, off-default)
+    val inline = canon(Ann.ivfPqResidualTopK(v32,
+      v32.filter($"vec_id" < 2), "vec_id", "embedding", 5,
+      numCells = 4, nprobe = 2, trainIters = 1, pqIters = 1,
+      refine = 8, geom = g))
+    assert(inline == fromIndex)
+    // a 64-dim query vector against the 32-dim index raises at
+    // evaluation, naming the expected width
+    def root(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n')
+        c = c.getCause }
+      sb.toString
+    }
+    val ex = intercept[Exception] {
+      AnnIndex.ivfPqRefineTopKFromIndex(cat, "g32", v32, mk(64, 2),
+        "vec_id", "embedding", 5, nprobe = 2, refine = 8).collect()
+    }
+    assert(root(ex).contains("expected 32-dim"), root(ex))
+    // the geometry validates its own shape up front
+    intercept[IllegalArgumentException] { Ann.Geom(33, 8, 16) }
+    intercept[IllegalArgumentException] { Ann.Geom(32, 8, 300) }
+  }
+
   test("kmeansCentroids: a cell that loses all members keeps its " +
        "previous centroid") {
     // two identical vectors seed both cells; assignment ties to the
