@@ -405,6 +405,38 @@ object AnnIndex {
       vecCol, k, nprobe, refine, broadcastQueries, m.geom)
   }
 
+  /** One streaming-ingestion micro-batch into a persisted SQ8 index —
+    * the `foreachBatch` body for a live embedding feed (the ann19
+    * shape, lifted to a reusable sink with a COMPACTION CADENCE): the
+    * batch lands as segment `b<batchId>`, so a replayed micro-batch
+    * overwrites its own segment and the sink is idempotent end to
+    * end; and once the index holds `compactEvery` or more other
+    * segments the appended directories fold back into one
+    * ([[compactSegs]] — the
+    * [[graft.streaming.CorpusStream]] `compactState` cadence), so the
+    * directory count a probe pays stays bounded under continuous
+    * ingestion instead of growing one segment per micro-batch
+    * forever. `compactEvery = 0` disables the cadence.
+    *
+    * Replay note: a batch replayed AFTER a compaction folded it into
+    * seg 0 re-appends rows seg 0 already holds; the in-loop compaction
+    * that follows collapses them (full-row distinct), so the replayed
+    * batch ends converged — the crash-window semantics
+    * [[compactSegs]] documents. */
+  def ingestSq8Batch(catalog: TableCatalog, df: DataFrame,
+                     idCol: String, vecCol: String, indexTable: String,
+                     batchId: Long, compactEvery: Int = 0): Unit = {
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0, got $compactEvery")
+    val key = s"b$batchId"
+    appendSq8(catalog, df, idCol, vecCol, indexTable,
+      segKey = Some(key))
+    if (compactEvery > 0 &&
+        catalog.listPartitions(assignTableOf(indexTable), "seg")
+          .count(_ != key) >= compactEvery)
+      compactSegs(catalog, indexTable)
+  }
+
   /** Merge every assignment segment back into a single `seg=0` — the
     * file-count hygiene step after many appends. Each append adds one
     * segment directory; probes read them all, and at high append

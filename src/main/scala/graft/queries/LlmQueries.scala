@@ -804,13 +804,16 @@ object LlmQueries {
     // the result is bit-identical to fit-inline ann16 — its oracle
     // verbatim.
     // Streaming ingestion into a persisted ANN index: the corpus's
-    // embedding feed arrives as 3 micro-batches, each appended to the
-    // SQ8 index inside foreachBatch with segKey = batchId — a replayed
-    // micro-batch overwrites its own segment, so the sink is
-    // idempotent end to end (the index lifecycle under continuous
-    // ingestion, the production shape for a live embedding store).
-    // Quantization is per-vector, so seed + streamed appends are
-    // bit-identical to quantizing the whole corpus — ann11's oracle.
+    // embedding feed arrives as 3 micro-batches through the reusable
+    // foreachBatch sink (AnnIndex.ingestSq8Batch) — segKey = batchId
+    // makes a replayed micro-batch overwrite its own segment
+    // (idempotent end to end), and compactEvery = 2 exercises the
+    // in-loop compaction cadence that bounds the segment-directory
+    // count under continuous ingestion (the production shape for a
+    // live embedding store; compaction is pure re-layout, so results
+    // are unchanged). Quantization is per-vector, so seed + streamed
+    // appends are bit-identical to quantizing the whole corpus —
+    // ann11's oracle.
     "ann19_stream_append" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
@@ -832,8 +835,8 @@ object LlmQueries {
         .writeStream
         .option("checkpointLocation", wh + "/_ckpt")
         .foreachBatch { (df: DataFrame, batchId: Long) =>
-          AnnIndex.appendSq8(cat, df, "vec_id", "embedding", "ann_s",
-            segKey = Some(s"b$batchId"))
+          AnnIndex.ingestSq8Batch(cat, df, "vec_id", "embedding",
+            "ann_s", batchId, compactEvery = 2)
         }.start()
       try {
         Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),

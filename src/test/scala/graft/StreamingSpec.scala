@@ -778,6 +778,59 @@ class StreamingSpec extends SparkSpec {
     (cat, state, bands)
   }
 
+  test("streaming ANN ingestion with compactEvery bounds the segment " +
+       "directory count; probes and indexed_n identical to the " +
+       "uncompacted run, and a post-compaction replay converges") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(59)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"qcos").collect().toSeq
+    def batchOf(i: Int) =
+      vecs.filter($"vec_id" >= 10 + 10 * i && $"vec_id" < 20 + 10 * i)
+    def run(every: Int) = {
+      val wh = java.nio.file.Files
+        .createTempDirectory("ann_ing_").toString
+      val cat = new graft.catalog.TableCatalog(spark, wh)
+      AnnIndex.buildSq8(cat, vecs.filter($"vec_id" < 10), "vec_id",
+        "embedding", "ing")
+      (0 until 5).foreach { i =>
+        AnnIndex.ingestSq8Batch(cat, batchOf(i), "vec_id", "embedding",
+          "ing", i.toLong, compactEvery = every)
+      }
+      def indexedN = {
+        val r = cat.read("ing").collect()(0)
+        r.getLong(r.fieldIndex("indexed_n"))
+      }
+      (canon(AnnIndex.sq8TopKFromIndex(cat, "ing", q, "vec_id",
+         "embedding", 5)),
+       cat.listPartitions("ing_assign", "seg").size,
+       indexedN, cat)
+    }
+    val (p0, segs0, n0, _) = run(0)
+    val (p2, segs2, n2, cat2) = run(2)
+    assert(p0 == p2)          // compaction is pure re-layout
+    assert(n0 == 60 && n2 == 60)
+    assert(segs0 == 6)        // no cadence: one directory per batch
+    assert(segs2 <= 3, s"cadence failed to bound segments: $segs2")
+    // replay a batch the cadence already folded into seg 0: the
+    // re-append duplicates rows seg 0 holds, and the in-loop
+    // compaction that fires in the same call collapses them —
+    // converged by the end of the replayed batch
+    AnnIndex.ingestSq8Batch(cat2, batchOf(3), "vec_id", "embedding",
+      "ing", 3L, compactEvery = 2)
+    assert(cat2.listPartitions("ing_assign", "seg") == Seq("0"))
+    val r2 = cat2.read("ing").collect()(0)
+    assert(r2.getLong(r2.fieldIndex("indexed_n")) == 60)
+    assert(canon(AnnIndex.sq8TopKFromIndex(cat2, "ing", q, "vec_id",
+      "embedding", 5)) == p0)
+  }
+
   test("compactState crash recovery: a kill between a target write and " +
        "its source deletes heals on the next trigger") {
     val (control, wantState, wantBands) = seedCompactionState()
