@@ -808,6 +808,29 @@ object Ann {
       .select(col("q_id"), col("rank"), col("vec_id"), col("qcos"))
   }
 
+  /** Threshold form of [[sq8TopKFrom]] — the semantic-decontamination
+    * hit list: DISTINCT ids of `d` rows whose quantized cosine against
+    * ANY `q` row reaches `minCos`. Every (corpus, query) pair is
+    * scored (the same broadcast-nested-loop class as the top-k scan —
+    * the query side is a benchmark set, broadcast-small by contract;
+    * a corpus-sized query side wants the banded float path,
+    * [[semanticDecontaminate]]). An id equal on both sides still
+    * matches itself (cos 1.0) — a benchmark row in the corpus MUST
+    * drop, so no self-exclusion here, unlike the top-k form. */
+  private[ann] def sq8Matches(d: DataFrame, q: DataFrame,
+                              minCos: Double, dim: Int): DataFrame =
+    d.join(broadcast(q), lit(true))
+      .withColumn("qcos",
+        when(col("vec_id_qq") === lit(0L) || col("q_id_qq") === lit(0L),
+            lit(0.0))
+          .otherwise(
+            dotUnrolledLong(col("q_id_q"), col("vec_id_q"), dim)
+              .cast("double") /
+              (sqrt(col("vec_id_qq").cast("double")) *
+                sqrt(col("q_id_qq").cast("double")))))
+      .filter(col("qcos") >= lit(minCos))
+      .select(col("vec_id").as("id")).distinct()
+
   /** Brute-force top-k over SQ8-quantized vectors: quantize both sides
     * once (codes + integer self-dot materialized per row — the columns
     * a quantized index stores), broadcast the query side, rank by

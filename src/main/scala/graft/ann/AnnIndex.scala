@@ -241,6 +241,25 @@ object AnnIndex {
       Ann.sq8Quantized(queries, idCol, vecCol, "q_id", m.dim), k, m.dim)
   }
 
+  /** Semantic-decontamination hit list off the persisted SQ8 index:
+    * DISTINCT ids of indexed vectors whose quantized cosine against
+    * ANY query row reaches `minCos` — the rows a decon pass drops,
+    * probed from the stored byte codes alone (floats never touched;
+    * only the benchmark-sized query side quantizes per call). The
+    * LIVE-index complement of [[Ann.semanticDecontaminate]]'s
+    * fit-inline banded scan. */
+  def sq8MatchesFromIndex(catalog: TableCatalog, indexTable: String,
+                          queries: DataFrame, idCol: String,
+                          vecCol: String, minCos: Double): DataFrame = {
+    val m = readMeta(catalog, indexTable, "sq8")
+    val d = catalog.read(assignTableOf(indexTable))
+      .select(col("id").as("vec_id"), col("q").as("vec_id_q"),
+        col("qq").as("vec_id_qq"))
+    Ann.sq8Matches(d,
+      Ann.sq8Quantized(queries, idCol, vecCol, "q_id", m.dim),
+      minCos, m.dim)
+  }
+
   /** Build + persist the PQ index: train the per-subspace codebooks
     * ONCE ([[Ann.pqTrain]] — on `trainData` when bulk-loading a slice
     * now and appending the rest later), encode every vector to its M

@@ -558,6 +558,83 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The SERVING COMPOSITION — every production artifact the engine
+    // grew, held together in one run the way a live training-data
+    // deployment holds them. Three ascending-id micro-batches drive
+    // BOTH feeds: documents through the incremental corpus pipeline
+    // (seen-state + emit tables, compactEvery = 2) and the corpus
+    // embeddings through the streaming ANN ingestion sink into a
+    // persisted SQ8 index (seed build + ingestSq8Batch, its own
+    // compaction cadence). Then the finish: a BPE vocabulary trained
+    // ONCE on the first batch and persisted (BpeIndex), semantic
+    // decontamination of the survivors probed OFF THE LIVE INDEX
+    // codes against the benchmark split (doc_id % 97 — the dd08/dd10
+    // convention; floats never touched), survivor docs encoded off
+    // the LOADED vocabulary, and token-budget training shards cut
+    // over the subword counts (ts11's operator). The oracle replays
+    // the composition: the dp01 chain over the corpus split, ann11's
+    // quantization for the decon hit list, ts18's train-once/
+    // encode-all BPE replay, ts11's running-sum chunk formula.
+    // Ascending arrival keeps stream == batch exactly (the dp03
+    // argument); quantization and encoding are per-row functions
+    // under frozen fits — so the whole composition gates hash-exact.
+    "dp06_serving_pipeline" -> ((s, dir) => {
+      import graft.streaming.CorpusStream
+      import graft.ann.AnnIndex
+      import graft.text.BpeIndex
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val evalVecs = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      val corpusVecs = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+      val b = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")),
+        org.apache.spark.sql.functions.max(col("doc_id"))).head()
+      val lo = b.getLong(0); val hi = b.getLong(1)
+      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dp06_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val preds: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+        Seq(c => c <= cut1, c => c > cut1 && c <= cut2, c => c > cut2)
+      preds.zipWithIndex.foreach { case (p, i) =>
+        CorpusStream.processBatch(docs.filter(p(col("doc_id"))), cat,
+          "dp06_seen", "dp06_out", i.toLong, compactEvery = 2)
+        val vb = corpusVecs.filter(p(col("vec_id")))
+        if (i == 0)
+          AnnIndex.buildSq8(cat, vb, "vec_id", "embedding", "dp06_ann")
+        else
+          AnnIndex.ingestSq8Batch(cat, vb, "vec_id", "embedding",
+            "dp06_ann", i.toLong, compactEvery = 2)
+      }
+      // vocabulary: trained once on the first batch, persisted; every
+      // doc after that only ever encodes off the loaded artifact
+      BpeIndex.build(cat, docs.filter(col("doc_id") <= cut1), "text",
+        "dp06_bpe")
+      // decon hit list probed off the live index codes
+      val bad = AnnIndex.sq8MatchesFromIndex(cat, "dp06_ann", evalVecs,
+        "vec_id", "embedding", 460.0 / 1024.0)
+      val surv = cat.read("dp06_out")
+        .select(col("doc_id"), col("lang"), col("n_toks"))
+        .join(bad.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+          "left_anti")
+      val enc = BpeIndex.encodeStatsFromIndex(cat, "dp06_bpe",
+        surv.select(col("doc_id"))
+          .join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
+        "doc_id", "text")
+      val withSub = graft.core.Fence(surv.join(
+        enc.select(col("doc_id"), col("n_sub")), Seq("doc_id")))
+      graft.text.Packing
+        .tokenChunks(withSub, "doc_id", col("n_sub"), 8000L)
+        .select(col("id").as("doc_id"), col("n_toks").as("n_sub"),
+          col("chunk"))
+        .join(withSub.select(col("doc_id"), col("lang"), col("n_toks")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          col("n_sub"), col("chunk"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus quality report — the per-language summary artifact every
     // corpus build emits: doc/token volumes, mean quality (scaled to
     // integer micro-units so the double sum is order-free) and exact
@@ -1229,10 +1306,15 @@ object LlmQueries {
   /** The dp01 chain's CTE body (gate → exact dedup → near-dup pairs →
     * cluster losers) and the survivor predicate — shared by the
     * dp01/dp03/dp04 oracles and dp05's extension of the chain. */
-  private val dp01ChainCtes: String = {
+  private val dp01ChainCtes: String = dp01ChainCtesFrom("documents")
+
+  /** The dp01 survivor-chain CTEs over an arbitrary source CTE/table —
+    * dp06 runs the identical chain over the benchmark-excluded corpus
+    * split instead of the whole table. */
+  private def dp01ChainCtesFrom(src: String): String = {
     val toks = "string_split(text, ' ')"
     val cp = graft.text.CorpusPipeline
-    s"""gated AS (SELECT * FROM documents
+    s"""gated AS (SELECT * FROM $src
           WHERE ${TextAnalysis.langIdSql(toks)} <> 'und'
             AND ${TextAnalysis.qualityScoreSql(toks)} >=
               ${cp.QualityFloor}),
@@ -1623,6 +1705,58 @@ object LlmQueries {
     // dp04 = dp03 with every batch rolling to a fresh output epoch;
     // the roll is pure storage layout, so the oracle is unchanged
     "dp04_epoch_roll" -> dp01OracleSql,
+    // dp06 = the dp01 chain over the benchmark-excluded corpus split,
+    // ann11's SQ8 quantization as the decon hit list, ts18's
+    // train-once/encode-everything BPE replay (embedded subquery),
+    // and ts11's running-sum chunk formula — the whole serving
+    // composition replayed
+    "dp06_serving_pipeline" -> {
+      def idot(a: String, b: String) =
+        s"list_aggregate(list_transform(list_zip($a, $b), " +
+          s"s -> s[1] * s[2]), 'sum')"
+      val cutSql = """(SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id))
+          // 3 FROM documents WHERE doc_id % 97 <> 0)"""
+      s"""WITH RECURSIVE corpus AS (
+            SELECT * FROM documents WHERE doc_id % 97 <> 0),
+          ${dp01ChainCtesFrom("corpus")},
+          surv0 AS (SELECT doc_id, lang, text,
+              CAST(len(string_split(text, ' ')) AS INT) AS n_toks
+            FROM deduped WHERE $dp01SurvivorPredicate),
+          v AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          mq AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) AS m FROM v),
+          qz AS (SELECT vec_id,
+            CASE WHEN m = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                x -> CAST(FLOOR(x * 127.0 / m + 0.5) AS BIGINT)) END AS q
+            FROM mq),
+          qn AS (SELECT vec_id, q, ${idot("q", "q")} AS qq FROM qz),
+          eq AS (SELECT vec_id, q, qq FROM qn WHERE vec_id % 97 = 0),
+          cq AS (SELECT vec_id, q, qq FROM qn WHERE vec_id % 97 <> 0),
+          bad AS (SELECT DISTINCT c.vec_id FROM cq c JOIN eq e ON TRUE
+            WHERE (CASE WHEN c.qq = 0 OR e.qq = 0 THEN 0.0
+              ELSE CAST(${idot("e.q", "c.q")} AS DOUBLE)
+                / (sqrt(CAST(c.qq AS DOUBLE))
+                   * sqrt(CAST(e.qq AS DOUBLE))) END)
+              >= (460::DOUBLE / 1024::DOUBLE)),
+          enc AS (SELECT doc_id, n_sub FROM (
+            ${graft.text.Bpe.encodeSql(trainWhere =
+              s"WHERE doc_id % 97 <> 0 AND doc_id <= $cutSql")})),
+          sv AS (SELECT s.doc_id, s.lang, s.n_toks, e.n_sub
+            FROM surv0 s JOIN enc e USING (doc_id)
+            WHERE NOT EXISTS (SELECT 1 FROM bad
+              WHERE bad.vec_id = s.doc_id)),
+          chunked AS (SELECT doc_id, lang, n_toks, n_sub,
+              CAST((SUM(n_sub) OVER (ORDER BY doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) - n_sub) // 8000
+                AS BIGINT) AS chunk
+            FROM sv)
+          SELECT doc_id, lang, n_toks, n_sub, chunk FROM chunked
+          ORDER BY doc_id"""
+    },
     // dp05 = the dp01 chain + ts10's one-window mixture reference +
     // ts11's one-window chunking reference, composed
     "dp05_training_shards" -> {

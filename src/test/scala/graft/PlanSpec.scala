@@ -327,4 +327,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
            !p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("dp06's decon probe reads the live index CODES only (no float " +
+       "column in the scan) and broadcasts the benchmark side") {
+    import graft.ann.AnnIndex
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("plandc_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    AnnIndex.buildSq8(cat, vecs.filter(col("vec_id") >= 5), "vec_id",
+      "embedding", "dc")
+    val df = AnnIndex.sq8MatchesFromIndex(cat, "dc",
+      vecs.filter(col("vec_id") < 5), "vec_id", "embedding", 0.45)
+    val p = df.queryExecution.sparkPlan.toString
+    // the corpus side is the stored byte codes + integer self-dot; a
+    // float vector column in the index ReadSchema would defeat the
+    // 4x-cheaper-scan point of serving decon off the SQ8 artifact
+    val read = p.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(read.nonEmpty && !read.contains("embedding"), p.take(1500))
+    // benchmark side broadcast (the accepted sq8TopKFrom scan class);
+    // the corpus side never shuffles for the scoring scan
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }
