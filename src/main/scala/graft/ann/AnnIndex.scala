@@ -444,12 +444,52 @@ object AnnIndex {
     * [[compactSegs]] documents. */
   def ingestSq8Batch(catalog: TableCatalog, df: DataFrame,
                      idCol: String, vecCol: String, indexTable: String,
-                     batchId: Long, compactEvery: Int = 0): Unit = {
+                     batchId: Long, compactEvery: Int = 0): Unit =
+    ingestBatch(catalog, df, idCol, vecCol, indexTable, batchId,
+      compactEvery)
+
+  /** [[ingestSq8Batch]] for ANY index kind: reads the persisted meta
+    * and dispatches the batch through the matching append — the one
+    * foreachBatch body a live deployment points at whichever artifact
+    * it serves (the residual IVF-PQ index included, so the quality
+    * serving shape gets the same streaming story as SQ8). Same
+    * idempotency (segKey = b<batchId>) and compaction cadence; the
+    * fit-bearing kinds keep their [[MaxDriftFactor]] staleness
+    * contract — a drifted index fails the batch loudly unless
+    * `allowStale`. */
+  def ingestBatch(catalog: TableCatalog, df: DataFrame,
+                  idCol: String, vecCol: String, indexTable: String,
+                  batchId: Long, compactEvery: Int = 0,
+                  allowStale: Boolean = false): Unit = {
     require(compactEvery >= 0,
       s"compactEvery must be >= 0, got $compactEvery")
+    require(catalog.tableExists(indexTable),
+      s"AnnIndex: no index meta at '$indexTable' — seed-build it " +
+        "before pointing the ingestion sink at it")
+    val row = catalog.read(indexTable).collect()(0)
+    val kind = row.getString(row.fieldIndex("kind"))
     val key = s"b$batchId"
-    appendSq8(catalog, df, idCol, vecCol, indexTable,
-      segKey = Some(key))
+    kind match {
+      case "sq8" =>
+        appendSq8(catalog, df, idCol, vecCol, indexTable, Some(key))
+      case "ivfpq" =>
+        appendIvfPq(catalog, df, idCol, vecCol, indexTable, Some(key),
+          allowStale)
+      case "pq" =>
+        appendPq(catalog, df, idCol, vecCol, indexTable, Some(key),
+          allowStale)
+      case "ivf" =>
+        appendIvf(catalog, df, idCol, vecCol, indexTable, Some(key),
+          allowStale)
+      case "lsh" =>
+        appendLsh(catalog, df, idCol, vecCol, indexTable, Some(key),
+          allowStale)
+      case other =>
+        // 'rebuilding' lands here too — readMeta inside the appends
+        // would also refuse, but fail with the precise story up front
+        throw new IllegalArgumentException(
+          s"AnnIndex: cannot ingest into '$indexTable' (kind '$other')")
+    }
     if (compactEvery > 0 &&
         catalog.listPartitions(assignTableOf(indexTable), "seg")
           .count(_ != key) >= compactEvery)

@@ -12,7 +12,12 @@ class CoreSpec extends SparkSpec {
       .toDF("id", "arr")
       .withColumn("n", size($"arr"))
     val fenced = Fence(df)
-    assert(fenced.schema == df.schema)
+    if (spark.conf.get("spark.graft.fence.mode", "checkpoint") == "table") {
+      // table mode: names/types/values exact; nullability widens to
+      // file-scan semantics (Spark relaxes every file-source column)
+      assert(fenced.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+      assert(fenced.schema.map(_.dataType) == df.schema.map(_.dataType))
+    } else assert(fenced.schema == df.schema)
     assert(fenced.orderBy($"id").collect().toSeq ==
       df.orderBy($"id").collect().toSeq)
   }
@@ -50,6 +55,32 @@ class CoreSpec extends SparkSpec {
       case scala.util.Success(rows) => assert(rows == expected)
       case scala.util.Failure(_) => // loud failure: acceptable per docs
     }
+  }
+
+  test("Fence table mode: a fenced chain computes identical results " +
+       "in both modes, both fence forms spill through parquet, and " +
+       "the flag is session-scoped") {
+    // a chain shaped like the operators' real fences: a per-row
+    // derivation (apply) feeding a shuffle-bearing aggregate (soft),
+    // both referenced twice downstream
+    def chain(): Seq[(String, Long, Long)] = {
+      val src = Seq.tabulate(60)(i => (i.toLong, s"w${i % 7} doc $i"))
+        .toDF("id", "t")
+      val derived = Fence(src.withColumn("h",
+        conv(substring(md5($"t"), 1, 8), 16, 10).cast("long")))
+      val agg = Fence.soft(derived.groupBy(($"id" % 5).as("g"))
+        .agg(sum($"h").as("sh"), count(lit(1)).as("n")))
+      agg.join(agg.select($"g", $"sh".as("sh2")), Seq("g"))
+        .select(concat(lit("g"), $"g").as("k"), $"sh" + $"sh2", $"n")
+        .orderBy($"k").as[(String, Long, Long)].collect().toSeq
+    }
+    val viaCheckpoint = chain()
+    spark.conf.set("spark.graft.fence.mode", "table")
+    try {
+      val viaTable = chain()
+      assert(viaTable == viaCheckpoint)
+    } finally spark.conf.set("spark.graft.fence.mode", "checkpoint")
+    assert(chain() == viaCheckpoint) // flag restored, mode follows it
   }
 
   test("events loader lands in the corpus era regardless of the " +

@@ -831,6 +831,53 @@ class StreamingSpec extends SparkSpec {
       "embedding", 5)) == p0)
   }
 
+  test("kind-generic ingestion: the residual IVF-PQ index streams " +
+       "through the same sink (frozen fits, bounded directories) and " +
+       "probes equal the bulk-built index") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(61)
+    val vecs = (0 until 48).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"score").collect().toSeq
+    def probe(cat: graft.catalog.TableCatalog, t: String) =
+      canon(AnnIndex.ivfPqRefineTopKFromIndex(cat, t, vecs, q,
+        "vec_id", "embedding", 5, nprobe = 2, refine = 8))
+    // reference: everything bulk-loaded under fits trained on the
+    // full corpus
+    val whA = java.nio.file.Files.createTempDirectory("ing_a_").toString
+    val catA = new graft.catalog.TableCatalog(spark, whA)
+    AnnIndex.buildIvfPq(catA, vecs, "vec_id", "embedding", "r",
+      numCells = 4, trainIters = 1, pqIters = 1)
+    // streamed: seed-build a quarter (fits still trained on the full
+    // corpus — the planned-capacity production shape), then 3
+    // micro-batches through the generic sink with the cadence
+    val whB = java.nio.file.Files.createTempDirectory("ing_b_").toString
+    val catB = new graft.catalog.TableCatalog(spark, whB)
+    AnnIndex.buildIvfPq(catB, vecs.filter($"vec_id" < 12), "vec_id",
+      "embedding", "r", numCells = 4, trainIters = 1, pqIters = 1,
+      trainData = Some(vecs))
+    (0 until 3).foreach { i =>
+      AnnIndex.ingestBatch(catB,
+        vecs.filter($"vec_id" >= 12 * (i + 1) && $"vec_id" < 12 * (i + 2)),
+        "vec_id", "embedding", "r", i.toLong, compactEvery = 2)
+    }
+    // codes are pure functions of vector x frozen fits: probes equal
+    assert(probe(catB, "r") == probe(catA, "r"))
+    // the cadence bounded the directories
+    assert(catB.listPartitions("r_assign", "seg").size <= 3)
+    // dispatch reads the stored kind — pointing the sink at a missing
+    // index fails with the seed-build story
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.ingestBatch(catB, q, "vec_id", "embedding", "nope", 0L)
+    }
+    assert(ex.getMessage.contains("seed-build"), ex.getMessage)
+  }
+
   test("compactState crash recovery: a kill between a target write and " +
        "its source deletes heals on the next trigger") {
     val (control, wantState, wantBands) = seedCompactionState()

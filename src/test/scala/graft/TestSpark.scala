@@ -12,6 +12,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // GRAFT_FENCE_MODE=table runs the whole suite in Fence's
+      // persisted-table mode (the production flag; default checkpoint)
+      .config("spark.graft.fence.mode",
+        sys.env.getOrElse("GRAFT_FENCE_MODE", "checkpoint"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
