@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Grouped count-min sketches: heavy-hitter frequency estimates with
+  * BOUNDED state — the counting complement to [[Kmv]]'s distinct
+  * sketches.
+  *
+  * An exact token-frequency table over a 100 TB corpus is a groupBy
+  * whose shuffle carries one row per distinct token per partition; a
+  * count-min sketch caps the per-group state at d·w counters no matter
+  * how many distinct tokens the group holds, and — the property the
+  * gate proves — sketches MERGE exactly: every counter is a plain sum
+  * over rows, so elementwise addition of two slices' sketches IS the
+  * sketch of the union. Slices (days, shards, languages) sketch
+  * independently and combine without touching the data again; a point
+  * estimate reads d counters and upper-bounds the true count
+  * (`est >= exact` always — collisions only ever inflate).
+  *
+  * Scale shape: one aggregation whose partial state is a d·w long
+  * array per group per partition ([[CmsAgg]] — map-side combine, plans
+  * as ObjectHashAggregate with a partial stage like [[Kmv.sketchAgg]]).
+  * No window, no per-group sort, shuffle volume d·w longs per group
+  * per partition regardless of cardinality.
+  *
+  * Bucket hashing is [[Kmv.uniformHash]] (md5 → 60-bit int) over the
+  * depth-salted value, so the DuckDB oracle replays every counter as a
+  * plain `GROUP BY bucket` sum — the cross-engine hash discipline the
+  * rest of the repo uses.
+  */
+object CountMin {
+
+  /** Row `r`'s bucket for `value`: uniform 60-bit rehash of the
+    * depth-salted string, reduced mod `w`. Pure expression — codegen,
+    * no UDF. */
+  def bucket(value: Column, r: Int, w: Int): Column =
+    pmod(Kmv.uniformHash(concat(lit(s"$r:"), value.cast("string"))),
+      lit(w.toLong)).cast("int")
+
+  /** All `d` bucket columns for `value`, as one array. */
+  private def bucketArray(value: Column, d: Int, w: Int): Column =
+    array((0 until d).map(r => bucket(value, r, w)): _*)
+
+  /** Bounded count-min accumulator: state is the flat d×w counter
+    * array (row r at offsets [r·w, (r+1)·w)); reduce bumps one counter
+    * per row, merge is elementwise addition — both associative and
+    * commutative, so the result is arrival-order-free. */
+  private final class CmsAgg(d: Int, w: Int)
+      extends Aggregator[Seq[Int], Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](d * w)
+    def reduce(b: Array[Long], buckets: Seq[Int]): Array[Long] = {
+      var r = 0
+      while (r < d) { b(r * w + buckets(r)) += 1L; r += 1 }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Per-group count-min sketch of `value` occurrences: one row per
+    * group with `cms` = the flat d×w counter array. Empty `groupCols`
+    * sketches the whole frame into one row. */
+  def sketchAgg(df: DataFrame, groupCols: Seq[String], value: Column,
+                d: Int, w: Int): DataFrame = {
+    require(d > 0 && w > 0, s"need d > 0 and w > 0, got d=$d w=$w")
+    val cms = udaf(new CmsAgg(d, w))
+    df.select(groupCols.map(col) :+
+        bucketArray(value, d, w).as("__cms_b"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(cms(col("__cms_b")).as("cms"))
+  }
+
+  /** Exact sketch union: counters are sums, so elementwise addition of
+    * two sketches IS the sketch of the concatenated inputs — the
+    * lossless merge that lets slices sketch independently. */
+  def mergeSketches(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x + y)
+
+  /** Point estimate of `value`'s count from a `cms` sketch column:
+    * the minimum of its d counters. Upper-bounds the true count
+    * (collisions only ever add). */
+  def estimate(cms: Column, value: Column, d: Int, w: Int): Column =
+    (0 until d)
+      .map(r => element_at(cms,
+        lit(r * w + 1) + bucket(value, r, w)))
+      .reduce((a, b) => least(a, b))
+
+  /** DuckDB twin of [[bucket]] over SQL expression `e` (a VARCHAR):
+    * the ts16 hex fold of md5 over the depth-salted string, mod `w`. */
+  def bucketSql(e: String, r: Int, w: Int): String =
+    s"""(list_reduce(list_transform(
+        string_split_regex(substr(md5('$r:' || $e), 1, 15), ''),
+        c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+                  ELSE ascii(c) - 87 END AS BIGINT)),
+        (a, b) -> a * 16 + b) % $w)"""
+}

@@ -243,6 +243,43 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // Count-min heavy hitters + exact sketch merge: token-frequency
+    // upper bounds from BOUNDED state — the counting complement to
+    // ts17's distinct sketches. Each half of the corpus sketches
+    // independently (one d×w counter array per aggregation, map-side
+    // combine); the sketches merge by elementwise addition (counters
+    // are plain sums, so the merge is LOSSLESS by construction) and
+    // the gate estimates counts for the exact top-20 tokens. The
+    // oracle replays every probed counter as a whole-corpus
+    // GROUP-BY-bucket sum — matching the merged-halves estimates
+    // proves the merge exact, and est_count >= exact_count holds by
+    // the CM overcount bound.
+    "ts19_cms_heavy" -> ((s, dir) => {
+      import graft.ops.CountMin
+      val d = 2; val w = 1024
+      val toks = graft.core.Fence.soft(t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextHash.tokens(col("text"))).as("tok")))
+      val sk0 = CountMin.sketchAgg(
+        toks.filter(pmod(col("doc_id"), lit(2)) === 0), Nil,
+        col("tok"), d, w).withColumnRenamed("cms", "cms0")
+      val sk1 = CountMin.sketchAgg(
+        toks.filter(pmod(col("doc_id"), lit(2)) === 1), Nil,
+        col("tok"), d, w).withColumnRenamed("cms", "cms1")
+      val merged = sk0.crossJoin(sk1)
+        .select(CountMin.mergeSketches(col("cms0"), col("cms1"))
+          .as("cms"))
+      val cand = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok").asc)
+        .limit(20)
+      cand.crossJoin(broadcast(merged))
+        .select(col("tok"), col("exact_count"),
+          CountMin.estimate(col("cms"), col("tok"), d, w)
+            .as("est_count"))
+        .orderBy(col("exact_count").desc, col("tok").asc)
+    }),
+
     // TF-IDF keyword extraction: top-3 distinctive terms per document,
     // integer-ordered (tf DESC, df ASC, term ASC) so the ranking is
     // engine-exact; (tf, df, n_docs) ride along for a float idf
@@ -1659,6 +1696,28 @@ object LlmQueries {
                    / CAST(kth_u AS DOUBLE) END AS est_distinct,
             exact_distinct
           FROM sk JOIN e USING (lang) ORDER BY lang"""
+    },
+    // Count-min: the oracle computes each probed counter DIRECTLY as a
+    // whole-corpus bucket sum (counters are sums, so this equals the
+    // gate's merged half-sketches — the lossless-merge proof), then
+    // takes the per-token minimum across the d rows.
+    "ts19_cms_heavy" -> {
+      import graft.ops.CountMin
+      val w = 1024
+      val b0 = CountMin.bucketSql("tok", 0, w)
+      val b1 = CountMin.bucketSql("tok", 1, w)
+      s"""WITH toks AS (SELECT doc_id,
+            unnest(string_split(text, ' ')) AS tok FROM documents),
+          b AS (SELECT $b0 AS b0, $b1 AS b1 FROM toks),
+          s0 AS (SELECT b0 AS b, COUNT(*) AS n FROM b GROUP BY b0),
+          s1 AS (SELECT b1 AS b, COUNT(*) AS n FROM b GROUP BY b1),
+          cand AS (SELECT tok, COUNT(*) AS exact_count FROM toks
+            GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 20),
+          cb AS (SELECT tok, exact_count, $b0 AS b0, $b1 AS b1
+            FROM cand)
+          SELECT cb.tok, cb.exact_count, LEAST(s0.n, s1.n) AS est_count
+          FROM cb JOIN s0 ON s0.b = cb.b0 JOIN s1 ON s1.b = cb.b1
+          ORDER BY exact_count DESC, tok"""
     },
     "ts01_langid" -> {
       val toks = "string_split(text, ' ')"

@@ -188,6 +188,54 @@ class OpsSpec extends SparkSpec {
       eRow.getDouble(3) == 0.0)
   }
 
+  test("CountMin: merged half-sketches equal the whole-corpus sketch " +
+       "exactly, estimates upper-bound truth, order-free") {
+    import graft.ops.CountMin
+    val d = 2; val w = 64
+    // group a: zipfish counts (v0 ×100, v1 ×50, 30 singletons — far
+    // more distinct values than one bucket row can hold exactly);
+    // group b: one value, count 3
+    val rows = Seq.fill(100)(("a", "v0")) ++ Seq.fill(50)(("a", "v1")) ++
+      (0 until 30).map(i => ("a", s"t$i")) ++ Seq.fill(3)(("b", "x"))
+    val df = rows.toDF("grp", "v")
+    val whole = CountMin.sketchAgg(df, Seq("grp"), $"v", d, w)
+      .as[(String, Seq[Long])].collect().toMap
+    // state is bounded at d*w counters regardless of cardinality
+    assert(whole("a").length == d * w)
+    // sum of each depth row = group row count (counters are sums)
+    (0 until d).foreach { r =>
+      assert(whole("a").slice(r * w, (r + 1) * w).sum == 180L)
+      assert(whole("b").slice(r * w, (r + 1) * w).sum == 3L)
+    }
+    // merged halves == whole, element for element (lossless merge)
+    val h1 = CountMin.sketchAgg(df.filter(length($"v") % 2 === 0),
+      Seq("grp"), $"v", d, w).withColumnRenamed("cms", "cms1")
+    val h2 = CountMin.sketchAgg(df.filter(length($"v") % 2 === 1),
+      Seq("grp"), $"v", d, w).withColumnRenamed("cms", "cms2")
+    val none = typedLit(Array.fill(d * w)(0L))
+    val merged = h1.join(h2, Seq("grp"), "full_outer")
+      .select($"grp", CountMin.mergeSketches(coalesce($"cms1", none),
+        coalesce($"cms2", none)).as("cms"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged == whole)
+    // estimates: est >= exact always; heavy hitters stay sharp at
+    // w=64 over 32 distinct values (collision inflation is bounded by
+    // the residual mass, 80 here)
+    val sk = CountMin.sketchAgg(df.filter($"grp" === "a"), Nil, $"v",
+      d, w)
+    val est = Seq("v0", "v1", "t5").toDF("v")
+      .crossJoin(sk)
+      .select($"v", CountMin.estimate($"cms", $"v", d, w).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(est("v0") >= 100L && est("v0") <= 180L)
+    assert(est("v1") >= 50L && est("v1") <= 130L)
+    assert(est("t5") >= 1L)
+    // arrival-order-free: reversed input, identical sketch
+    val rev = CountMin.sketchAgg(df.orderBy($"v".desc), Seq("grp"),
+      $"v", d, w).as[(String, Seq[Long])].collect().toMap
+    assert(rev == whole)
+  }
+
   test("RangeJoin is exact past 2^53 (integral bucket division) and " +
        "guards reserved names and runaway replication") {
     // epoch-nanos-scale values: double division would mis-bucket these

@@ -298,6 +298,24 @@ class PlanSpec extends SparkSpec {
       || "ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1600))
   }
 
+  test("ts19: the count-min sketch is a bounded-state aggregation " +
+       "with a PARTIAL stage, the probe side broadcasts — no window, " +
+       "no cartesian, no per-group sort") {
+    val p = sparkPlan("ts19_cms_heavy")
+    assert(!p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the d×w counter array aggregates as ObjectHashAggregate with a
+    // map-side partial stage (shuffle volume d·w longs per group per
+    // partition, never per-distinct-token rows)
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1600))
+    // the 1-row merged sketch rides a broadcast to the candidates
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1600))
+    // exact top-20 candidates plan as TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+  }
+
   test("ann16/ann17: residual IVF-PQ probes are cell equi-joins + " +
        "broadcast lookups with an equi-join refine — no cartesian " +
        "anywhere in the two-stage path") {
