@@ -41,6 +41,21 @@ import graft.catalog.TableCatalog
   *                     directory count, and a point-lookup still reads
   *                     only its bucket's pk directory.
   *   `<index>_cent`    IVF only: (cell, pos, val) centroid components.
+  *   `<index>_dels`    id-level delete tombstones (round 15), one
+  *                     `dseg=` partition per [[deleteIds]] batch — a
+  *                     delete is O(batch) and idempotent under replay
+  *                     exactly like an append. Every probe serves the
+  *                     LIVE set (stored minus tombstoned — the
+  *                     takedown/right-to-erasure path a production
+  *                     corpus needs between rebuilds); with no
+  *                     tombstones the probe plans are byte-identical
+  *                     to the pre-delete ones (no anti-join is added).
+  *                     [[compactSegs]] physically purges tombstoned
+  *                     rows and drains this table; until then an
+  *                     append that re-uses a tombstoned id is REFUSED
+  *                     loudly (an id-level tombstone cannot tell the
+  *                     old row from the new one — serving would
+  *                     silently hide the re-insert).
   *   `<index>_segmeta` one (seg, rows) row per segment (round 14) —
   *                     the O(#segments) counts that make an append's
   *                     `indexed_n` update O(batch) instead of a
@@ -85,6 +100,7 @@ object AnnIndex {
 
   private def assignTableOf(indexTable: String) = indexTable + "_assign"
   private def segMetaTableOf(indexTable: String) = indexTable + "_segmeta"
+  private def delsTableOf(indexTable: String) = indexTable + "_dels"
 
   /** Build + persist the LSH bucket index: fits the plane count to the
     * corpus ([[Ann.autoPlanes]]) — or to `capacityRows`, the planned
@@ -234,7 +250,7 @@ object AnnIndex {
                        queries: DataFrame, idCol: String, vecCol: String,
                        k: Int): DataFrame = {
     val m = readMeta(catalog, indexTable, "sq8")
-    val d = catalog.read(assignTableOf(indexTable))
+    val d = liveAssign(catalog, indexTable)
       .select(col("id").as("vec_id"), col("q").as("vec_id_q"),
         col("qq").as("vec_id_qq"))
     Ann.sq8TopKFrom(d,
@@ -252,7 +268,7 @@ object AnnIndex {
                           queries: DataFrame, idCol: String,
                           vecCol: String, minCos: Double): DataFrame = {
     val m = readMeta(catalog, indexTable, "sq8")
-    val d = catalog.read(assignTableOf(indexTable))
+    val d = liveAssign(catalog, indexTable)
       .select(col("id").as("vec_id"), col("q").as("vec_id_q"),
         col("qq").as("vec_id_qq"))
     Ann.sq8Matches(d,
@@ -323,7 +339,7 @@ object AnnIndex {
     val m = readMeta(catalog, indexTable, "pq")
     requireFresh(m, indexTable, allowStale)
     val books = readBooks(catalog, indexTable)
-    val codes = catalog.read(assignTableOf(indexTable))
+    val codes = liveAssign(catalog, indexTable)
       .select(col("id") +:
         (0 until m.pqM).map(i => col(s"c$i")): _*)
     Ann.pqTopKFromCodes(codes, books, queries, idCol, vecCol, k, m.geom)
@@ -416,7 +432,7 @@ object AnnIndex {
     requireFresh(m, indexTable, allowStale)
     val cents = readCentroidsL2(catalog, indexTable)
     val books = readBooks(catalog, indexTable)
-    val codes = catalog.read(assignTableOf(indexTable))
+    val codes = liveAssign(catalog, indexTable)
       .select(col("id") +: col("cell").cast("int").as("cell") +:
         (0 until m.pqM).map(i => col(s"c$i")): _*)
     Ann.ivfPqRefineProbe(codes, cents, books,
@@ -496,14 +512,56 @@ object AnnIndex {
       compactSegs(catalog, indexTable)
   }
 
+  /** Delete vectors from a persisted index by id — the takedown path:
+    * the batch lands as one `dseg=` tombstone partition (O(batch),
+    * never a corpus rewrite) and every probe excludes tombstoned ids
+    * from that moment on. Works on every index kind (the tombstone is
+    * id-level, upstream of any geometry). Idempotent under replay:
+    * `segKey` (default: next numeric delete-segment) makes a replaying
+    * caller overwrite its own tombstone partition; deleting an id the
+    * index never held is a harmless no-op tombstone. Physical removal
+    * happens at the next [[compactSegs]], which also DRAINS the
+    * tombstones — until then, re-inserting a deleted id is refused
+    * loudly (see [[compactSegs]]'s purge note), so a delete can never
+    * silently hide a newer row.
+    *
+    * `indexed_n` (and the [[MaxDriftFactor]] drift check) keeps
+    * counting STORED rows until the purge — conservative: the fit
+    * covered the stored rows, and the live set only shrinks. */
+  def deleteIds(catalog: TableCatalog, ids: DataFrame, idCol: String,
+                indexTable: String,
+                segKey: Option[String] = None): Unit =
+    catalog.withTableLock(assignTableOf(indexTable)) {
+      require(catalog.tableExists(indexTable),
+        s"AnnIndex: no index meta at '$indexTable' — nothing to " +
+          "delete from")
+      val row = catalog.read(indexTable).collect()(0)
+      require(row.getString(row.fieldIndex("kind")) != "rebuilding",
+        s"AnnIndex: a rebuild of '$indexTable' crashed mid-write — " +
+          "re-run the build before deleting from it")
+      val delsTable = delsTableOf(indexTable)
+      val key = segKey.getOrElse {
+        (catalog.listPartitions(delsTable, "dseg")
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .foldLeft(0L)(math.max) + 1L).toString
+      }
+      catalog.writePartition(
+        ids.select(col(idCol).cast("long").as("id")).distinct()
+          .withColumn("dseg", lit(key)),
+        delsTable, "dseg", key)
+    }
+
   /** Merge every assignment segment back into a single `seg=0` — the
     * file-count hygiene step after many appends. Each append adds one
     * segment directory; probes read them all, and at high append
     * rates the DIRECTORY count (not the data) becomes the probe cost —
     * the same growth `CorpusStream.compactState` bounds for the
-    * streaming state. Pure re-layout: same rows, one segment; counts
-    * and meta unchanged; probes before and after are bit-identical
-    * (spec-pinned). Runs under the table lock.
+    * streaming state. Re-layout of the LIVE rows: one segment, with
+    * any [[deleteIds]] tombstones physically PURGED and then drained
+    * (round 15) — probes already excluded them at read time, so probe
+    * results before and after are bit-identical (spec-pinned), and
+    * after the purge a previously-deleted id is free for re-insert.
+    * Runs under the table lock.
     *
     * Crash contract: the input rows are materialized BEFORE any
     * delete, so no crash loses data — but a crash between the seg-0
@@ -511,8 +569,11 @@ object AnnIndex {
     * to probes until compaction is re-run. The re-run CONVERGES: the
     * read is full-row `distinct()` (identical rows per id — segments
     * are pure functions of vector × frozen fits), so leftovers
-    * collapse back to the exact set. Schedule it like any maintenance
-    * job: re-run on failure before serving. */
+    * collapse back to the exact set. Tombstones drain strictly LAST —
+    * a crash anywhere earlier leaves them standing, where their
+    * read-time anti-join is a harmless no-op against already-purged
+    * rows. Schedule it like any maintenance job: re-run on failure
+    * before serving. */
   def compactSegs(catalog: TableCatalog, indexTable: String): Unit =
     catalog.withTableLock(assignTableOf(indexTable)) {
       val assignTable = assignTableOf(indexTable)
@@ -522,13 +583,18 @@ object AnnIndex {
       val kind = row.getString(row.fieldIndex("kind"))
       val m = readMeta(catalog, indexTable, kind)
       val segs = catalog.listPartitions(assignTable, "seg")
-      if (segs.size > 1) {
+      val dels = deletedIds(catalog, indexTable)
+      if (segs.size > 1 || dels.nonEmpty) {
         val subField =
           if (kind == "ivf" || kind == "ivfpq") "cell" else "pk"
-        // materialize the full set before touching any directory; the
-        // distinct is what makes a crashed compaction re-runnable
-        val all = graft.core.Fence(
-          catalog.read(assignTable).drop("seg").distinct())
+        // materialize the full LIVE set before touching any directory;
+        // the distinct is what makes a crashed compaction re-runnable,
+        // and the anti-join is the physical purge of deleteIds
+        // tombstones (probes already excluded them at read time)
+        val stored = catalog.read(assignTable).drop("seg").distinct()
+        val all = graft.core.Fence(dels
+          .map(d => stored.join(d, Seq("id"), "left_anti"))
+          .getOrElse(stored))
         // count the materialized set rather than trusting the meta:
         // compaction is the natural self-heal point after any crashed
         // append (orphan segment not yet in the counts) or crashed
@@ -545,6 +611,14 @@ object AnnIndex {
         writeSegCounts(catalog, indexTable, Map("0" -> n))
         writeMeta(catalog, indexTable, m.kind, m.geometry, m.dim,
           m.pqM, m.pqK, m.fittedN, n)
+        // drain the tombstones LAST: their rows are already gone from
+        // seg 0, so a crash before this point leaves tombstones whose
+        // anti-join is a no-op (correct, just unpurged) and the re-run
+        // converges; after it, a previously-deleted id is free for
+        // re-insert
+        catalog.listPartitions(delsTableOf(indexTable), "dseg")
+          .foreach(catalog.deletePartition(delsTableOf(indexTable),
+            "dseg", _))
       }
     }
 
@@ -558,7 +632,7 @@ object AnnIndex {
     val m = readMeta(catalog, indexTable, "lsh")
     requireFresh(m, indexTable, allowStale)
     Ann.bucketNeighborsFrom(
-      graft.core.Fence(catalog.read(assignTableOf(indexTable))
+      graft.core.Fence(liveAssign(catalog, indexTable)
         .select(col("id"), col("v"), col("nrm"), col("bucket"))),
       Ann.NearDupHotCap, Ann.NearDupHotSalts, m.dim)
   }
@@ -577,7 +651,7 @@ object AnnIndex {
     val m = readMeta(catalog, indexTable, "ivf")
     requireFresh(m, indexTable, allowStale)
     val cents = readCentroids(catalog, indexTable)
-    val assigned = catalog.read(assignTableOf(indexTable))
+    val assigned = liveAssign(catalog, indexTable)
       .select(col("id"), col("v"), col("nrm"),
         col("cell").cast("int").as("cell"))
     Ann.ivfProbe(assigned, cents, queries, idCol, vecCol, k, nprobe,
@@ -585,6 +659,35 @@ object AnnIndex {
   }
 
   // ---- internals ------------------------------------------------------
+
+  /** The current tombstone set as a distinct-id frame — None when no
+    * delete has landed (the common case), so callers skip the
+    * anti-join entirely and pre-delete plans stay byte-identical. */
+  private def deletedIds(catalog: TableCatalog,
+                         indexTable: String): Option[DataFrame] = {
+    val delsTable = delsTableOf(indexTable)
+    // data-file check, not just directory presence: an empty delete
+    // batch leaves a marker-only partition no reader can infer a
+    // schema from (and nothing to anti-join anyway)
+    if (!catalog.tableExists(delsTable) ||
+        !catalog.listPartitions(delsTable, "dseg")
+          .exists(catalog.partitionHasDataFiles(delsTable, "dseg", _)))
+      None
+    else Some(catalog.read(delsTable).select(col("id")).distinct())
+  }
+
+  /** The assignment table a probe may serve: stored rows minus
+    * tombstoned ids ([[deleteIds]]). Every probe reads through this —
+    * deletion is honored at read time, physical removal waits for
+    * [[compactSegs]]. */
+  private def liveAssign(catalog: TableCatalog,
+                         indexTable: String): DataFrame = {
+    val assign = catalog.read(assignTableOf(indexTable))
+    deletedIds(catalog, indexTable) match {
+      case Some(d) => assign.join(d, Seq("id"), "left_anti")
+      case None    => assign
+    }
+  }
 
   private def assignLsh(data: DataFrame, idCol: String, vecCol: String,
                         planes: Int, dim: Int): DataFrame =
@@ -753,6 +856,19 @@ object AnnIndex {
       case (s, n) if s != key => n
     }.sum + incoming
     requireFresh(m.copy(indexedN = indexed), indexTable, allowStale)
+    // re-insert guard: an id-level tombstone (deleteIds) cannot tell a
+    // deleted row from a newer row under the same id — appending one
+    // would be silently hidden by every probe's anti-join. Refuse
+    // loudly and name the purge. Checked BEFORE any write (a refused
+    // append leaves nothing behind); one O(batch ⋈ tombstones)
+    // semi-join, and only when tombstones exist at all.
+    deletedIds(catalog, indexTable).foreach { dels =>
+      require(assigned.select(col("id"))
+          .join(dels, Seq("id"), "left_semi").limit(1).isEmpty,
+        s"AnnIndex: append into '$indexTable' contains ids that are " +
+          "currently delete-tombstoned — run AnnIndex.compactSegs to " +
+          "purge the tombstones before re-inserting a deleted id")
+    }
     // replay tombstone: drop the key's recorded count BEFORE rewriting
     // its segment, so a crash mid-overwrite leaves a segment that
     // readSegCounts RECOUNTS from disk (exact for whatever the crash

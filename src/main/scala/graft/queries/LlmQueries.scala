@@ -964,6 +964,35 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Deletion from a persisted index — the takedown path a live
+    // training-data store needs between rebuilds: every seventh
+    // vector is deleted in two O(batch) tombstone batches (no corpus
+    // rewrite), and the probe serves the LIVE set through the
+    // read-time tombstone anti-join — the oracle is the ann11
+    // arithmetic restricted to the surviving corpus. Physical purge +
+    // tombstone drain (compactSegs) is spec-pinned probe-identical,
+    // so the gate exercises the masked-read path that serves BETWEEN
+    // compactions.
+    "ann21_delete" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann21_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildSq8(cat, e, "vec_id", "embedding", "ann_del")
+      val doomed = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id"))
+      AnnIndex.deleteIds(cat,
+        doomed.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+        "ann_del")
+      AnnIndex.deleteIds(cat,
+        doomed.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+        "ann_del")
+      AnnIndex.sq8TopKFromIndex(cat, "ann_del",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Bulk neighbor join off the persisted residual index: EVERY
     // corpus vector is a query ("attach top-3 neighbors to each
     // document"), probed with broadcastQueries = false — the query
@@ -1538,6 +1567,42 @@ object LlmQueries {
             FROM refined)
         SELECT q_id, rank, vec_id, score FROM ranked
         WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  /** The ann11 SQ8 brute-force oracle, parameterized on an extra
+    * corpus-side predicate (`AND ...` against alias `d`) so the
+    * delete gate (ann21) replays the same arithmetic over the LIVE
+    * subset. Empty condition = the ann11/ann12/ann19 text. */
+  private def sq8TopKOracleSql(corpusCond: String = ""): String = {
+    def idot(a: String, b: String) =
+      s"list_aggregate(list_transform(list_zip($a, $b), " +
+        s"s -> s[1] * s[2]), 'sum')"
+    s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        mq AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS m FROM v),
+        qz AS (SELECT vec_id,
+          CASE WHEN m = 0
+            THEN list_transform(v, x -> CAST(0 AS BIGINT))
+            ELSE list_transform(v,
+              x -> CAST(FLOOR(x * 127.0 / m + 0.5) AS BIGINT)) END AS q
+          FROM mq),
+        qn AS (SELECT vec_id, q, ${idot("q", "q")} AS qq FROM qz),
+        qs AS (SELECT vec_id AS q_id, q AS qa, qq AS qqa
+          FROM qn WHERE vec_id < 5),
+        scored AS (SELECT qs.q_id, d.vec_id,
+            CASE WHEN d.qq = 0 OR qs.qqa = 0 THEN 0.0
+              ELSE CAST(${idot("qs.qa", "d.q")} AS DOUBLE)
+                / (sqrt(CAST(d.qq AS DOUBLE)) *
+                   sqrt(CAST(qs.qqa AS DOUBLE))) END AS qcos
+          FROM qs JOIN qn d ON d.vec_id <> qs.q_id$corpusCond),
+        ranked AS (SELECT q_id, vec_id, qcos,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY qcos DESC, vec_id ASC) AS INT) AS rank
+          FROM scored)
+      SELECT q_id, rank, vec_id, qcos FROM ranked
+      WHERE rank <= 10 ORDER BY q_id, rank"""
   }
 
   private val oracleBase: Map[String, String] = Map(
@@ -2123,37 +2188,7 @@ object LlmQueries {
     // codes), integer dots (DuckDB sums to HUGEINT — value-equal), one
     // sqrt+division on integer-valued doubles — every step
     // IEEE-deterministic, so ranks and scores gate bit-exact.
-    "ann11_sq8_topk" -> {
-      def idot(a: String, b: String) =
-        s"list_aggregate(list_transform(list_zip($a, $b), " +
-          s"s -> s[1] * s[2]), 'sum')"
-      s"""WITH v AS (SELECT vec_id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings),
-          mq AS (SELECT vec_id, v,
-            list_max(list_transform(v, x -> abs(x))) AS m FROM v),
-          qz AS (SELECT vec_id,
-            CASE WHEN m = 0
-              THEN list_transform(v, x -> CAST(0 AS BIGINT))
-              ELSE list_transform(v,
-                x -> CAST(FLOOR(x * 127.0 / m + 0.5) AS BIGINT)) END AS q
-            FROM mq),
-          qn AS (SELECT vec_id, q, ${idot("q", "q")} AS qq FROM qz),
-          qs AS (SELECT vec_id AS q_id, q AS qa, qq AS qqa
-            FROM qn WHERE vec_id < 5),
-          scored AS (SELECT qs.q_id, d.vec_id,
-              CASE WHEN d.qq = 0 OR qs.qqa = 0 THEN 0.0
-                ELSE CAST(${idot("qs.qa", "d.q")} AS DOUBLE)
-                  / (sqrt(CAST(d.qq AS DOUBLE)) *
-                     sqrt(CAST(qs.qqa AS DOUBLE))) END AS qcos
-            FROM qs JOIN qn d ON d.vec_id <> qs.q_id),
-          ranked AS (SELECT q_id, vec_id, qcos,
-            CAST(row_number() OVER (PARTITION BY q_id
-              ORDER BY qcos DESC, vec_id ASC) AS INT) AS rank
-            FROM scored)
-        SELECT q_id, rank, vec_id, qcos FROM ranked
-        WHERE rank <= 10 ORDER BY q_id, rank"""
-    },
+    "ann11_sq8_topk" -> sq8TopKOracleSql(),
     "ann01_cosine_topk" -> {
       val cos = Ann.cosineSql("q.v", "d.v")
       s"""WITH v AS (SELECT vec_id,
@@ -2547,6 +2582,9 @@ object LlmQueries {
     // same per-vector property under STREAMED appends (one idempotent
     // segment per micro-batch) — ann11's oracle again
     "ann19_stream_append" -> oracleBase("ann11_sq8_topk"),
+    // ann11's arithmetic over the corpus that SURVIVES the deletes —
+    // the tombstone anti-join must be exactly a corpus-side predicate
+    "ann21_delete" -> sq8TopKOracleSql(" AND d.vec_id % 7 <> 0"),
     // codebooks train on the full corpus; codes are pure functions of
     // vector × frozen books — ann13's oracle verbatim
     "ann14_pq_index" -> oracleBase("ann13_pq_adc"),

@@ -641,6 +641,103 @@ class AnnMultimodalSpec extends SparkSpec {
       "vec_id", "embedding", 5)) == before)
   }
 
+  test("ANN index deletion: tombstoned ids vanish from every probe " +
+       "(equal to an index of the live subset), compaction physically " +
+       "purges and drains, re-insert is refused until the purge and " +
+       "serves again after it") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 24).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("anndel_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"qcos").collect().toSeq
+    def probe(idx: String) = canon(AnnIndex.sq8TopKFromIndex(cat, idx,
+      vecs.filter($"vec_id" < 2), "vec_id", "embedding", 5))
+    def indexedN(idx: String): Long = {
+      val r = cat.read(idx).collect()(0)
+      r.getLong(r.fieldIndex("indexed_n"))
+    }
+    AnnIndex.buildSq8(cat, vecs, "vec_id", "embedding", "dx")
+    // the post-delete truth: an index that never held the doomed ids
+    val live = vecs.filter($"vec_id" % 5 =!= 0)
+    AnnIndex.buildSq8(cat, live, "vec_id", "embedding", "dref")
+    val want = probe("dref")
+    // two tombstone batches + an exact replay of the first (idempotent)
+    val doomed = vecs.filter($"vec_id" % 5 === 0).select($"vec_id")
+    AnnIndex.deleteIds(cat, doomed.filter($"vec_id" < 12), "vec_id",
+      "dx", segKey = Some("d1"))
+    AnnIndex.deleteIds(cat, doomed.filter($"vec_id" >= 12), "vec_id",
+      "dx")
+    AnnIndex.deleteIds(cat, doomed.filter($"vec_id" < 12), "vec_id",
+      "dx", segKey = Some("d1"))
+    assert(probe("dx") == want) // read-time masking, before any purge
+    assert(indexedN("dx") == 24) // stored rows until the purge
+    // re-inserting a tombstoned id is refused loudly, naming the purge
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.appendSq8(cat, vecs.filter($"vec_id" === 0L), "vec_id",
+        "embedding", "dx", segKey = Some("r1"))
+    }
+    assert(ex.getMessage.contains("compactSegs"), ex.getMessage)
+    // ...and the refused append left nothing behind
+    assert(probe("dx") == want)
+    assert(indexedN("dx") == 24)
+    // compaction = physical purge + tombstone drain; probes unchanged
+    AnnIndex.compactSegs(cat, "dx")
+    assert(cat.read("dx_assign").count() == live.count())
+    assert(cat.listPartitions("dx_dels", "dseg").isEmpty)
+    assert(probe("dx") == want)
+    assert(indexedN("dx") == live.count())
+    // after the purge the id is free again and serves like a fresh row
+    AnnIndex.appendSq8(cat, vecs.filter($"vec_id" === 0L), "vec_id",
+      "embedding", "dx", segKey = Some("r1"))
+    AnnIndex.buildSq8(cat, live.union(vecs.filter($"vec_id" === 0L)),
+      "vec_id", "embedding", "dref2")
+    assert(probe("dx") == probe("dref2"))
+    // deleting an id the index never held is a harmless no-op
+    // tombstone, drained by the next compaction
+    AnnIndex.deleteIds(cat, Seq(999L).toDF("vec_id"), "vec_id", "dx")
+    assert(probe("dx") == probe("dref2"))
+    AnnIndex.compactSegs(cat, "dx")
+    assert(cat.listPartitions("dx_dels", "dseg").isEmpty)
+    assert(probe("dx") == probe("dref2"))
+  }
+
+  test("residual IVF-PQ deletion: the two-stage refine probe serves " +
+       "the live set exactly (codes AND refine candidates)") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(37)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("anndel2_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    val q = vecs.filter($"vec_id" < 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"))
+        .collect().toSeq
+    // both indexes share the SAME fits (trainData = full corpus), so
+    // codes are pure per-vector functions and probe equality is exact
+    val live = vecs.filter($"vec_id" % 4 =!= 1)
+    AnnIndex.buildIvfPq(cat, vecs, "vec_id", "embedding", "pqd",
+      numCells = 4, trainData = Some(vecs))
+    AnnIndex.buildIvfPq(cat, live, "vec_id", "embedding", "pqref",
+      numCells = 4, trainData = Some(vecs))
+    AnnIndex.deleteIds(cat, vecs.filter($"vec_id" % 4 === 1)
+      .select($"vec_id"), "vec_id", "pqd")
+    val got = canon(AnnIndex.ivfPqRefineTopKFromIndex(cat, "pqd",
+      vecs, q, "vec_id", "embedding", 5, nprobe = 2, refine = 8))
+    val want = canon(AnnIndex.ivfPqRefineTopKFromIndex(cat, "pqref",
+      live, q, "vec_id", "embedding", 5, nprobe = 2, refine = 8))
+    assert(got == want)
+    assert(!got.exists(_.getLong(2) % 4 == 1)) // no tombstoned id
+  }
+
   test("ANN index lifecycle: build-half + append-half equals the full " +
        "build bit for bit, a replayed append is idempotent, and " +
        "staleness past the drift bound fails loudly") {
