@@ -512,6 +512,39 @@ object AnnIndex {
       compactSegs(catalog, indexTable)
   }
 
+  /** [[ingestBatch]] for a change-data feed: each micro-batch carries
+    * `opCol` = "add" | "delete" rows, and the sink applies the deletes
+    * (as one [[deleteIds]] tombstone batch) then the adds (through the
+    * kind-generic append) — the one foreachBatch body a live embedding
+    * store points at when its upstream emits removals (takedowns,
+    * expirations) alongside inserts. Both halves land under
+    * segKey/dseg `b<batchId>`, so a replayed micro-batch overwrites
+    * its own tombstone partition AND its own segment — idempotent end
+    * to end (a replay after a compaction drained the tombstones
+    * re-creates no-op tombstones against already-purged rows; the next
+    * compaction drains them again). The replay contract is the
+    * streaming engine's: only the MOST RECENT uncommitted batch ever
+    * replays, and that replay converges; an out-of-band re-run of an
+    * OLDER batch is out of contract once a later batch deleted any of
+    * its adds and a compaction purged them — the re-run would re-add
+    * rows whose tombstones are gone. Deletes apply FIRST: a batch that
+    * deletes and re-adds the same id is ambiguous under id-level
+    * tombstones, and the append's re-insert guard refuses it loudly
+    * (delete now, re-insert after the next [[compactSegs]]). The
+    * `compactEvery` cadence rides on the add half. */
+  def ingestCdcBatch(catalog: TableCatalog, df: DataFrame,
+                     idCol: String, vecCol: String, opCol: String,
+                     indexTable: String, batchId: Long,
+                     compactEvery: Int = 0,
+                     allowStale: Boolean = false): Unit = {
+    require(df.filter(!col(opCol).isin("add", "delete")).isEmpty,
+      s"AnnIndex: '$opCol' must be 'add' or 'delete' in every row")
+    deleteIds(catalog, df.filter(col(opCol) === "delete"), idCol,
+      indexTable, Some(s"b$batchId"))
+    ingestBatch(catalog, df.filter(col(opCol) === "add"), idCol,
+      vecCol, indexTable, batchId, compactEvery, allowStale)
+  }
+
   /** Delete vectors from a persisted index by id — the takedown path:
     * the batch lands as one `dseg=` tombstone partition (O(batch),
     * never a corpus rewrite) and every probe excludes tombstoned ids

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
@@ -989,6 +989,60 @@ object LlmQueries {
         doomed.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
         "ann_del")
       AnnIndex.sq8TopKFromIndex(cat, "ann_del",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Change-data streaming into a persisted index: the live feed
+    // carries REMOVALS alongside inserts (takedowns arriving while new
+    // embeddings land — the real upstream of a serving store), and one
+    // foreachBatch sink (AnnIndex.ingestCdcBatch) applies each
+    // micro-batch's deletes as a tombstone batch and its adds through
+    // the kind-generic append, both keyed b<batchId> so a replayed
+    // batch is idempotent end to end. Seed = the vec_id%4==0 quarter;
+    // batches add the %4==1/2/3 slices while batches 2 and 3 delete
+    // modular slices of ALREADY-INGESTED ids; the final probe serves
+    // exactly the surviving corpus — the ann11 oracle restricted to
+    // the live predicate.
+    "ann22_stream_cdc" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann22_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildSq8(cat, e.filter(pmod(col("vec_id"), lit(4)) === 0),
+        "vec_id", "embedding", "ann_c")
+      def adds(m: Int): Seq[(String, Long, Array[Float])] =
+        e.filter(pmod(col("vec_id"), lit(4)) === m)
+          .select(col("vec_id"), col("embedding")).orderBy(col("vec_id"))
+          .as[(Long, Array[Float])].collect().toSeq
+          .map { case (id, v) => ("add", id, v) }
+      def dels(cond: Column): Seq[(String, Long, Array[Float])] =
+        e.filter(cond).select(col("vec_id")).orderBy(col("vec_id"))
+          .as[Long].collect().toSeq
+          .map(id => ("delete", id, Array.empty[Float]))
+      val del2 = dels(pmod(col("vec_id"), lit(4)).isin(0, 1) &&
+        pmod(col("vec_id"), lit(5)) === 2)
+      val del3 = dels(pmod(col("vec_id"), lit(4)) === 2 &&
+        pmod(col("vec_id"), lit(5)) === 3)
+      val mem = MemoryStream[(String, Long, Array[Float])]
+      val q = mem.toDF().toDF("op", "vec_id", "embedding")
+        .writeStream
+        .option("checkpointLocation", wh + "/_ckpt")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          AnnIndex.ingestCdcBatch(cat, df, "vec_id", "embedding", "op",
+            "ann_c", batchId, compactEvery = 2)
+        }.start()
+      try {
+        Seq(adds(1), adds(2) ++ del2, adds(3) ++ del3).foreach { chunk =>
+          mem.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      AnnIndex.sq8TopKFromIndex(cat, "ann_c",
           e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .orderBy(col("q_id"), col("rank"))
     }),
@@ -2585,6 +2639,11 @@ object LlmQueries {
     // ann11's arithmetic over the corpus that SURVIVES the deletes —
     // the tombstone anti-join must be exactly a corpus-side predicate
     "ann21_delete" -> sq8TopKOracleSql(" AND d.vec_id % 7 <> 0"),
+    // the corpus that survives the CDC feed: everything ingested minus
+    // the two modular delete slices batches 2 and 3 carried
+    "ann22_stream_cdc" -> sq8TopKOracleSql(
+      " AND NOT ((d.vec_id % 4 IN (0, 1) AND d.vec_id % 5 = 2) OR " +
+        "(d.vec_id % 4 = 2 AND d.vec_id % 5 = 3))"),
     // codebooks train on the full corpus; codes are pure functions of
     // vector × frozen books — ann13's oracle verbatim
     "ann14_pq_index" -> oracleBase("ann13_pq_adc"),

@@ -831,6 +831,75 @@ class StreamingSpec extends SparkSpec {
       "embedding", 5)) == p0)
   }
 
+  test("CDC ingestion: adds and deletes in one feed serve exactly the " +
+       "surviving corpus, a latest-batch replay converges even after " +
+       "its compaction, and ambiguous or malformed batches fail loudly") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(61)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"qcos").collect().toSeq
+    val wh = java.nio.file.Files.createTempDirectory("ann_cdc_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    AnnIndex.buildSq8(cat, vecs.filter($"vec_id" < 10), "vec_id",
+      "embedding", "cdc")
+    def cdc(adds: org.apache.spark.sql.DataFrame, delIds: Seq[Long]) =
+      adds.select(lit("add").as("op"), $"vec_id", $"embedding")
+        .union(delIds.toDF("vec_id")
+          .select(lit("delete").as("op"), $"vec_id",
+            typedLit(Array.empty[Float]).as("embedding")))
+    // batch 0: add 10-19; batch 1: add 20-29, delete {3, 12};
+    // batch 2: add 30-39, delete {25}
+    AnnIndex.ingestCdcBatch(cat,
+      cdc(vecs.filter($"vec_id" >= 10 && $"vec_id" < 20), Nil),
+      "vec_id", "embedding", "op", "cdc", 0L, compactEvery = 2)
+    AnnIndex.ingestCdcBatch(cat,
+      cdc(vecs.filter($"vec_id" >= 20 && $"vec_id" < 30), Seq(3L, 12L)),
+      "vec_id", "embedding", "op", "cdc", 1L, compactEvery = 2)
+    AnnIndex.ingestCdcBatch(cat,
+      cdc(vecs.filter($"vec_id" >= 30), Seq(25L)),
+      "vec_id", "embedding", "op", "cdc", 2L, compactEvery = 2)
+    // truth: an index that never held the deleted ids
+    val live = vecs.filter(!$"vec_id".isin(3L, 12L, 25L))
+    AnnIndex.buildSq8(cat, live, "vec_id", "embedding", "cdcref")
+    val want = canon(AnnIndex.sq8TopKFromIndex(cat, "cdcref", q,
+      "vec_id", "embedding", 5))
+    assert(canon(AnnIndex.sq8TopKFromIndex(cat, "cdc", q, "vec_id",
+      "embedding", 5)) == want)
+    // latest-batch replay: force the cadence to fold batch 2 and
+    // drain its tombstone first, then replay it — re-created
+    // tombstones are no-ops against purged rows, duplicate adds
+    // collapse in the in-loop compaction; converged at the end
+    AnnIndex.compactSegs(cat, "cdc")
+    assert(cat.listPartitions("cdc_dels", "dseg").isEmpty)
+    AnnIndex.ingestCdcBatch(cat,
+      cdc(vecs.filter($"vec_id" >= 30), Seq(25L)),
+      "vec_id", "embedding", "op", "cdc", 2L, compactEvery = 1)
+    assert(canon(AnnIndex.sq8TopKFromIndex(cat, "cdc", q, "vec_id",
+      "embedding", 5)) == want)
+    // a batch that deletes and re-adds the same id is ambiguous under
+    // id-level tombstones: the add half's re-insert guard refuses it
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.ingestCdcBatch(cat,
+        cdc(vecs.filter($"vec_id" === 30L), Seq(30L)),
+        "vec_id", "embedding", "op", "cdc", 3L)
+    }
+    assert(ex.getMessage.contains("compactSegs"), ex.getMessage)
+    // malformed op values fail loudly before anything lands
+    val ex2 = intercept[IllegalArgumentException] {
+      AnnIndex.ingestCdcBatch(cat,
+        vecs.filter($"vec_id" === 31L)
+          .select(lit("upsert").as("op"), $"vec_id", $"embedding"),
+        "vec_id", "embedding", "op", "cdc", 4L)
+    }
+    assert(ex2.getMessage.contains("'add' or 'delete'"), ex2.getMessage)
+  }
+
   test("kind-generic ingestion: the residual IVF-PQ index streams " +
        "through the same sink (frozen fits, bounded directories) and " +
        "probes equal the bulk-built index") {
