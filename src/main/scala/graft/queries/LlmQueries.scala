@@ -565,6 +565,46 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Takedown over the streamed corpus: after the dp03 run commits,
+    // an operator removes a modular slice of doc ids
+    // (CorpusStream.removeDocs) — the content-removal path (GDPR
+    // takedowns, licensing pulls) a served corpus needs between
+    // rebuilds. The rewrite locates affected partitions through the
+    // pk-pruned emit index (epochEvery=1 forces the removals to cross
+    // EPOCH tables) and rewrites only those; state deliberately
+    // remains, so the removed docs keep suppressing their
+    // near-duplicates — the oracle is the dp01 chain minus the removed
+    // slice, NOT a re-deduped corpus.
+    "dp07_takedown" -> ((s, dir) => {
+      import graft.streaming.CorpusStream
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val b = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")),
+        org.apache.spark.sql.functions.max(col("doc_id"))).head()
+      val lo = b.getLong(0); val hi = b.getLong(1)
+      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dp07_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      Seq(docs.filter(col("doc_id") <= cut1),
+          docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+          docs.filter(col("doc_id") > cut2))
+        .zipWithIndex.foreach { case (batch, i) =>
+          CorpusStream.processBatch(batch, cat, "dp07_seen", "dp07_out",
+            i.toLong, compactEvery = 2, epochEvery = 1)
+        }
+      // the takedown set spans emitted docs, dropped duplicates
+      // (no-ops), and both epoch generations; run it twice — the
+      // second pass must be a no-op (idempotent)
+      val doomed = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .select(col("doc_id"))
+      CorpusStream.removeDocs(cat, "dp07_seen", "dp07_out", doomed)
+      CorpusStream.removeDocs(cat, "dp07_seen", "dp07_out", doomed)
+      CorpusStream.readOutput(cat, "dp07_out")
+        .select(col("doc_id"), col("lang"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // dp03 with the OUTPUT-EPOCH ROLL forced on at its most aggressive
     // setting (epochEvery = 1: every batch rolls to a fresh epoch
     // table), under the same dp01 oracle — the long-lived-stream
@@ -1458,15 +1498,20 @@ object LlmQueries {
             ELSE '${cp.SampleBucketOther}' END)"""
   }
 
-  private val dp01OracleSql: String = {
+  /** The dp01 chain's survivor set, with an optional extra exclusion
+    * (`AND ...`) — the dp07 takedown gate removes a modular id slice
+    * from the emitted corpus and replays the chain minus that slice. */
+  private def dp01OracleWhere(extraCond: String): String = {
     val toks = "string_split(text, ' ')"
     s"""WITH RECURSIVE $dp01ChainCtes
         SELECT doc_id, lang,
           CAST(len($toks) AS INT) AS n_toks
         FROM deduped
-        WHERE $dp01SurvivorPredicate
+        WHERE $dp01SurvivorPredicate$extraCond
         ORDER BY doc_id"""
   }
+
+  private val dp01OracleSql: String = dp01OracleWhere("")
 
   /** Oracle builder for the residual IVF-PQ + refine family:
     * `queryWhere` restricts the query set (over `un.vec_id`), `k` the
@@ -1880,6 +1925,9 @@ object LlmQueries {
     // global keep-smallest-id semantics (the StreamingSpec equality),
     // so the same recursive-CTE oracle gates the streaming path
     "dp03_incremental_corpus" -> dp01OracleSql,
+    // the dp01 survivor set minus the takedown slice — removeDocs
+    // rewrites output only; suppressed near-dupes stay suppressed
+    "dp07_takedown" -> dp01OracleWhere(" AND NOT (doc_id % 10 = 3)"),
     // dp04 = dp03 with every batch rolling to a fresh output epoch;
     // the roll is pure storage layout, so the oracle is unchanged
     "dp04_epoch_roll" -> dp01OracleSql,

@@ -1089,29 +1089,7 @@ object CorpusStream {
         mr.filter(col("__m") =!= col("__node"))
           .select(col("__node").as("__r")))
       release += retr
-      val affected = affectedOutputPartitions(catalog, stateTable,
-        outTable, batchKey, retr)
-      affected.foreach { case (tbl, keys) =>
-        catalog.withTableLock(tbl) {
-          // materialize before the self-overwrite: the rewritten rows
-          // must not be read lazily from the files being replaced
-          val keepRows = catalog.readPaths(tbl,
-              keys.map(catalog.partitionPath(tbl, "batch_id", _)))
-            .join(retr, col("doc_id") === col("__r"), "left_anti")
-            .localCheckpoint(true)
-          // dynamic overwrite replaces only partitions PRESENT in the
-          // frame — a partition whose every row was retracted would
-          // survive untouched, so the now-empty ones delete explicitly
-          val surviving = keepRows
-            .select(col("batch_id").cast("string")).distinct()
-            .collect().map(_.getString(0)).toSet
-          if (surviving.nonEmpty)
-            catalog.overwritePartitionsDynamic(keepRows, tbl,
-              "batch_id")
-          (keys.toSet -- surviving).foreach(
-            catalog.deletePartition(tbl, "batch_id", _))
-        }
-      }
+      retractFromOutput(catalog, stateTable, outTable, batchKey, retr)
     }
     // 6. every new doc's sketch (kept or cluster-dropped) joins the
     //    state — dropped docs still bridge future arrivals. Two tables:
@@ -1255,6 +1233,64 @@ object CorpusStream {
       outRows.withColumn("batch_id", lit(batchKey)),
       epochTableName(outTable, outEpoch), "batch_id", batchKey)
     } finally release.foreach(_.unpersist(false))
+  }
+
+  /** Remove `retr`'s ids (column `__r`) from every output partition
+    * holding them — the locked, one-dynamic-overwrite-job-per-table
+    * rewrite both the merge-retraction path and [[removeDocs]] drive. */
+  private def retractFromOutput(catalog: TableCatalog,
+      stateTable: String, outTable: String, batchKey: String,
+      retr: DataFrame): Unit = {
+    val affected = affectedOutputPartitions(catalog, stateTable,
+      outTable, batchKey, retr)
+    affected.foreach { case (tbl, keys) =>
+      catalog.withTableLock(tbl) {
+        // materialize before the self-overwrite: the rewritten rows
+        // must not be read lazily from the files being replaced
+        val keepRows = catalog.readPaths(tbl,
+            keys.map(catalog.partitionPath(tbl, "batch_id", _)))
+          .join(retr, col("doc_id") === col("__r"), "left_anti")
+          .localCheckpoint(true)
+        // dynamic overwrite replaces only partitions PRESENT in the
+        // frame — a partition whose every row was retracted would
+        // survive untouched, so the now-empty ones delete explicitly
+        val surviving = keepRows
+          .select(col("batch_id").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSet
+        if (surviving.nonEmpty)
+          catalog.overwritePartitionsDynamic(keepRows, tbl,
+            "batch_id")
+        (keys.toSet -- surviving).foreach(
+          catalog.deletePartition(tbl, "batch_id", _))
+      }
+    }
+  }
+
+  /** Operator-facing takedown for the streamed corpus: every given doc
+    * id leaves the emitted output — base table and epoch tables alike,
+    * located through the pk-pruned emit index and rewritten in the
+    * same locked dynamic-overwrite jobs the merge-retraction path
+    * uses, so the cost scales with the AFFECTED partitions, never the
+    * corpus. Content removal, not history rewrite: the doc's state
+    * rows (sketch, bands, fingerprint, label) deliberately REMAIN — it
+    * keeps suppressing its near-duplicates, and a re-ingested copy of
+    * the removed content still dies against the state instead of
+    * resurrecting. (Re-admitting suppressed near-dupes would silently
+    * change the corpus a consumer already trained on; if the cluster
+    * itself must be reconsidered, re-run the batch pipeline over the
+    * retained sources.) Idempotent — a second run, or an id that was
+    * never emitted (a dropped duplicate, an unknown id), is a no-op. */
+  def removeDocs(catalog: TableCatalog, stateTable: String,
+                 outTable: String, ids: DataFrame,
+                 idCol: String = "doc_id"): Unit = {
+    val retr = graft.core.Fence.soft(
+      ids.select(col(idCol).cast("long").as("__r")).distinct())
+    // the sentinel matches no real batch key, so every committed
+    // partition is in scope (processBatch passes its own in-flight key
+    // to keep the uncommitted batch out of the rewrite)
+    try retractFromOutput(catalog, stateTable, outTable,
+      "__takedown__", retr)
+    finally retr.unpersist(false)
   }
 
   /** Output partitions holding at least one retracted doc, grouped by

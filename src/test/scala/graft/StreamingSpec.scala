@@ -701,6 +701,44 @@ class StreamingSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("removeDocs takedown: removed ids leave the output (epoch " +
+       "tables included), suppressed near-dupes stay suppressed, " +
+       "re-ingested removed content stays out, unknown ids are no-ops") {
+    import graft.streaming.CorpusStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    val wh = java.nio.file.Files.createTempDirectory("corpus_td_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    Seq(docs.filter($"doc_id" < 250), docs.filter($"doc_id" >= 250))
+      .zipWithIndex.foreach { case (b, i) =>
+        CorpusStream.processBatch(b, cat, "td_seen", "td_out",
+          i.toLong, epochEvery = 1)
+      }
+    def out = CorpusStream.readOutput(cat, "td_out")
+      .select($"doc_id").as[Long].collect().toSet
+    val before = out
+    // remove two emitted docs (one per epoch generation) + an id the
+    // corpus never held
+    val doomed = (before.min :: before.max :: 999999L :: Nil)
+    CorpusStream.removeDocs(cat, "td_seen", "td_out",
+      doomed.toDF("doc_id"))
+    val after = out
+    assert(after == before - before.min - before.max)
+    // suppressed docs did NOT reappear: output only shrank
+    assert(after.subsetOf(before))
+    // the removed docs' state remains, so re-ingesting the same
+    // content dies against the seen state instead of resurrecting
+    CorpusStream.processBatch(
+      docs.filter($"doc_id".isin(before.min, before.max)), cat,
+      "td_seen", "td_out", 2L, epochEvery = 1)
+    assert(out == after)
+    // idempotent: a second takedown run changes nothing
+    CorpusStream.removeDocs(cat, "td_seen", "td_out",
+      doomed.toDF("doc_id"))
+    assert(out == after)
+  }
+
   test("incremental corpus pipeline: state compaction every K batches " +
        "yields identical output and identical seen-state, with the " +
        "directory count bounded") {
