@@ -245,12 +245,24 @@ object AnnIndex {
     * + precomputed self-dots (no float vectors touched, no
     * re-quantization); only the small query side quantizes per call.
     * Bit-identical to the fit-inline form (integer dots are
-    * arrival-order-free), gated by ann12 against the ann11 oracle. */
+    * arrival-order-free), gated by ann12 against the ann11 oracle.
+    *
+    * `allowedIds` = FILTERED search (round 15): the top-k is taken
+    * among the given ids only — metadata predicates ("English docs
+    * only", "this source bucket") live in tables BESIDE the index, so
+    * the filter arrives as an id frame and semi-joins the code scan
+    * BEFORE any scoring. A pre-filter always fills k from the allowed
+    * subset (a post-filter of an unfiltered top-k under-returns —
+    * the classic filtered-ANN mistake); the semi-join is an equi-join
+    * the planner broadcasts when the allowed set is small. */
   def sq8TopKFromIndex(catalog: TableCatalog, indexTable: String,
                        queries: DataFrame, idCol: String, vecCol: String,
-                       k: Int): DataFrame = {
+                       k: Int,
+                       allowedIds: Option[DataFrame] = None,
+                       allowedIdCol: String = "id"): DataFrame = {
     val m = readMeta(catalog, indexTable, "sq8")
-    val d = liveAssign(catalog, indexTable)
+    val d = restrictTo(liveAssign(catalog, indexTable),
+        allowedIds, allowedIdCol)
       .select(col("id").as("vec_id"), col("q").as("vec_id_q"),
         col("qq").as("vec_id_qq"))
     Ann.sq8TopKFrom(d,
@@ -426,13 +438,20 @@ object AnnIndex {
                                idCol: String, vecCol: String, k: Int,
                                nprobe: Int = 2, refine: Int = 4096,
                                allowStale: Boolean = false,
-                               broadcastQueries: Boolean = true)
+                               broadcastQueries: Boolean = true,
+                               allowedIds: Option[DataFrame] = None,
+                               allowedIdCol: String = "id")
       : DataFrame = {
     val m = readMeta(catalog, indexTable, "ivfpq")
     requireFresh(m, indexTable, allowStale)
     val cents = readCentroidsL2(catalog, indexTable)
     val books = readBooks(catalog, indexTable)
-    val codes = liveAssign(catalog, indexTable)
+    // `allowedIds` = filtered search (the [[sq8TopKFromIndex]]
+    // contract): the semi-join lands BEFORE the ADC scoring AND before
+    // the code-rank cut, so both the candidate ranks and the refine
+    // budget are spent inside the allowed subset only
+    val codes = restrictTo(liveAssign(catalog, indexTable),
+        allowedIds, allowedIdCol)
       .select(col("id") +: col("cell").cast("int").as("cell") +:
         (0 until m.pqM).map(i => col(s"c$i")): _*)
     Ann.ivfPqRefineProbe(codes, cents, books,
@@ -708,6 +727,18 @@ object AnnIndex {
       None
     else Some(catalog.read(delsTable).select(col("id")).distinct())
   }
+
+  /** Pre-filter for FILTERED search: semi-join the code/assignment
+    * scan down to the caller's allowed ids before any scoring. None =
+    * unrestricted, no join added. */
+  private def restrictTo(assign: DataFrame, allowedIds: Option[DataFrame],
+                         allowedIdCol: String): DataFrame =
+    allowedIds match {
+      case Some(a) => assign.join(
+        a.select(col(allowedIdCol).cast("long").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      case None => assign
+    }
 
   /** The assignment table a probe may serve: stored rows minus
     * tombstoned ids ([[deleteIds]]). Every probe reads through this —

@@ -1087,6 +1087,29 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Filtered search off the persisted index — "top-k among the
+    // vectors matching a metadata predicate" (here: label = 0, the
+    // table's cluster tag; in production: language, source, license).
+    // The allowed-id set PRE-filters the code scan by semi-join, so
+    // every returned rank is from the allowed subset and k always
+    // fills from it — a post-filtered unfiltered top-k would
+    // under-return, the classic filtered-ANN mistake. The oracle is
+    // the ann11 arithmetic with the same predicate on the corpus side.
+    "ann23_filtered_topk" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann23_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildSq8(cat, e, "vec_id", "embedding", "ann_f")
+      AnnIndex.sq8TopKFromIndex(cat, "ann_f",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          allowedIds = Some(e.filter(col("label") === 0)
+            .select(col("vec_id"))),
+          allowedIdCol = "vec_id")
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Bulk neighbor join off the persisted residual index: EVERY
     // corpus vector is a query ("attach top-3 neighbors to each
     // document"), probed with broadcastQueries = false — the query
@@ -2692,6 +2715,10 @@ object LlmQueries {
     "ann22_stream_cdc" -> sq8TopKOracleSql(
       " AND NOT ((d.vec_id % 4 IN (0, 1) AND d.vec_id % 5 = 2) OR " +
         "(d.vec_id % 4 = 2 AND d.vec_id % 5 = 3))"),
+    // filtered search: the same arithmetic, corpus restricted to the
+    // metadata predicate's ids
+    "ann23_filtered_topk" -> sq8TopKOracleSql(
+      " AND d.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 0)"),
     // codebooks train on the full corpus; codes are pure functions of
     // vector × frozen books — ann13's oracle verbatim
     "ann14_pq_index" -> oracleBase("ann13_pq_adc"),

@@ -738,6 +738,65 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(!got.exists(_.getLong(2) % 4 == 1)) // no tombstoned id
   }
 
+  test("filtered search: top-k fills from the allowed subset exactly " +
+       "(equals an index holding only those ids), composes with " +
+       "deletion, and adds no join when unrestricted") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(43)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("annfil_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    val q = vecs.filter($"vec_id" < 2)
+    val even = vecs.filter($"vec_id" % 2 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"qcos").collect().toSeq
+    AnnIndex.buildSq8(cat, vecs, "vec_id", "embedding", "fx")
+    AnnIndex.buildSq8(cat, even, "vec_id", "embedding", "fref")
+    val filtered = AnnIndex.sq8TopKFromIndex(cat, "fx", q, "vec_id",
+      "embedding", 5, allowedIds = Some(even.select($"vec_id")),
+      allowedIdCol = "vec_id")
+    // pre-filter semantics: identical to an index that only ever held
+    // the allowed ids — k FILLS from the subset, ranks contiguous
+    assert(canon(filtered) == canon(AnnIndex.sq8TopKFromIndex(cat,
+      "fref", q, "vec_id", "embedding", 5)))
+    assert(filtered.filter($"vec_id" % 2 =!= 0).isEmpty)
+    // plan contract: unrestricted probes carry NO semi-join; the
+    // filtered probe's restriction is an equi semi-join, no cartesian
+    val p0 = AnnIndex.sq8TopKFromIndex(cat, "fx", q, "vec_id",
+      "embedding", 5).queryExecution.executedPlan.toString
+    val p1 = filtered.queryExecution.executedPlan.toString
+    assert(!p0.contains("LeftSemi"), p0.take(800))
+    assert(p1.contains("LeftSemi"), p1.take(800))
+    assert(!p1.contains("CartesianProduct"), p1.take(800))
+    // composes with deletion: a deleted id leaves the filtered top-k
+    // too (tombstone anti-join AND allowed semi-join both apply)
+    val victim = canon(filtered).head.getLong(2)
+    AnnIndex.deleteIds(cat, Seq(victim).toDF("vec_id"), "vec_id", "fx")
+    assert(AnnIndex.sq8TopKFromIndex(cat, "fx", q, "vec_id",
+        "embedding", 5, allowedIds = Some(even.select($"vec_id")),
+        allowedIdCol = "vec_id")
+      .filter($"vec_id" === victim).isEmpty)
+    // the residual IVF-PQ refine path: same contract under shared fits
+    AnnIndex.buildIvfPq(cat, vecs, "vec_id", "embedding", "fpq",
+      numCells = 4, trainData = Some(vecs))
+    AnnIndex.buildIvfPq(cat, even, "vec_id", "embedding", "fpqref",
+      numCells = 4, trainData = Some(vecs))
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"))
+        .collect().toSeq
+    assert(canon2(AnnIndex.ivfPqRefineTopKFromIndex(cat, "fpq", vecs,
+        q, "vec_id", "embedding", 5, nprobe = 2, refine = 8,
+        allowedIds = Some(even.select($"vec_id")),
+        allowedIdCol = "vec_id")) ==
+      canon2(AnnIndex.ivfPqRefineTopKFromIndex(cat, "fpqref", even,
+        q, "vec_id", "embedding", 5, nprobe = 2, refine = 8)))
+  }
+
   test("ANN index lifecycle: build-half + append-half equals the full " +
        "build bit for bit, a replayed append is idempotent, and " +
        "staleness past the drift bound fails loudly") {
