@@ -133,6 +133,27 @@ object ProbeAnnIndex {
           segKey = Some(s"probe$i")); 16L
       }
     }
+    // r15: the deletion serving tax — probes with ~1/7 of the corpus
+    // tombstoned pay one read-time anti-join; compaction purges and
+    // the probe returns to its no-tombstone cost.
+    println(s"=== SQ8 probes under deletion (1/7 tombstoned), $reps reps ===")
+    timed("delete    ") {
+      AnnIndex.deleteIds(cat, e.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id")), "vec_id", "sq8"); 0L
+    }
+    (1 to reps).foreach { _ =>
+      timed("masked    ") {
+        AnnIndex.sq8TopKFromIndex(cat, "sq8", q, "vec_id", "embedding",
+          10).count()
+      }
+    }
+    timed("compact   ") { AnnIndex.compactSegs(cat, "sq8"); 0L }
+    (1 to reps).foreach { _ =>
+      timed("purged    ") {
+        AnnIndex.sq8TopKFromIndex(cat, "sq8", q, "vec_id", "embedding",
+          10).count()
+      }
+    }
     spark.stop()
   }
 }
