@@ -598,7 +598,7 @@ object AnnIndex {
           .foldLeft(0L)(math.max) + 1L).toString
       }
       catalog.writePartition(
-        ids.select(col(idCol).cast("long").as("id")).distinct()
+        ids.select(checkedId(idCol, "delete").as("id")).distinct()
           .withColumn("dseg", lit(key)),
         delsTable, "dseg", key)
     }
@@ -728,6 +728,21 @@ object AnnIndex {
     else Some(catalog.read(delsTable).select(col("id")).distinct())
   }
 
+  /** The caller's id column as the index's long id — raising per row,
+    * with the domain story, on a value that does not cast (under
+    * non-ANSI sessions a plain cast nulls silently, and a null would
+    * anti-join or semi-join NOTHING: a delete that doesn't delete, a
+    * filter that filters everything, with no error either way;
+    * try_cast keeps the check mode-independent). */
+  private def checkedId(idCol: String, what: String): org.apache.spark.sql.Column = {
+    val tryLong = expr(s"try_cast(`$idCol` as bigint)")
+    when(col(idCol).isNotNull && tryLong.isNull,
+      raise_error(concat(lit(s"AnnIndex: $what id '"),
+        col(idCol).cast("string"),
+        lit("' is not a long — it would silently match nothing"))))
+      .otherwise(tryLong)
+  }
+
   /** Pre-filter for FILTERED search: semi-join the code/assignment
     * scan down to the caller's allowed ids before any scoring. None =
     * unrestricted, no join added. */
@@ -735,7 +750,7 @@ object AnnIndex {
                          allowedIdCol: String): DataFrame =
     allowedIds match {
       case Some(a) => assign.join(
-        a.select(col(allowedIdCol).cast("long").as("id")).distinct(),
+        a.select(checkedId(allowedIdCol, "allowed").as("id")).distinct(),
         Seq("id"), "left_semi")
       case None => assign
     }

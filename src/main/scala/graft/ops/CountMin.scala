@@ -83,18 +83,33 @@ object CountMin {
 
   /** Exact sketch union: counters are sums, so elementwise addition of
     * two sketches IS the sketch of the concatenated inputs — the
-    * lossless merge that lets slices sketch independently. */
+    * lossless merge that lets slices sketch independently. Sketches of
+    * DIFFERENT geometry (d or w) cannot merge — and `zip_with` would
+    * silently null-pad the shorter one into corrupt counters — so a
+    * length mismatch raises per row instead. */
   def mergeSketches(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => x + y)
+    when(size(a) =!= size(b),
+      raise_error(concat(lit("CountMin.mergeSketches: sketch "),
+        lit("geometries differ ("), size(a).cast("string"), lit(" vs "),
+        size(b).cast("string"),
+        lit(" counters) — sketches only merge under one (d, w)"))))
+      .otherwise(zip_with(a, b, (x, y) => x + y))
 
   /** Point estimate of `value`'s count from a `cms` sketch column:
     * the minimum of its d counters. Upper-bounds the true count
-    * (collisions only ever add). */
+    * (collisions only ever add). A sketch whose length is not d·w was
+    * built under a DIFFERENT geometry — its buckets mean nothing under
+    * this (d, w) — so the lookup raises instead of reading garbage. */
   def estimate(cms: Column, value: Column, d: Int, w: Int): Column =
-    (0 until d)
-      .map(r => element_at(cms,
-        lit(r * w + 1) + bucket(value, r, w)))
-      .reduce((a, b) => least(a, b))
+    when(size(cms) =!= lit(d * w),
+      raise_error(concat(lit("CountMin.estimate: sketch has "),
+        size(cms).cast("string"),
+        lit(s" counters, expected ${d * w} (d=$d, w=$w) — estimate " +
+          "with the geometry the sketch was built under"))))
+      .otherwise((0 until d)
+        .map(r => element_at(cms,
+          lit(r * w + 1) + bucket(value, r, w)))
+        .reduce((a, b) => least(a, b)))
 
   /** DuckDB twin of [[bucket]] over SQL expression `e` (a VARCHAR):
     * the ts16 hex fold of md5 over the depth-salted string, mod `w`. */

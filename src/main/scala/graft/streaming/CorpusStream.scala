@@ -1283,8 +1283,19 @@ object CorpusStream {
   def removeDocs(catalog: TableCatalog, stateTable: String,
                  outTable: String, ids: DataFrame,
                  idCol: String = "doc_id"): Unit = {
+    // an id that doesn't cast to the pipeline's long doc_id would
+    // anti-join nothing — a takedown that silently does NOT take the
+    // doc down. Raise per row (try_cast: mode-independent — a plain
+    // cast nulls silently under non-ANSI, throws engine-speak under
+    // ANSI) instead of no-op'ing.
+    val tryLong = expr(s"try_cast(`$idCol` as bigint)")
+    val asLong = when(col(idCol).isNotNull && tryLong.isNull,
+      raise_error(concat(lit("removeDocs: id '"),
+        col(idCol).cast("string"),
+        lit("' is not a long doc_id — the takedown would silently " +
+          "miss it")))).otherwise(tryLong)
     val retr = graft.core.Fence.soft(
-      ids.select(col(idCol).cast("long").as("__r")).distinct())
+      ids.select(asLong.as("__r")).distinct())
     // the sentinel matches no real batch key, so every committed
     // partition is in scope (processBatch passes its own in-flight key
     // to keep the uncommitted batch out of the rewrite)

@@ -698,6 +698,13 @@ class AnnMultimodalSpec extends SparkSpec {
     AnnIndex.buildSq8(cat, live.union(vecs.filter($"vec_id" === 0L)),
       "vec_id", "embedding", "dref2")
     assert(probe("dx") == probe("dref2"))
+    // an id that can't be the index's long id fails loudly — a silent
+    // null cast would be a delete that doesn't delete
+    val exId = intercept[Exception] {
+      AnnIndex.deleteIds(cat, Seq("not-an-id").toDF("vec_id"),
+        "vec_id", "dx")
+    }
+    assert(exId.getMessage.contains("not a long"), exId.getMessage)
     // deleting an id the index never held is a harmless no-op
     // tombstone, drained by the next compaction
     AnnIndex.deleteIds(cat, Seq(999L).toDF("vec_id"), "vec_id", "dx")

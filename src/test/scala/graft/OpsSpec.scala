@@ -234,6 +234,18 @@ class OpsSpec extends SparkSpec {
     val rev = CountMin.sketchAgg(df.orderBy($"v".desc), Seq("grp"),
       $"v", d, w).as[(String, Seq[Long])].collect().toMap
     assert(rev == whole)
+    // geometry mismatches fail loudly instead of null-padding (merge)
+    // or reading garbage buckets (estimate)
+    val wrong = Seq((Array.fill(d * w)(1L), Array.fill(d * w / 2)(1L)))
+      .toDF("a", "b")
+    val e1 = intercept[Exception] {
+      wrong.select(CountMin.mergeSketches($"a", $"b")).collect()
+    }
+    assert(e1.getMessage.contains("geometries differ"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      wrong.select(CountMin.estimate($"b", lit("x"), d, w)).collect()
+    }
+    assert(e2.getMessage.contains("built under"), e2.getMessage)
   }
 
   test("RangeJoin is exact past 2^53 (integral bucket division) and " +

@@ -737,6 +737,13 @@ class StreamingSpec extends SparkSpec {
     CorpusStream.removeDocs(cat, "td_seen", "td_out",
       doomed.toDF("doc_id"))
     assert(out == after)
+    // a non-long id fails loudly — a silent null cast would be a
+    // takedown that silently misses the doc
+    val ex = intercept[Exception] {
+      CorpusStream.removeDocs(cat, "td_seen", "td_out",
+        Seq("oops").toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("not a long"), ex.getMessage)
   }
 
   test("incremental corpus pipeline: state compaction every K batches " +
