@@ -531,6 +531,47 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // Shard EXPORT — the trainer handoff dp05's manifest stops short
+    // of: the chunk-assigned documents are written as JSONL files
+    // partitioned by shard (one `chunk=` directory per shard — the
+    // layout a training job reads shard-at-a-time), read BACK off
+    // disk, and re-aggregated per shard with an md5-derived content
+    // checksum, so the gate proves the JSON round-trip byte-exact per
+    // shard, not just row counts. One partitioned write job; no
+    // driver-side loop over shards.
+    "dp08_shard_export" -> ((s, dir) => {
+      val cp = graft.text.CorpusPipeline
+      val gated = cp.gate(t(s, dir, "documents"))
+      val deduped = graft.core.Fence(Dedup.exactDedup(gated,
+        cp.fingerprintPrefix, col("doc_id")))
+      val pairs = MinHashLSH.nearDupPairs(deduped, "doc_id", "text",
+        threshold = cp.NearDupThreshold)
+      val clustered = Dedup.clusterDedup(deduped, "doc_id", pairs,
+        "doc_a", "doc_b")
+      val surv = clustered.filter(cp.samplePredicate)
+      val toks = TextHash.tokens(col("text"))
+      // a wider budget and tighter chunk size than dp05's frozen
+      // knobs, so the export spans MANY shard directories at gate
+      // scale (the multi-shard layout is what's being proven)
+      val kept = graft.core.Fence(graft.text.Mixture.tokenBudgetSample(
+        surv, "doc_id", "lang", size(toks).cast("long"),
+        TextAnalysis.qualityScore(toks), 200000L))
+      val chunked = graft.text.Packing.tokenChunks(kept, "id",
+        col("n_toks"), 500L)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_dp08_").toString
+      chunked.select(col("id"), col("chunk"))
+        .join(t(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("text")), Seq("id"))
+        .write.partitionBy("chunk").mode("overwrite").json(out)
+      s.read.json(out)
+        .groupBy(col("chunk").cast("long").as("chunk"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(pmod(graft.ops.Kmv.uniformHash(col("text")),
+            lit(1000000007L))).as("content_sum"))
+        .orderBy(col("chunk"))
+    }),
+
     // The INCREMENTAL corpus pipeline under the dp01 oracle: three
     // ascending-id micro-batches through CorpusStream.processBatch
     // (fresh temp warehouse per invocation — replaying over stale
@@ -2029,6 +2070,40 @@ object LlmQueries {
                 AS BIGINT) AS chunk
             FROM kept)
           SELECT id, lang, n_toks, chunk FROM chunked ORDER BY id"""
+    },
+    // dp05's chunk assignment joined back to the raw text — matching
+    // the gate's read-back aggregates proves the JSONL export
+    // round-trips every shard's content byte-exactly
+    "dp08_shard_export" -> {
+      val toks = "string_split(text, ' ')"
+      val fold = """(list_reduce(list_transform(
+          string_split_regex(substr(md5(text), 1, 15), ''),
+          c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+                    ELSE ascii(c) - 87 END AS BIGINT)),
+          (a, b) -> a * 16 + b))"""
+      s"""WITH RECURSIVE $dp01ChainCtes,
+          surv AS (SELECT doc_id, lang, text FROM deduped
+            WHERE $dp01SurvivorPredicate),
+          scored AS (SELECT doc_id AS id, lang,
+              CAST(len($toks) AS BIGINT) AS n_toks,
+              ${TextAnalysis.qualityScoreSql(toks)} AS q
+            FROM surv),
+          cum AS (SELECT id, lang, n_toks,
+              SUM(n_toks) OVER (PARTITION BY lang
+                ORDER BY q DESC, id ASC
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM scored),
+          kept AS (SELECT id, lang, n_toks FROM cum WHERE cum <= 200000),
+          chunked AS (SELECT id,
+              CAST((SUM(n_toks) OVER (ORDER BY id ASC
+                  ROWS UNBOUNDED PRECEDING) - n_toks) // 500
+                AS BIGINT) AS chunk
+            FROM kept),
+          jt AS (SELECT c.chunk, d.text FROM chunked c
+            JOIN documents d ON d.doc_id = c.id)
+          SELECT chunk, COUNT(*) AS n_docs,
+            CAST(SUM($fold % 1000000007) AS BIGINT) AS content_sum
+          FROM jt GROUP BY chunk ORDER BY chunk"""
     },
     "dp02_corpus_report" -> {
       val toks = "string_split(text, ' ')"
