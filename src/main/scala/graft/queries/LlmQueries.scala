@@ -1151,6 +1151,29 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Filtered search on the QUALITY serving shape: the two-stage
+    // residual IVF-PQ probe restricted to the label-0 vectors. The
+    // allowed-id semi-join lands before the ADC scoring AND before
+    // the code-rank cut, so the refine budget is spent inside the
+    // allowed subset — the oracle replays the identical fit with the
+    // same predicate on its candidate set.
+    "ann24_filtered_refine" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann24_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildIvfPq(cat, e, "vec_id", "embedding", "ann_fr",
+        numCells = 16, trainIters = 2, pqIters = 2)
+      AnnIndex.ivfPqRefineTopKFromIndex(cat, "ann_fr", e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nprobe = 2, refine = 64,
+          allowedIds = Some(e.filter(col("label") === 0)
+            .select(col("vec_id"))),
+          allowedIdCol = "vec_id")
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Bulk neighbor join off the persisted residual index: EVERY
     // corpus vector is a query ("attach top-3 neighbors to each
     // document"), probed with broadcastQueries = false — the query
@@ -1592,7 +1615,8 @@ object LlmQueries {
                                 numCells: Int = 16,
                                 coarseIters: Int = 2, pqIters: Int = 2,
                                 geom: Ann.Geom = Ann.DefaultGeom,
-                                vecExpr: String = "embedding"): String = {
+                                vecExpr: String = "embedding",
+                                candCond: String = ""): String = {
       def dt(a: String, b: String) = Ann.dotSql(a, b)
       val M = geom.pqM
       val sd = geom.subDim
@@ -1707,7 +1731,7 @@ object LlmQueries {
             FROM qsl),
           cand AS (SELECT q.q_id, cr.vec_id, q.cell, q.qq
             FROM qs q JOIN cres cr USING (cell)
-            WHERE cr.vec_id <> q.q_id),
+            WHERE cr.vec_id <> q.q_id$candCond),
           ${(0 until M).map(chain).mkString(",\n")},
           scored AS (SELECT cd.q_id, cd.vec_id,
               ${(0 until M).map(m => s"p$m.sp").mkString(" + ")}
@@ -2306,6 +2330,14 @@ object LlmQueries {
     // probed off the persisted index with NO query-side broadcast
     "ann18_ivfpq_bulk" -> ivfPqRefineOracle("", 3, 2, 16,
       numCells = 16, coarseIters = 2, pqIters = 2),
+    // the filtered two-stage probe: the same fit, candidates (and
+    // therefore the code-rank cut and refine budget) restricted to
+    // the metadata predicate's ids
+    "ann24_filtered_refine" -> ivfPqRefineOracle(
+      "WHERE un.vec_id < 5", 10, 2, 64,
+      numCells = 16, coarseIters = 2, pqIters = 2,
+      candCond = """ AND cr.vec_id IN
+        (SELECT vec_id FROM embeddings WHERE label = 0)"""),
     // the ann20 fit at its own shape: 32-dim slices, 8 cells, M=8 K=16
     "ann20_ivfpq_geom" -> ivfPqRefineOracle(
       "WHERE un.vec_id < 5", 10, 2, 64,
