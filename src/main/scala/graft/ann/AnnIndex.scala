@@ -124,6 +124,7 @@ object AnnIndex {
       writeSeg(catalog, indexTable,
         assignLsh(data, idCol, vecCol, planes, dim), "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0") // rebuild hygiene
+      drainDels(catalog, indexTable)
       writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "lsh", planes, dim, 0, 0, fitN, n)
     }
@@ -160,6 +161,7 @@ object AnnIndex {
       writeSeg(catalog, indexTable,
         assignIvf(data, idCol, vecCol, cents, dim), "0", "cell")
       dropOtherSegs(catalog, indexTable, keep = "0")
+      drainDels(catalog, indexTable)
       writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "ivf", numCells, dim, 0, 0,
         fitN, n)
@@ -222,6 +224,7 @@ object AnnIndex {
       writeSeg(catalog, indexTable, assignSq8(data, idCol, vecCol, dim),
         "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0")
+      drainDels(catalog, indexTable)
       writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "sq8", 127, dim, 0, 0, n, n)
     }
@@ -318,6 +321,7 @@ object AnnIndex {
       writeSeg(catalog, indexTable,
         assignPq(data, idCol, vecCol, books, geom), "0", "pk")
       dropOtherSegs(catalog, indexTable, keep = "0")
+      drainDels(catalog, indexTable)
       writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "pq", geom.pqK, geom.dim,
         geom.pqM, geom.pqK, fitN, n)
@@ -401,6 +405,7 @@ object AnnIndex {
         assignIvfPq(data, idCol, vecCol, cents, books, geom),
         "0", "cell")
       dropOtherSegs(catalog, indexTable, keep = "0")
+      drainDels(catalog, indexTable)
       writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "ivfpq", numCells, geom.dim,
         geom.pqM, geom.pqK, fitN, n)
@@ -472,11 +477,19 @@ object AnnIndex {
     * ingestion instead of growing one segment per micro-batch
     * forever. `compactEvery = 0` disables the cadence.
     *
-    * Replay note: a batch replayed AFTER a compaction folded it into
-    * seg 0 re-appends rows seg 0 already holds; the in-loop compaction
-    * that follows collapses them (full-row distinct), so the replayed
-    * batch ends converged — the crash-window semantics
-    * [[compactSegs]] documents. */
+    * Replay note: the cadence decision is a PURE FUNCTION of batchId
+    * (`batchId % compactEvery == compactEvery - 1`), never of the
+    * directory count — so a replayed batch re-takes exactly the
+    * original run's compaction decision. In particular a replay of a
+    * batch whose own run compacted (folding its rows into seg 0)
+    * re-appends duplicate rows AND deterministically re-fires the
+    * compaction, whose full-row distinct collapses them — converged by
+    * the end of the replayed batch. (A count-based trigger would see
+    * the post-compaction single-segment directory and skip, serving
+    * duplicate ranks until some later batch compacted.) Out-of-band
+    * maintenance [[compactSegs]] runs belong BETWEEN committed
+    * batches; one run inside a crash window is still safe — the
+    * replay converges at its next cadence firing. */
   def ingestSq8Batch(catalog: TableCatalog, df: DataFrame,
                      idCol: String, vecCol: String, indexTable: String,
                      batchId: Long, compactEvery: Int = 0): Unit =
@@ -525,9 +538,13 @@ object AnnIndex {
         throw new IllegalArgumentException(
           s"AnnIndex: cannot ingest into '$indexTable' (kind '$other')")
     }
-    if (compactEvery > 0 &&
-        catalog.listPartitions(assignTableOf(indexTable), "seg")
-          .count(_ != key) >= compactEvery)
+    // the cadence is a pure function of batchId, NOT of the directory
+    // count: a replayed batch whose original run already compacted
+    // must deterministically re-fire its compaction (the directory
+    // count it would otherwise consult is post-compaction — 1 segment
+    // — so a count-based trigger would skip, leaving the replay's
+    // duplicate rows served until some later batch happens to compact)
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
       compactSegs(catalog, indexTable)
   }
 
@@ -556,10 +573,20 @@ object AnnIndex {
                      indexTable: String, batchId: Long,
                      compactEvery: Int = 0,
                      allowStale: Boolean = false): Unit = {
-    require(df.filter(!col(opCol).isin("add", "delete")).isEmpty,
+    // NULL op must be refused explicitly: `!isin(...)` evaluates to
+    // NULL for a NULL op, which a filter drops — a null-op row would
+    // pass the guard yet match neither half below, a silently-dropped
+    // CDC row (possibly a takedown)
+    require(df.filter(col(opCol).isNull ||
+        !col(opCol).isin("add", "delete")).isEmpty,
       s"AnnIndex: '$opCol' must be 'add' or 'delete' in every row")
-    deleteIds(catalog, df.filter(col(opCol) === "delete"), idCol,
-      indexTable, Some(s"b$batchId"))
+    // skip the tombstone write for delete-free batches: an empty
+    // deleteIds leaves a marker-only dseg= partition, and under a
+    // compacted single-segment index those accumulate one directory
+    // (and one probe-side listing) per micro-batch forever
+    val dels = df.filter(col(opCol) === "delete")
+    if (!dels.isEmpty)
+      deleteIds(catalog, dels, idCol, indexTable, Some(s"b$batchId"))
     ingestBatch(catalog, df.filter(col(opCol) === "add"), idCol,
       vecCol, indexTable, batchId, compactEvery, allowStale)
   }
@@ -668,10 +695,12 @@ object AnnIndex {
         // anti-join is a no-op (correct, just unpurged) and the re-run
         // converges; after it, a previously-deleted id is free for
         // re-insert
-        catalog.listPartitions(delsTableOf(indexTable), "dseg")
-          .foreach(catalog.deletePartition(delsTableOf(indexTable),
-            "dseg", _))
-      }
+        drainDels(catalog, indexTable)
+      } else
+        // single-segment + no live tombstone rows: still drain any
+        // marker-only (data-file-free) dseg partitions, so they can't
+        // accumulate a directory listing per probe forever
+        drainDels(catalog, indexTable)
     }
 
   /** Within-bucket top-1 neighbors from a persisted LSH index — the
@@ -712,6 +741,18 @@ object AnnIndex {
 
   // ---- internals ------------------------------------------------------
 
+  /** Drop every `dseg=` tombstone partition — called by each REBUILD
+    * inside its locked block: the new index generation starts from a
+    * clean slate, and tombstones recorded against the PREVIOUS
+    * generation's rows must not silently hide a rebuilt corpus's
+    * legitimate re-use of a previously-deleted id (the exact silent
+    * hide the append re-insert guard refuses loudly). */
+  private def drainDels(catalog: TableCatalog,
+                        indexTable: String): Unit =
+    catalog.listPartitions(delsTableOf(indexTable), "dseg")
+      .foreach(catalog.deletePartition(delsTableOf(indexTable),
+        "dseg", _))
+
   /** The current tombstone set as a distinct-id frame — None when no
     * delete has landed (the common case), so callers skip the
     * anti-join entirely and pre-delete plans stay byte-identical. */
@@ -736,10 +777,15 @@ object AnnIndex {
     * try_cast keeps the check mode-independent). */
   private def checkedId(idCol: String, what: String): org.apache.spark.sql.Column = {
     val tryLong = expr(s"try_cast(`$idCol` as bigint)")
-    when(col(idCol).isNotNull && tryLong.isNull,
-      raise_error(concat(lit(s"AnnIndex: $what id '"),
-        col(idCol).cast("string"),
-        lit("' is not a long — it would silently match nothing"))))
+    // NULL ids raise too (not just failed casts): a null id row would
+    // anti-join/semi-join NOTHING — a delete that silently doesn't
+    // delete, a filter that silently excludes everything
+    when(col(idCol).isNull, raise_error(lit(
+        s"AnnIndex: $what id is NULL — it would silently match nothing")))
+      .when(tryLong.isNull,
+        raise_error(concat(lit(s"AnnIndex: $what id '"),
+          col(idCol).cast("string"),
+          lit("' is not a long — it would silently match nothing"))))
       .otherwise(tryLong)
   }
 

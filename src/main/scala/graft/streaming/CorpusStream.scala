@@ -1289,11 +1289,14 @@ object CorpusStream {
     // cast nulls silently under non-ANSI, throws engine-speak under
     // ANSI) instead of no-op'ing.
     val tryLong = expr(s"try_cast(`$idCol` as bigint)")
-    val asLong = when(col(idCol).isNotNull && tryLong.isNull,
-      raise_error(concat(lit("removeDocs: id '"),
-        col(idCol).cast("string"),
-        lit("' is not a long doc_id — the takedown would silently " +
-          "miss it")))).otherwise(tryLong)
+    val asLong = when(col(idCol).isNull,
+      raise_error(lit("removeDocs: id is NULL — the takedown would " +
+        "silently miss it")))
+      .when(tryLong.isNull,
+        raise_error(concat(lit("removeDocs: id '"),
+          col(idCol).cast("string"),
+          lit("' is not a long doc_id — the takedown would silently " +
+            "miss it")))).otherwise(tryLong)
     val retr = graft.core.Fence.soft(
       ids.select(asLong.as("__r")).distinct())
     // the sentinel matches no real batch key, so every committed

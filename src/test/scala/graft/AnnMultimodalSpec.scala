@@ -714,6 +714,44 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(probe("dx") == probe("dref2"))
   }
 
+  test("rebuild after delete without compaction drains the previous " +
+       "generation's tombstones (a rebuilt corpus may legitimately " +
+       "re-use a deleted id), and NULL delete ids are refused loudly") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(53)
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("annreb_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"qcos").collect().toSeq
+    def probe(idx: String) = canon(AnnIndex.sq8TopKFromIndex(cat, idx,
+      vecs.filter($"vec_id" < 2), "vec_id", "embedding", 5))
+    AnnIndex.buildSq8(cat, vecs, "vec_id", "embedding", "rb")
+    AnnIndex.deleteIds(cat, Seq(7L, 11L).toDF("vec_id"), "vec_id", "rb")
+    assert(cat.listPartitions("rb_dels", "dseg").nonEmpty)
+    // REBUILD without ever compacting: the new generation includes the
+    // previously-deleted ids, and its probes must serve them — stale
+    // tombstones from the old generation must not silently hide them
+    AnnIndex.buildSq8(cat, vecs, "vec_id", "embedding", "rb")
+    assert(cat.listPartitions("rb_dels", "dseg").isEmpty)
+    AnnIndex.buildSq8(cat, vecs, "vec_id", "embedding", "rbref")
+    assert(probe("rb") == probe("rbref"))
+    assert(probe("rb").exists(r => r.getLong(2) == 7L || r.getLong(2) == 11L)
+      || canon(AnnIndex.sq8TopKFromIndex(cat, "rb",
+           vecs.filter($"vec_id" === 7L), "vec_id", "embedding", 19))
+         .nonEmpty) // 7/11 serve again (probe from 7 returns rows)
+    // a NULL id is a delete that would silently anti-join nothing
+    val exNull = intercept[Exception] {
+      AnnIndex.deleteIds(cat,
+        Seq[java.lang.Long](5L, null).toDF("vec_id"), "vec_id", "rb")
+    }
+    assert(exNull.getMessage.contains("NULL"), exNull.getMessage)
+  }
+
   test("residual IVF-PQ deletion: the two-stage refine probe serves " +
        "the live set exactly (codes AND refine candidates)") {
     import graft.ann.AnnIndex

@@ -943,6 +943,25 @@ class StreamingSpec extends SparkSpec {
         "vec_id", "embedding", "op", "cdc", 4L)
     }
     assert(ex2.getMessage.contains("'add' or 'delete'"), ex2.getMessage)
+    // a NULL op matches neither half — it must be refused just as
+    // loudly, not silently dropped (the filter-drops-NULL trap)
+    val ex3 = intercept[IllegalArgumentException] {
+      AnnIndex.ingestCdcBatch(cat,
+        vecs.filter($"vec_id" === 31L)
+          .select(lit(null).cast("string").as("op"), $"vec_id",
+            $"embedding"),
+        "vec_id", "embedding", "op", "cdc", 4L)
+    }
+    assert(ex3.getMessage.contains("'add' or 'delete'"), ex3.getMessage)
+    // delete-free batches write NO tombstone partition: marker-only
+    // dseg= directories must not accumulate one per micro-batch
+    // (the ambiguous batch 3 above landed its delete half before its
+    // add half was refused, so exactly b3 stands here)
+    val delsBefore = cat.listPartitions("cdc_dels", "dseg")
+    AnnIndex.ingestCdcBatch(cat,
+      cdc(vecs.filter($"vec_id" === 25L), Nil), // 25: purged, re-usable
+      "vec_id", "embedding", "op", "cdc", 5L)
+    assert(cat.listPartitions("cdc_dels", "dseg") == delsBefore)
   }
 
   test("kind-generic ingestion: the residual IVF-PQ index streams " +
