@@ -21,6 +21,20 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** The byte-BPE gates' derived UNICODE corpus: e→é (2-byte Latin),
+    * a→α (2-byte Greek), i→€ (3-byte symbol) — real multi-byte UTF-8
+    * content derived deterministically from the documents table, the
+    * identical literal replacements on both engines. */
+  private def uniDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "e", "é"), "a", "α"), "i", "€").as("text"))
+
+  /** [[uniDocs]] as the oracle-side source subquery. */
+  private val uniSrcSql: String =
+    "(SELECT doc_id, replace(replace(replace(text, 'e', 'é'), " +
+      "'a', 'α'), 'i', '€') AS text FROM documents)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5 fingerprint of a content key, keep-lowest-id
     "dd01_exact_dedup" -> ((s, dir) =>
@@ -167,6 +181,39 @@ object LlmQueries {
       BpeIndex.build(cat, docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         "text", "bpe")
       BpeIndex.encodeStatsFromIndex(cat, "bpe", docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // BYTE-level BPE (round 16) — the multilingual tokenizer the [a-z]
+    // alphabet above cannot be: merges run over each word's UTF-8
+    // bytes as hex-pair symbols, so accented and non-Latin text
+    // survives training and encoding losslessly. The gates run over a
+    // DERIVED unicode corpus (e→é, a→α, i→€ — 2-byte Latin, 2-byte
+    // Greek and 3-byte symbol codepoints, the same deterministic
+    // derivation on both engines), so real multi-byte content is what
+    // is being trained on and hash-gated. ts20 gates the trained merge
+    // table; ts21 gates the full persisted-artifact lifecycle (build
+    // with alphabet="bytes", encode every doc off the LOADED
+    // vocabulary under the RECORDED alphabet). The oracles replay the
+    // identical byte merges as unrolled CTE stages — symbols are hex
+    // strings, so the sentinel-replace re-encode and every tie-break
+    // order are pure-ASCII on both engines.
+    "ts20_bbpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      graft.text.Bpe.trainBytes(uniDocs(t(s, dir, "documents")), "text")
+        .map(m => (m.rank, m.left, m.right, m.left + m.right, m.count))
+        .toDF("rank", "l_sym", "r_sym", "merged", "pair_n")
+        .orderBy(col("rank"))
+    }),
+
+    "ts21_bbpe_encode" -> ((s, dir) => {
+      import graft.text.BpeIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ts21_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val docs = uniDocs(t(s, dir, "documents"))
+      BpeIndex.build(cat, docs, "text", "bbpe", alphabet = "bytes")
+      BpeIndex.encodeStatsFromIndex(cat, "bbpe", docs, "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -1897,6 +1944,10 @@ object LlmQueries {
     // BpeIndex persisted-artifact lifecycle replayed
     "ts18_bpe_index" -> graft.text.Bpe.encodeSql(
       trainWhere = "WHERE doc_id % 2 = 0"),
+    // byte-level merges replayed over the derived unicode corpus —
+    // hex-pair symbols keep every CTE stage pure-ASCII
+    "ts20_bbpe_vocab" -> graft.text.Bpe.byteVocabSql(src = uniSrcSql),
+    "ts21_bbpe_encode" -> graft.text.Bpe.byteEncodeSql(src = uniSrcSql),
     // hex fold builds the identical 60-bit integer Spark's conv()
     // derives (the ts12 pattern, 15 hex chars); (k-1)·2^60 is an exact
     // double product, so the one division is the only rounding step

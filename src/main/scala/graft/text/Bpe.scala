@@ -81,9 +81,17 @@ object Bpe {
     * right), re-encodes, repeats. Stops early when no pairs remain
     * (every word fused to one symbol). */
   private[graft] def trainOnCounts(wordCounts: Array[(String, Long)],
-                                  numMerges: Int): Seq[Merge] = {
-    var words: Array[(Array[String], Long)] =
-      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+                                  numMerges: Int): Seq[Merge] =
+    trainOnSymbols(
+      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) },
+      numMerges)
+
+  /** [[trainOnCounts]] over pre-symbolized words — the shared loop the
+    * character-level ([a-z] chars) and byte-level (hex-pair symbols)
+    * alphabets both drive. */
+  private[graft] def trainOnSymbols(wordSyms: Array[(Array[String], Long)],
+                                    numMerges: Int): Seq[Merge] = {
+    var words: Array[(Array[String], Long)] = wordSyms
     val out = Seq.newBuilder[Merge]
     var k = 1
     var exhausted = false
@@ -151,6 +159,157 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum(col("n_sub")).cast("long").as("n_sub"))
+  }
+
+  // ---- byte-level alphabet (round 16) ----------------------------------
+  //
+  // The [a-z] alphabet above destroys every accented or non-Latin
+  // character before training — a real multilingual corpus (including
+  // the reference's own French domain) needs the standard public
+  // answer: BYTE-level BPE (GPT-2-style — merges over the word's UTF-8
+  // bytes, so every codepoint survives losslessly). Symbols here are
+  // 2-hex-char strings ("C3", "A9", merged "C3A9"): hex keeps every
+  // symbol a plain ASCII string, so the ENTIRE merge machinery —
+  // trainOnSymbols, mergeTokens, the sentinel-replace SQL twin — is
+  // shared verbatim with the character alphabet, and both engines
+  // compare/order symbols identically (no unicode collation in play
+  // anywhere: word tie-breaks order by hex(utf8-bytes), merge
+  // tie-breaks by hex-string order). Pre-tokenization is whitespace
+  // only ([ \t\r\n]+ — an explicit class, identical in Java regex and
+  // RE2) with NO case folding: byte-level BPE's standard contract, and
+  // the only engine-portable choice (lower() on unicode is
+  // locale-and-engine-dependent).
+
+  /** Whitespace word stream of a text column: split on space/tab/CR/LF
+    * runs, empties dropped, case and every non-ASCII byte preserved.
+    * NULL text yields no words. */
+  def byteWords(text: Column): Column =
+    filter(split(text, "[ \\t\\r\\n]+"), w => w =!= lit(""))
+
+  private def byteWordsSql(textExpr: String) =
+    s"list_filter(regexp_split_to_array($textExpr, '[ \\t\\r\\n]+'), " +
+      "x -> x <> '')"
+
+  /** A word's UTF-8 bytes as 2-hex-char symbols — the byte-level
+    * base tokenization ("é" → ["C3", "A9"]). Uppercase hex, matching
+    * both engines' hex() rendering. */
+  private[graft] def hexPairs(w: String): Array[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bytes.map(b => f"${b & 0xff}%02X")
+  }
+
+  /** Train `numMerges` byte-level merges: same topology as [[train]]
+    * (ONE corpus-sized word-count aggregate, TakeOrdered top-V driver
+    * fetch, driver merge loop), with the truncation tie-break on
+    * hex(utf8(word)) — a pure ASCII order both engines share, where a
+    * raw unicode-string order would diverge between Java's UTF-16
+    * comparison and the oracle's byte collation. */
+  def trainBytes(docs: DataFrame, textCol: String,
+                 numMerges: Int = DefaultMerges,
+                 maxWords: Int = DefaultMaxWords): Seq[Merge] = {
+    val top = docs.select(explode(byteWords(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, hex(encode(col("w"), "UTF-8")).asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnSymbols(top.map { case (w, c) => (hexPairs(w), c) },
+      numMerges)
+  }
+
+  /** Encode one word's bytes under an ordered merge list. Lossless:
+    * concatenating the result and hex-decoding recovers the word's
+    * exact UTF-8 bytes for every input. */
+  def encodeByteWord(w: String,
+                     merges: Seq[(String, String)]): Array[String] = {
+    var t: Array[String] = hexPairs(w)
+    merges.foreach { case (l, r) => t = mergeTokens(t, l, r) }
+    t
+  }
+
+  /** Per-document byte-level subword statistics under a trained merge
+    * list: (id, n_words, n_sub) — [[encodeStats]]'s topology (DISTINCT
+    * words encode once, docs re-join) over the byte alphabet. */
+  def encodeStatsBytes(docs: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[Merge]): DataFrame = {
+    val ms = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val nSub = udf((w: String) => encodeByteWord(w, ms).length)
+    val docw = docs.select(col(idCol),
+      explode(byteWords(col(textCol))).as("w"))
+    val enc = docw.select(col("w")).distinct()
+      .withColumn("n_sub", nSub(col("w")).cast("long"))
+    docw.join(enc, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_sub"))
+  }
+
+  /** The byte-level training stages — the [[trainStages]] shape with
+    * the whitespace word stream, the hex-pair base tokenization
+    * (regexp_extract_all(hex(encode(w)), '..')) and the hex-order
+    * truncation tie-break. `src` is any table or parenthesized
+    * subquery with (doc_id, text). The sentinel-replace merge stage is
+    * [[sqlApply]] verbatim: hex symbols are ASCII, chr(31) still
+    * impossible. */
+  private def byteTrainStages(numMerges: Int, maxWords: Int,
+                              src: String): String = {
+    val head = s"""w0 AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(${byteWordsSql("text")}) AS w
+            FROM $src bpe_src)
+      GROUP BY w ORDER BY c DESC, hex(encode(w)) LIMIT $maxWords),
+    t0 AS MATERIALIZED (SELECT w, c,
+      regexp_extract_all(hex(encode(w)), '..') AS toks FROM w0)"""
+    val stages = (1 to numMerges).map { k =>
+      s"""pc$k AS MATERIALIZED (
+        SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(c) AS BIGINT) AS pc
+        FROM (SELECT c, unnest(list_transform(range(1, len(toks)),
+                i -> [toks[i], toks[i+1]])) AS pr
+              FROM t${k - 1} WHERE len(toks) >= 2)
+        GROUP BY 1, 2),
+      best$k AS MATERIALIZED (
+        SELECT l, r, pc FROM pc$k ORDER BY pc DESC, l, r LIMIT 1),
+      t$k AS MATERIALIZED (
+        SELECT w, c, ${sqlApply("b.l", "b.r")} AS toks
+        FROM t${k - 1} LEFT JOIN best$k b ON TRUE)"""
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  /** Oracle for the byte-level merge table — [[vocabSql]]'s shape over
+    * [[byteTrainStages]]. */
+  def byteVocabSql(numMerges: Int = DefaultMerges,
+                   maxWords: Int = DefaultMaxWords,
+                   src: String = "documents"): String = {
+    val union = (1 to numMerges).map { k =>
+      s"""SELECT $k AS rank, l AS l_sym, r AS r_sym, l||r AS merged,
+         pc AS pair_n FROM best$k"""
+    }.mkString(" UNION ALL ")
+    s"WITH ${byteTrainStages(numMerges, maxWords, src)}\n" +
+      s"SELECT * FROM ($union) ORDER BY rank"
+  }
+
+  /** Oracle for byte-level per-doc encoding — [[encodeSql]]'s shape
+    * over [[byteTrainStages]] (train and encode share `src`). */
+  def byteEncodeSql(numMerges: Int = DefaultMerges,
+                    maxWords: Int = DefaultMaxWords,
+                    src: String = "documents"): String = {
+    val applies = (1 to numMerges).map { k =>
+      s"""a$k AS MATERIALIZED (
+        SELECT w, ${sqlApply("b.l", "b.r")} AS toks
+        FROM a${k - 1} LEFT JOIN best$k b ON TRUE)"""
+    }.mkString(",\n")
+    s"""WITH ${byteTrainStages(numMerges, maxWords, src)},
+    docw AS MATERIALIZED (
+      SELECT doc_id, unnest(${byteWordsSql("text")}) AS w
+      FROM $src bpe_src),
+    a0 AS MATERIALIZED (
+      SELECT w, regexp_extract_all(hex(encode(w)), '..') AS toks
+      FROM (SELECT DISTINCT w FROM docw)),
+    $applies
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(len(toks)) AS BIGINT) AS n_sub
+    FROM docw JOIN a$numMerges USING (w)
+    GROUP BY doc_id ORDER BY doc_id"""
   }
 
   // ---- DuckDB oracle twins ---------------------------------------------

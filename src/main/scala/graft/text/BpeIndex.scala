@@ -30,12 +30,23 @@ object BpeIndex {
   /** Train on `docs` (pass the designated training slice — sampling
     * the train corpus is standard BPE practice) and persist the merge
     * table; returns the merges for immediate use. `numMerges` /
-    * `maxWords` are the production sizing knobs and are recorded in
-    * the meta. */
+    * `maxWords` are the production sizing knobs; `alphabet` picks the
+    * tokenization — "az" (the original lowercase-[a-z] mode) or
+    * "bytes" (byte-level — see [[Bpe.trainBytes]]: every accented or
+    * non-Latin character survives). All three are recorded in the
+    * meta, and every encode served off the artifact runs under the
+    * RECORDED alphabet — the AnnIndex geometry contract applied to
+    * tokenization. */
   def build(catalog: TableCatalog, docs: DataFrame, textCol: String,
             table: String, numMerges: Int = Bpe.DefaultMerges,
-            maxWords: Int = Bpe.DefaultMaxWords): Seq[Merge] = {
-    val merges = Bpe.train(docs, textCol, numMerges, maxWords)
+            maxWords: Int = Bpe.DefaultMaxWords,
+            alphabet: String = "az"): Seq[Merge] = {
+    val merges = alphabet match {
+      case "az"    => Bpe.train(docs, textCol, numMerges, maxWords)
+      case "bytes" => Bpe.trainBytes(docs, textCol, numMerges, maxWords)
+      case other => throw new IllegalArgumentException(
+        s"BpeIndex: unknown alphabet '$other' — use 'az' or 'bytes'")
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     catalog.withTableLock(mergesTableOf(table)) {
@@ -44,11 +55,23 @@ object BpeIndex {
           .toDF("rank", "l_sym", "r_sym", "pair_n"),
         mergesTableOf(table))
       catalog.writeFull(
-        Seq((numMerges, maxWords, merges.length))
-          .toDF("num_merges", "max_words", "merges_done"),
+        Seq((numMerges, maxWords, merges.length, alphabet))
+          .toDF("num_merges", "max_words", "merges_done", "alphabet"),
         table)
     }
     merges
+  }
+
+  /** The recorded tokenization alphabet — "az" for artifacts built
+    * before the column existed (the only mode that existed then). */
+  def loadAlphabet(catalog: TableCatalog, table: String): String = {
+    require(catalog.tableExists(table),
+      s"BpeIndex: no vocabulary meta at '$table' — build it first " +
+        "(a missing meta also covers a build that crashed mid-write)")
+    val meta = catalog.read(table).collect()(0)
+    if (meta.schema.fieldNames.contains("alphabet"))
+      meta.getString(meta.fieldIndex("alphabet"))
+    else "az"
   }
 
   /** The persisted merge list, rank-ordered — numMerges rows, a
@@ -75,9 +98,16 @@ object BpeIndex {
 
   /** [[Bpe.encodeStats]] under the LOADED merge table — the serving
     * path: no training pass, no corpus-sized work beyond the encode
-    * itself. */
+    * itself. Dispatches on the artifact's RECORDED alphabet (a merge
+    * list trained over hex-pair byte symbols would silently encode
+    * nothing useful under the [a-z] tokenizer, and vice versa). */
   def encodeStatsFromIndex(catalog: TableCatalog, table: String,
                            docs: DataFrame, idCol: String,
-                           textCol: String): DataFrame =
-    Bpe.encodeStats(docs, idCol, textCol, loadMerges(catalog, table))
+                           textCol: String): DataFrame = {
+    val merges = loadMerges(catalog, table)
+    loadAlphabet(catalog, table) match {
+      case "bytes" => Bpe.encodeStatsBytes(docs, idCol, textCol, merges)
+      case _       => Bpe.encodeStats(docs, idCol, textCol, merges)
+    }
+  }
 }

@@ -123,4 +123,74 @@ class BpeSpec extends SparkSpec {
       BpeIndex.loadMerges(cat, "nope")
     }
   }
+
+  test("byte-level BPE: accented and non-Latin text survives training " +
+       "and encoding losslessly (hex-pair symbols, whitespace words)") {
+    // é = C3 A9, α = CE B1 — multi-byte codepoints the [a-z] alphabet
+    // destroys; here they ARE the signal
+    val docs = Seq(
+      (1L, "éé éé αβ"),
+      (2L, "éé αβ αβ"),
+      (3L, "Tab\tand\nnewline éé")
+    ).toDF("doc_id", "text")
+    // hand word counts: "éé"x4, "αβ"x3, "Tab"x1, "and"x1, "newline"x1
+    val top = Bpe.trainBytes(docs, "text", numMerges = 4, maxWords = 16)
+    // round 1 pairs (weighted): éé = C3 A9 C3 A9 → (C3,A9)x2/word = 8,
+    // (A9,C3)x1/word = 4; αβ = CE B1 CE B2 → (CE,B1)=3, (B1,CE)=3,
+    // (CE,B2)=3; so merge 1 = (C3,A9) with 8
+    assert(top.head.left == "C3" && top.head.right == "A9" &&
+      top.head.count == 8L, top.head.toString)
+    // losslessness: subword concatenation hex-decodes to the word's
+    // exact UTF-8 bytes, for ASCII and multi-byte alike
+    val ms = top.map(m => (m.left, m.right))
+    for (w <- Seq("éé", "αβ", "Tab", "newline", "déjà-vu €5")) {
+      val joined = Bpe.encodeByteWord(w, ms).mkString
+      val bytes = joined.grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") == w, w)
+    }
+    // whitespace-only pre-tokenization: tab/newline split, case kept
+    val stats = Bpe.encodeStatsBytes(docs, "doc_id", "text", top)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    def nsub(ws: Seq[String]) =
+      ws.map(w => Bpe.encodeByteWord(w, ms).length.toLong).sum
+    assert(stats == Seq(
+      (1L, 3L, nsub(Seq("éé", "éé", "αβ"))),
+      (2L, 3L, nsub(Seq("éé", "αβ", "αβ"))),
+      (3L, 4L, nsub(Seq("Tab", "and", "newline", "éé")))))
+  }
+
+  test("BpeIndex records the alphabet and serves encodes under the " +
+       "RECORDED tokenization; unknown alphabets are refused") {
+    import graft.text.BpeIndex
+    val docs = Seq(
+      (1L, "éé éé banana"),
+      (2L, "banana αβ αβ"),
+      (3L, "éé αβ banana banana")
+    ).toDF("doc_id", "text")
+    val wh = java.nio.file.Files.createTempDirectory("bbpeidx_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    val trained = BpeIndex.build(cat, docs, "text", "bvoc",
+      numMerges = 6, maxWords = 16, alphabet = "bytes")
+    assert(BpeIndex.loadAlphabet(cat, "bvoc") == "bytes")
+    assert(BpeIndex.loadMerges(cat, "bvoc") == trained)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    // the loaded-artifact encode dispatches to the BYTE encoder — the
+    // [a-z] encoder over hex-pair merges would differ (it sees only
+    // "banana"); equality against the fresh byte fit pins the dispatch
+    assert(canon(BpeIndex.encodeStatsFromIndex(cat, "bvoc", docs,
+        "doc_id", "text")) ==
+      canon(Bpe.encodeStatsBytes(docs, "doc_id", "text", trained)))
+    // an az-built artifact (the default) still serves the az encoder
+    val az = BpeIndex.build(cat, docs, "text", "avoc", numMerges = 4)
+    assert(BpeIndex.loadAlphabet(cat, "avoc") == "az")
+    assert(canon(BpeIndex.encodeStatsFromIndex(cat, "avoc", docs,
+        "doc_id", "text")) ==
+      canon(Bpe.encodeStats(docs, "doc_id", "text", az)))
+    val ex = intercept[IllegalArgumentException] {
+      BpeIndex.build(cat, docs, "text", "xvoc", alphabet = "utf16")
+    }
+    assert(ex.getMessage.contains("alphabet"), ex.getMessage)
+  }
 }
