@@ -775,37 +775,75 @@ object Ann {
     (1 to dim).map(i => element_at(a, i).cast("long") * element_at(b, i))
       .foldLeft(lit(0L))(_ + _)
 
-  /** Quantize a vector frame to `(<id>, <id>_q, <id>_qq)` — the code
-    * array and integer self-dot an SQ8 index stores per row. */
+  /** Quantize a vector frame to `(<id>, <id>_q, <id>_qq, <id>_sc)` —
+    * the code array, integer self-dot and quantization SCALE (max|x|,
+    * round 16) an SQ8 index stores per row. The scale is what
+    * dequantizes a code dot back to float units — cosine scoring
+    * never touches it (scales cancel in the ratio), but the
+    * inner-product and L2 metrics need it. */
   def sq8Quantized(df: DataFrame, idCol: String, vecCol: String,
                    id: String, dim: Int = Dim): DataFrame =
     df.select(col(idCol).as(id), toDouble(col(vecCol)).as("__v"))
-      .withColumn("__m", sqScale(col("__v")))
-      .withColumn(s"${id}_q", sq8Codes(col("__v"), col("__m")))
+      .withColumn(s"${id}_sc", sqScale(col("__v")))
+      .withColumn(s"${id}_q", sq8Codes(col("__v"), col(s"${id}_sc")))
       .withColumn(s"${id}_qq",
         dotUnrolledLong(col(s"${id}_q"), col(s"${id}_q"), dim))
-      .drop("__v", "__m")
+      .drop("__v")
+
+  /** The quantized score under a named metric — every term is an
+    * integer-valued long or a stored double scale, combined with a
+    * FIXED association both engines replay literally:
+    *   cosine  dot / (sqrt(dqq)·sqrt(qqq))          (scales cancel)
+    *   ip      (dot·(d_sc·q_sc)) / 127²              (dequantized dot)
+    *   l2      −((dqq·d_sc² + qqq·q_sc²) − dot·(2·(d_sc·q_sc))) / 127²
+    *           (negative squared dequantized distance — larger is
+    *           closer, so the same rank ordering applies) */
+  private[ann] def sq8Score(metric: String, dim: Int): Column = {
+    val dot = dotUnrolledLong(col("q_id_q"), col("vec_id_q"), dim)
+      .cast("double")
+    metric match {
+      case "cosine" =>
+        when(col("vec_id_qq") === lit(0L) || col("q_id_qq") === lit(0L),
+            lit(0.0))
+          .otherwise(dot /
+            (sqrt(col("vec_id_qq").cast("double")) *
+              sqrt(col("q_id_qq").cast("double"))))
+      case "ip" =>
+        (dot * (col("vec_id_sc") * col("q_id_sc"))) / lit(16129.0)
+      case "l2" =>
+        -((col("vec_id_qq").cast("double") *
+              (col("vec_id_sc") * col("vec_id_sc")) +
+            col("q_id_qq").cast("double") *
+              (col("q_id_sc") * col("q_id_sc"))) -
+          dot * (lit(2.0) * (col("vec_id_sc") * col("q_id_sc")))) /
+          lit(16129.0)
+      case other => throw new IllegalArgumentException(
+        s"Ann: unknown metric '$other' — use 'cosine', 'ip' or 'l2'")
+    }
+  }
+
+  /** The score column name a metric emits: the cosine family keeps its
+    * historical `qcos`; the dequantized metrics emit `score`. */
+  private[ann] def sq8ScoreName(metric: String): String =
+    if (metric == "cosine") "qcos" else "score"
 
   /** Scoring core over ALREADY-quantized sides — shared with the
     * persisted-index probe ([[AnnIndex.sq8TopKFromIndex]]), which
     * loads `d` from a catalog table instead of quantizing per query.
-    * Expects [[sq8Quantized]] column names (`vec_id`/`q_id`). */
+    * Expects [[sq8Quantized]] column names (`vec_id`/`q_id`); the
+    * non-cosine metrics additionally need the `_sc` scales on both
+    * sides. */
   private[ann] def sq8TopKFrom(d: DataFrame, q: DataFrame, k: Int,
-                               dim: Int): DataFrame = {
+                               dim: Int,
+                               metric: String = "cosine"): DataFrame = {
+    val sn = sq8ScoreName(metric)
     val scored = d.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("qcos",
-        when(col("vec_id_qq") === lit(0L) || col("q_id_qq") === lit(0L),
-            lit(0.0))
-          .otherwise(
-            dotUnrolledLong(col("q_id_q"), col("vec_id_q"), dim)
-              .cast("double") /
-              (sqrt(col("vec_id_qq").cast("double")) *
-                sqrt(col("q_id_qq").cast("double")))))
+      .withColumn(sn, sq8Score(metric, dim))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .orderBy(col(sn).desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("qcos"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col(sn))
   }
 
   /** Threshold form of [[sq8TopKFrom]] — the semantic-decontamination
@@ -833,12 +871,14 @@ object Ann {
 
   /** Brute-force top-k over SQ8-quantized vectors: quantize both sides
     * once (codes + integer self-dot materialized per row — the columns
-    * a quantized index stores), broadcast the query side, rank by
-    * quantized cosine. Output: (q_id, rank, vec_id, qcos). */
+    * a quantized index stores), broadcast the query side, rank by the
+    * quantized score under `metric` (cosine | ip | l2). Output:
+    * (q_id, rank, vec_id, qcos|score). */
   def sq8TopK(data: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, dim: Int = Dim): DataFrame =
+              vecCol: String, k: Int, dim: Int = Dim,
+              metric: String = "cosine"): DataFrame =
     sq8TopKFrom(sq8Quantized(data, idCol, vecCol, "vec_id", dim),
-      sq8Quantized(queries, idCol, vecCol, "q_id", dim), k, dim)
+      sq8Quantized(queries, idCol, vecCol, "q_id", dim), k, dim, metric)
 
   // ----- Product quantization (PQ / ADC) -----
   //

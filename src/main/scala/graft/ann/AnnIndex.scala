@@ -91,6 +91,9 @@ object AnnIndex {
     * [[graft.streaming.CorpusStream.StatePartitions]] rationale). */
   val LshPkBuckets = 64L
 
+  /** The similarity metrics an index can record at build time. */
+  val Metrics: Set[String] = Set("cosine", "ip", "l2")
+
   /** Staleness bound: once `indexed_n` exceeds this factor of
     * `fitted_n`, appends and probes fail loudly (refit required).
     * One doubling is where [[Ann.autoPlanes]] would have added a
@@ -208,16 +211,28 @@ object AnnIndex {
   }
 
   /** Build + persist the SQ8 code index: every vector quantized once
-    * to int8 codes + integer self-dot ([[Ann.sq8Quantized]]), stored
-    * as `array<tinyint>` — the 4×-cheaper scan a quantized serving
-    * corpus reads instead of floats. No corpus-level fit: the
-    * quantization scale is PER-VECTOR, so unlike LSH planes or IVF
-    * centroids there is no geometry to go stale and appends never
-    * require a rebuild ([[requireFresh]] is kind-aware). `geometry`
-    * records the code scale (127) for observability. */
+    * to int8 codes + integer self-dot + quantization scale
+    * ([[Ann.sq8Quantized]]), codes stored as `array<tinyint>` — the
+    * 4×-cheaper scan a quantized serving corpus reads instead of
+    * floats. No corpus-level fit: the quantization scale is
+    * PER-VECTOR, so unlike LSH planes or IVF centroids there is no
+    * geometry to go stale and appends never require a rebuild
+    * ([[requireFresh]] is kind-aware). `geometry` records the code
+    * scale (127) for observability.
+    *
+    * `metric` (round 16 — the [[Ann.Geom]] pattern applied to the
+    * score function): the similarity this index SERVES — "cosine"
+    * (unit-invariant, the default), "ip" (dequantized inner product —
+    * the learned-retrieval contract where magnitude carries signal)
+    * or "l2" (negative squared dequantized distance). Recorded in the
+    * meta; every probe scores under the RECORDED metric, and a probe
+    * that explicitly requests a different one is refused loudly. */
   def buildSq8(catalog: TableCatalog, data: DataFrame, idCol: String,
                vecCol: String, indexTable: String,
-               dim: Int = Ann.Dim): Unit = {
+               dim: Int = Ann.Dim, metric: String = "cosine"): Unit = {
+    require(Metrics.contains(metric),
+      s"AnnIndex: unknown metric '$metric' — use one of " +
+        Metrics.mkString("'", "', '", "'"))
     val n = data.count()
     catalog.withTableLock(assignTableOf(indexTable)) {
       markRebuilding(catalog, indexTable)
@@ -226,7 +241,8 @@ object AnnIndex {
       dropOtherSegs(catalog, indexTable, keep = "0")
       drainDels(catalog, indexTable)
       writeSegCounts(catalog, indexTable, Map("0" -> n))
-      writeMeta(catalog, indexTable, "sq8", 127, dim, 0, 0, n, n)
+      writeMeta(catalog, indexTable, "sq8", 127, dim, 0, 0, n, n,
+        metric)
     }
   }
 
@@ -262,14 +278,32 @@ object AnnIndex {
                        queries: DataFrame, idCol: String, vecCol: String,
                        k: Int,
                        allowedIds: Option[DataFrame] = None,
-                       allowedIdCol: String = "id"): DataFrame = {
+                       allowedIdCol: String = "id",
+                       metric: Option[String] = None): DataFrame = {
     val m = readMeta(catalog, indexTable, "sq8")
+    // metric is served from the META, like the geometry: None = the
+    // recorded one; an explicit request that disagrees with the build
+    // is refused loudly (scoring a cosine corpus by inner product
+    // would silently return magnitude-ranked garbage)
+    metric.foreach { req =>
+      require(req == m.metric,
+        s"AnnIndex: '$indexTable' was built for metric '${m.metric}' " +
+          s"but the probe requested '$req' — probes serve the " +
+          "RECORDED metric; rebuild with the desired one")
+    }
+    val baseCols = Seq(col("id").as("vec_id"), col("q").as("vec_id_q"),
+      col("qq").as("vec_id_qq"))
+    // the scale column only exists on post-r16 layouts and is only
+    // read when the metric needs it — cosine probes of an older index
+    // keep working (and keep their byte-identical plans)
+    val cols = if (m.metric == "cosine") baseCols
+               else baseCols :+ col("sc").as("vec_id_sc")
     val d = restrictTo(liveAssign(catalog, indexTable),
         allowedIds, allowedIdCol)
-      .select(col("id").as("vec_id"), col("q").as("vec_id_q"),
-        col("qq").as("vec_id_qq"))
+      .select(cols: _*)
     Ann.sq8TopKFrom(d,
-      Ann.sq8Quantized(queries, idCol, vecCol, "q_id", m.dim), k, m.dim)
+      Ann.sq8Quantized(queries, idCol, vecCol, "q_id", m.dim), k,
+      m.dim, m.metric)
   }
 
   /** Semantic-decontamination hit list off the persisted SQ8 index:
@@ -283,6 +317,11 @@ object AnnIndex {
                           queries: DataFrame, idCol: String,
                           vecCol: String, minCos: Double): DataFrame = {
     val m = readMeta(catalog, indexTable, "sq8")
+    // the hit threshold is a COSINE — an ip/l2 index's scores live on
+    // a different scale entirely, so refuse rather than mis-threshold
+    require(m.metric == "cosine",
+      s"AnnIndex: decontamination thresholds are cosine but " +
+        s"'$indexTable' records metric '${m.metric}'")
     val d = liveAssign(catalog, indexTable)
       .select(col("id").as("vec_id"), col("q").as("vec_id_q"),
         col("qq").as("vec_id_qq"))
@@ -351,11 +390,16 @@ object AnnIndex {
     * against the ann13 oracle. */
   def pqTopKFromIndex(catalog: TableCatalog, indexTable: String,
                       queries: DataFrame, idCol: String, vecCol: String,
-                      k: Int, allowStale: Boolean = false): DataFrame = {
+                      k: Int, allowStale: Boolean = false,
+                      allowedIds: Option[DataFrame] = None,
+                      allowedIdCol: String = "id"): DataFrame = {
     val m = readMeta(catalog, indexTable, "pq")
     requireFresh(m, indexTable, allowStale)
     val books = readBooks(catalog, indexTable)
-    val codes = liveAssign(catalog, indexTable)
+    // filtered search: restrict the code scan BEFORE the ADC scoring
+    // and the rank cut (the [[sq8TopKFromIndex]] contract)
+    val codes = restrictTo(liveAssign(catalog, indexTable),
+        allowedIds, allowedIdCol)
       .select(col("id") +:
         (0 until m.pqM).map(i => col(s"c$i")): _*)
     Ann.pqTopKFromCodes(codes, books, queries, idCol, vecCol, k, m.geom)
@@ -689,7 +733,7 @@ object AnnIndex {
         dropOtherSegs(catalog, indexTable, keep = "0")
         writeSegCounts(catalog, indexTable, Map("0" -> n))
         writeMeta(catalog, indexTable, m.kind, m.geometry, m.dim,
-          m.pqM, m.pqK, m.fittedN, n)
+          m.pqM, m.pqK, m.fittedN, n, m.metric)
         // drain the tombstones LAST: their rows are already gone from
         // seg 0, so a crash before this point leaves tombstones whose
         // anti-join is a no-op (correct, just unpurged) and the re-run
@@ -709,11 +753,17 @@ object AnnIndex {
     * off the assignment table. Fails on a stale index (corpus grown
     * past [[MaxDriftFactor]] × the fitted size) unless `allowStale`. */
   def lshNeighborsFromIndex(catalog: TableCatalog, indexTable: String,
-                            allowStale: Boolean = false): DataFrame = {
+                            allowStale: Boolean = false,
+                            allowedIds: Option[DataFrame] = None,
+                            allowedIdCol: String = "id"): DataFrame = {
     val m = readMeta(catalog, indexTable, "lsh")
     requireFresh(m, indexTable, allowStale)
+    // filtered search: the neighbor join runs entirely inside the
+    // allowed subset (both the row being matched and its candidates),
+    // restricted BEFORE bucketing fans out
     Ann.bucketNeighborsFrom(
-      graft.core.Fence(liveAssign(catalog, indexTable)
+      graft.core.Fence(restrictTo(liveAssign(catalog, indexTable),
+          allowedIds, allowedIdCol)
         .select(col("id"), col("v"), col("nrm"), col("bucket"))),
       Ann.NearDupHotCap, Ann.NearDupHotSalts, m.dim)
   }
@@ -728,11 +778,17 @@ object AnnIndex {
   def ivfTopKFromIndex(catalog: TableCatalog, indexTable: String,
                        queries: DataFrame, idCol: String, vecCol: String,
                        k: Int, nprobe: Int = 2,
-                       allowStale: Boolean = false): DataFrame = {
+                       allowStale: Boolean = false,
+                       allowedIds: Option[DataFrame] = None,
+                       allowedIdCol: String = "id"): DataFrame = {
     val m = readMeta(catalog, indexTable, "ivf")
     requireFresh(m, indexTable, allowStale)
     val cents = readCentroids(catalog, indexTable)
-    val assigned = liveAssign(catalog, indexTable)
+    // filtered search (the [[sq8TopKFromIndex]] contract): the
+    // allowed-id semi-join lands on the assignment scan BEFORE the
+    // cell equi-join and scoring, so k fills from the allowed subset
+    val assigned = restrictTo(liveAssign(catalog, indexTable),
+        allowedIds, allowedIdCol)
       .select(col("id"), col("v"), col("nrm"),
         col("cell").cast("int").as("cell"))
     Ann.ivfProbe(assigned, cents, queries, idCol, vecCol, k, nprobe,
@@ -833,7 +889,8 @@ object AnnIndex {
     Ann.sq8Quantized(data, idCol, vecCol, "id", dim)
       .select(col("id"),
         transform(col("id_q"), x => x.cast("byte")).as("q"),
-        col("id_qq").as("qq"))
+        col("id_qq").as("qq"),
+        col("id_sc").as("sc"))
       .withColumn("pk", pmod(col("id"), lit(LshPkBuckets)))
 
   /** (id, c0 … c_{M−1}, pk): the PQ code row — M small ints per
@@ -1005,7 +1062,7 @@ object AnnIndex {
     writeSegCounts(catalog, indexTable,
       prior - key + (key -> incoming))
     writeMeta(catalog, indexTable, m.kind, m.geometry, m.dim,
-      m.pqM, m.pqK, m.fittedN, indexed)
+      m.pqM, m.pqK, m.fittedN, indexed, m.metric)
   }
 
   private def dropOtherSegs(catalog: TableCatalog, indexTable: String,
@@ -1033,7 +1090,8 @@ object AnnIndex {
 
   private case class Meta(kind: String, geometry: Int, dim: Int,
                           pqM: Int, pqK: Int,
-                          fittedN: Long, indexedN: Long) {
+                          fittedN: Long, indexedN: Long,
+                          metric: String) {
     /** The recorded per-call geometry probes must serve under. */
     def geom: Ann.Geom = Ann.Geom(dim, pqM, pqK)
   }
@@ -1041,13 +1099,14 @@ object AnnIndex {
   private def writeMeta(catalog: TableCatalog, indexTable: String,
                         kind: String, geometry: Int, dim: Int,
                         pqM: Int, pqK: Int, fittedN: Long,
-                        indexedN: Long): Unit = {
+                        indexedN: Long,
+                        metric: String = "cosine"): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     catalog.writeFull(
-      Seq((kind, geometry, dim, pqM, pqK, fittedN, indexedN))
+      Seq((kind, geometry, dim, pqM, pqK, fittedN, indexedN, metric))
         .toDF("kind", "geometry", "dim", "pq_m", "pq_k",
-          "fitted_n", "indexed_n"),
+          "fitted_n", "indexed_n", "metric"),
       indexTable)
   }
 
@@ -1089,10 +1148,16 @@ object AnnIndex {
       if (row.schema.fieldNames.contains(name))
         row.getInt(row.fieldIndex(name))
       else dflt
+    // a pre-round-16 meta has no metric column: cosine was the only
+    // metric that existed then
+    val metric =
+      if (row.schema.fieldNames.contains("metric"))
+        row.getString(row.fieldIndex("metric"))
+      else "cosine"
     Meta(k, row.getInt(row.fieldIndex("geometry")),
       row.getInt(row.fieldIndex("dim")),
       intOr("pq_m", Ann.PqSubspaces), intOr("pq_k", Ann.PqCodebook),
-      fitted, indexed)
+      fitted, indexed, metric)
   }
 
   private def requireFresh(m: Meta, indexTable: String,

@@ -1221,6 +1221,53 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Filtered search on the IVF path (round 16 — closing the "three
+    // of five kinds lack allowedIds" gap): the cell-pruned probe
+    // restricted to the label-0 vectors, with the semi-join landing on
+    // the assignment scan BEFORE the cell equi-join and scoring — same
+    // pre-filter contract as ann23/ann24, so k fills from the allowed
+    // subset. The oracle is the ann05 arithmetic (identical fit over
+    // the FULL corpus — the index was built unrestricted) with the
+    // predicate on its candidate set only.
+    "ann25_filtered_ivf" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann25_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildIvf(cat, e, "vec_id", "embedding", "ann_fi",
+        numCells = 16, trainIters = 2)
+      AnnIndex.ivfTopKFromIndex(cat, "ann_fi",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          allowedIds = Some(e.filter(col("label") === 0)
+            .select(col("vec_id"))),
+          allowedIdCol = "vec_id")
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Metric in the index meta (round 16 — the Geom pattern applied to
+    // the SCORE function): an inner-product SQ8 index — the
+    // learned-retrieval contract where vector magnitude carries signal
+    // and unit-normalizing would destroy it. buildSq8 records
+    // metric="ip" beside the geometry; the probe serves under the
+    // RECORDED metric (scores = dequantized code dots via the stored
+    // per-vector scales), and an explicit probe for a different metric
+    // is refused loudly (spec-pinned). The oracle replays the same
+    // quantization with the ip scoring formula; all cosine gates are
+    // byte-identical (scales cancel there and are never read).
+    "ann26_sq8_ip" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann26_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildSq8(cat, e, "vec_id", "embedding", "ann_ip",
+        metric = "ip")
+      AnnIndex.sq8TopKFromIndex(cat, "ann_ip",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Bulk neighbor join off the persisted residual index: EVERY
     // corpus vector is a query ("attach top-3 neighbors to each
     // document"), probed with broadcastQueries = false — the query
@@ -1803,39 +1850,120 @@ object LlmQueries {
         WHERE rank <= $k ORDER BY q_id, rank"""
   }
 
+  /** The ann05 trained-IVF oracle (two deterministic spherical-k-means
+    * rounds, cell-pruned cosine probe), parameterized on an extra
+    * candidate-side predicate (`AND ...` against alias `a`) so the
+    * filtered-search gate (ann25) replays the identical FULL-corpus
+    * fit with the restriction on its candidate set only — the
+    * pre-filter contract. Empty condition = the ann05/ann08/ann10
+    * text. */
+  private def ivfKmeansOracle(candCond: String = ""): String = {
+    def dt(a: String, b: String) = Ann.dotSql(a, b)
+    // one Lloyd round: argmax-cosine assignment against cent{i-1}
+    // (ties to the larger cell, like array_max over (cos, cell)),
+    // then the integer-cents element-wise mean; empty cells keep
+    // their previous centroid
+    def round(i: Int): String = {
+      val prev = s"cent${i - 1}"
+      s"""asg$i AS (SELECT vec_id, v, nrm, cell FROM (
+            SELECT vn.vec_id, vn.v, vn.nrm, c.cell,
+              row_number() OVER (PARTITION BY vn.vec_id
+                ORDER BY ${dt("vn.v", "c.cv")} / (vn.nrm * c.cnrm)
+                  DESC, c.cell DESC) AS rn
+            FROM vn CROSS JOIN $prev c) WHERE rn = 1),
+          mean$i AS (SELECT cell, CAST(pos AS INT) AS pos,
+              CAST(SUM(CAST(FLOOR(val * 1048576.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1048576.0 / CAST(COUNT(*) AS DOUBLE) AS m
+            FROM (SELECT cell, CAST(unnest(v) AS DOUBLE) AS val,
+                    unnest(generate_series(1, len(v))) - 1 AS pos
+                  FROM asg$i)
+            GROUP BY cell, pos),
+          cm$i AS (SELECT cell, list(m ORDER BY pos) AS cv
+            FROM mean$i GROUP BY cell),
+          cent$i AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv,
+              CASE WHEN n.cv IS NULL THEN p.cnrm
+                   ELSE sqrt(${dt("n.cv", "n.cv")}) END AS cnrm
+            FROM $prev p LEFT JOIN cm$i n USING (cell))"""
+    }
+    s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm FROM v),
+        cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
+            - 1 AS cell, v AS cv, nrm AS cnrm
+          FROM vn ORDER BY vec_id LIMIT 16),
+        ${round(1)},
+        ${round(2)},
+        asg AS (SELECT vec_id, v, nrm, cell FROM (
+          SELECT vn.vec_id, vn.v, vn.nrm, cent2.cell,
+            row_number() OVER (PARTITION BY vn.vec_id
+              ORDER BY ${dt("vn.v", "cent2.cv")} / (vn.nrm * cent2.cnrm)
+                DESC, cent2.cell DESC) AS rn
+          FROM vn CROSS JOIN cent2) WHERE rn = 1),
+        qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell FROM (
+          SELECT vn.vec_id, vn.v, vn.nrm, cent2.cell,
+            row_number() OVER (PARTITION BY vn.vec_id
+              ORDER BY ${dt("vn.v", "cent2.cv")} / (vn.nrm * cent2.cnrm)
+                DESC, cent2.cell DESC) AS rn
+          FROM vn CROSS JOIN cent2 WHERE vn.vec_id < 5) WHERE rn <= 2),
+        cand AS (SELECT qp.q_id, a.vec_id,
+            ${dt("qp.qv", "a.v")} / (qp.qnrm * a.nrm) AS cos
+          FROM qp JOIN asg a USING (cell)
+          WHERE a.vec_id <> qp.q_id$candCond),
+        ranked AS (SELECT q_id, vec_id, cos,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM cand)
+      SELECT q_id, rank, vec_id, cos FROM ranked
+      WHERE rank <= 10 ORDER BY q_id, rank"""
+  }
+
   /** The ann11 SQ8 brute-force oracle, parameterized on an extra
     * corpus-side predicate (`AND ...` against alias `d`) so the
     * delete gate (ann21) replays the same arithmetic over the LIVE
-    * subset. Empty condition = the ann11/ann12/ann19 text. */
-  private def sq8TopKOracleSql(corpusCond: String = ""): String = {
+    * subset, and on the scoring `metric` (round 16 — cosine | ip |
+    * l2, replaying [[graft.ann.Ann.sq8Score]]'s fixed association
+    * over the same integer dots and stored scales). Empty condition +
+    * cosine = the ann11/ann12/ann19 text. */
+  private def sq8TopKOracleSql(corpusCond: String = "",
+                               metric: String = "cosine"): String = {
     def idot(a: String, b: String) =
       s"list_aggregate(list_transform(list_zip($a, $b), " +
         s"s -> s[1] * s[2]), 'sum')"
+    val dot = s"CAST(${idot("qs.qa", "d.q")} AS DOUBLE)"
+    val (scoreExpr, scoreName) = metric match {
+      case "cosine" => (
+        s"""CASE WHEN d.qq = 0 OR qs.qqa = 0 THEN 0.0
+              ELSE $dot
+                / (sqrt(CAST(d.qq AS DOUBLE)) *
+                   sqrt(CAST(qs.qqa AS DOUBLE))) END""", "qcos")
+      case "ip" => (
+        s"($dot * (d.m * qs.ma)) / 16129.0", "score")
+      case "l2" => (
+        s"""-((CAST(d.qq AS DOUBLE) * (d.m * d.m)
+              + CAST(qs.qqa AS DOUBLE) * (qs.ma * qs.ma))
+            - $dot * (2.0 * (d.m * qs.ma))) / 16129.0""", "score")
+    }
     s"""WITH v AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
         mq AS (SELECT vec_id, v,
           list_max(list_transform(v, x -> abs(x))) AS m FROM v),
-        qz AS (SELECT vec_id,
+        qz AS (SELECT vec_id, m,
           CASE WHEN m = 0
             THEN list_transform(v, x -> CAST(0 AS BIGINT))
             ELSE list_transform(v,
               x -> CAST(FLOOR(x * 127.0 / m + 0.5) AS BIGINT)) END AS q
           FROM mq),
-        qn AS (SELECT vec_id, q, ${idot("q", "q")} AS qq FROM qz),
-        qs AS (SELECT vec_id AS q_id, q AS qa, qq AS qqa
+        qn AS (SELECT vec_id, q, ${idot("q", "q")} AS qq, m FROM qz),
+        qs AS (SELECT vec_id AS q_id, q AS qa, qq AS qqa, m AS ma
           FROM qn WHERE vec_id < 5),
         scored AS (SELECT qs.q_id, d.vec_id,
-            CASE WHEN d.qq = 0 OR qs.qqa = 0 THEN 0.0
-              ELSE CAST(${idot("qs.qa", "d.q")} AS DOUBLE)
-                / (sqrt(CAST(d.qq AS DOUBLE)) *
-                   sqrt(CAST(qs.qqa AS DOUBLE))) END AS qcos
+            $scoreExpr AS $scoreName
           FROM qs JOIN qn d ON d.vec_id <> qs.q_id$corpusCond),
-        ranked AS (SELECT q_id, vec_id, qcos,
+        ranked AS (SELECT q_id, vec_id, $scoreName,
           CAST(row_number() OVER (PARTITION BY q_id
-            ORDER BY qcos DESC, vec_id ASC) AS INT) AS rank
+            ORDER BY $scoreName DESC, vec_id ASC) AS INT) AS rank
           FROM scored)
-      SELECT q_id, rank, vec_id, qcos FROM ranked
+      SELECT q_id, rank, vec_id, $scoreName FROM ranked
       WHERE rank <= 10 ORDER BY q_id, rank"""
   }
 
@@ -2514,63 +2642,7 @@ object LlmQueries {
         SELECT q_id, rank, vec_id, cos FROM ranked
         WHERE rank <= 10 ORDER BY q_id, rank"""
     },
-    "ann05_ivf_kmeans" -> {
-      def dt(a: String, b: String) = Ann.dotSql(a, b)
-      // one Lloyd round: argmax-cosine assignment against cent{i-1}
-      // (ties to the larger cell, like array_max over (cos, cell)),
-      // then the integer-cents element-wise mean; empty cells keep
-      // their previous centroid
-      def round(i: Int): String = {
-        val prev = s"cent${i - 1}"
-        s"""asg$i AS (SELECT vec_id, v, nrm, cell FROM (
-              SELECT vn.vec_id, vn.v, vn.nrm, c.cell,
-                row_number() OVER (PARTITION BY vn.vec_id
-                  ORDER BY ${dt("vn.v", "c.cv")} / (vn.nrm * c.cnrm)
-                    DESC, c.cell DESC) AS rn
-              FROM vn CROSS JOIN $prev c) WHERE rn = 1),
-            mean$i AS (SELECT cell, CAST(pos AS INT) AS pos,
-                CAST(SUM(CAST(FLOOR(val * 1048576.0 + 0.5) AS BIGINT))
-                  AS DOUBLE) / 1048576.0 / CAST(COUNT(*) AS DOUBLE) AS m
-              FROM (SELECT cell, CAST(unnest(v) AS DOUBLE) AS val,
-                      unnest(generate_series(1, len(v))) - 1 AS pos
-                    FROM asg$i)
-              GROUP BY cell, pos),
-            cm$i AS (SELECT cell, list(m ORDER BY pos) AS cv
-              FROM mean$i GROUP BY cell),
-            cent$i AS (SELECT p.cell, COALESCE(n.cv, p.cv) AS cv,
-                CASE WHEN n.cv IS NULL THEN p.cnrm
-                     ELSE sqrt(${dt("n.cv", "n.cv")}) END AS cnrm
-              FROM $prev p LEFT JOIN cm$i n USING (cell))"""
-      }
-      s"""WITH v AS (SELECT vec_id,
-            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-          vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm FROM v),
-          cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
-              - 1 AS cell, v AS cv, nrm AS cnrm
-            FROM vn ORDER BY vec_id LIMIT 16),
-          ${round(1)},
-          ${round(2)},
-          asg AS (SELECT vec_id, v, nrm, cell FROM (
-            SELECT vn.vec_id, vn.v, vn.nrm, cent2.cell,
-              row_number() OVER (PARTITION BY vn.vec_id
-                ORDER BY ${dt("vn.v", "cent2.cv")} / (vn.nrm * cent2.cnrm)
-                  DESC, cent2.cell DESC) AS rn
-            FROM vn CROSS JOIN cent2) WHERE rn = 1),
-          qp AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell FROM (
-            SELECT vn.vec_id, vn.v, vn.nrm, cent2.cell,
-              row_number() OVER (PARTITION BY vn.vec_id
-                ORDER BY ${dt("vn.v", "cent2.cv")} / (vn.nrm * cent2.cnrm)
-                  DESC, cent2.cell DESC) AS rn
-            FROM vn CROSS JOIN cent2 WHERE vn.vec_id < 5) WHERE rn <= 2),
-          cand AS (SELECT qp.q_id, a.vec_id,
-              ${dt("qp.qv", "a.v")} / (qp.qnrm * a.nrm) AS cos
-            FROM qp JOIN asg a USING (cell) WHERE a.vec_id <> qp.q_id),
-          ranked AS (SELECT q_id, vec_id, cos,
-            CAST(row_number() OVER (PARTITION BY q_id
-              ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM cand)
-        SELECT q_id, rank, vec_id, cos FROM ranked
-        WHERE rank <= 10 ORDER BY q_id, rank"""
-    },
+    "ann05_ivf_kmeans" -> ivfKmeansOracle(),
     "ann04_centroids" ->
       """WITH e AS (SELECT label,
            CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -2879,6 +2951,13 @@ object LlmQueries {
       " AND d.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 0)"),
     // codebooks train on the full corpus; codes are pure functions of
     // vector × frozen books — ann13's oracle verbatim
+    // filtered IVF probe: identical full-corpus fit, candidates
+    // restricted to the label-0 vectors (the pre-filter contract)
+    "ann25_filtered_ivf" -> ivfKmeansOracle(
+      " AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 0)"),
+    // inner-product SQ8 index: same quantization, ip scoring off the
+    // stored per-vector scales
+    "ann26_sq8_ip" -> sq8TopKOracleSql(metric = "ip"),
     "ann14_pq_index" -> oracleBase("ann13_pq_adc"),
     // both residual-family fits train on the full corpus; cells and
     // codes are pure functions of vector × frozen fits and the refine

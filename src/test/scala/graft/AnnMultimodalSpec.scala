@@ -842,6 +842,134 @@ class AnnMultimodalSpec extends SparkSpec {
         q, "vec_id", "embedding", 5, nprobe = 2, refine = 8)))
   }
 
+  test("filtered search on the IVF / PQ / LSH paths: each equals an " +
+       "index of the allowed subset under shared fits, adds no join " +
+       "when unrestricted, and composes with deletion") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(47)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val wh = java.nio.file.Files.createTempDirectory("annfil2_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    val q = vecs.filter($"vec_id" < 2)
+    val even = vecs.filter($"vec_id" % 2 === 0)
+    val allowed = Some(even.select($"vec_id"))
+    def canonQ(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"))
+        .collect().toSeq
+    // IVF — shared quantizer (trainData = full corpus), so the
+    // subset-only index assigns identically and probes are exact
+    AnnIndex.buildIvf(cat, vecs, "vec_id", "embedding", "gi",
+      numCells = 4, trainIters = 2, trainData = Some(vecs))
+    AnnIndex.buildIvf(cat, even, "vec_id", "embedding", "giref",
+      numCells = 4, trainIters = 2, trainData = Some(vecs))
+    val fi = AnnIndex.ivfTopKFromIndex(cat, "gi", q, "vec_id",
+      "embedding", 5, allowedIds = allowed, allowedIdCol = "vec_id")
+    assert(canonQ(fi) == canonQ(AnnIndex.ivfTopKFromIndex(cat, "giref",
+      q, "vec_id", "embedding", 5)))
+    val pi0 = AnnIndex.ivfTopKFromIndex(cat, "gi", q, "vec_id",
+      "embedding", 5).queryExecution.executedPlan.toString
+    assert(!pi0.contains("LeftSemi"), pi0.take(800))
+    assert(fi.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    // ...composes with deletion
+    val vic = canonQ(fi).head.getLong(2)
+    AnnIndex.deleteIds(cat, Seq(vic).toDF("vec_id"), "vec_id", "gi")
+    assert(AnnIndex.ivfTopKFromIndex(cat, "gi", q, "vec_id",
+        "embedding", 5, allowedIds = allowed, allowedIdCol = "vec_id")
+      .filter($"vec_id" === vic).isEmpty)
+    // PQ — shared codebooks
+    AnnIndex.buildPq(cat, vecs, "vec_id", "embedding", "gp",
+      trainIters = 2, trainData = Some(vecs))
+    AnnIndex.buildPq(cat, even, "vec_id", "embedding", "gpref",
+      trainIters = 2, trainData = Some(vecs))
+    val fp = AnnIndex.pqTopKFromIndex(cat, "gp", q, "vec_id",
+      "embedding", 5, allowedIds = allowed, allowedIdCol = "vec_id")
+    assert(canonQ(fp) == canonQ(AnnIndex.pqTopKFromIndex(cat, "gpref",
+      q, "vec_id", "embedding", 5)))
+    val pp0 = AnnIndex.pqTopKFromIndex(cat, "gp", q, "vec_id",
+      "embedding", 5).queryExecution.executedPlan.toString
+    assert(!pp0.contains("LeftSemi"), pp0.take(800))
+    assert(fp.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    val vicP = canonQ(fp).head.getLong(2)
+    AnnIndex.deleteIds(cat, Seq(vicP).toDF("vec_id"), "vec_id", "gp")
+    assert(AnnIndex.pqTopKFromIndex(cat, "gp", q, "vec_id",
+        "embedding", 5, allowedIds = allowed, allowedIdCol = "vec_id")
+      .filter($"vec_id" === vicP).isEmpty)
+    // LSH — geometry sized to the SAME capacity on both, so bucketing
+    // (a pure function of vector x planes) is identical
+    AnnIndex.buildLsh(cat, vecs, "vec_id", "embedding", "gl",
+      targetBucketRows = 1)
+    AnnIndex.buildLsh(cat, even, "vec_id", "embedding", "glref",
+      targetBucketRows = 1, capacityRows = Some(vecs.count()))
+    def canonN(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"vec_id")
+        .select($"vec_id".cast("long"), $"neighbor".cast("long"))
+        .collect().toSeq
+    assert(canonN(AnnIndex.lshNeighborsFromIndex(cat, "gl",
+        allowedIds = allowed, allowedIdCol = "vec_id")) ==
+      canonN(AnnIndex.lshNeighborsFromIndex(cat, "glref")))
+  }
+
+  test("metric in the index meta: an ip-built SQ8 index serves " +
+       "dequantized inner-product ranks, l2 serves negative distance, " +
+       "mismatched explicit probes and non-cosine decon are refused") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(67)
+    // magnitudes VARY by an id-dependent factor, so ip ranks must
+    // diverge from cosine ranks (magnitude is the signal ip keeps)
+    val vecs = (0 until 24).map { i =>
+      val scale = 0.2f + (i % 5).toFloat
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * scale))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+    val wh = java.nio.file.Files.createTempDirectory("annmet_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"))
+        .collect().toSeq
+    AnnIndex.buildSq8(cat, vecs, "vec_id", "embedding", "mip",
+      metric = "ip")
+    AnnIndex.buildSq8(cat, vecs, "vec_id", "embedding", "ml2",
+      metric = "l2")
+    AnnIndex.buildSq8(cat, vecs, "vec_id", "embedding", "mcos")
+    // probes serve the RECORDED metric, equal to the fit-inline form
+    val ipGot = canon(AnnIndex.sq8TopKFromIndex(cat, "mip", q,
+      "vec_id", "embedding", 5))
+    assert(ipGot == canon(Ann.sq8TopK(vecs, q, "vec_id", "embedding",
+      5, metric = "ip")))
+    assert(canon(AnnIndex.sq8TopKFromIndex(cat, "ml2", q, "vec_id",
+        "embedding", 5)) ==
+      canon(Ann.sq8TopK(vecs, q, "vec_id", "embedding", 5,
+        metric = "l2")))
+    val cosGot = canon(AnnIndex.sq8TopKFromIndex(cat, "mcos", q,
+      "vec_id", "embedding", 5))
+    assert(ipGot != cosGot) // magnitude signal really changes ranks
+    // appends inherit the recorded metric (per-vector scales, no fit)
+    // ... and an explicit metric request must MATCH the recorded one
+    assert(canon(AnnIndex.sq8TopKFromIndex(cat, "mip", q, "vec_id",
+      "embedding", 5, metric = Some("ip"))) == ipGot)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.sq8TopKFromIndex(cat, "mip", q, "vec_id", "embedding",
+        5, metric = Some("cosine"))
+    }
+    assert(ex.getMessage.contains("RECORDED"), ex.getMessage)
+    // decon thresholds are cosine — an ip index is refused
+    val ex2 = intercept[IllegalArgumentException] {
+      AnnIndex.sq8MatchesFromIndex(cat, "mip", q, "vec_id",
+        "embedding", 0.5)
+    }
+    assert(ex2.getMessage.contains("cosine"), ex2.getMessage)
+    // unknown metrics are refused at build time
+    val ex3 = intercept[IllegalArgumentException] {
+      AnnIndex.buildSq8(cat, vecs, "vec_id", "embedding", "mx",
+        metric = "dotproduct")
+    }
+    assert(ex3.getMessage.contains("metric"), ex3.getMessage)
+  }
+
   test("ANN index lifecycle: build-half + append-half equals the full " +
        "build bit for bit, a replayed append is idempotent, and " +
        "staleness past the drift bound fails loudly") {
