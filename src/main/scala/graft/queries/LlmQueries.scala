@@ -35,6 +35,43 @@ object LlmQueries {
     "(SELECT doc_id, replace(replace(replace(text, 'e', 'é'), " +
       "'a', 'α'), 'i', '€') AS text FROM documents)"
 
+  /** The dp08 trainer-handoff frame — (id, chunk, text), the chunked
+    * survivors of the corpus chain joined back to their text — shared
+    * by the plain export gate (dp08) and the manifest+purge gate
+    * (dp09). A wider budget and tighter chunk size than dp05's frozen
+    * knobs, so the export spans MANY shard directories at gate scale
+    * (the multi-shard layout is what's being proven). */
+  private def dp08Assigned(s: SparkSession, dir: String): DataFrame = {
+    val cp = graft.text.CorpusPipeline
+    val gated = cp.gate(t(s, dir, "documents"))
+    val deduped = graft.core.Fence(Dedup.exactDedup(gated,
+      cp.fingerprintPrefix, col("doc_id")))
+    val pairs = MinHashLSH.nearDupPairs(deduped, "doc_id", "text",
+      threshold = cp.NearDupThreshold)
+    val clustered = Dedup.clusterDedup(deduped, "doc_id", pairs,
+      "doc_a", "doc_b")
+    val surv = clustered.filter(cp.samplePredicate)
+    val toks = TextHash.tokens(col("text"))
+    val kept = graft.core.Fence(graft.text.Mixture.tokenBudgetSample(
+      surv, "doc_id", "lang", size(toks).cast("long"),
+      TextAnalysis.qualityScore(toks), 200000L))
+    graft.text.Packing.tokenChunks(kept, "id", col("n_toks"), 500L)
+      .select(col("id"), col("chunk"))
+      .join(t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("text")), Seq("id"))
+  }
+
+  /** Read an exported shard directory back and checksum per shard —
+    * the dp08/dp09 gate output proving the JSON round-trip byte-exact
+    * per shard, not just row counts. */
+  private def dp08ReadBack(s: SparkSession, out: String): DataFrame =
+    s.read.json(out)
+      .groupBy(col("chunk").cast("long").as("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(pmod(graft.ops.Kmv.uniformHash(col("text")),
+          lit(1000000007L))).as("content_sum"))
+      .orderBy(col("chunk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: md5 fingerprint of a content key, keep-lowest-id
     "dd01_exact_dedup" -> ((s, dir) =>
@@ -587,36 +624,39 @@ object LlmQueries {
     // shard, not just row counts. One partitioned write job; no
     // driver-side loop over shards.
     "dp08_shard_export" -> ((s, dir) => {
-      val cp = graft.text.CorpusPipeline
-      val gated = cp.gate(t(s, dir, "documents"))
-      val deduped = graft.core.Fence(Dedup.exactDedup(gated,
-        cp.fingerprintPrefix, col("doc_id")))
-      val pairs = MinHashLSH.nearDupPairs(deduped, "doc_id", "text",
-        threshold = cp.NearDupThreshold)
-      val clustered = Dedup.clusterDedup(deduped, "doc_id", pairs,
-        "doc_a", "doc_b")
-      val surv = clustered.filter(cp.samplePredicate)
-      val toks = TextHash.tokens(col("text"))
-      // a wider budget and tighter chunk size than dp05's frozen
-      // knobs, so the export spans MANY shard directories at gate
-      // scale (the multi-shard layout is what's being proven)
-      val kept = graft.core.Fence(graft.text.Mixture.tokenBudgetSample(
-        surv, "doc_id", "lang", size(toks).cast("long"),
-        TextAnalysis.qualityScore(toks), 200000L))
-      val chunked = graft.text.Packing.tokenChunks(kept, "id",
-        col("n_toks"), 500L)
       val out = java.nio.file.Files
         .createTempDirectory("graft_dp08_").toString
-      chunked.select(col("id"), col("chunk"))
-        .join(t(s, dir, "documents")
-          .select(col("doc_id").as("id"), col("text")), Seq("id"))
+      dp08Assigned(s, dir)
         .write.partitionBy("chunk").mode("overwrite").json(out)
-      s.read.json(out)
-        .groupBy(col("chunk").cast("long").as("chunk"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(pmod(graft.ops.Kmv.uniformHash(col("text")),
-            lit(1000000007L))).as("content_sum"))
-        .orderBy(col("chunk"))
+      dp08ReadBack(s, out)
+    }),
+
+    // Export MANIFEST + takedown propagation (round 16 — closing the
+    // "takedown does not reach exported shards" hole): the same
+    // trainer handoff as dp08, but recorded in the catalog at write
+    // time (ShardExport — pk-bucketed (id, chunk) membership + a
+    // meta-last export row), then a takedown slice PURGED from the
+    // shipped JSONL: affected shards located through the pruned
+    // membership index and rewritten in ONE dynamic-overwrite job,
+    // fully-purged shards deleted, membership updated last. Run twice
+    // (idempotent); the slice includes never-exported ids (no-ops).
+    // The oracle is dp08's chain with the purged slice excluded AFTER
+    // chunk assignment — shards keep their identity, docs leave them.
+    "dp09_export_purge" -> ((s, dir) => {
+      import graft.text.ShardExport
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_dp09_").toString
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dp09w_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      ShardExport.exportJsonl(cat, dp08Assigned(s, dir), "dp09_exp",
+        out)
+      val doomed = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id").as("id"))
+      ShardExport.purge(cat, "dp09_exp", doomed)
+      ShardExport.purge(cat, "dp09_exp", doomed) // second run: no-op
+      dp08ReadBack(s, out)
     }),
 
     // The INCREMENTAL corpus pipeline under the dp01 oracle: three
@@ -689,6 +729,51 @@ object LlmQueries {
       CorpusStream.removeDocs(cat, "dp07_seen", "dp07_out", doomed)
       CorpusStream.removeDocs(cat, "dp07_seen", "dp07_out", doomed)
       CorpusStream.readOutput(cat, "dp07_out")
+        .select(col("doc_id"), col("lang"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // IN-STREAM corpus takedown (round 16 — the ann22 shape on the
+    // corpus side): one CDC feed interleaves document arrivals with
+    // takedown requests, and each micro-batch's deletes apply through
+    // the removeDocs partition-scoped rewrite right after its adds run
+    // the chain (CorpusStream.processCdcBatch). Batches 2 and 3 delete
+    // modular slices of ALREADY-ARRIVED ids (a delete for a
+    // never-emitted or duplicate-dropped id is a no-op); removed docs'
+    // state remains, so their near-duplicates stay suppressed — the
+    // oracle is the dp01 chain minus exactly the deleted slices, the
+    // dp07 contract under streaming interleave.
+    "dp10_stream_takedown" -> ((s, dir) => {
+      import graft.streaming.CorpusStream
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val b = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")),
+        org.apache.spark.sql.functions.max(col("doc_id"))).head()
+      val lo = b.getLong(0); val hi = b.getLong(1)
+      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dp10_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      def adds(p: org.apache.spark.sql.Column): DataFrame =
+        docs.filter(p).select(lit("add").as("op"), col("doc_id"),
+          col("text"), col("lang"))
+      def dels(p: org.apache.spark.sql.Column): DataFrame =
+        docs.filter(p).select(lit("delete").as("op"), col("doc_id"),
+          lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("lang"))
+      val batches = Seq(
+        adds(col("doc_id") <= cut1),
+        adds(col("doc_id") > cut1 && col("doc_id") <= cut2)
+          .unionByName(dels(col("doc_id") <= cut1 &&
+            pmod(col("doc_id"), lit(9)) === 4)),
+        adds(col("doc_id") > cut2)
+          .unionByName(dels(col("doc_id") <= cut2 &&
+            pmod(col("doc_id"), lit(9)) === 7)))
+      batches.zipWithIndex.foreach { case (batch, i) =>
+        CorpusStream.processCdcBatch(batch, cat, "dp10_seen",
+          "dp10_out", "op", i.toLong, compactEvery = 2)
+      }
+      CorpusStream.readOutput(cat, "dp10_out")
         .select(col("doc_id"), col("lang"), col("n_toks"))
         .orderBy(col("doc_id"))
     }),
@@ -1850,6 +1935,43 @@ object LlmQueries {
         WHERE rank <= $k ORDER BY q_id, rank"""
   }
 
+  /** The dp08 trainer-handoff oracle, parameterized on a post-chunking
+    * exclusion (`WHERE ...` against alias `c` in the text join) so the
+    * purge gate (dp09) replays the identical chunk assignment with the
+    * purged docs excluded from the final per-shard aggregation only.
+    * Empty condition = the dp08 text. */
+  private def dp08OracleSql(postCond: String = ""): String = {
+    val toks = "string_split(text, ' ')"
+    val fold = """(list_reduce(list_transform(
+        string_split_regex(substr(md5(text), 1, 15), ''),
+        c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+                  ELSE ascii(c) - 87 END AS BIGINT)),
+        (a, b) -> a * 16 + b))"""
+    s"""WITH RECURSIVE $dp01ChainCtes,
+        surv AS (SELECT doc_id, lang, text FROM deduped
+          WHERE $dp01SurvivorPredicate),
+        scored AS (SELECT doc_id AS id, lang,
+            CAST(len($toks) AS BIGINT) AS n_toks,
+            ${TextAnalysis.qualityScoreSql(toks)} AS q
+          FROM surv),
+        cum AS (SELECT id, lang, n_toks,
+            SUM(n_toks) OVER (PARTITION BY lang
+              ORDER BY q DESC, id ASC
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM scored),
+        kept AS (SELECT id, lang, n_toks FROM cum WHERE cum <= 200000),
+        chunked AS (SELECT id,
+            CAST((SUM(n_toks) OVER (ORDER BY id ASC
+                ROWS UNBOUNDED PRECEDING) - n_toks) // 500
+              AS BIGINT) AS chunk
+          FROM kept),
+        jt AS (SELECT c.chunk, d.text FROM chunked c
+          JOIN documents d ON d.doc_id = c.id$postCond)
+        SELECT chunk, COUNT(*) AS n_docs,
+          CAST(SUM($fold % 1000000007) AS BIGINT) AS content_sum
+        FROM jt GROUP BY chunk ORDER BY chunk"""
+  }
+
   /** The ann05 trained-IVF oracle (two deterministic spherical-k-means
     * rounds, cell-pruned cosine probe), parameterized on an extra
     * candidate-side predicate (`AND ...` against alias `a`) so the
@@ -2195,6 +2317,16 @@ object LlmQueries {
     // the dp01 survivor set minus the takedown slice — removeDocs
     // rewrites output only; suppressed near-dupes stay suppressed
     "dp07_takedown" -> dp01OracleWhere(" AND NOT (doc_id % 10 = 3)"),
+    // dp10 = the dp01 chain minus the two in-stream-deleted slices;
+    // the gate's batch cuts replay as scalar min/max subqueries (the
+    // same integer-division thirds the gate computes)
+    "dp10_stream_takedown" -> dp01OracleWhere(
+      """ AND NOT (doc_id <= (SELECT MIN(doc_id)
+            + (MAX(doc_id) - MIN(doc_id)) // 3 FROM documents)
+          AND doc_id % 9 = 4)
+        AND NOT (doc_id <= (SELECT MIN(doc_id)
+            + 2 * ((MAX(doc_id) - MIN(doc_id)) // 3) FROM documents)
+          AND doc_id % 9 = 7)"""),
     // dp04 = dp03 with every batch rolling to a fresh output epoch;
     // the roll is pure storage layout, so the oracle is unchanged
     "dp04_epoch_roll" -> dp01OracleSql,
@@ -2277,37 +2409,11 @@ object LlmQueries {
     // dp05's chunk assignment joined back to the raw text — matching
     // the gate's read-back aggregates proves the JSONL export
     // round-trips every shard's content byte-exactly
-    "dp08_shard_export" -> {
-      val toks = "string_split(text, ' ')"
-      val fold = """(list_reduce(list_transform(
-          string_split_regex(substr(md5(text), 1, 15), ''),
-          c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
-                    ELSE ascii(c) - 87 END AS BIGINT)),
-          (a, b) -> a * 16 + b))"""
-      s"""WITH RECURSIVE $dp01ChainCtes,
-          surv AS (SELECT doc_id, lang, text FROM deduped
-            WHERE $dp01SurvivorPredicate),
-          scored AS (SELECT doc_id AS id, lang,
-              CAST(len($toks) AS BIGINT) AS n_toks,
-              ${TextAnalysis.qualityScoreSql(toks)} AS q
-            FROM surv),
-          cum AS (SELECT id, lang, n_toks,
-              SUM(n_toks) OVER (PARTITION BY lang
-                ORDER BY q DESC, id ASC
-                ROWS UNBOUNDED PRECEDING) AS cum
-            FROM scored),
-          kept AS (SELECT id, lang, n_toks FROM cum WHERE cum <= 200000),
-          chunked AS (SELECT id,
-              CAST((SUM(n_toks) OVER (ORDER BY id ASC
-                  ROWS UNBOUNDED PRECEDING) - n_toks) // 500
-                AS BIGINT) AS chunk
-            FROM kept),
-          jt AS (SELECT c.chunk, d.text FROM chunked c
-            JOIN documents d ON d.doc_id = c.id)
-          SELECT chunk, COUNT(*) AS n_docs,
-            CAST(SUM($fold % 1000000007) AS BIGINT) AS content_sum
-          FROM jt GROUP BY chunk ORDER BY chunk"""
-    },
+    "dp08_shard_export" -> dp08OracleSql(),
+    // dp09 = dp08's chain with the purged slice excluded AFTER chunk
+    // assignment (shards keep their identity; purged docs leave them,
+    // fully-purged shards vanish from the GROUP BY)
+    "dp09_export_purge" -> dp08OracleSql(" WHERE c.id % 7 <> 3"),
     "dp02_corpus_report" -> {
       val toks = "string_split(text, ' ')"
       val fold = """(list_reduce(list_transform(

@@ -1307,6 +1307,44 @@ object CorpusStream {
     finally retr.unpersist(false)
   }
 
+  /** [[processBatch]] for a change-data feed — the corpus twin of
+    * [[graft.ann.AnnIndex.ingestCdcBatch]]: each micro-batch carries
+    * `opCol` = "add" | "delete" rows, the adds run the full
+    * gate/dedup/sample chain and the deletes then apply through the
+    * [[removeDocs]] partition-scoped rewrite — the one foreachBatch
+    * body a live corpus points at when its upstream interleaves
+    * takedowns with new documents. Idempotent end to end under the
+    * streaming engine's replay contract: the add half overwrites its
+    * own `batch_id` partitions ([[processBatch]]'s contract) and the
+    * delete half's rewrite is idempotent by construction, so a
+    * replayed batch converges. Adds apply FIRST: a batch that adds and
+    * deletes the same doc nets to deleted (the delete is the later
+    * intent); a delete for a doc that never arrived (or was dropped as
+    * a duplicate) is a no-op. The removed docs' STATE deliberately
+    * remains — [[removeDocs]]'s near-dup-suppression semantics. A
+    * NULL or unknown op is refused loudly before anything lands (the
+    * `!isin` NULL trap — see the ANN twin). */
+  def processCdcBatch(batch: DataFrame, catalog: TableCatalog,
+                      stateTable: String, outTable: String,
+                      opCol: String, batchId: Long,
+                      threshold: Double = CorpusPipeline.NearDupThreshold,
+                      benchmark: Option[DataFrame] = None,
+                      admit: DataFrame => DataFrame = gate,
+                      pkSplitMinRows: Long = PkSplitMinRows,
+                      compactEvery: Int = CompactEvery,
+                      epochEvery: Int = 0): Unit = {
+    require(batch.filter(col(opCol).isNull ||
+        !col(opCol).isin("add", "delete")).isEmpty,
+      s"CorpusStream: '$opCol' must be 'add' or 'delete' in every row")
+    processBatch(batch.filter(col(opCol) === "add").drop(opCol),
+      catalog, stateTable, outTable, batchId, threshold, benchmark,
+      admit, pkSplitMinRows, compactEvery, epochEvery)
+    val dels = batch.filter(col(opCol) === "delete")
+      .select(col("doc_id"))
+    if (!dels.isEmpty)
+      removeDocs(catalog, stateTable, outTable, dels)
+  }
+
   /** Output partitions holding at least one retracted doc, grouped by
     * the (epoch) table they live in. Fast path: the emit index
     * ([[emitTableOf]]) pruned to the retracted ids' pk buckets — reads

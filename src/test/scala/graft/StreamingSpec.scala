@@ -746,6 +746,126 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("not a long"), ex.getMessage)
   }
 
+  test("corpus CDC: interleaved add/delete batches serve the chain " +
+       "minus the deletions, add+delete in one batch nets deleted, a " +
+       "replay converges, and NULL/unknown ops are refused loudly") {
+    import graft.streaming.CorpusStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    val wh = java.nio.file.Files.createTempDirectory("corpus_cdc_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def adds(df: org.apache.spark.sql.DataFrame) =
+      df.select(lit("add").as("op"), $"doc_id", $"text", $"lang")
+    def dels(ids: Seq[Long]) =
+      ids.toDF("doc_id").select(lit("delete").as("op"), $"doc_id",
+        lit(null).cast("string").as("text"),
+        lit(null).cast("string").as("lang"))
+    // reference: same two add batches, takedown applied at the end
+    val whR = java.nio.file.Files.createTempDirectory("corpus_cdcr_").toString
+    val catR = new graft.catalog.TableCatalog(spark, whR)
+    Seq(docs.filter($"doc_id" < 250), docs.filter($"doc_id" >= 250))
+      .zipWithIndex.foreach { case (b, i) =>
+        CorpusStream.processBatch(b, catR, "r_seen", "r_out", i.toLong)
+      }
+    val emitted = CorpusStream.readOutput(catR, "r_out")
+      .select($"doc_id").as[Long].collect().sorted
+    val (d1, d2) = (emitted.head, emitted.last) // one per batch window
+    CorpusStream.removeDocs(catR, "r_seen", "r_out",
+      Seq(d1, d2).toDF("doc_id"))
+    def outOf(c: graft.catalog.TableCatalog, t: String) =
+      CorpusStream.readOutput(c, t)
+        .select($"doc_id", $"lang", $"n_toks")
+        .as[(Long, String, Int)].collect().toSet
+    val want = outOf(catR, "r_out")
+    // CDC run: batch 1's deletes name an earlier-batch doc AND a doc
+    // added in batch 1 itself (add+delete nets deleted), plus a
+    // never-arrived id (no-op)
+    CorpusStream.processCdcBatch(adds(docs.filter($"doc_id" < 250)),
+      cat, "c_seen", "c_out", "op", 0L)
+    CorpusStream.processCdcBatch(
+      adds(docs.filter($"doc_id" >= 250))
+        .unionByName(dels(Seq(d1, d2, 999999L))),
+      cat, "c_seen", "c_out", "op", 1L)
+    assert(outOf(cat, "c_out") == want)
+    // replay of the latest batch converges (idempotent add partitions
+    // + idempotent rewrite)
+    CorpusStream.processCdcBatch(
+      adds(docs.filter($"doc_id" >= 250))
+        .unionByName(dels(Seq(d1, d2, 999999L))),
+      cat, "c_seen", "c_out", "op", 1L)
+    assert(outOf(cat, "c_out") == want)
+    // malformed and NULL ops are refused before anything lands
+    val ex = intercept[IllegalArgumentException] {
+      CorpusStream.processCdcBatch(
+        docs.limit(1).select(lit("upsert").as("op"), $"doc_id",
+          $"text", $"lang"), cat, "c_seen", "c_out", "op", 2L)
+    }
+    assert(ex.getMessage.contains("'add' or 'delete'"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      CorpusStream.processCdcBatch(
+        docs.limit(1).select(lit(null).cast("string").as("op"),
+          $"doc_id", $"text", $"lang"), cat, "c_seen", "c_out", "op", 2L)
+    }
+    assert(ex2.getMessage.contains("'add' or 'delete'"), ex2.getMessage)
+  }
+
+  test("shard export manifest + purge: takedown reaches the shipped " +
+       "JSONL (affected shards rewritten, emptied shards deleted, " +
+       "membership dropped), is idempotent, no-ops on unknown ids, " +
+       "and fails loudly on a stale export or bad id") {
+    import graft.text.ShardExport
+    val docs = (0L until 40L).map(i =>
+      (i, i / 10, s"doc-$i body ${i * 31}")).toDF("id", "chunk", "text")
+    val out = java.nio.file.Files.createTempDirectory("shexp_").toString
+    val wh = java.nio.file.Files.createTempDirectory("shexp_wh_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    ShardExport.exportJsonl(cat, docs, "exp", out)
+    val meta = cat.read("exp").collect()(0)
+    assert(meta.getString(meta.fieldIndex("dir")) == out)
+    assert(meta.getLong(meta.fieldIndex("n_shards")) == 4L)
+    assert(meta.getLong(meta.fieldIndex("n_docs")) == 40L)
+    def readIds = spark.read.json(out).select($"id").as[Long]
+      .collect().toSet
+    assert(readIds == (0L until 40L).toSet)
+    // purge a slice spanning two shards + the WHOLE of shard 3 + an
+    // unknown id
+    val doomed = (Seq(3L, 7L, 15L) ++ (30L until 40L) ++ Seq(777L))
+    ShardExport.purge(cat, "exp", doomed.toDF("id"))
+    val wantLeft = (0L until 30L).toSet -- Set(3L, 7L, 15L)
+    assert(readIds == wantLeft)
+    // the fully-purged shard DIRECTORY is gone, untouched shards stand
+    assert(!new java.io.File(s"$out/chunk=3").exists)
+    assert(new java.io.File(s"$out/chunk=2").exists)
+    // membership shrank to the survivors
+    assert(cat.read("exp_members").count() == wantLeft.size)
+    // idempotent
+    ShardExport.purge(cat, "exp", doomed.toDF("id"))
+    assert(readIds == wantLeft)
+    // unknown ids alone: a pure no-op
+    ShardExport.purge(cat, "exp", Seq(888L).toDF("id"))
+    assert(readIds == wantLeft)
+    // a NULL or non-long id would silently miss — refused loudly
+    val exN = intercept[Exception] {
+      ShardExport.purge(cat, "exp",
+        Seq[java.lang.Long](5L, null).toDF("id"))
+    }
+    assert(exN.getMessage.contains("NULL"), exN.getMessage)
+    // a purge against a GONE export directory names the stale artifact
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val exS = intercept[IllegalArgumentException] {
+      ShardExport.purge(cat, "exp", Seq(1L).toDF("id"))
+    }
+    assert(exS.getMessage.contains("STALE"), exS.getMessage)
+    // missing meta = no export to purge
+    val exM = intercept[IllegalArgumentException] {
+      ShardExport.purge(cat, "nope", Seq(1L).toDF("id"))
+    }
+    assert(exM.getMessage.contains("no export meta"), exM.getMessage)
+  }
+
   test("incremental corpus pipeline: state compaction every K batches " +
        "yields identical output and identical seen-state, with the " +
        "directory count bounded") {
