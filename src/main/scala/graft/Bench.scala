@@ -140,6 +140,48 @@ object Bench {
       (name, math.min(p1, p2), p1, p2)
     }
     val canaryEnd = canaryPass()
+    // SERVING section (round 16): the ProbeAnnIndex-style numbers —
+    // what a LIVE deployment pays per operation on a persisted index,
+    // as opposed to the gates' in-gate build+probe chains — emitted as
+    // a named dict so round-over-round serving regressions are
+    // machine-comparable (bench_compare.py diffs it). One SQ8 index at
+    // the bench SF; each op timed once after a scrub (single-sample:
+    // these are sub-second ops whose regressions of interest are
+    // multiples, not percents). Failures propagate — a broken serving
+    // path must fail the bench run, not report a fake timing.
+    val serving = {
+      import org.apache.spark.sql.functions._
+      scrub()
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_bench_srv_").toString
+      val cat = new graft.catalog.TableCatalog(spark, wh)
+      val e = graft.core.Tables.load(spark, sfDir, "embeddings")
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val q = e.filter(col("vec_id") < 5)
+      def probe(allowed: Option[org.apache.spark.sql.DataFrame]): Unit =
+        graft.ann.AnnIndex.sq8TopKFromIndex(cat, "srv", q, "vec_id",
+            "embedding", 10, allowedIds = allowed,
+            allowedIdCol = "vec_id")
+          .write.format("noop").mode("overwrite").save()
+      val tBuild = timed { graft.ann.AnnIndex.buildSq8(cat, e,
+        "vec_id", "embedding", "srv") }
+      val tProbe = timed { probe(None) }
+      val tFiltered = timed { probe(Some(e.filter(col("label") === 0)
+        .select(col("vec_id")))) }
+      val tDelete = timed { graft.ann.AnnIndex.deleteIds(cat,
+        e.filter(pmod(col("vec_id"), lit(7)) === 0)
+          .select(col("vec_id")), "vec_id", "srv") }
+      val tMasked = timed { probe(None) }
+      val tCompact = timed { graft.ann.AnnIndex.compactSegs(cat, "srv") }
+      val tAfter = timed { probe(None) }
+      def n3s(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      s""""build":${n3s(tBuild)},"probe":${n3s(tProbe)},""" +
+        s""""probe_filtered":${n3s(tFiltered)},"delete":${n3s(tDelete)},""" +
+        s""""probe_masked":${n3s(tMasked)},"compact":${n3s(tCompact)},""" +
+        s""""probe_compacted":${n3s(tAfter)}"""
+    }
     // The driver keeps only the LAST ~2000 chars of this process's
     // output: round-8's full-name full-precision line (~4.5 KB) came
     // back head-truncated and unparseable, hiding the a*/ann*/dd*/dp*
@@ -182,7 +224,10 @@ object Bench {
     val heapMb = Runtime.getRuntime.maxMemory() / (1 << 20)
     val canary =
       s"[${n3(canaryStart)},${n3(canaryMid)},${n3(canaryEnd)}]"
-    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","passes":2,"canary":$canary,"rccMb":$rccMb,"heapMb":$heapMb,"queries":$qs,"sf":"$sfDir"}""")
+    // "serving" sits AFTER "queries": the driver keeps only the last
+    // ~2000 chars of output, so the line's TAIL is what survives —
+    // the named section must not be the part that truncates away
+    println(s"""{"metric":"total","value":${n3(total)},"unit":"sec","passes":2,"canary":$canary,"rccMb":$rccMb,"heapMb":$heapMb,"queries":$qs,"serving":{$serving},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

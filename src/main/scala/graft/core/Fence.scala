@@ -84,6 +84,20 @@ object Fence {
     d.toString
   }
 
+  /** Cluster guard (round 16): `table` mode's UNCONFIGURED spill root
+    * is driver-local temp — fine on local[n] (one machine, one
+    * filesystem), but on a real cluster the executors cannot read the
+    * driver's /tmp, so the mode built FOR cluster durability would
+    * break precisely there. Raise at the first fence, naming the
+    * conf, instead of writing parquet nobody else can see. */
+  private[graft] def requireSpillDirConfigured(
+      master: String, configured: Option[String]): Unit =
+    require(configured.nonEmpty || master.startsWith("local"),
+      "Fence: spark.graft.fence.mode=table on a non-local master " +
+        s"('$master') requires spark.graft.fence.dir to point at " +
+        "shared storage — the unconfigured default spills to " +
+        "driver-local temp, which executors cannot read")
+
   /** The `table` mode: write once, read back — the fence point becomes
     * a plain parquet scan every downstream reference shares. The
     * read-back pins the FRAME's column types exactly; note Spark
@@ -95,7 +109,9 @@ object Fence {
     * schema. */
   private def persisted(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val base = spark.conf.get("spark.graft.fence.dir", defaultDir)
+    val configured = spark.conf.getOption("spark.graft.fence.dir")
+    requireSpillDirConfigured(spark.sparkContext.master, configured)
+    val base = configured.getOrElse(defaultDir)
     val path = s"$base/f${counter.incrementAndGet()}"
     df.write.mode("overwrite").parquet(path)
     spark.read.schema(df.schema).parquet(path)

@@ -83,6 +83,31 @@ class CoreSpec extends SparkSpec {
     assert(chain() == viaCheckpoint) // flag restored, mode follows it
   }
 
+  test("Fence table mode on a non-local master requires a configured " +
+       "spill dir, loudly naming the conf (driver-local temp would be " +
+       "unreadable by executors)") {
+    // unconfigured + cluster master: loud, names the conf
+    for (master <- Seq("yarn", "k8s://https://host:6443",
+        "spark://host:7077")) {
+      val ex = intercept[IllegalArgumentException] {
+        Fence.requireSpillDirConfigured(master, None)
+      }
+      assert(ex.getMessage.contains("spark.graft.fence.dir"),
+        ex.getMessage)
+      assert(ex.getMessage.contains(master), ex.getMessage)
+    }
+    // configured dir, or any local master: fine
+    Fence.requireSpillDirConfigured("yarn", Some("/shared/fences"))
+    Fence.requireSpillDirConfigured("local[4]", None)
+    Fence.requireSpillDirConfigured("local[*]", None)
+    // and the guard is actually on the table-mode write path: the
+    // suite's local master + unconfigured dir must keep working
+    spark.conf.set("spark.graft.fence.mode", "table")
+    try {
+      assert(Fence(Seq((1L, "a")).toDF("id", "t")).count() == 1L)
+    } finally spark.conf.set("spark.graft.fence.mode", "checkpoint")
+  }
+
   test("events loader lands in the corpus era regardless of the " +
        "producer's timestamp encoding (round-8 postmortem pin)") {
     // the real testdata, whatever encoding the driver last wrote: the

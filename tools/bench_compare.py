@@ -67,6 +67,22 @@ def canary_of(d, tail=None):
     return sorted(float(x) for x in c)[len(c) // 2]
 
 
+def serving_of(d, tail=None):
+    """The round-16 "serving" section: a named dict of per-operation
+    latencies on a persisted index. Recovered from the parsed line or,
+    for head-truncated driver tails, by regex (it sits at the line's
+    END, so the tail window keeps it)."""
+    if isinstance(d, dict) and isinstance(d.get("serving"), dict):
+        return {k: float(v) for k, v in d["serving"].items()}
+    if tail:
+        m = re.search(r'"serving":\{([^}]*)\}', tail)
+        if m:
+            pairs = re.findall(r'"([a-z_]+)":([0-9.]+)', m.group(1))
+            if pairs:
+                return {k: float(v) for k, v in pairs}
+    return None
+
+
 def load(path):
     with open(path) as f:
         text = f.read()
@@ -77,12 +93,17 @@ def load(path):
             tail = d.get("tail") or ""
             if d.get("parsed") and d["parsed"].get("queries"):
                 return (normalize(d["parsed"]["queries"]), False,
-                        canary_of(d["parsed"], tail))
-            # head-truncated tail: recover the complete pairs
-            pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', tail)
+                        canary_of(d["parsed"], tail),
+                        serving_of(d["parsed"], tail))
+            # head-truncated tail: recover the complete pairs (the
+            # serving section's keys are excluded from the query dict —
+            # they are latencies of a different kind)
+            srv = serving_of(None, tail)
+            qtail = re.sub(r'"serving":\{[^}]*\}', "", tail)
+            pairs = re.findall(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', qtail)
             q = {k: float(v) for k, v in pairs
                  if k not in ("value",)}
-            return normalize(q), True, canary_of(None, tail)
+            return normalize(q), True, canary_of(None, tail), srv
     except (json.JSONDecodeError, AttributeError):
         pass
     # raw bench output: last parseable {..} line wins
@@ -94,16 +115,19 @@ def load(path):
         try:
             d = json.loads(line[i:])
             if "queries" in d:
-                return normalize(d["queries"]), False, canary_of(d)
+                return (normalize(d["queries"]), False, canary_of(d),
+                        serving_of(d))
         except json.JSONDecodeError:
             continue
     raise SystemExit(f"{path}: no bench JSON found")
 
 
 runs = []
+servings = []
 for p in sys.argv[1:]:
-    q, partial, canary = load(p)
+    q, partial, canary, srv = load(p)
     runs.append((p + (" [partial-tail]" if partial else ""), q, canary))
+    servings.append(srv)
 
 common = set(runs[0][1])
 for _, q, _ in runs[1:]:
@@ -154,3 +178,18 @@ print("\nslowest in last run:")
 last = runs[-1][1]
 for k in sorted(common, key=lambda k: -last[k])[:10]:
     print(f"  {k}: {' '.join(f'{q[k]:.2f}' for _, q, _ in runs)}")
+
+# serving diff (round 16): when at least two runs carry the named
+# section, show each op side by side with its spread
+withsrv = [(p, s) for (p, _, _), s in zip(runs, servings) if s]
+if len(withsrv) >= 2:
+    keys = sorted(set.intersection(*(set(s) for _, s in withsrv)))
+    print("\nserving (per-op latency, s):")
+    for k in keys:
+        vals = [s[k] for _, s in withsrv]
+        r = max(vals) / min(vals) if min(vals) > 0 else float("inf")
+        flag = "  <-- spread" if r > 1.5 else ""
+        print(f"  {k}: {' '.join(f'{v:.3f}' for v in vals)} "
+              f"({r:.2f}x){flag}")
+elif len(withsrv) == 1:
+    print("\nserving present in only one input — no diff")
