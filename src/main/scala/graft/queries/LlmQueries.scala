@@ -41,7 +41,8 @@ object LlmQueries {
     * (dp09). A wider budget and tighter chunk size than dp05's frozen
     * knobs, so the export spans MANY shard directories at gate scale
     * (the multi-shard layout is what's being proven). */
-  private def dp08Assigned(s: SparkSession, dir: String): DataFrame = {
+  private def dp08Assigned(s: SparkSession, dir: String,
+                           chunkTokens: Long = 500L): DataFrame = {
     val cp = graft.text.CorpusPipeline
     val gated = cp.gate(t(s, dir, "documents"))
     val deduped = graft.core.Fence(Dedup.exactDedup(gated,
@@ -55,7 +56,8 @@ object LlmQueries {
     val kept = graft.core.Fence(graft.text.Mixture.tokenBudgetSample(
       surv, "doc_id", "lang", size(toks).cast("long"),
       TextAnalysis.qualityScore(toks), 200000L))
-    graft.text.Packing.tokenChunks(kept, "id", col("n_toks"), 500L)
+    graft.text.Packing.tokenChunks(kept, "id", col("n_toks"),
+        chunkTokens)
       .select(col("id"), col("chunk"))
       .join(t(s, dir, "documents")
         .select(col("doc_id").as("id"), col("text")), Seq("id"))
@@ -657,6 +659,38 @@ object LlmQueries {
       ShardExport.purge(cat, "dp09_exp", doomed)
       ShardExport.purge(cat, "dp09_exp", doomed) // second run: no-op
       dp08ReadBack(s, out)
+    }),
+
+    // Registry-wide purge (round 16): TWO exports of the same corpus
+    // at different shard sizes, registered at write time; ONE
+    // purgeAll call removes the takedown slice from BOTH shipped
+    // artifacts (run twice — idempotent). This is the compliance flow
+    // end to end: the operator does not need to remember what was
+    // ever exported. The oracle unions the two chunk-size replays of
+    // the dp09 arithmetic, tagged per export.
+    "dp11_purge_all" -> ((s, dir) => {
+      import graft.text.ShardExport
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dp11w_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val outA = java.nio.file.Files
+        .createTempDirectory("graft_dp11a_").toString
+      val outB = java.nio.file.Files
+        .createTempDirectory("graft_dp11b_").toString
+      ShardExport.exportJsonl(cat, dp08Assigned(s, dir, 500L),
+        "dp11_a", outA)
+      ShardExport.exportJsonl(cat, dp08Assigned(s, dir, 900L),
+        "dp11_b", outB)
+      val doomed = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select(col("doc_id").as("id"))
+      ShardExport.purgeAll(cat, doomed)
+      ShardExport.purgeAll(cat, doomed) // second sweep: no-op
+      dp08ReadBack(s, outA).withColumn("exp", lit("a"))
+        .unionByName(dp08ReadBack(s, outB).withColumn("exp", lit("b")))
+        .select(col("exp"), col("chunk"), col("n_docs"),
+          col("content_sum"))
+        .orderBy(col("exp"), col("chunk"))
     }),
 
     // The INCREMENTAL corpus pipeline under the dp01 oracle: three
@@ -1940,7 +1974,8 @@ object LlmQueries {
     * purge gate (dp09) replays the identical chunk assignment with the
     * purged docs excluded from the final per-shard aggregation only.
     * Empty condition = the dp08 text. */
-  private def dp08OracleSql(postCond: String = ""): String = {
+  private def dp08OracleSql(postCond: String = "",
+                            chunkTokens: Long = 500L): String = {
     val toks = "string_split(text, ' ')"
     val fold = """(list_reduce(list_transform(
         string_split_regex(substr(md5(text), 1, 15), ''),
@@ -1962,7 +1997,7 @@ object LlmQueries {
         kept AS (SELECT id, lang, n_toks FROM cum WHERE cum <= 200000),
         chunked AS (SELECT id,
             CAST((SUM(n_toks) OVER (ORDER BY id ASC
-                ROWS UNBOUNDED PRECEDING) - n_toks) // 500
+                ROWS UNBOUNDED PRECEDING) - n_toks) // $chunkTokens
               AS BIGINT) AS chunk
           FROM kept),
         jt AS (SELECT c.chunk, d.text FROM chunked c
@@ -2414,6 +2449,15 @@ object LlmQueries {
     // assignment (shards keep their identity; purged docs leave them,
     // fully-purged shards vanish from the GROUP BY)
     "dp09_export_purge" -> dp08OracleSql(" WHERE c.id % 7 <> 3"),
+    // dp11 = the dp09 arithmetic at BOTH exports' shard sizes, tagged
+    // and unioned (each branch a full recursive-CTE replay)
+    "dp11_purge_all" ->
+      s"""SELECT 'a' AS exp, chunk, n_docs, content_sum FROM (
+            ${dp08OracleSql(" WHERE c.id % 7 <> 3", 500L)}) ua
+          UNION ALL
+          SELECT 'b' AS exp, chunk, n_docs, content_sum FROM (
+            ${dp08OracleSql(" WHERE c.id % 7 <> 3", 900L)}) ub
+          ORDER BY exp, chunk""",
     "dp02_corpus_report" -> {
       val toks = "string_split(text, ' ')"
       val fold = """(list_reduce(list_transform(

@@ -43,6 +43,13 @@ object ShardExport {
     * [[graft.streaming.CorpusStream.StatePartitions]] rationale). */
   val MemberPk = 64L
 
+  /** Registry of every export this warehouse has shipped — one
+    * `name=` partition per export (idempotent: a re-export overwrites
+    * its own row), so a compliance takedown can reach EVERYTHING ever
+    * exported in one call ([[purgeAll]]) without the operator
+    * remembering export names. */
+  val RegistryTable = "shard_exports"
+
   private def membersTableOf(exportTable: String) =
     exportTable + "_members"
 
@@ -73,6 +80,26 @@ object ShardExport {
         Seq((outDir, m.getLong(1), m.getLong(0)))
           .toDF("dir", "n_shards", "n_docs"),
         exportTable)
+      // registry row LAST: an export is discoverable by purgeAll only
+      // once its meta exists (a crash earlier reads as "no export")
+      catalog.writePartition(
+        Seq((exportTable, outDir)).toDF("name", "dir"),
+        RegistryTable, "name", exportTable)
+    }
+  }
+
+  /** [[purge]] across EVERY export the registry records — the one
+    * call a right-to-erasure workflow makes after [[
+    * graft.streaming.CorpusStream.removeDocs]] handled the catalog
+    * tables. Returns the export names purged (each individually
+    * idempotent; an export holding none of the ids is a no-op). */
+  def purgeAll(catalog: TableCatalog, ids: DataFrame,
+               idCol: String = "id"): Seq[String] = {
+    if (!catalog.tableExists(RegistryTable)) Seq.empty
+    else {
+      val names = catalog.listPartitions(RegistryTable, "name").sorted
+      names.foreach(purge(catalog, _, ids, idCol))
+      names
     }
   }
 

@@ -845,6 +845,17 @@ class StreamingSpec extends SparkSpec {
     // unknown ids alone: a pure no-op
     ShardExport.purge(cat, "exp", Seq(888L).toDF("id"))
     assert(readIds == wantLeft)
+    // the registry recorded the export at write time: one purgeAll
+    // sweep reaches it WITHOUT the operator naming it
+    assert(cat.listPartitions(ShardExport.RegistryTable, "name")
+      == Seq("exp"))
+    assert(ShardExport.purgeAll(cat, Seq(16L).toDF("id")) == Seq("exp"))
+    assert(readIds == wantLeft - 16L)
+    // no registry at all (fresh warehouse): purgeAll is an empty no-op
+    val whE = java.nio.file.Files.createTempDirectory("shexp_e_").toString
+    assert(ShardExport.purgeAll(
+      new graft.catalog.TableCatalog(spark, whE),
+      Seq(1L).toDF("id")).isEmpty)
     // a NULL or non-long id would silently miss — refused loudly
     val exN = intercept[Exception] {
       ShardExport.purge(cat, "exp",
