@@ -1387,6 +1387,22 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // ...and the l2 metric under the same contract: negative squared
+    // dequantized distance (larger = closer). Completes the recorded-
+    // metric triple — all three now oracle-gated, not just spec-pinned.
+    "ann27_sq8_l2" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann27_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildSq8(cat, e, "vec_id", "embedding", "ann_l2",
+        metric = "l2")
+      AnnIndex.sq8TopKFromIndex(cat, "ann_l2",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Bulk neighbor join off the persisted residual index: EVERY
     // corpus vector is a query ("attach top-3 neighbors to each
     // document"), probed with broadcastQueries = false — the query
@@ -3108,6 +3124,7 @@ object LlmQueries {
     // inner-product SQ8 index: same quantization, ip scoring off the
     // stored per-vector scales
     "ann26_sq8_ip" -> sq8TopKOracleSql(metric = "ip"),
+    "ann27_sq8_l2" -> sq8TopKOracleSql(metric = "l2"),
     "ann14_pq_index" -> oracleBase("ann13_pq_adc"),
     // both residual-family fits train on the full corpus; cells and
     // codes are pure functions of vector × frozen fits and the refine
