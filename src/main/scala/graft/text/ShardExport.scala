@@ -171,8 +171,8 @@ object ShardExport {
             fs.delete(new org.apache.hadoop.fs.Path(s"$dir/chunk=$c"),
               true)
           }
-          // membership LAST (crash contract above): drop the purged
-          // ids from the hit pk partitions only
+          // membership after the shards (crash contract above): drop
+          // the purged ids from the hit pk partitions only
           catalog.withTableLock(members) {
             val keepM = catalog.readPaths(members,
                 hitPks.map(catalog.partitionPath(members, "pk", _)))
@@ -185,6 +185,17 @@ object ShardExport {
               catalog.overwritePartitionsDynamic(keepM, members, "pk")
             hitPks.filterNot(survPk.contains).foreach(
               catalog.deletePartition(members, "pk", _))
+            // meta LAST: the recorded (n_shards, n_docs) must describe
+            // the artifact as it NOW is — a stale export-time count
+            // would silently misstate what was shipped after a purge
+            val m2 = catalog.read(members)
+              .agg(count(lit(1)), countDistinct(col("chunk"))).head()
+            val spark2 = ids.sparkSession
+            import spark2.implicits._
+            catalog.writeFull(
+              Seq((dir, m2.getLong(1), m2.getLong(0)))
+                .toDF("dir", "n_shards", "n_docs"),
+              exportTable)
           }
         }
       }

@@ -160,6 +160,34 @@ class BpeSpec extends SparkSpec {
       (3L, 4L, nsub(Seq("Tab", "and", "newline", "éé")))))
   }
 
+  test("property: byte-level encoding is lossless for ARBITRARY " +
+       "unicode strings under any trained merge list") {
+    import org.scalacheck.Gen
+    def forAllSamples[T](gen: Gen[T], n: Int = 200)(f: T => Unit): Unit =
+      (1 to n).foreach(_ => gen.sample.foreach(f))
+    // strings drawn from a deliberately nasty pool: ASCII, accented
+    // Latin, Greek, CJK, a surrogate-PAIR emoji (drawn as a whole
+    // codepoint - splitting it would make an invalid string no
+    // charset can round-trip), 1-to-4-byte UTF-8 widths
+    val pool = Seq("a", "\u00e9", " ", "\u03b1", "\u6f22", "\u5b57",
+      "\ud83d\ude42", "\u00df", "\u20ac", "-", "Z", "g", "9")
+    val strs = Gen.nonEmptyListOf(Gen.oneOf(pool)).map(_.mkString)
+    forAllSamples(strs) { w =>
+      // merges trained on the word itself exercise real fusions over
+      // its own byte pairs — the adversarial case for losslessness
+      val merges = Bpe.trainOnSymbols(
+        Array((Bpe.hexPairs(w), 1L)), numMerges = 6)
+        .map(m => (m.left, m.right))
+      for (ms <- Seq(Seq.empty[(String, String)], merges)) {
+        val joined = Bpe.encodeByteWord(w, ms).mkString
+        val bytes = joined.grouped(2)
+          .map(h => Integer.parseInt(h, 16).toByte).toArray
+        assert(new String(bytes, "UTF-8") == w,
+          s"lossy for '$w' under $ms")
+      }
+    }
+  }
+
   test("BpeIndex records the alphabet and serves encodes under the " +
        "RECORDED tokenization; unknown alphabets are refused") {
     import graft.text.BpeIndex

@@ -834,6 +834,11 @@ class StreamingSpec extends SparkSpec {
     ShardExport.purge(cat, "exp", doomed.toDF("id"))
     val wantLeft = (0L until 30L).toSet -- Set(3L, 7L, 15L)
     assert(readIds == wantLeft)
+    // the meta now describes the artifact as it IS, not as exported
+    val metaAfter = cat.read("exp").collect()(0)
+    assert(metaAfter.getLong(metaAfter.fieldIndex("n_docs"))
+      == wantLeft.size.toLong)
+    assert(metaAfter.getLong(metaAfter.fieldIndex("n_shards")) == 3L)
     // the fully-purged shard DIRECTORY is gone, untouched shards stand
     assert(!new java.io.File(s"$out/chunk=3").exists)
     assert(new java.io.File(s"$out/chunk=2").exists)
