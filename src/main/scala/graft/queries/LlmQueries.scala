@@ -919,6 +919,70 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The serving composition under the BYTE tokenizer (round 16 —
+    // closing "the serving story inherits the ASCII-only alphabet"):
+    // dp06's exact pipeline with the persisted vocabulary built
+    // alphabet="bytes", so survivors encode off byte-level merges
+    // served under the RECORDED alphabet (case and punctuation bytes
+    // kept, whitespace-only words) and the token-budget shards cut
+    // over the byte subword counts. The unicode-survival proof itself
+    // is ts20/ts21; this gate proves the byte path THROUGH the full
+    // serving composition. Oracle = dp06's replay with the encode
+    // stages swapped to the byte CTEs (same train-slice restriction).
+    "dp12_serving_bytes" -> ((s, dir) => {
+      import graft.streaming.CorpusStream
+      import graft.ann.AnnIndex
+      import graft.text.BpeIndex
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val evalVecs = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      val corpusVecs = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+      val b = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")),
+        org.apache.spark.sql.functions.max(col("doc_id"))).head()
+      val lo = b.getLong(0); val hi = b.getLong(1)
+      val cut1 = lo + (hi - lo) / 3; val cut2 = lo + 2 * ((hi - lo) / 3)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dp12_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val preds: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+        Seq(c => c <= cut1, c => c > cut1 && c <= cut2, c => c > cut2)
+      preds.zipWithIndex.foreach { case (p, i) =>
+        CorpusStream.processBatch(docs.filter(p(col("doc_id"))), cat,
+          "dp12_seen", "dp12_out", i.toLong, compactEvery = 2)
+        val vb = corpusVecs.filter(p(col("vec_id")))
+        if (i == 0)
+          AnnIndex.buildSq8(cat, vb, "vec_id", "embedding", "dp12_ann")
+        else
+          AnnIndex.ingestSq8Batch(cat, vb, "vec_id", "embedding",
+            "dp12_ann", i.toLong, compactEvery = 2)
+      }
+      BpeIndex.build(cat, docs.filter(col("doc_id") <= cut1), "text",
+        "dp12_bpe", alphabet = "bytes")
+      val bad = AnnIndex.sq8MatchesFromIndex(cat, "dp12_ann", evalVecs,
+        "vec_id", "embedding", 460.0 / 1024.0)
+      val surv = cat.read("dp12_out")
+        .select(col("doc_id"), col("lang"), col("n_toks"))
+        .join(bad.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+          "left_anti")
+      val enc = BpeIndex.encodeStatsFromIndex(cat, "dp12_bpe",
+        surv.select(col("doc_id"))
+          .join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
+        "doc_id", "text")
+      val withSub = graft.core.Fence(surv.join(
+        enc.select(col("doc_id"), col("n_sub")), Seq("doc_id")))
+      graft.text.Packing
+        .tokenChunks(withSub, "doc_id", col("n_sub"), 8000L)
+        .select(col("id").as("doc_id"), col("n_toks").as("n_sub"),
+          col("chunk"))
+        .join(withSub.select(col("doc_id"), col("lang"), col("n_toks")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          col("n_sub"), col("chunk"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus quality report — the per-language summary artifact every
     // corpus build emits: doc/token volumes, mean quality (scaled to
     // integer micro-units so the double sum is order-free) and exact
@@ -1985,6 +2049,62 @@ object LlmQueries {
         WHERE rank <= $k ORDER BY q_id, rank"""
   }
 
+  /** The serving composition's batch-1 cut as a scalar subquery (the
+    * dp06/dp12 gates' `cut1` over the benchmark-excluded split). */
+  private val servingCutSql: String =
+    """(SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id))
+        // 3 FROM documents WHERE doc_id % 97 <> 0)"""
+
+  /** The dp06 serving-composition oracle — the dp01 chain over the
+    * benchmark-excluded corpus split, ann11's SQ8 quantization as the
+    * decon hit list, the given per-doc ENCODE replay (az for dp06,
+    * byte-level for dp12 — an embedded subquery emitting
+    * (doc_id, n_sub)), and ts11's running-sum chunk formula. */
+  private def servingOracleSql(encodeSubSql: String): String = {
+    def idot(a: String, b: String) =
+      s"list_aggregate(list_transform(list_zip($a, $b), " +
+        s"s -> s[1] * s[2]), 'sum')"
+    s"""WITH RECURSIVE corpus AS (
+          SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        ${dp01ChainCtesFrom("corpus")},
+        surv0 AS (SELECT doc_id, lang, text,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_toks
+          FROM deduped WHERE $dp01SurvivorPredicate),
+        v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        mq AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) AS m FROM v),
+        qz AS (SELECT vec_id,
+          CASE WHEN m = 0
+            THEN list_transform(v, x -> CAST(0 AS BIGINT))
+            ELSE list_transform(v,
+              x -> CAST(FLOOR(x * 127.0 / m + 0.5) AS BIGINT)) END AS q
+          FROM mq),
+        qn AS (SELECT vec_id, q, ${idot("q", "q")} AS qq FROM qz),
+        eq AS (SELECT vec_id, q, qq FROM qn WHERE vec_id % 97 = 0),
+        cq AS (SELECT vec_id, q, qq FROM qn WHERE vec_id % 97 <> 0),
+        bad AS (SELECT DISTINCT c.vec_id FROM cq c JOIN eq e ON TRUE
+          WHERE (CASE WHEN c.qq = 0 OR e.qq = 0 THEN 0.0
+            ELSE CAST(${idot("e.q", "c.q")} AS DOUBLE)
+              / (sqrt(CAST(c.qq AS DOUBLE))
+                 * sqrt(CAST(e.qq AS DOUBLE))) END)
+            >= (460::DOUBLE / 1024::DOUBLE)),
+        enc AS (SELECT doc_id, n_sub FROM (
+          $encodeSubSql)),
+        sv AS (SELECT s.doc_id, s.lang, s.n_toks, e.n_sub
+          FROM surv0 s JOIN enc e USING (doc_id)
+          WHERE NOT EXISTS (SELECT 1 FROM bad
+            WHERE bad.vec_id = s.doc_id)),
+        chunked AS (SELECT doc_id, lang, n_toks, n_sub,
+            CAST((SUM(n_sub) OVER (ORDER BY doc_id ASC
+                ROWS UNBOUNDED PRECEDING) - n_sub) // 8000
+              AS BIGINT) AS chunk
+          FROM sv)
+        SELECT doc_id, lang, n_toks, n_sub, chunk FROM chunked
+        ORDER BY doc_id"""
+  }
+
   /** The dp08 trainer-handoff oracle, parameterized on a post-chunking
     * exclusion (`WHERE ...` against alias `c` in the text join) so the
     * purge gate (dp09) replays the identical chunk assignment with the
@@ -2386,53 +2506,14 @@ object LlmQueries {
     // train-once/encode-everything BPE replay (embedded subquery),
     // and ts11's running-sum chunk formula — the whole serving
     // composition replayed
-    "dp06_serving_pipeline" -> {
-      def idot(a: String, b: String) =
-        s"list_aggregate(list_transform(list_zip($a, $b), " +
-          s"s -> s[1] * s[2]), 'sum')"
-      val cutSql = """(SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id))
-          // 3 FROM documents WHERE doc_id % 97 <> 0)"""
-      s"""WITH RECURSIVE corpus AS (
-            SELECT * FROM documents WHERE doc_id % 97 <> 0),
-          ${dp01ChainCtesFrom("corpus")},
-          surv0 AS (SELECT doc_id, lang, text,
-              CAST(len(string_split(text, ' ')) AS INT) AS n_toks
-            FROM deduped WHERE $dp01SurvivorPredicate),
-          v AS (SELECT vec_id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings),
-          mq AS (SELECT vec_id, v,
-            list_max(list_transform(v, x -> abs(x))) AS m FROM v),
-          qz AS (SELECT vec_id,
-            CASE WHEN m = 0
-              THEN list_transform(v, x -> CAST(0 AS BIGINT))
-              ELSE list_transform(v,
-                x -> CAST(FLOOR(x * 127.0 / m + 0.5) AS BIGINT)) END AS q
-            FROM mq),
-          qn AS (SELECT vec_id, q, ${idot("q", "q")} AS qq FROM qz),
-          eq AS (SELECT vec_id, q, qq FROM qn WHERE vec_id % 97 = 0),
-          cq AS (SELECT vec_id, q, qq FROM qn WHERE vec_id % 97 <> 0),
-          bad AS (SELECT DISTINCT c.vec_id FROM cq c JOIN eq e ON TRUE
-            WHERE (CASE WHEN c.qq = 0 OR e.qq = 0 THEN 0.0
-              ELSE CAST(${idot("e.q", "c.q")} AS DOUBLE)
-                / (sqrt(CAST(c.qq AS DOUBLE))
-                   * sqrt(CAST(e.qq AS DOUBLE))) END)
-              >= (460::DOUBLE / 1024::DOUBLE)),
-          enc AS (SELECT doc_id, n_sub FROM (
-            ${graft.text.Bpe.encodeSql(trainWhere =
-              s"WHERE doc_id % 97 <> 0 AND doc_id <= $cutSql")})),
-          sv AS (SELECT s.doc_id, s.lang, s.n_toks, e.n_sub
-            FROM surv0 s JOIN enc e USING (doc_id)
-            WHERE NOT EXISTS (SELECT 1 FROM bad
-              WHERE bad.vec_id = s.doc_id)),
-          chunked AS (SELECT doc_id, lang, n_toks, n_sub,
-              CAST((SUM(n_sub) OVER (ORDER BY doc_id ASC
-                  ROWS UNBOUNDED PRECEDING) - n_sub) // 8000
-                AS BIGINT) AS chunk
-            FROM sv)
-          SELECT doc_id, lang, n_toks, n_sub, chunk FROM chunked
-          ORDER BY doc_id"""
-    },
+    "dp06_serving_pipeline" -> servingOracleSql(
+      graft.text.Bpe.encodeSql(trainWhere =
+        s"WHERE doc_id % 97 <> 0 AND doc_id <= $servingCutSql")),
+    // dp12 = the identical composition with the encode stages swapped
+    // to the BYTE alphabet's CTEs (same train-slice restriction)
+    "dp12_serving_bytes" -> servingOracleSql(
+      graft.text.Bpe.byteEncodeSql(trainWhere =
+        s"WHERE doc_id % 97 <> 0 AND doc_id <= $servingCutSql")),
     // dp05 = the dp01 chain + ts10's one-window mixture reference +
     // ts11's one-window chunking reference, composed
     "dp05_training_shards" -> {

@@ -251,11 +251,12 @@ object Bpe {
     * [[sqlApply]] verbatim: hex symbols are ASCII, chr(31) still
     * impossible. */
   private def byteTrainStages(numMerges: Int, maxWords: Int,
-                              src: String): String = {
+                              src: String,
+                              trainWhere: String = ""): String = {
     val head = s"""w0 AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS c
       FROM (SELECT unnest(${byteWordsSql("text")}) AS w
-            FROM $src bpe_src)
+            FROM $src bpe_src $trainWhere)
       GROUP BY w ORDER BY c DESC, hex(encode(w)) LIMIT $maxWords),
     t0 AS MATERIALIZED (SELECT w, c,
       regexp_extract_all(hex(encode(w)), '..') AS toks FROM w0)"""
@@ -289,16 +290,19 @@ object Bpe {
   }
 
   /** Oracle for byte-level per-doc encoding — [[encodeSql]]'s shape
-    * over [[byteTrainStages]] (train and encode share `src`). */
+    * over [[byteTrainStages]]: `trainWhere` restricts the TRAINING
+    * slice only (the [[BpeIndex]] train-slice/encode-full lifecycle);
+    * the encode always runs over the whole `src`. */
   def byteEncodeSql(numMerges: Int = DefaultMerges,
                     maxWords: Int = DefaultMaxWords,
-                    src: String = "documents"): String = {
+                    src: String = "documents",
+                    trainWhere: String = ""): String = {
     val applies = (1 to numMerges).map { k =>
       s"""a$k AS MATERIALIZED (
         SELECT w, ${sqlApply("b.l", "b.r")} AS toks
         FROM a${k - 1} LEFT JOIN best$k b ON TRUE)"""
     }.mkString(",\n")
-    s"""WITH ${byteTrainStages(numMerges, maxWords, src)},
+    s"""WITH ${byteTrainStages(numMerges, maxWords, src, trainWhere)},
     docw AS MATERIALIZED (
       SELECT doc_id, unnest(${byteWordsSql("text")}) AS w
       FROM $src bpe_src),
