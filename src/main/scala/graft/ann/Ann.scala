@@ -1172,6 +1172,50 @@ object Ann {
       .withColumn("u", unitVec(col("v"), col("nrm")))
       .select(col("id"), col("u")))
 
+  /** (id, u) frame under a named residual-family metric: the cosine
+    * family's unit normalization, or the RAW double vectors for l2 —
+    * everything past this point (coarse L2 cells, residuals, codebook
+    * fits, ADC) is metric-blind, because the residual identity
+    * ‖q − v‖² = ‖qr − r‖² holds for raw vectors exactly as it does for
+    * unit ones (the shared cell centroid cancels). Inner-product
+    * corpora are served by the SQ8 family ([[sq8TopK]] /
+    * [[AnnIndex.buildSq8]] metric="ip"), where the dequantized dot is
+    * the native score — an L2-residual code rank is not ip-faithful,
+    * so the residual path refuses it loudly rather than mis-rank. */
+  private[ann] def metricFrame(data: DataFrame, idCol: String,
+                               vecCol: String, dim: Int,
+                               metric: String): DataFrame =
+    metric match {
+      case "cosine" => unitFrame(data, idCol, vecCol, dim)
+      case "l2" =>
+        graft.core.Fence(graft.core.Par.ensure(
+          data.select(col(idCol).as("id"),
+            checkedVec(toDouble(col(vecCol)), dim).as("u"))))
+      case other => throw new IllegalArgumentException(
+        s"Ann: residual IVF-PQ supports metrics 'cosine' and 'l2', " +
+          s"got '$other' — inner-product corpora are served by the " +
+          "SQ8 family (buildSq8 metric=\"ip\")")
+    }
+
+  /** The refine stage's exact score under a metric — a FIXED
+    * association both engines replay literally:
+    *   cosine  qu · u                      (unit vectors — the dot IS
+    *                                        the cosine)
+    *   l2      −((qu·qu + u·u) − 2·(qu·u)) (negative squared distance
+    *                                        over the raw vectors —
+    *                                        larger is closer) */
+  private[ann] def refineScore(metric: String, dim: Int): Column =
+    metric match {
+      case "cosine" => dotUnrolled(col("qu"), col("u"), dim)
+      case "l2" =>
+        -((dotUnrolled(col("qu"), col("qu"), dim) +
+            dotUnrolled(col("u"), col("u"), dim)) -
+          lit(2.0) * dotUnrolled(col("qu"), col("u"), dim))
+      case other => throw new IllegalArgumentException(
+        s"Ann: residual IVF-PQ supports metrics 'cosine' and 'l2', " +
+          s"got '$other'")
+    }
+
   /** Broadcastable (cell, cv) frame of L2 centroid values. */
   private[ann] def centsToDf(spark: org.apache.spark.sql.SparkSession,
       cents: Array[(Seq[Double], Double)]): DataFrame = {
@@ -1245,8 +1289,9 @@ object Ann {
                         numCells: Int = 16, nprobe: Int = 2,
                         trainIters: Int = 2, pqIters: Int = 2,
                         refine: Int = 4096,
-                        geom: Geom = DefaultGeom): DataFrame = {
-    val un = unitFrame(data, idCol, vecCol, geom.dim)
+                        geom: Geom = DefaultGeom,
+                        metric: String = "cosine"): DataFrame = {
+    val un = metricFrame(data, idCol, vecCol, geom.dim, metric)
     // coarse: L2 cells over the unit vectors, full dim
     val cents = kmeansCentroidsL2(
       un.select(col("id"), col("u").as("s")), numCells, trainIters)
@@ -1256,7 +1301,7 @@ object Ann {
     val codes = graft.core.Fence(
       pqEncodeOn(resid, books, keep = Seq("id", "cell"), geom))
     ivfPqRefineProbe(codes, cents, books, un, queries, idCol, vecCol,
-      k, nprobe, refine, geom = geom)
+      k, nprobe, refine, geom = geom, metric = metric)
   }
 
   /** The probe half of the residual family, shared by the fit-inline
@@ -1280,14 +1325,13 @@ object Ann {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int, refine: Int,
       broadcastQueries: Boolean = true,
-      geom: Geom = DefaultGeom): DataFrame = {
+      geom: Geom = DefaultGeom,
+      metric: String = "cosine"): DataFrame = {
     def maybeBcast(df: DataFrame): DataFrame =
       if (broadcastQueries) broadcast(df) else df
     val centDf = centsToDf(codes.sparkSession, cents)
-    val qUn = graft.core.Fence(withNorms(queries, idCol, vecCol,
-        geom.dim)
-      .withColumn("u", unitVec(col("v"), col("nrm")))
-      .select(col("id").as("q_id"), col("u").as("qu")))
+    val qUn = metricFrame(queries, idCol, vecCol, geom.dim, metric)
+      .select(col("id").as("q_id"), col("u").as("qu"))
     val probes = qUn.withColumn("probe",
         explode(slice(reverse(array_sort(
           centroidScoresL2(cents, col("qu")))), 1, nprobe)))
@@ -1313,7 +1357,7 @@ object Ann {
       val exact = adc.select(col("q_id"), col("vec_id"))
         .join(un.select(col("id").as("vec_id"), col("u")), Seq("vec_id"))
         .join(maybeBcast(qUn), Seq("q_id"))
-        .withColumn("score", dotUnrolled(col("qu"), col("u"), geom.dim))
+        .withColumn("score", refineScore(metric, geom.dim))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("vec_id").asc)
       exact.withColumn("rank", row_number().over(w))

@@ -420,11 +420,17 @@ object AnnIndex {
                  vecCol: String, indexTable: String, numCells: Int = 16,
                  trainIters: Int = 2, pqIters: Int = 2,
                  trainData: Option[DataFrame] = None,
-                 geom: Ann.Geom = Ann.DefaultGeom): Unit = {
+                 geom: Ann.Geom = Ann.DefaultGeom,
+                 metric: String = "cosine"): Unit = {
     val spark = data.sparkSession
     import spark.implicits._
-    val trainUn = Ann.unitFrame(trainData.getOrElse(data), idCol,
-      vecCol, geom.dim)
+    // metric recorded at build time beside the geometry ([[buildSq8]]
+    // contract): cosine | l2 — the residual machinery is metric-blind
+    // past the (un)normalization choice ([[Ann.metricFrame]]); ip is
+    // refused there with a pointer at the SQ8 family, whose
+    // dequantized dot IS the ip score
+    val trainUn = Ann.metricFrame(trainData.getOrElse(data), idCol,
+      vecCol, geom.dim, metric)
     val cents = Ann.kmeansCentroidsL2(
       trainUn.select(col("id"), col("u").as("s")), numCells, trainIters)
     val books = Ann.pqTrainOn(Ann.residualFrame(trainUn, cents),
@@ -446,13 +452,13 @@ object AnnIndex {
       catalog.writeFull(bookRows.toDF("m", "cell", "pos", "val"),
         indexTable + "_pqcent")
       writeSeg(catalog, indexTable,
-        assignIvfPq(data, idCol, vecCol, cents, books, geom),
+        assignIvfPq(data, idCol, vecCol, cents, books, geom, metric),
         "0", "cell")
       dropOtherSegs(catalog, indexTable, keep = "0")
       drainDels(catalog, indexTable)
       writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "ivfpq", numCells, geom.dim,
-        geom.pqM, geom.pqK, fitN, n)
+        geom.pqM, geom.pqK, fitN, n, metric)
     }
   }
 
@@ -469,7 +475,8 @@ object AnnIndex {
       val cents = readCentroidsL2(catalog, indexTable)
       val books = readBooks(catalog, indexTable)
       appendSeg(catalog, indexTable, m,
-        assignIvfPq(data, idCol, vecCol, cents, books, m.geom),
+        assignIvfPq(data, idCol, vecCol, cents, books, m.geom,
+          m.metric),
         data.count(), segKey, "cell", allowStale)
     }
 
@@ -489,10 +496,19 @@ object AnnIndex {
                                allowStale: Boolean = false,
                                broadcastQueries: Boolean = true,
                                allowedIds: Option[DataFrame] = None,
-                               allowedIdCol: String = "id")
+                               allowedIdCol: String = "id",
+                               metric: Option[String] = None)
       : DataFrame = {
     val m = readMeta(catalog, indexTable, "ivfpq")
     requireFresh(m, indexTable, allowStale)
+    // the [[sq8TopKFromIndex]] metric contract: served from the META,
+    // an explicit disagreeing request refused loudly
+    metric.foreach { req =>
+      require(req == m.metric,
+        s"AnnIndex: '$indexTable' was built for metric '${m.metric}' " +
+          s"but the probe requested '$req' — probes serve the " +
+          "RECORDED metric; rebuild with the desired one")
+    }
     val cents = readCentroidsL2(catalog, indexTable)
     val books = readBooks(catalog, indexTable)
     // `allowedIds` = filtered search (the [[sq8TopKFromIndex]]
@@ -504,8 +520,9 @@ object AnnIndex {
       .select(col("id") +: col("cell").cast("int").as("cell") +:
         (0 until m.pqM).map(i => col(s"c$i")): _*)
     Ann.ivfPqRefineProbe(codes, cents, books,
-      Ann.unitFrame(store, idCol, vecCol, m.dim), queries, idCol,
-      vecCol, k, nprobe, refine, broadcastQueries, m.geom)
+      Ann.metricFrame(store, idCol, vecCol, m.dim, m.metric), queries,
+      idCol, vecCol, k, nprobe, refine, broadcastQueries, m.geom,
+      m.metric)
   }
 
   /** One streaming-ingestion micro-batch into a persisted SQ8 index —
@@ -938,10 +955,10 @@ object AnnIndex {
   private def assignIvfPq(data: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Seq[Double], Double)],
       books: Array[Array[(Seq[Double], Double)]],
-      geom: Ann.Geom): DataFrame =
+      geom: Ann.Geom, metric: String): DataFrame =
     Ann.pqEncodeOn(
-      Ann.residualFrame(Ann.unitFrame(data, idCol, vecCol, geom.dim),
-        cents),
+      Ann.residualFrame(
+        Ann.metricFrame(data, idCol, vecCol, geom.dim, metric), cents),
       books, keep = Seq("id", "cell"), geom)
 
   /** Centroids back from `_cent` as (values, SELF-DOT) — the shape

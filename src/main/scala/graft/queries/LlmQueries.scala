@@ -1529,6 +1529,34 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The residual serving shape under a RAW-L2 metric (round 16,
+    // second pass): learned-retrieval corpora whose distances are
+    // meant over the raw embeddings — no unit normalization anywhere.
+    // The metric is recorded in the index meta beside the geometry
+    // (the ann26 contract on the flagship index kind); the whole fit
+    // (coarse L2 cells, residuals, codebooks, ADC) is metric-blind
+    // because ‖q − v‖² = ‖qr − r‖² holds for raw vectors exactly as
+    // for unit ones, so only the (un)normalization and the refine
+    // stage's exact score change: −((q·q + v·v) − 2·(q·v)), larger =
+    // closer. The probe serves the recorded metric; an explicit
+    // cosine request against this index is refused loudly
+    // (spec-pinned), and ip points at the SQ8 family whose
+    // dequantized dot is ip-native — an L2 code rank would mis-rank
+    // an ip corpus silently.
+    "ann28_ivfpq_l2" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann28_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      AnnIndex.buildIvfPq(cat, e, "vec_id", "embedding", "ann_rawl2",
+        numCells = 16, trainIters = 2, pqIters = 2, metric = "l2")
+      AnnIndex.ivfPqRefineTopKFromIndex(cat, "ann_rawl2", e,
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nprobe = 2, refine = 64)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Persisted PQ index, full lifecycle: codebooks trained once on
     // the full corpus, half bulk-loaded, half appended as codes under
     // the LOADED (never re-derived) codebooks, ADC probe off the
@@ -1909,7 +1937,8 @@ object LlmQueries {
                                 coarseIters: Int = 2, pqIters: Int = 2,
                                 geom: Ann.Geom = Ann.DefaultGeom,
                                 vecExpr: String = "embedding",
-                                candCond: String = ""): String = {
+                                candCond: String = "",
+                                metric: String = "cosine"): String = {
       def dt(a: String, b: String) = Ann.dotSql(a, b)
       val M = geom.pqM
       val sd = geom.subDim
@@ -1980,12 +2009,25 @@ object LlmQueries {
               JOIN c${m}_$pqIters c ON kk.cell = c.cell
               JOIN qs q ON q.q_id = cd.q_id AND q.cell = cd.cell)"""
       }
+      // the metric decides the vector frame the whole replay runs
+      // over (unit-normalized for cosine, RAW for l2 — the residual
+      // identity holds for both) and the refine stage's exact score
+      val unCte =
+        if (metric == "cosine")
+          s"""vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm
+                FROM v),
+              un AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v
+                  ELSE list_transform(v, x -> x / nrm) END AS u
+                FROM vn)"""
+        else "un AS (SELECT vec_id, v AS u FROM v)"
+      val refineExpr =
+        if (metric == "cosine") dt("qu.u", "du.u")
+        else s"""-((${dt("qu.u", "qu.u")} + ${dt("du.u", "du.u")})
+              - 2.0 * ${dt("qu.u", "du.u")})"""
       s"""WITH v AS (SELECT vec_id,
             list_transform($vecExpr, x -> x::DOUBLE) AS v
             FROM embeddings),
-          vn AS (SELECT vec_id, v, sqrt(${dt("v", "v")}) AS nrm FROM v),
-          un AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v
-              ELSE list_transform(v, x -> x / nrm) END AS u FROM vn),
+          $unCte,
           cw0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
                 AS INT) - 1 AS cell, u AS cv
             FROM (SELECT vec_id, u FROM un
@@ -2038,7 +2080,7 @@ object LlmQueries {
                 ORDER BY score DESC, vec_id ASC) AS crn
             FROM scored) WHERE crn <= $refine),
           refined AS (SELECT t.q_id, t.vec_id,
-              ${dt("qu.u", "du.u")} AS score
+              $refineExpr AS score
             FROM topr t JOIN un qu ON qu.vec_id = t.q_id
             JOIN un du ON du.vec_id = t.vec_id),
           ranked AS (SELECT q_id, vec_id, score,
@@ -2769,6 +2811,11 @@ object LlmQueries {
       "WHERE un.vec_id < 5", 10, 2, 64,
       numCells = 8, coarseIters = 2, pqIters = 2,
       geom = Ann.Geom(32, 8, 16), vecExpr = "embedding[1:32]"),
+    // the raw-L2 metric replay: the identical fit over UNNORMALIZED
+    // vectors, refine = −((q·q + v·v) − 2·(q·v))
+    "ann28_ivfpq_l2" -> ivfPqRefineOracle(
+      "WHERE un.vec_id < 5", 10, 2, 64,
+      numCells = 16, coarseIters = 2, pqIters = 2, metric = "l2"),
     // PQ/ADC: the oracle replays the per-subspace fit exactly — unit
     // normalization, smallest-id seeds, 2 Lloyd rounds of L2 argmin
     // (as argmax 2·s·c − c·c, ties to the larger cell) with

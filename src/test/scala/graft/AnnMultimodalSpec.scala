@@ -970,6 +970,69 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(ex3.getMessage.contains("metric"), ex3.getMessage)
   }
 
+  test("raw-L2 residual IVF-PQ: the persisted index equals the " +
+       "fit-inline form, appends inherit the recorded metric, l2 " +
+       "ranks diverge from cosine, and mismatched probes / ip are " +
+       "refused") {
+    import graft.ann.AnnIndex
+    val rnd = new scala.util.Random(68)
+    // magnitude-varied corpus: raw-L2 ranks must diverge from cosine's
+    val vecs = (0 until 24).map { i =>
+      val scale = 0.2f + (i % 5).toFloat
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * scale))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+    val wh = java.nio.file.Files.createTempDirectory("annl2_").toString
+    val cat = new graft.catalog.TableCatalog(spark, wh)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"q_id", $"rank")
+        .select($"q_id".cast("long"), $"rank", $"vec_id".cast("long"),
+          $"score")
+        .collect().toSeq
+    AnnIndex.buildIvfPq(cat, vecs, "vec_id", "embedding", "rl2",
+      numCells = 4, metric = "l2")
+    val got = canon(AnnIndex.ivfPqRefineTopKFromIndex(cat, "rl2",
+      vecs, q, "vec_id", "embedding", 5, nprobe = 2, refine = 16))
+    // bit-identical to the fit-inline l2 form (codes and cells are
+    // pure functions of vector x frozen fits; raw vectors recompute
+    // exactly from the store)
+    assert(got == canon(Ann.ivfPqResidualTopK(vecs, q, "vec_id",
+      "embedding", 5, numCells = 4, nprobe = 2, refine = 16,
+      metric = "l2")))
+    // build-half + append-half under the LOADED fits == the full
+    // build (the metric travels in the meta, never re-specified)
+    AnnIndex.buildIvfPq(cat, vecs.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", "rl2h", numCells = 4, metric = "l2",
+      trainData = Some(vecs))
+    AnnIndex.appendIvfPq(cat, vecs.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", "rl2h")
+    assert(canon(AnnIndex.ivfPqRefineTopKFromIndex(cat, "rl2h",
+      vecs, q, "vec_id", "embedding", 5, nprobe = 2,
+      refine = 16)) == got)
+    // raw-L2 really uses the magnitudes: ranks differ from cosine's
+    AnnIndex.buildIvfPq(cat, vecs, "vec_id", "embedding", "rcos",
+      numCells = 4)
+    def ranksOnly(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ranksOnly(got) != ranksOnly(canon(
+      AnnIndex.ivfPqRefineTopKFromIndex(cat, "rcos", vecs, q,
+        "vec_id", "embedding", 5, nprobe = 2, refine = 16))))
+    // an explicit probe for a metric the index was not built for is
+    // refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.ivfPqRefineTopKFromIndex(cat, "rl2", vecs, q, "vec_id",
+        "embedding", 5, metric = Some("cosine"))
+    }
+    assert(ex.getMessage.contains("RECORDED"), ex.getMessage)
+    // ip on the residual path is refused with a pointer at SQ8 (an
+    // L2 code rank would silently mis-rank an ip corpus)
+    val ex2 = intercept[IllegalArgumentException] {
+      AnnIndex.buildIvfPq(cat, vecs, "vec_id", "embedding", "rip",
+        numCells = 4, metric = "ip")
+    }
+    assert(ex2.getMessage.toLowerCase.contains("sq8"), ex2.getMessage)
+  }
+
   test("ANN index lifecycle: build-half + append-half equals the full " +
        "build bit for bit, a replayed append is idempotent, and " +
        "staleness past the drift bound fails loudly") {
