@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.StructType
   * object store, and a 100-TB warehouse needs no code change. Nothing
   * here touches `java.io.File`.
   */
-class TableCatalog(spark: SparkSession, warehouse: String) {
+class TableCatalog(val spark: SparkSession, warehouse: String) {
 
   def tablePath(table: String): String = s"$warehouse/$table"
 

@@ -1,0 +1,117 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+
+/** Versioned tables: every write is a new immutable snapshot, reads
+  * time-travel to any retained version — the reproducibility primitive
+  * a training pipeline needs ("train run X read corpus snapshot 17",
+  * re-readable months later while the table keeps moving). The public
+  * lakehouse shape (Delta/Iceberg snapshots) reduced to the engine's
+  * catalog primitives:
+  *
+  * {{{
+  * T/v=1/part-*.parquet     immutable snapshot data
+  * T/v=2/...
+  * T/_current               the COMMIT POINTER (bytes, written last)
+  * }}}
+  *
+  * Commit protocol: the snapshot directory is fully written FIRST,
+  * the `_current` pointer flipped LAST — a reader never observes a
+  * half-written snapshot, because nothing points at it until the data
+  * job has finished. A crash between the two leaves an orphan `v=n`
+  * directory that the next write (which re-derives `n` from the
+  * pointer, under the table lock) simply overwrites — convergent, no
+  * repair step. [[versions]] and [[readAsOf]] trust the pointer, never
+  * the directory listing, so orphans are invisible until re-committed.
+  *
+  * Scale: a snapshot write is one Spark job; the pointer is a
+  * bytes-sized marker; [[versions]] is one directory listing;
+  * time-travel reads open exactly one snapshot directory (never a
+  * union). Storage is bounded by [[vacuum]], which drops the oldest
+  * snapshots but NEVER the current one; a time-travel read of a
+  * vacuumed version fails loudly naming the retention decision rather
+  * than serving a silently-wrong newer snapshot.
+  */
+object Versioned {
+
+  private val CurrentMarker = "_current"
+
+  /** The committed version the table currently serves; None when no
+    * commit has ever completed. An unparseable pointer is a damaged
+    * commit record and fails loudly — degrading it to "absent" would
+    * silently un-version a table that has committed data. */
+  def currentVersion(catalog: TableCatalog, table: String): Option[Long] =
+    catalog.readMarker(table, CurrentMarker).map { s =>
+      s.trim.toLongOption.filter(_ >= 1).getOrElse(
+        throw new IllegalStateException(
+          s"Versioned: damaged commit pointer for '$table' " +
+            s"(content: '${s.trim.take(32)}') — restore $CurrentMarker " +
+            "to the last known good version"))
+    }
+
+  /** Commit `df` as the table's next snapshot; returns the committed
+    * version (1 for a fresh table). Data first, pointer last, under
+    * the table lock — concurrent writers serialize, readers never see
+    * a partial snapshot. */
+  def write(catalog: TableCatalog, df: DataFrame, table: String): Long =
+    catalog.withTableLock(table) {
+      val next = currentVersion(catalog, table).getOrElse(0L) + 1
+      df.write.mode("overwrite")
+        .parquet(catalog.partitionPath(table, "v", next.toString))
+      catalog.writeMarker(table, CurrentMarker, next.toString)
+      next
+    }
+
+  /** Read the current snapshot. */
+  def read(catalog: TableCatalog, table: String): DataFrame =
+    readAsOf(catalog, table,
+      currentVersion(catalog, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"Versioned: no committed version for '$table'")))
+
+  /** Time-travel read of a specific committed version. Uncommitted
+    * (orphaned or never-written) and vacuumed versions are refused
+    * loudly. */
+  def readAsOf(catalog: TableCatalog, table: String,
+               version: Long): DataFrame = {
+    val cur = currentVersion(catalog, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"Versioned: no committed version for '$table'"))
+    require(version >= 1 && version <= cur,
+      s"Versioned: version $version of '$table' is not committed " +
+        s"(current: $cur)")
+    if (!catalog.partitionHasDataFiles(table, "v", version.toString))
+      throw new IllegalArgumentException(
+        s"Versioned: version $version of '$table' was vacuumed — " +
+          s"retained versions: ${versions(catalog, table).mkString(", ")}")
+    catalog.spark.read
+      .parquet(catalog.partitionPath(table, "v", version.toString))
+  }
+
+  /** Committed versions still on disk, ascending — the directory
+    * listing intersected with the commit pointer (an orphan `v=` dir
+    * beyond the pointer is a crashed uncommitted write, not a
+    * version). */
+  def versions(catalog: TableCatalog, table: String): Seq[Long] = {
+    val cur = currentVersion(catalog, table).getOrElse(return Seq.empty)
+    catalog.listPartitions(table, "v")
+      .flatMap(_.toLongOption).filter(v => v >= 1 && v <= cur).sorted
+  }
+
+  /** Drop all but the newest `keepLast` committed snapshots; returns
+    * the versions dropped. The current version is never dropped
+    * (`keepLast >= 1` enforced); a later [[readAsOf]] of a dropped
+    * version fails loudly naming the retention. Runs under the table
+    * lock so a concurrent writer can't commit between the listing and
+    * the deletes. */
+  def vacuum(catalog: TableCatalog, table: String,
+             keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    catalog.withTableLock(table) {
+      val vs = versions(catalog, table)
+      val drop = vs.dropRight(keepLast)
+      drop.foreach(v => catalog.deletePartition(table, "v", v.toString))
+      drop
+    }
+  }
+}

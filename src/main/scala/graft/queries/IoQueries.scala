@@ -7,7 +7,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.catalog.TableCatalog
+import graft.catalog.{TableCatalog, Versioned}
 import graft.core.Tables
 import graft.io.{CsvSink, ExcelSource, ExcelXlsx, FileFetcher,
   HttpCsvSource, ZipCsvSource}
@@ -168,6 +168,35 @@ object IoQueries {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // K8 versioned writes + time travel: every write is an immutable
+    // snapshot committed by flipping a pointer LAST (data job first,
+    // bytes-sized pointer second — readers never observe a partial
+    // snapshot), and any retained version re-reads exactly as written
+    // — the reproducibility primitive for "train run X read corpus
+    // snapshot N". The gate commits two snapshots with different
+    // content, then reads v1 BY TIME TRAVEL (after v2 became current)
+    // and v2 as the current table: a pointer that moved early, a
+    // snapshot that leaked into another, or a time-travel read served
+    // from the wrong directory all break the hash. Crash-window and
+    // vacuum semantics are CatalogIoSpec-pinned.
+    "k08_versioned_tt" -> ((s, dir) => {
+      val cat = new TableCatalog(s, tmp("graft_k08_"))
+      val nation = t(s, dir, "nation")
+      val v1 = nation.select(col("n_nationkey").as("key"),
+        col("n_name").as("name"))
+      val v2 = nation.filter(col("n_regionkey") < 3)
+        .select(col("n_nationkey").as("key"),
+          upper(col("n_name")).as("name"))
+      Versioned.write(cat, v1, "corpus_v")
+      Versioned.write(cat, v2, "corpus_v")
+      Versioned.readAsOf(cat, "corpus_v", 1)
+        .withColumn("version", lit(1))
+        .unionAll(Versioned.read(cat, "corpus_v")
+          .withColumn("version", lit(2)))
+        .select(col("version"), col("key"), col("name"))
+        .orderBy(col("version"), col("key"))
     })
   )
 
@@ -200,6 +229,14 @@ object IoQueries {
     "k04_csv_sink" ->
       """SELECT CAST(row_number() OVER (ORDER BY s_suppkey) - 1 AS INT)
            AS "index", s_suppkey, s_name, s_nationkey, s_acctbal
-         FROM supplier ORDER BY "index""""
+         FROM supplier ORDER BY "index"""",
+    "k08_versioned_tt" ->
+      """SELECT * FROM (
+           SELECT 1 AS version, n_nationkey AS key, n_name AS name
+           FROM nation
+           UNION ALL
+           SELECT 2, n_nationkey, upper(n_name) FROM nation
+           WHERE n_regionkey < 3)
+         ORDER BY version, key"""
   )
 }

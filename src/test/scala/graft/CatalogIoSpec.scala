@@ -434,4 +434,49 @@ class CatalogIoSpec extends SparkSpec {
     assert(out(0).nonEmpty && out(0).contains(","))
     assert(out(1) == "")
   }
+
+  test("Versioned tables: snapshots commit pointer-last, orphaned " +
+       "crash dirs stay invisible and are overwritten convergently, " +
+       "vacuum keeps the newest and refusals are loud") {
+    import graft.catalog.Versioned
+    val cat = new TableCatalog(spark, tmp("ver_"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"k").as[(Int, String)].collect().toSeq
+    assert(Versioned.currentVersion(cat, "t").isEmpty)
+    assert(Versioned.versions(cat, "t").isEmpty)
+    intercept[IllegalArgumentException](Versioned.read(cat, "t"))
+    assert(Versioned.write(cat,
+      Seq((1, "a"), (2, "b")).toDF("k", "s"), "t") == 1L)
+    assert(Versioned.write(cat,
+      Seq((1, "a2")).toDF("k", "s"), "t") == 2L)
+    assert(Versioned.versions(cat, "t") == Seq(1L, 2L))
+    assert(rows(Versioned.read(cat, "t")) == Seq((1, "a2")))
+    assert(rows(Versioned.readAsOf(cat, "t", 1)) ==
+      Seq((1, "a"), (2, "b")))
+    // crash window: a data dir written WITHOUT the pointer flip (the
+    // job finished, the commit didn't) — invisible to every read path
+    Seq((9, "orphan")).toDF("k", "s").write.mode("overwrite")
+      .parquet(cat.partitionPath("t", "v", "3"))
+    assert(Versioned.versions(cat, "t") == Seq(1L, 2L))
+    assert(rows(Versioned.read(cat, "t")) == Seq((1, "a2")))
+    intercept[IllegalArgumentException](Versioned.readAsOf(cat, "t", 3))
+    // ...and the next committed write overwrites the orphan in place
+    assert(Versioned.write(cat,
+      Seq((3, "c")).toDF("k", "s"), "t") == 3L)
+    assert(rows(Versioned.readAsOf(cat, "t", 3)) == Seq((3, "c")))
+    // vacuum drops the oldest, never the current; a dropped version
+    // is refused naming the retention
+    assert(Versioned.vacuum(cat, "t", keepLast = 2) == Seq(1L))
+    assert(Versioned.versions(cat, "t") == Seq(2L, 3L))
+    val ex = intercept[IllegalArgumentException](
+      Versioned.readAsOf(cat, "t", 1))
+    assert(ex.getMessage.contains("vacuum"), ex.getMessage)
+    assert(rows(Versioned.readAsOf(cat, "t", 2)) == Seq((1, "a2")))
+    intercept[IllegalArgumentException](
+      Versioned.vacuum(cat, "t", keepLast = 0))
+    // beyond-current and damaged-pointer reads fail loudly
+    intercept[IllegalArgumentException](Versioned.readAsOf(cat, "t", 9))
+    cat.writeMarker("t", "_current", "not-a-number")
+    intercept[IllegalStateException](Versioned.read(cat, "t"))
+  }
 }
