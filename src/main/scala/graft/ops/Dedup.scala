@@ -171,4 +171,55 @@ object Dedup {
         losers AS (SELECT id FROM (
           SELECT id, MIN(label) AS label FROM reach GROUP BY id)
           WHERE label <> id)"""
+
+  /** [[clusterLosersSql]]'s sibling ending in `clabels(id, label)` —
+    * every PAIRED id with its component's minimum id, the relation
+    * [[leakageSafeSplit]]'s oracle left-joins (unpaired docs take
+    * their own id downstream). */
+  def clusterLabelsSql(pairsRel: String, idA: String,
+                       idB: String): String =
+    s"""edges AS (SELECT $idA AS src, $idB AS dst FROM $pairsRel
+          UNION ALL SELECT $idB AS src, $idA AS dst FROM $pairsRel),
+        reach(id, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+        clabels AS (SELECT id, MIN(label) AS label FROM reach
+          GROUP BY id)"""
+
+  /** Leakage-safe train/eval split — the holdout hygiene step every
+    * near-dup pipeline needs and a plain hash split gets WRONG: two
+    * near-duplicate documents must never straddle the train/eval
+    * boundary (the eval copy trains the model on its own test set),
+    * so the split unit is the near-dup COMPONENT, not the document.
+    * Every doc takes its component's minimum id as `cluster` (its own
+    * id when it appears in no pair), and `split` is a deterministic
+    * hash bucket OF THE CLUSTER: 'eval' when
+    * substring(md5(cluster), 1, 2) < `evalCut`, else 'train' — the
+    * corpus pipeline's sampling idiom, so 256 buckets, `evalCut` hex
+    * ("29" ≈ 16%). By construction all members of a component share a
+    * side; docs in no pair split independently and uniformly.
+    *
+    * Scale: components via [[connectedComponents]] (shuffle-only,
+    * O(log diameter) rounds over PAIRS — the banded near-dup output,
+    * linear-ish in the corpus), then ONE left equi-join against the
+    * corpus and a per-row hash — no driver state, no skew (md5 keys
+    * distribute uniformly whatever the cluster sizes). Output: the
+    * doc columns + (cluster, split). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       idA: String = "id_a", idB: String = "id_b",
+                       evalCut: String = "29",
+                       maxRounds: Int = 50): DataFrame = {
+    val labels = connectedComponents(pairs, idA, idB, maxRounds)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    docs.join(labels, docs(idCol).cast("long") === col("__cc_id"),
+        "left")
+      .withColumn("cluster",
+        coalesce(col("__cc_label"), docs(idCol).cast("long")))
+      .drop("__cc_id", "__cc_label")
+      .withColumn("split",
+        when(substring(md5(col("cluster").cast("string")), 1, 2)
+            < lit(evalCut), "eval")
+          .otherwise("train"))
+  }
 }

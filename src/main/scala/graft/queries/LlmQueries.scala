@@ -111,6 +111,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe train/eval split: a plain per-doc hash split puts
+    // near-duplicates on OPPOSITE sides of the holdout boundary — the
+    // model trains on its own eval set. The split unit here is the
+    // near-dup component (dd07's machinery): every doc takes its
+    // component's min id as `cluster` (own id when unpaired) and the
+    // side is a hash bucket of the CLUSTER, so no near-dup pair ever
+    // straddles (DedupFuzzySpec pins the property corpus-wide).
+    "dd13_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text")
+      Dedup.leakageSafeSplit(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: corpus docs sharing any word 5-gram
     // with the eval set (the doc_id % 97 slice stands in for a held-out
     // benchmark) are removed — the test-set-leak hygiene step of every
@@ -2322,6 +2337,16 @@ object LlmQueries {
           SELECT doc_id, lang, n_chars FROM documents
           WHERE NOT EXISTS (SELECT 1 FROM losers
             WHERE losers.id = documents.doc_id)
+          ORDER BY doc_id""",
+    "dd13_leakage_split" ->
+      s"""WITH RECURSIVE pairs AS (
+            ${MinHashLSH.nearDupPairsSql("documents", "doc_id", "text")}),
+          ${Dedup.clusterLabelsSql("pairs", "doc_a", "doc_b")}
+          SELECT doc_id, COALESCE(l.label, doc_id) AS cluster,
+            CASE WHEN substring(md5(
+                CAST(COALESCE(l.label, doc_id) AS VARCHAR)), 1, 2)
+              < '29' THEN 'eval' ELSE 'train' END AS split
+          FROM documents LEFT JOIN clabels l ON l.id = documents.doc_id
           ORDER BY doc_id""",
     "dd08_decontaminate" ->
       s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),

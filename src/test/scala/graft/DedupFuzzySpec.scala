@@ -398,6 +398,41 @@ class DedupFuzzySpec extends SparkSpec {
     }
   }
 
+  test("leakageSafeSplit: no pair straddles the boundary, members " +
+       "share their component's cluster, unpaired docs split on " +
+       "their own id") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id",
+      "text")
+    // a 4-chain, a 2-cycle and a star — plus 33 unpaired docs
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", pairs)
+      .select($"doc_id", $"cluster", $"split")
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.size == 40)
+    // every component member carries the component MIN as cluster and
+    // therefore the same side
+    Seq(Seq(1L, 2L, 3L, 4L), Seq(10L, 11L), Seq(20L, 21L, 22L, 23L))
+      .foreach { comp =>
+        val rows = comp.map(byId)
+        assert(rows.forall(_._2 == comp.min), rows.toString)
+        assert(rows.map(_._3).distinct.size == 1, rows.toString)
+      }
+    // unpaired docs cluster on themselves
+    val unpaired = (1L to 40L).toSet --
+      Set(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L, 22L, 23L)
+    assert(unpaired.forall(i => byId(i)._2 == i))
+    // the side is the documented hash rule — and both sides occur
+    out.foreach { case (_, cl, sp) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(cl.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      assert(sp == (if (h < "29") "eval" else "train"))
+    }
+    assert(out.map(_._3).distinct.sorted == Seq("eval", "train"))
+  }
+
   test("banded join: below-threshold rows get null match") {
     // ratio("alpha corp","alpha corporation") = floor(100*(17-7)/17) = 58
     val left = Seq((1, "alpha corp"), (2, "zzzzzz")).toDF("id", "name")
