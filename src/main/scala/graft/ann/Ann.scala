@@ -880,6 +880,36 @@ object Ann {
     sq8TopKFrom(sq8Quantized(data, idCol, vecCol, "vec_id", dim),
       sq8Quantized(queries, idCol, vecCol, "q_id", dim), k, dim, metric)
 
+  /** Recall@k evaluation report — the index-quality measurement every
+    * ANN deployment tunes against (nprobe/numCells/refine trade
+    * recall for scan cost; without the number the knobs are blind).
+    * `exact` and `approx` are any two (q_id, rank, vec_id, …) rank
+    * frames (brute force vs an index probe, or two index
+    * configurations); the report is, per query, how many of the exact
+    * top-k the approximate ranking recovered: (q_id, hits,
+    * recall_at_k = hits/k). Queries the approximate side missed
+    * entirely report 0, not absence.
+    *
+    * Scale: one equi-join on (q_id, vec_id) + one partial-aggregated
+    * count — both sides are top-k frames (|queries|·k rows), tiny
+    * next to the probes that produced them. */
+  def recallReport(exact: DataFrame, approx: DataFrame,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = exact.filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val hits = e.join(a, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("__h"))
+    e.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("__h"), lit(0L)).cast("int").as("hits"),
+        (coalesce(col("__h"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("recall_at_k"))
+  }
+
   // ----- Product quantization (PQ / ADC) -----
   //
   // The extreme-compression ANN path: each unit-normalized vector is

@@ -1572,6 +1572,22 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Recall@10 evaluation report: the measurement the ANN knobs
+    // (nprobe, numCells, refine) are tuned against, as a first-class
+    // operator — per query, how many of the exact top-10 the trained
+    // IVF probe (the ann05 configuration) recovered. Both sides are
+    // deterministic replays, so the recall numbers themselves gate
+    // hash-exact against the oracle computing the same join.
+    "ann29_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Ann.recallReport(
+          Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10),
+          Ann.ivfTopK(e, q, "vec_id", "embedding", 10, trainIters = 2),
+          10)
+        .orderBy(col("q_id"))
+    }),
+
     // Persisted PQ index, full lifecycle: codebooks trained once on
     // the full corpus, half bulk-loaded, half appended as codes under
     // the LOADED (never re-derived) codebooks, ADC probe off the
@@ -2207,6 +2223,22 @@ object LlmQueries {
     * fit with the restriction on its candidate set only — the
     * pre-filter contract. Empty condition = the ann05/ann08/ann10
     * text. */
+  /** The ann01 exact-cosine top-10 replay — also the "exact" side of
+    * the ann29 recall report. */
+  private def bruteTopKOracleSql: String = {
+    val cos = Ann.cosineSql("q.v", "d.v")
+    s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v FROM v WHERE q_id < 5),
+        scored AS (SELECT q.q_id, d.vec_id, $cos AS cos
+          FROM q JOIN v d ON d.vec_id <> q.q_id),
+        ranked AS (SELECT q_id, vec_id, cos,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM scored)
+      SELECT q_id, rank, vec_id, cos FROM ranked
+      WHERE rank <= 10 ORDER BY q_id, rank"""
+  }
+
   private def ivfKmeansOracle(candCond: String = ""): String = {
     def dt(a: String, b: String) = Ann.dotSql(a, b)
     // one Lloyd round: argmax-cosine assignment against cent{i-1}
@@ -2841,6 +2873,20 @@ object LlmQueries {
     "ann28_ivfpq_l2" -> ivfPqRefineOracle(
       "WHERE un.vec_id < 5", 10, 2, 64,
       numCells = 16, coarseIters = 2, pqIters = 2, metric = "l2"),
+    // recall@10 of the ann05 IVF probe vs the ann01 exact ranking —
+    // both replays spliced in as subqueries, hits counted by the same
+    // (q_id, vec_id) equi-join
+    "ann29_recall" ->
+      s"""WITH exact AS ($bruteTopKOracleSql),
+          approx AS (${ivfKmeansOracle()}),
+          qs AS (SELECT DISTINCT q_id FROM exact),
+          h AS (SELECT e.q_id, count(*) AS hits
+            FROM exact e JOIN approx a
+              ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+            GROUP BY e.q_id)
+          SELECT qs.q_id, CAST(COALESCE(h.hits, 0) AS INT) AS hits,
+            CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0 AS recall_at_k
+          FROM qs LEFT JOIN h USING (q_id) ORDER BY q_id""",
     // PQ/ADC: the oracle replays the per-subspace fit exactly — unit
     // normalization, smallest-id seeds, 2 Lloyd rounds of L2 argmin
     // (as argmax 2·s·c − c·c, ties to the larger cell) with
@@ -2919,19 +2965,7 @@ object LlmQueries {
     // sqrt+division on integer-valued doubles — every step
     // IEEE-deterministic, so ranks and scores gate bit-exact.
     "ann11_sq8_topk" -> sq8TopKOracleSql(),
-    "ann01_cosine_topk" -> {
-      val cos = Ann.cosineSql("q.v", "d.v")
-      s"""WITH v AS (SELECT vec_id,
-            list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-          q AS (SELECT vec_id AS q_id, v FROM v WHERE q_id < 5),
-          scored AS (SELECT q.q_id, d.vec_id, $cos AS cos
-            FROM q JOIN v d ON d.vec_id <> q.q_id),
-          ranked AS (SELECT q_id, vec_id, cos,
-            CAST(row_number() OVER (PARTITION BY q_id
-              ORDER BY cos DESC, vec_id ASC) AS INT) AS rank FROM scored)
-        SELECT q_id, rank, vec_id, cos FROM ranked
-        WHERE rank <= 10 ORDER BY q_id, rank"""
-    },
+    "ann01_cosine_topk" -> bruteTopKOracleSql,
     "ann03_ivf_topk" -> {
       def dt(a: String, b: String) = Ann.dotSql(a, b)
       s"""WITH v AS (SELECT vec_id,
