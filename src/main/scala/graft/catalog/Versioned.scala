@@ -98,6 +98,38 @@ object Versioned {
       .flatMap(_.toLongOption).filter(v => v >= 1 && v <= cur).sorted
   }
 
+  /** What changed between two snapshots, by key: one row per key that
+    * was `added` (in new only), `removed` (in old only) or `changed`
+    * (in both, any non-key column differs — null-safe comparison) —
+    * the audit primitive behind "what moved between corpus snapshot
+    * 17 and 18" without re-reading either side twice. One full-outer
+    * equi-join on the keys; unchanged keys drop out. Output: the key
+    * columns + `op`. */
+  def diff(catalog: TableCatalog, table: String, vOld: Long,
+           vNew: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val o = readAsOf(catalog, table, vOld)
+    val n = readAsOf(catalog, table, vNew)
+    require(o.columns.toSeq == n.columns.toSeq,
+      s"Versioned: snapshot schemas differ between v$vOld " +
+        s"(${o.columns.mkString(",")}) and v$vNew " +
+        s"(${n.columns.mkString(",")})")
+    val nonKey = o.columns.filterNot(keyCols.contains).toSeq
+    def payload(df: DataFrame, as: String) = {
+      val p = if (nonKey.isEmpty) lit(0) // keys-only: presence diff
+              else struct(nonKey.map(col): _*)
+      df.select(keyCols.map(col) :+ p.as(as): _*)
+    }
+    payload(o, "__o").join(payload(n, "__n"), keyCols, "full_outer")
+      .withColumn("op",
+        when(col("__o").isNull, "added")
+          .when(col("__n").isNull, "removed")
+          .when(!(col("__o") <=> col("__n")), "changed"))
+      .filter(col("op").isNotNull)
+      .select(keyCols.map(col) :+ col("op"): _*)
+  }
+
   /** Drop all but the newest `keepLast` committed snapshots; returns
     * the versions dropped. The current version is never dropped
     * (`keepLast >= 1` enforced); a later [[readAsOf]] of a dropped

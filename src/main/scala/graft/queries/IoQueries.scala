@@ -197,6 +197,30 @@ object IoQueries {
           .withColumn("version", lit(2)))
         .select(col("version"), col("key"), col("name"))
         .orderBy(col("version"), col("key"))
+    }),
+
+    // K9 snapshot diff: what moved between two committed versions, by
+    // key — adds, removals and (null-safe) changes from ONE full-outer
+    // equi-join; unchanged keys drop out. v2 removes every 7th key,
+    // lowercases every 3rd name (TPC-H names are uppercase, so the
+    // change is real) and appends shifted-key rows — all three ops
+    // appear and any mis-classification breaks the hash.
+    "k09_snapshot_diff" -> ((s, dir) => {
+      val cat = new TableCatalog(s, tmp("graft_k09_"))
+      val nation = t(s, dir, "nation")
+      val v1 = nation.select(col("n_nationkey").as("key"),
+        col("n_name").as("name"))
+      val v2 = nation.filter(col("n_nationkey") % 7 =!= 0)
+        .select(col("n_nationkey").as("key"),
+          when(col("n_nationkey") % 3 === 0, lower(col("n_name")))
+            .otherwise(col("n_name")).as("name"))
+        .unionAll(nation.filter(col("n_regionkey") === 0)
+          .select((col("n_nationkey") + 1000).as("key"),
+            col("n_name").as("name")))
+      Versioned.write(cat, v1, "diff_v")
+      Versioned.write(cat, v2, "diff_v")
+      Versioned.diff(cat, "diff_v", 1, 2, Seq("key"))
+        .orderBy(col("key"))
     })
   )
 
@@ -237,6 +261,24 @@ object IoQueries {
            UNION ALL
            SELECT 2, n_nationkey, upper(n_name) FROM nation
            WHERE n_regionkey < 3)
-         ORDER BY version, key"""
+         ORDER BY version, key""",
+    "k09_snapshot_diff" ->
+      """WITH v1 AS (SELECT n_nationkey AS key, n_name AS name
+             FROM nation),
+           v2 AS (SELECT n_nationkey AS key,
+               CASE WHEN n_nationkey % 3 = 0 THEN lower(n_name)
+                 ELSE n_name END AS name
+             FROM nation WHERE n_nationkey % 7 <> 0
+             UNION ALL
+             SELECT n_nationkey + 1000, n_name FROM nation
+             WHERE n_regionkey = 0)
+         SELECT key, op FROM (
+           SELECT COALESCE(a.key, b.key) AS key,
+             CASE WHEN a.key IS NULL THEN 'added'
+                  WHEN b.key IS NULL THEN 'removed'
+                  WHEN a.name IS DISTINCT FROM b.name THEN 'changed'
+             END AS op
+           FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key)
+         WHERE op IS NOT NULL ORDER BY key"""
   )
 }

@@ -479,4 +479,31 @@ class CatalogIoSpec extends SparkSpec {
     cat.writeMarker("t", "_current", "not-a-number")
     intercept[IllegalStateException](Versioned.read(cat, "t"))
   }
+
+  test("Versioned.diff: adds/removes/changes by key, null-safe, " +
+       "keys-only tables diff by presence, schema drift refused") {
+    import graft.catalog.Versioned
+    val cat = new TableCatalog(spark, tmp("vdiff_"))
+    Versioned.write(cat, Seq((1, Some("a")), (2, Some("b")),
+      (3, None: Option[String]), (4, Some("d"))).toDF("k", "s"), "t")
+    Versioned.write(cat, Seq((1, Some("a")), (2, Some("B")),
+      (3, Some("now")), (5, Some("e"))).toDF("k", "s"), "t")
+    val d = Versioned.diff(cat, "t", 1, 2, Seq("k"))
+      .orderBy($"k").as[(Int, String)].collect().toSeq
+    // 1 unchanged (dropped), 2 changed, 3 null->value = changed
+    // (null-safe), 4 removed, 5 added
+    assert(d == Seq((2, "changed"), (3, "changed"), (4, "removed"),
+      (5, "added")))
+    // keys-only: presence diff, never 'changed'
+    Versioned.write(cat, Seq(1, 2, 3).toDF("k"), "ko")
+    Versioned.write(cat, Seq(2, 3, 4).toDF("k"), "ko")
+    assert(Versioned.diff(cat, "ko", 1, 2, Seq("k"))
+      .orderBy($"k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "removed"), (4, "added")))
+    // a snapshot written with a different schema refuses to diff
+    Versioned.write(cat, Seq((9, "x", 1.0)).toDF("k", "s", "extra"),
+      "t")
+    intercept[IllegalArgumentException](
+      Versioned.diff(cat, "t", 1, 3, Seq("k")))
+  }
 }
