@@ -604,6 +604,39 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus snapshots with an audited takedown republish (round 16,
+    // second pass): the dp01 survivor chain PUBLISHED through the
+    // versioned catalog — epoch N commits as snapshot v1, a takedown
+    // republish (minus the doc_id % 31 = 5 slice) as v2 — and the
+    // gate emits Versioned.diff(v1, v2): exactly the removed slice,
+    // every op 'removed', nothing else. This is the reproducibility
+    // story end to end: the training run that read v1 can re-read v1
+    // byte-identically after the republish (k08's pointer contract),
+    // and the diff IS the takedown audit record. The survivor frame
+    // is fenced once so the two snapshot writes share the computed
+    // chain instead of re-running it.
+    "dp13_corpus_snapshots" -> ((s, dir) => {
+      import graft.catalog.Versioned
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_dp13_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val gated = graft.text.CorpusPipeline.gate(t(s, dir, "documents"))
+      val deduped = graft.core.Fence(Dedup.exactDedup(gated,
+        graft.text.CorpusPipeline.fingerprintPrefix, col("doc_id")))
+      val pairs = MinHashLSH.nearDupPairs(deduped, "doc_id", "text",
+        threshold = graft.text.CorpusPipeline.NearDupThreshold)
+      val survivors = graft.core.Fence(
+        Dedup.clusterDedup(deduped, "doc_id", pairs, "doc_a", "doc_b")
+          .filter(graft.text.CorpusPipeline.samplePredicate)
+          .select(col("doc_id"), col("lang"),
+            size(TextHash.tokens(col("text"))).as("n_toks")))
+      Versioned.write(cat, survivors, "corpus_snap")
+      Versioned.write(cat,
+        survivors.filter(!(col("doc_id") % 31 === 5)), "corpus_snap")
+      Versioned.diff(cat, "corpus_snap", 1, 2, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The FULL training-shard path — dp01's survivor chain extended
     // the way a real corpus build finishes: per-language token-budget
     // mixture cut (ts10's operator, the "keep the best N tokens per
@@ -2579,6 +2612,15 @@ object LlmQueries {
           FROM m ORDER BY doc_id"""
     },
     "dp01_corpus_pipeline" -> dp01OracleSql,
+    // the takedown-republish audit: the dp01 survivor set intersected
+    // with the removed slice, every row op='removed' (v2 = v1 minus a
+    // filter, so adds/changes are impossible — a diff that invented
+    // one breaks the hash)
+    "dp13_corpus_snapshots" ->
+      s"""WITH RECURSIVE $dp01ChainCtes
+          SELECT doc_id, 'removed' AS op FROM deduped
+          WHERE $dp01SurvivorPredicate AND doc_id % 31 = 5
+          ORDER BY doc_id""",
     // dp03 is oracle-equal to dp01 BY DESIGN: ascending-id batches
     // through the incremental pipeline reproduce the batch chain's
     // global keep-smallest-id semantics (the StreamingSpec equality),
