@@ -154,6 +154,17 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // Temperature-reweighted mixture (α = 0.5): raw per-language token
+    // shares flattened to p ∝ n^α so the head language stops swamping
+    // the tail, plus the repeat factor a 100k-token budget implies per
+    // language — the sampling-weights table every multilingual mixture
+    // reports. α restricted to exact sqrt chains and share
+    // denominators integer-quantized, so the doubles gate hash-exact.
+    "ts22_temperature_mix" -> ((s, dir) =>
+      graft.text.Mixture.temperatureWeights(t(s, dir, "documents"),
+          "lang", size(TextHash.tokens(col("text"))), 100000L)
+        .orderBy(col("grp"))),
+
     // Token-budget sequence chunking: deal docs, in id order, into
     // fixed ~10k-token training shards (the step between a filtered
     // corpus and a tokenizer fleet). The operator computes the global
@@ -2445,6 +2456,9 @@ object LlmQueries {
     "ts11_token_chunks" ->
       graft.text.Packing.tokenChunksSql("documents", "doc_id",
         "len(string_split(text, ' '))", 10000L),
+    "ts22_temperature_mix" ->
+      graft.text.Mixture.temperatureWeightsSql("documents", "lang",
+        "len(string_split(text, ' '))", 100000L),
     // priority = n_chars / (hex(md5[0:8]) + 1): the hex fold builds
     // the identical integer Spark's conv() derives, and the single
     // double division is IEEE-deterministic — same top-150 both sides

@@ -126,4 +126,72 @@ object Mixture {
           FROM scored)
         SELECT id, lang, n_toks FROM c WHERE cum <= $budget
         ORDER BY id"""
+
+  /** Temperature-reweighted sampling mixture — the standard public
+    * answer to "the head language swamps the tail": raw token shares
+    * p_g = n_g/Σn are flattened to p_g ∝ n_g^α (α < 1 upsamples the
+    * tail), and each group's repeat factor is how many epochs of it a
+    * token budget B implies (> 1 = the group repeats, the multilingual
+    * training signal every mixture paper reports). Output per group:
+    * (group, n_toks, raw_share, adj_share, repeat_factor =
+    * (adj_share · B)/n_g).
+    *
+    * α is restricted to 2^-halvings (1, 0.5, 0.25, …): the power is
+    * then an exact IEEE sqrt chain, bit-replayable on any engine —
+    * arbitrary α is one pow() away but libm-dependent in the last
+    * bit, which would poison the share hashes. The share denominators
+    * are summed as floor(s·2²⁰ + 0.5) integers (order-free) and
+    * divided back — the kmeans-mean determinism trick — so shares are
+    * identical however the group partials arrive.
+    *
+    * Scale: one hash aggregate to the per-group token totals (the
+    * MaxLangGroups contract bounds the group count), one 1-row total
+    * crossJoin — no window, no driver state. */
+  def temperatureWeights(docs: DataFrame, groupCol: String,
+                         tokCol: Column, budget: Long,
+                         halvings: Int = 1): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(halvings >= 0 && halvings <= 8,
+      s"halvings must be in [0, 8], got $halvings")
+    val g = docs.groupBy(col(groupCol).as("grp"))
+      .agg(sum(tokCol.cast("long")).as("n_toks"))
+    val s = (1 to halvings).foldLeft(col("n_toks").cast("double")) {
+      (c, _) => sqrt(c)
+    }
+    val withS = g.withColumn("__si",
+      floor(s * lit(1048576.0) + lit(0.5)).cast("long"))
+    val tot = withS.agg(sum(col("__si")).as("__stot"),
+      sum(col("n_toks")).as("__ntot"))
+    val adj = col("__si").cast("double") / col("__stot").cast("double")
+    withS.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_toks"),
+        (col("n_toks").cast("double") / col("__ntot").cast("double"))
+          .as("raw_share"),
+        adj.as("adj_share"),
+        ((adj * lit(budget.toDouble)) / col("n_toks").cast("double"))
+          .as("repeat_factor"))
+  }
+
+  /** DuckDB rendering of [[temperatureWeights]] — the identical sqrt
+    * chain, integer-quantized denominators and division shapes. */
+  def temperatureWeightsSql(docsTable: String, groupSql: String,
+                            tokSql: String, budget: Long,
+                            halvings: Int = 1): String = {
+    val s = (1 to halvings).foldLeft("CAST(n_toks AS DOUBLE)") {
+      (c, _) => s"sqrt($c)"
+    }
+    s"""WITH g AS (SELECT $groupSql AS grp,
+          CAST(SUM(CAST($tokSql AS BIGINT)) AS BIGINT) AS n_toks
+          FROM $docsTable GROUP BY 1),
+        si AS (SELECT grp, n_toks,
+            CAST(FLOOR($s * 1048576.0 + 0.5) AS BIGINT) AS si FROM g),
+        tot AS (SELECT CAST(SUM(si) AS BIGINT) AS stot,
+            CAST(SUM(n_toks) AS BIGINT) AS ntot FROM si)
+        SELECT grp, n_toks,
+          CAST(n_toks AS DOUBLE) / CAST(ntot AS DOUBLE) AS raw_share,
+          CAST(si AS DOUBLE) / CAST(stot AS DOUBLE) AS adj_share,
+          ((CAST(si AS DOUBLE) / CAST(stot AS DOUBLE)) * $budget.0)
+            / CAST(n_toks AS DOUBLE) AS repeat_factor
+        FROM si CROSS JOIN tot ORDER BY grp"""
+  }
 }

@@ -216,6 +216,44 @@ class TextSimSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 4L, 5L, 6L, 7L))
   }
 
+  test("temperatureWeights: halvings=0 reduces to raw shares, α=0.5 " +
+       "flattens head vs tail, shares sum to ~1, refusals are loud") {
+    import graft.text.Mixture
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(("en", 9000L), ("en", 7000L), ("fr", 2500L),
+      ("de", 1500L)).toDF("lang", "nt")
+    val flat = Mixture.temperatureWeights(docs, "lang", col("nt"),
+        budget = 10000L, halvings = 0)
+      .orderBy($"grp")
+      .select($"grp", $"n_toks", $"raw_share", $"adj_share",
+        $"repeat_factor")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // α = 1: adjusted == raw (quantization is sub-1e-6 on these
+    // magnitudes and the denominators quantize IDENTICALLY)
+    flat.foreach { case (_, _, raw, adj, _) =>
+      assert(math.abs(raw - adj) < 1e-6, flat.toString) }
+    assert(math.abs(flat.map(_._4).sum - 1.0) < 1e-9)
+    val t05 = Mixture.temperatureWeights(docs, "lang", col("nt"),
+        budget = 10000L, halvings = 1)
+      .orderBy($"grp")
+      .select($"grp", $"raw_share", $"adj_share", $"repeat_factor")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    val byG = t05.map(r => r._1 -> r).toMap
+    // the head language's share shrinks, the tail languages' grow
+    assert(byG("en")._3 < byG("en")._2)
+    assert(byG("fr")._3 > byG("fr")._2 && byG("de")._3 > byG("de")._2)
+    assert(math.abs(t05.map(_._3).sum - 1.0) < 1e-9)
+    // repeat_factor = adj·B/n exactly
+    t05.foreach { case (g, _, adj, rf) =>
+      val n = flat.find(_._1 == g).get._2.toDouble
+      assert(rf == ((adj * 10000.0) / n), s"$g: $rf") }
+    intercept[IllegalArgumentException](
+      Mixture.temperatureWeights(docs, "lang", col("nt"), 0L))
+    intercept[IllegalArgumentException](
+      Mixture.temperatureWeights(docs, "lang", col("nt"), 10L,
+        halvings = 9))
+  }
+
   test("tokenBudgetSample equals the one-window reference form on a " +
        "random corpus with a null language") {
     import graft.text.Mixture
