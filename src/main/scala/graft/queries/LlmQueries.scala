@@ -648,6 +648,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dataset datasheet: the per-(lang, source) documentation table a
+    // published corpus ships with — doc/token counts, order-free mean
+    // quality, exact-duplicate rate at the pipeline fingerprint. The
+    // audit view of the raw corpus BEFORE the dp01 gates, so a mixture
+    // designer sees what the filters are about to spend.
+    "dp14_datasheet" -> ((s, dir) =>
+      graft.text.CorpusPipeline.datasheet(t(s, dir, "documents"))
+        .orderBy(col("lang"), col("source"))),
+
     // The FULL training-shard path — dp01's survivor chain extended
     // the way a real corpus build finishes: per-language token-budget
     // mixture cut (ts10's operator, the "keep the best N tokens per
@@ -2635,6 +2644,8 @@ object LlmQueries {
           SELECT doc_id, 'removed' AS op FROM deduped
           WHERE $dp01SurvivorPredicate AND doc_id % 31 = 5
           ORDER BY doc_id""",
+    "dp14_datasheet" ->
+      graft.text.CorpusPipeline.datasheetSql("documents"),
     // dp03 is oracle-equal to dp01 BY DESIGN: ascending-id batches
     // through the incremental pipeline reproduce the batch chain's
     // global keep-smallest-id semantics (the StreamingSpec equality),

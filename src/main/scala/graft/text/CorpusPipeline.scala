@@ -49,4 +49,59 @@ object CorpusPipeline {
     bucket < when(col("lang") === "en", SampleBucketEn)
       .otherwise(SampleBucketOther)
   }
+
+  /** Dataset datasheet: the per-(lang, source) documentation table a
+    * published corpus ships with — document and token counts, mean
+    * quality score, and the exact-duplicate rate at the pipeline's
+    * fingerprint (the fraction of the stratum that exact-dedup would
+    * drop: every non-first row of a corpus-wide fingerprint group,
+    * attributed to the DUPLICATE's stratum). Mean quality is averaged
+    * through the floor(q·2²⁰ + 0.5) integer quantization so the double
+    * is order-free and engine-replayable (the k-means-mean trick).
+    *
+    * Scale: one fingerprint-partitioned window (hash shuffle on md5
+    * keys — uniform, skew-free) and one group aggregate with a
+    * map-side partial; no driver state. Output: (lang, source,
+    * n_docs, n_toks, mean_quality, dup_rate). */
+  def datasheet(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextHash.tokens(col("text"))
+    val w = Window.partitionBy(md5(fingerprintPrefix))
+      .orderBy(col("doc_id"))
+    docs
+      .withColumn("__nt", size(toks).cast("long"))
+      .withColumn("__qi",
+        floor(TextAnalysis.qualityScore(toks) * lit(1048576.0) +
+          lit(0.5)).cast("long"))
+      .withColumn("__dup",
+        (row_number().over(w) > 1).cast("int").cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_toks"),
+        (sum(col("__qi")).cast("double") / lit(1048576.0) /
+          count(lit(1)).cast("double")).as("mean_quality"),
+        (sum(col("__dup")).cast("double") /
+          count(lit(1)).cast("double")).as("dup_rate"))
+  }
+
+  /** DuckDB rendering of [[datasheet]] over `docsTable` — identical
+    * quantization, window and division shapes. */
+  def datasheetSql(docsTable: String): String = {
+    val toks = "string_split(text, ' ')"
+    val q = TextAnalysis.qualityScoreSql(toks)
+    s"""WITH d AS (SELECT lang, source,
+          CAST(len($toks) AS BIGINT) AS nt,
+          CAST(FLOOR($q * 1048576.0 + 0.5) AS BIGINT) AS qi,
+          CASE WHEN row_number() OVER (
+              PARTITION BY md5(substring(text, 1, $FingerprintPrefixLen))
+              ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS dup
+          FROM $docsTable)
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(nt) AS BIGINT) AS n_toks,
+          CAST(SUM(qi) AS DOUBLE) / 1048576.0
+            / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+          CAST(SUM(dup) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        FROM d GROUP BY lang, source ORDER BY lang, source"""
+  }
 }

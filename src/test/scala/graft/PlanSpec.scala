@@ -371,4 +371,35 @@ class PlanSpec extends SparkSpec {
     // the corpus side never shuffles for the scoring scan
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
+
+  test("ts22: temperature weights are one partial-aggregated group " +
+       "agg + a broadcast 1-row total join — no window, no corpus " +
+       "cartesian") {
+    val p = sparkPlan("ts22_temperature_mix")
+    assert(!p.contains("Window"), p.take(1200))
+    // per-group token totals get a map-side partial stage
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    // the only nested-loop join is the broadcast 1-row totals frame —
+    // group-count-sized sides, never corpus rows
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("k09: the snapshot diff is ONE full-outer equi-join on the " +
+       "keys — no cartesian, no window, no second pass over either " +
+       "snapshot") {
+    val p = sparkPlan("k09_snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(1200))
+    // each snapshot is scanned once: one join, two parquet scans
+    assert("SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size +
+      "BroadcastHashJoin".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
+  test("dd13: the leakage-safe split never plans a cartesian") {
+    val p = sparkPlan("dd13_leakage_split")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
