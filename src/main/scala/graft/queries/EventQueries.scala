@@ -83,6 +83,42 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The FORWARD as-of direction (pandas merge_asof completeness):
+    // each purchase picks up the EARLIEST click at or after it — the
+    // "what happened next" enrichment. Same union + running-window
+    // encoding scanned in descending time; DuckDB's ASOF with l.ts <=
+    // r.ts is the oracle.
+    "ev11_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "event_id",
+          Seq("ts", "value"), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("asof_ts"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ...and NEAREST: whichever of the backward/forward matches is
+    // closer in time, exact ties to backward (the pandas rule). Both
+    // windows evaluate over the one unioned frame — still a single
+    // shuffle on the key; the oracle composes DuckDB's two ASOF joins
+    // with the identical epoch-seconds distance comparison.
+    "ev12_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "event_id",
+          Seq("ts", "value"), direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                col("asof_ts"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ev01's streaming twin executed AS A STREAM under the same oracle
     // (round 11): the events table is fed through a MemoryStream in
     // three chronological micro-batches with controlled LATE arrivals —
@@ -434,6 +470,44 @@ object EventQueries {
                 r.ts AS asof_ts, r.value AS asof_value
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "ev11_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+           FROM events WHERE event_type = 'purchase'),
+         r0 AS (SELECT user_id, ts::TIMESTAMP AS ts, value,
+             row_number() OVER (PARTITION BY user_id, ts
+               ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1)
+         SELECT l.event_id, l.user_id, l.ts,
+                r.ts AS asof_ts, r.value AS asof_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
+         ORDER BY l.event_id""",
+    "ev12_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+           FROM events WHERE event_type = 'purchase'),
+         r0 AS (SELECT user_id, ts::TIMESTAMP AS ts, value,
+             row_number() OVER (PARTITION BY user_id, ts
+               ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1),
+         b AS (SELECT l.event_id, r.ts AS bts, r.value AS bval
+           FROM l ASOF LEFT JOIN r
+             ON l.user_id = r.user_id AND l.ts >= r.ts),
+         f AS (SELECT l.event_id, r.ts AS fts, r.value AS fval
+           FROM l ASOF LEFT JOIN r
+             ON l.user_id = r.user_id AND l.ts <= r.ts)
+         SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+                WHEN (epoch(l.ts) - epoch(bts))
+                  <= (epoch(fts) - epoch(l.ts)) THEN bts
+                ELSE fts END AS asof_ts,
+           CASE WHEN bts IS NULL THEN fval WHEN fts IS NULL THEN bval
+                WHEN (epoch(l.ts) - epoch(bts))
+                  <= (epoch(fts) - epoch(l.ts)) THEN bval
+                ELSE fval END AS asof_value
+         FROM l JOIN b USING (event_id) JOIN f USING (event_id)
          ORDER BY l.event_id""",
     "ev07_stream_asof" ->
       """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
