@@ -154,6 +154,17 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // Curriculum tiles: every doc's exact global quality rank and its
+    // quartile (tile 1 = best) — the "clean data first" training order
+    // and the strata quality-stratified evals sample by. Computed via
+    // the bucketed two-stage pattern (no corpus-wide single-task
+    // window; see Mixture.qualityTiles); the oracle is the one-window
+    // reference form it must be row-identical to.
+    "ts23_quality_tiles" -> ((s, dir) =>
+      graft.text.Mixture.qualityTiles(t(s, dir, "documents"), "doc_id",
+          TextAnalysis.qualityScore(TextHash.tokens(col("text"))), 4)
+        .orderBy(col("id"))),
+
     // Temperature-reweighted mixture (α = 0.5): raw per-language token
     // shares flattened to p ∝ n^α so the head language stops swamping
     // the tail, plus the repeat factor a 100k-token budget implies per
@@ -2468,6 +2479,9 @@ object LlmQueries {
     "ts22_temperature_mix" ->
       graft.text.Mixture.temperatureWeightsSql("documents", "lang",
         "len(string_split(text, ' '))", 100000L),
+    "ts23_quality_tiles" ->
+      graft.text.Mixture.qualityTilesSql("documents", "doc_id",
+        TextAnalysis.qualityScoreSql("string_split(text, ' ')"), 4),
     // priority = n_chars / (hex(md5[0:8]) + 1): the hex fold builds
     // the identical integer Spark's conv() derives, and the single
     // double division is IEEE-deterministic — same top-150 both sides

@@ -127,6 +127,71 @@ object Mixture {
         SELECT id, lang, n_toks FROM c WHERE cum <= $budget
         ORDER BY id"""
 
+  /** Curriculum tiles: every document's exact global quality rank and
+    * its quantile tile (1..`tiles`, tile 1 = best) — the ordering a
+    * curriculum schedule trains through ("easy/clean first") and the
+    * label quality-stratified evaluation samples by. Rank is the
+    * position under (score DESC, id ASC); tile is the exact integer
+    * quantile `((rank−1)·tiles) div N + 1`, so tile sizes differ by at
+    * most one.
+    *
+    * Scale shape — the naive form is `row_number() OVER (ORDER BY
+    * score DESC)`: ONE task sorts the whole corpus. Here the
+    * [[tokenBudgetSample]] two-stage pattern computes the same rank
+    * without a global window: scores bucket into `buckets`
+    * order-consistent slabs (equal scores land in the SAME slab, so
+    * cross-slab ties are impossible), one bounded aggregate counts
+    * each slab, slab OFFSETS come from that driver-bounded frame
+    * (≤ `buckets` rows — the [[MaxLangGroups]] contract class), and
+    * only WITHIN-slab windows run: rank = slab offset + within-slab
+    * row_number. Row-identical to the global window, which is exactly
+    * what the oracle computes. `scoreCol` must be engine-deterministic
+    * and in [0, 1]. Output: (id, rank, tile). */
+  def qualityTiles(docs: DataFrame, idCol: String, scoreCol: Column,
+                   tiles: Int, buckets: Int = 256): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bk = least(floor(scoreCol * lit(buckets)).cast("int"),
+      lit(buckets - 1))
+    val base = graft.core.Fence.soft(docs.select(
+      col(idCol).as("id"), scoreCol.as("__q"), bk.as("__bk")))
+    val counts = base.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val n = counts.map(_._2).sum
+    if (n == 0L)
+      return base.select(col("id"), lit(0L).as("rank"),
+        lit(0).as("tile")).limit(0)
+    // offset(b) = docs in HIGHER slabs (they all outrank slab b)
+    val offsets = counts.map { case (b, _) =>
+      (b, counts.filter(_._1 > b).map(_._2).sum)
+    }.toDF("__bk", "__off")
+    val w = Window.partitionBy(col("__bk"))
+      .orderBy(col("__q").desc, col("id").asc)
+    base.join(broadcast(offsets), Seq("__bk"))
+      .withColumn("rank",
+        col("__off") + row_number().over(w).cast("long"))
+      .withColumn("tile",
+        expr(s"CAST(((rank - 1) * $tiles) DIV $n AS INT) + 1"))
+      .select(col("id"), col("rank"), col("tile"))
+  }
+
+  /** DuckDB rendering of [[qualityTiles]] — the one-window reference
+    * form it is row-identical to (exact integer division, same tie
+    * order). */
+  def qualityTilesSql(docsTable: String, idSql: String,
+                      scoreSql: String, tiles: Int): String =
+    s"""WITH s AS (SELECT $idSql AS id, $scoreSql AS q
+          FROM $docsTable),
+        r AS (SELECT id, CAST(row_number() OVER (
+            ORDER BY q DESC, id ASC) AS BIGINT) AS rank FROM s)
+        SELECT id, rank,
+          CAST(((rank - 1) * $tiles) // (SELECT COUNT(*) FROM s)
+            AS INT) + 1 AS tile
+        FROM r ORDER BY id"""
+
   /** Temperature-reweighted sampling mixture — the standard public
     * answer to "the head language swamps the tail": raw token shares
     * p_g = n_g/Σn are flattened to p_g ∝ n_g^α (α < 1 upsamples the

@@ -254,6 +254,41 @@ class TextSimSpec extends SparkSpec {
         halvings = 9))
   }
 
+  test("qualityTiles equals the one-window reference form (random " +
+       "scores, all-equal scores, empty input) and tile sizes differ " +
+       "by at most one") {
+    import graft.text.Mixture
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val rnd = new scala.util.Random(23)
+    def ref(docs: org.apache.spark.sql.DataFrame, tiles: Int) = {
+      val n = docs.count()
+      val w = Window.orderBy(col("q").desc, col("doc_id").asc)
+      docs.withColumn("rank", row_number().over(w).cast("long"))
+        .selectExpr("doc_id AS id", "rank",
+          s"CAST(((rank - 1) * $tiles) DIV $n AS INT) + 1 AS tile")
+        .as[(Long, Long, Int)].collect().toSet
+    }
+    val docs = (1L to 200L).map(i => (i, rnd.nextInt(1000) / 1000.0))
+      .toDF("doc_id", "q")
+    val got = Mixture.qualityTiles(docs, "doc_id", col("q"), 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == ref(docs, 4))
+    // tile sizes within 1 of each other (exact integer quantiles)
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, sizes.toString)
+    // all-equal scores: ONE slab — the degenerate whole-corpus window
+    // path — ranks fall back to pure id order
+    val flat = (1L to 50L).map(i => (i, 0.5)).toDF("doc_id", "q")
+    assert(Mixture.qualityTiles(flat, "doc_id", col("q"), 5)
+      .as[(Long, Long, Int)].collect().toSet == ref(flat, 5))
+    // empty input: empty output, not a division by zero
+    assert(Mixture.qualityTiles(docs.filter(col("q") < -1), "doc_id",
+      col("q"), 4).isEmpty)
+    intercept[IllegalArgumentException](
+      Mixture.qualityTiles(docs, "doc_id", col("q"), 0))
+  }
+
   test("tokenBudgetSample equals the one-window reference form on a " +
        "random corpus with a null language") {
     import graft.text.Mixture
