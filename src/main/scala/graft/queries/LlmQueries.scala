@@ -140,6 +140,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Decontamination provenance: the audit record dd08's removal
+    // drops silently — (corpus doc, benchmark doc, distinct shared
+    // 5-gram count) for every colliding pair, the row a removal review
+    // or overlap-threshold tuning reads. Same shingle frames as the
+    // removal path; pairs exist only where grams actually collide.
+    "dd14_decon_provenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.provenance(
+          docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 5)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // Token-budget data mixing: per language, keep the best-quality
     // document prefix whose running token total fits the budget — the
     // mixture-assembly step between filtering and training. The
@@ -2462,6 +2475,24 @@ object LlmQueries {
           WHERE NOT EXISTS (SELECT 1 FROM bad
             WHERE bad.doc_id = corpus.doc_id)
           ORDER BY doc_id""",
+    "dd14_decon_provenance" ->
+      s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+          corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+          bth AS (SELECT doc_id AS bench_id,
+            ${TextHash.tokenHashesSql("text")} AS th FROM bench),
+          bsh AS (SELECT bench_id,
+            ${TextHash.wordShingleHashesSql("th", 5)} AS sh FROM bth),
+          bg AS (SELECT DISTINCT bench_id, unnest(sh) AS g FROM bsh),
+          cth AS (SELECT doc_id, ${TextHash.tokenHashesSql("text")} AS th
+            FROM corpus),
+          csh AS (SELECT doc_id,
+            ${TextHash.wordShingleHashesSql("th", 5)} AS sh FROM cth),
+          cg AS (SELECT DISTINCT doc_id, unnest(sh) AS g FROM csh)
+          SELECT cg.doc_id, bg.bench_id,
+            CAST(COUNT(*) AS BIGINT) AS shared_grams
+          FROM cg JOIN bg USING (g)
+          GROUP BY cg.doc_id, bg.bench_id
+          ORDER BY cg.doc_id, bg.bench_id""",
     "dd09_span_stats" ->
       SpanDedup.spanStatsSql("documents", "doc_id", "text", 5),
     "dd11_span_strip" ->

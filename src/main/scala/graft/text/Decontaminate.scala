@@ -41,4 +41,32 @@ object Decontaminate {
     corpus.join(contaminated, corpus(idCol) === contaminated("__id"),
       "left_anti")
   }
+
+  /** The explainability record [[decontaminate]] drops silently: for
+    * every (corpus doc, benchmark doc) pair sharing at least one word
+    * n-gram, how many DISTINCT gram hashes they share — the audit row
+    * a removal review or an overlap-threshold tuning pass reads ("why
+    * was doc X removed, and against which benchmark item, on how much
+    * overlap"). Both sides shingle exactly as the removal path does;
+    * each side dedups its grams per id BEFORE the join (array_distinct
+    * — so the count is of distinct shared gram VALUES, not occurrence
+    * pairs), and the pair list stays gram-hash-equi-join + one
+    * partially-aggregated count: no pair enumeration beyond actual
+    * collisions, no cartesian. Output: (doc_id, bench_id,
+    * shared_grams). */
+  def provenance(corpus: DataFrame, idCol: String, textCol: String,
+                 benchmark: DataFrame, benchIdCol: String,
+                 benchTextCol: String, n: Int = 5): DataFrame = {
+    val corpusGrams = graft.sim.JaccardJoin
+      .wordShingleFrame(corpus, idCol, textCol, n)
+      .select(col("id").as("doc_id"),
+        explode(array_distinct(col("sh"))).as("__g"))
+    val benchGrams = graft.sim.JaccardJoin
+      .wordShingleFrame(benchmark, benchIdCol, benchTextCol, n)
+      .select(col("id").as("bench_id"),
+        explode(array_distinct(col("sh"))).as("__g"))
+    corpusGrams.join(benchGrams, Seq("__g"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
 }
