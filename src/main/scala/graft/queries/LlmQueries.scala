@@ -178,6 +178,31 @@ object LlmQueries {
           TextAnalysis.qualityScore(TextHash.tokens(col("text"))), 4)
         .orderBy(col("id"))),
 
+    // Recall-vs-nprobe tuning table off the PERSISTED residual index:
+    // the serving-knob workflow ann29's measurement enables — the same
+    // artifact probed at nprobe 1 and 2, each scored against the exact
+    // ranking, in one comparison frame. The index is built ONCE; only
+    // the probes differ, exactly how a deployment tunes a live store.
+    "ann30_recall_tuning" -> ((s, dir) => {
+      import graft.ann.AnnIndex
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ann30_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      AnnIndex.buildIvfPq(cat, e, "vec_id", "embedding", "ann_tune",
+        numCells = 16, trainIters = 2, pqIters = 2)
+      val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      def at(nprobe: Int) = Ann.recallReport(exact,
+          AnnIndex.ivfPqRefineTopKFromIndex(cat, "ann_tune", e, q,
+            "vec_id", "embedding", 10, nprobe = nprobe, refine = 64),
+          10)
+        .withColumn("nprobe", lit(nprobe))
+        .select(col("nprobe"), col("q_id"), col("hits"),
+          col("recall_at_k"))
+      at(1).unionAll(at(2)).orderBy(col("nprobe"), col("q_id"))
+    }),
+
     // Temperature-reweighted mixture (α = 0.5): raw per-language token
     // shares flattened to p ∝ n^α so the head language stops swamping
     // the tail, plus the repeat factor a 100k-token budget implies per
@@ -2985,6 +3010,28 @@ object LlmQueries {
     "ann28_ivfpq_l2" -> ivfPqRefineOracle(
       "WHERE un.vec_id < 5", 10, 2, 64,
       numCells = 16, coarseIters = 2, pqIters = 2, metric = "l2"),
+    // the tuning table: the ann16-fit replay at nprobe 1 and 2, each
+    // recall-joined against the exact ranking and tagged
+    "ann30_recall_tuning" -> {
+      def side(np: Int, tag: String) =
+        s"""$tag AS (${ivfPqRefineOracle("WHERE un.vec_id < 5", 10,
+             np, 64, numCells = 16, coarseIters = 2, pqIters = 2)}),
+            ${tag}h AS (SELECT e.q_id, count(*) AS hits
+              FROM exact e JOIN $tag a
+                ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+              GROUP BY e.q_id),
+            ${tag}r AS (SELECT $np AS nprobe, qs.q_id,
+                CAST(COALESCE(h.hits, 0) AS INT) AS hits,
+                CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10.0
+                  AS recall_at_k
+              FROM qs LEFT JOIN ${tag}h h USING (q_id))"""
+      s"""WITH exact AS ($bruteTopKOracleSql),
+          qs AS (SELECT DISTINCT q_id FROM exact),
+          ${side(1, "n1")},
+          ${side(2, "n2")}
+          SELECT * FROM n1r UNION ALL SELECT * FROM n2r
+          ORDER BY nprobe, q_id"""
+    },
     // recall@10 of the ann05 IVF probe vs the ann01 exact ranking —
     // both replays spliced in as subqueries, hits counted by the same
     // (q_id, vec_id) equi-join
