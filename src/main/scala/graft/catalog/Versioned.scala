@@ -98,6 +98,16 @@ object Versioned {
       .flatMap(_.toLongOption).filter(v => v >= 1 && v <= cur).sorted
   }
 
+  /** Roll the table back to an older snapshot — as a NEW committed
+    * version whose content is the old snapshot (the public RESTORE
+    * shape: history is preserved, never rewritten, so the bad
+    * versions stay inspectable and the restore itself is one more
+    * auditable commit). Returns the new version. Restoring a
+    * vacuumed or uncommitted version fails loudly via [[readAsOf]]. */
+  def restore(catalog: TableCatalog, table: String,
+              toVersion: Long): Long =
+    write(catalog, readAsOf(catalog, table, toVersion), table)
+
   /** What changed between two snapshots, by key: one row per key that
     * was `added` (in new only), `removed` (in old only) or `changed`
     * (in both, any non-key column differs — null-safe comparison) —

@@ -221,6 +221,26 @@ object IoQueries {
       Versioned.write(cat, v2, "diff_v")
       Versioned.diff(cat, "diff_v", 1, 2, Seq("key"))
         .orderBy(col("key"))
+    }),
+
+    // K10 restore: roll back to an older snapshot AS A NEW VERSION
+    // (the public RESTORE shape — history preserved, the rollback
+    // itself an auditable commit). A bad v2 lands, restore(1) commits
+    // v3 = v1's content; the gate emits the current read tagged with
+    // the current version — a restore that repointed instead of
+    // re-committing (current_version 1), rewrote history, or served
+    // v2 breaks the hash.
+    "k10_restore" -> ((s, dir) => {
+      val cat = new TableCatalog(s, tmp("graft_k10_"))
+      val nation = t(s, dir, "nation")
+      val v1 = nation.select(col("n_nationkey").as("key"),
+        col("n_name").as("name"))
+      Versioned.write(cat, v1, "rest_v")
+      Versioned.write(cat, v1.limit(3), "rest_v") // the bad deploy
+      val v3 = Versioned.restore(cat, "rest_v", 1)
+      Versioned.read(cat, "rest_v")
+        .withColumn("current_version", lit(v3).cast("int"))
+        .orderBy(col("key"))
     })
   )
 
@@ -279,6 +299,10 @@ object IoQueries {
                   WHEN a.name IS DISTINCT FROM b.name THEN 'changed'
              END AS op
            FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key)
-         WHERE op IS NOT NULL ORDER BY key"""
+         WHERE op IS NOT NULL ORDER BY key""",
+    "k10_restore" ->
+      """SELECT n_nationkey AS key, n_name AS name,
+           3 AS current_version
+         FROM nation ORDER BY key"""
   )
 }

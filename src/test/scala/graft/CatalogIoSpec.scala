@@ -506,4 +506,26 @@ class CatalogIoSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Versioned.diff(cat, "t", 1, 3, Seq("k")))
   }
+
+  test("Versioned.restore rolls back as a NEW version — history " +
+       "preserved, vacuumed targets refused") {
+    import graft.catalog.Versioned
+    val cat = new TableCatalog(spark, tmp("vrest_"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"k").as[(Int, String)].collect().toSeq
+    Versioned.write(cat, Seq((1, "good"), (2, "good")).toDF("k", "s"),
+      "t")
+    Versioned.write(cat, Seq((1, "bad")).toDF("k", "s"), "t")
+    assert(Versioned.restore(cat, "t", 1) == 3L)
+    // current content is v1's; the bad v2 stays inspectable
+    assert(rows(Versioned.read(cat, "t")) ==
+      Seq((1, "good"), (2, "good")))
+    assert(rows(Versioned.readAsOf(cat, "t", 2)) == Seq((1, "bad")))
+    assert(Versioned.versions(cat, "t") == Seq(1L, 2L, 3L))
+    // a vacuumed target cannot be restored
+    Versioned.vacuum(cat, "t", keepLast = 2)
+    val ex = intercept[IllegalArgumentException](
+      Versioned.restore(cat, "t", 1))
+    assert(ex.getMessage.contains("vacuum"), ex.getMessage)
+  }
 }
