@@ -140,6 +140,124 @@ object Versioned {
       .select(keyCols.map(col) :+ col("op"): _*)
   }
 
+  /** MERGE a change batch into the current snapshot and commit the
+    * result as the next version — the public copy-on-write upsert
+    * shape (Delta/Iceberg `MERGE INTO` reduced to the engine's
+    * snapshot primitives). `source` rows upsert by `keyCols`; with
+    * `opCol` each row says what it is: `upsert` replaces-or-inserts,
+    * `delete` removes the matching key (non-key columns ignored; an
+    * unmatched delete is a no-op, the Delta WHEN-MATCHED contract).
+    *
+    * Refused loudly, never applied silently: a missing target table
+    * (merge needs a committed snapshot to merge INTO), a source whose
+    * upsert columns don't line up with the target's, a key that
+    * appears twice in the source (which row wins would be arbitrary —
+    * the ambiguous-merge refusal), a NULL key (it would anti-join
+    * nothing and "merge" rows no read could find), and a NULL or
+    * unknown op (the `!isin` NULL trap — a dropped CDC row).
+    *
+    * Scale shape: one equi-anti-join of the current snapshot against
+    * the (broadcast-able, batch-sized) source key set plus a union —
+    * the snapshot rewrite is one Spark job, and history stays
+    * time-travelable: the pre-merge snapshot remains readable, so the
+    * merge is auditable with [[diff]]. Returns the committed version.
+    */
+  def merge(catalog: TableCatalog, table: String, source: DataFrame,
+            keyCols: Seq[String], opCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val cur = read(catalog, table)
+    keyCols.foreach { k =>
+      require(cur.columns.contains(k) && source.columns.contains(k),
+        s"Versioned.merge: key column '$k' must exist in both the " +
+          s"target (${cur.columns.mkString(",")}) and the source " +
+          s"(${source.columns.mkString(",")})")
+    }
+    opCol.foreach { oc =>
+      require(source.columns.contains(oc),
+        s"Versioned.merge: op column '$oc' not in source " +
+          s"(${source.columns.mkString(",")})")
+      val bad = source.filter(col(oc).isNull ||
+        !col(oc).isin("upsert", "delete"))
+      if (!bad.isEmpty)
+        throw new IllegalArgumentException(
+          s"Versioned.merge: op column '$oc' holds values other than " +
+            "'upsert'/'delete' (NULL included) — a row with an " +
+            "unknown op would be silently dropped; fix the batch")
+    }
+    // NULL keys would anti-join nothing: raise per row, before any
+    // key is used in a join.
+    val checkedKeys = keyCols.map { k =>
+      when(col(k).isNull, raise_error(lit(
+        s"Versioned.merge: NULL value in key column '$k' — a null " +
+          "key matches nothing and cannot be merged"))
+        .cast(source.schema(k).dataType))
+        .otherwise(col(k)).as(k)
+    }
+    val srcChecked = source.select(
+      checkedKeys ++ source.columns.filterNot(keyCols.contains)
+        .map(col).toSeq: _*)
+    // A key appearing twice makes the merge ambiguous — refuse.
+    val dup = srcChecked.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+      .collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        "Versioned.merge: source holds multiple rows for key (" +
+          keyCols.zipWithIndex.map { case (k, i) =>
+            s"$k=${dup.head.get(i)}" }.mkString(", ") +
+          ") — which row wins would be arbitrary; dedup the batch first")
+    val upserts = opCol.map(oc => srcChecked.filter(col(oc) === "upsert")
+        .drop(oc)).getOrElse(srcChecked)
+    require(upserts.columns.sorted.toSeq == cur.columns.sorted.toSeq,
+      s"Versioned.merge: source upsert columns " +
+        s"(${upserts.columns.sorted.mkString(",")}) don't match the " +
+        s"target's (${cur.columns.sorted.mkString(",")})")
+    val srcKeys = srcChecked.select(keyCols.map(col): _*).distinct()
+    val kept = cur.join(broadcast(srcKeys), keyCols, "left_anti")
+    write(catalog, kept.unionByName(
+      upserts.select(cur.columns.map(col).toSeq: _*)), table)
+  }
+
+  /** Every retained snapshot, tagged `version`, under the UNIFIED
+    * schema — the audit read that works across schema evolution
+    * (snapshots are immutable directories, so each keeps the schema
+    * it was written with; a column added in v3 reads as NULL for v1/v2
+    * rows). Column order is first-seen (ascending version); a column
+    * whose TYPE differs between snapshots is refused loudly — a
+    * silent cast would rewrite history. Bounded by the retained
+    * version count (one metadata listing + one read per snapshot,
+    * unioned — never a directory glob that would sweep in orphans).
+    */
+  def readHistory(catalog: TableCatalog, table: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(catalog, table)
+    require(vs.nonEmpty, s"Versioned: no committed version for '$table'")
+    val frames = vs.map(v => v -> readAsOf(catalog, table, v))
+    // unified schema, first-seen order; type drift refused
+    val unified = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    frames.foreach { case (v, df) =>
+      df.schema.fields.foreach { f =>
+        unified.get(f.name) match {
+          case None => unified(f.name) = f.dataType
+          case Some(t) => require(t == f.dataType,
+            s"Versioned.readHistory: column '${f.name}' changed type " +
+              s"across snapshots of '$table' ($t vs ${f.dataType} at " +
+              s"v$v) — a silent cast would rewrite history")
+        }
+      }
+    }
+    frames.map { case (v, df) =>
+      val cols = lit(v).as("version") +: unified.toSeq.map {
+        case (name, dt) =>
+          if (df.columns.contains(name)) col(name)
+          else lit(null).cast(dt).as(name)
+      }
+      df.select(cols: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Drop all but the newest `keepLast` committed snapshots; returns
     * the versions dropped. The current version is never dropped
     * (`keepLast >= 1` enforced); a later [[readAsOf]] of a dropped

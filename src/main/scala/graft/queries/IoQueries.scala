@@ -241,6 +241,60 @@ object IoQueries {
       Versioned.read(cat, "rest_v")
         .withColumn("current_version", lit(v3).cast("int"))
         .orderBy(col("key"))
+    }),
+
+    // K11 MERGE INTO a versioned table: one change batch carries
+    // updates (every 3rd name lowercased), inserts (region-0 keys
+    // shifted +1000), deletes (every 7th key not already an update)
+    // and one unmatched delete (key 9999 — the WHEN-MATCHED no-op),
+    // applied by op column and committed as v2. A dropped delete, a
+    // doubled upsert, a delete that inserted its placeholder row, or
+    // a merge that repointed instead of committing a new version all
+    // break the hash. Ambiguous/NULL-key/NULL-op refusals and the
+    // pre-merge snapshot's unchanged time-travel read are
+    // CatalogIoSpec-pinned.
+    "k11_merge_upsert" -> ((s, dir) => {
+      val cat = new TableCatalog(s, tmp("graft_k11_"))
+      val nation = t(s, dir, "nation")
+      Versioned.write(cat, nation.select(col("n_nationkey").as("key"),
+        col("n_name").as("name")), "merge_v")
+      val source = nation.filter(col("n_nationkey") % 3 === 0)
+        .select(col("n_nationkey").as("key"),
+          lower(col("n_name")).as("name"), lit("upsert").as("op"))
+        .unionAll(nation.filter(col("n_regionkey") === 0)
+          .select((col("n_nationkey") + 1000).as("key"),
+            col("n_name").as("name"), lit("upsert").as("op")))
+        .unionAll(nation
+          .filter(col("n_nationkey") % 7 === 1 &&
+            col("n_nationkey") % 3 =!= 0)
+          .select(col("n_nationkey").as("key"),
+            lit("ignored").as("name"), lit("delete").as("op")))
+        .unionAll(s.range(1).select(lit(9999).as("key"),
+          lit("ghost").as("name"), lit("delete").as("op")))
+      val v2 = Versioned.merge(cat, "merge_v", source, Seq("key"),
+        opCol = Some("op"))
+      Versioned.read(cat, "merge_v")
+        .withColumn("version", lit(v2).cast("int"))
+        .orderBy(col("key"))
+    }),
+
+    // K12 schema evolution across snapshots: v2 adds a column v1 never
+    // had (snapshots are immutable directories, each keeping the
+    // schema it was written with), and readHistory serves ALL versions
+    // under the unified schema — the added column reads as NULL for
+    // v1 rows, never a dropped row or a silently-cast value. Type
+    // drift refusal is CatalogIoSpec-pinned.
+    "k12_schema_evolution" -> ((s, dir) => {
+      val cat = new TableCatalog(s, tmp("graft_k12_"))
+      val nation = t(s, dir, "nation")
+      Versioned.write(cat, nation.select(col("n_nationkey").as("key"),
+        col("n_name").as("name")), "evo_v")
+      Versioned.write(cat, nation.filter(col("n_regionkey") < 3)
+        .select(col("n_nationkey").as("key"),
+          upper(col("n_name")).as("name"),
+          col("n_regionkey").as("region")), "evo_v")
+      Versioned.readHistory(cat, "evo_v")
+        .orderBy(col("version"), col("key"))
     })
   )
 
@@ -303,6 +357,31 @@ object IoQueries {
     "k10_restore" ->
       """SELECT n_nationkey AS key, n_name AS name,
            3 AS current_version
-         FROM nation ORDER BY key"""
+         FROM nation ORDER BY key""",
+    "k11_merge_upsert" ->
+      """WITH upd AS (SELECT n_nationkey AS key, lower(n_name) AS name
+             FROM nation WHERE n_nationkey % 3 = 0),
+           ins AS (SELECT n_nationkey + 1000 AS key, n_name AS name
+             FROM nation WHERE n_regionkey = 0),
+           del AS (SELECT n_nationkey AS key FROM nation
+             WHERE n_nationkey % 7 = 1 AND n_nationkey % 3 <> 0
+             UNION ALL SELECT 9999),
+           srckeys AS (SELECT key FROM upd UNION
+             SELECT key FROM ins UNION SELECT key FROM del)
+         SELECT key, name, 2 AS version FROM (
+           SELECT n_nationkey AS key, n_name AS name FROM nation
+           WHERE n_nationkey NOT IN (SELECT key FROM srckeys)
+           UNION ALL SELECT key, name FROM upd
+           UNION ALL SELECT key, name FROM ins)
+         ORDER BY key""",
+    "k12_schema_evolution" ->
+      """SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS version, n_nationkey AS key,
+             n_name AS name, CAST(NULL AS INTEGER) AS region
+           FROM nation
+           UNION ALL
+           SELECT 2, n_nationkey, upper(n_name), n_regionkey
+           FROM nation WHERE n_regionkey < 3)
+         ORDER BY version, key"""
   )
 }

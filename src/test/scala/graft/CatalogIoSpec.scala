@@ -528,4 +528,88 @@ class CatalogIoSpec extends SparkSpec {
       Versioned.restore(cat, "t", 1))
     assert(ex.getMessage.contains("vacuum"), ex.getMessage)
   }
+
+  test("Versioned.merge: upsert/delete by key commits a new version, " +
+       "pre-merge snapshot unchanged; ambiguous, NULL-key, NULL-op " +
+       "and misaligned-schema batches refused loudly") {
+    import graft.catalog.Versioned
+    val cat = new TableCatalog(spark, tmp("vmerge_"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"k").as[(Int, String)].collect().toSeq
+    Versioned.write(cat,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s"), "t")
+    // update 1, delete 2, insert 4, unmatched delete 9 (no-op)
+    val batch = Seq((1, "A", "upsert"), (2, "x", "delete"),
+      (4, "d", "upsert"), (9, "x", "delete")).toDF("k", "s", "op")
+    assert(Versioned.merge(cat, "t", batch, Seq("k"),
+      opCol = Some("op")) == 2L)
+    assert(rows(Versioned.read(cat, "t")) ==
+      Seq((1, "A"), (3, "c"), (4, "d")))
+    // the pre-merge snapshot still time-travels byte-identically
+    assert(rows(Versioned.readAsOf(cat, "t", 1)) ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    // no op column: every row upserts
+    assert(Versioned.merge(cat, "t",
+      Seq((3, "C"), (5, "e")).toDF("k", "s"), Seq("k")) == 3L)
+    assert(rows(Versioned.read(cat, "t")) ==
+      Seq((1, "A"), (3, "C"), (4, "d"), (5, "e")))
+    // ambiguous: same key twice in one batch
+    val exDup = intercept[IllegalArgumentException](
+      Versioned.merge(cat, "t",
+        Seq((7, "x"), (7, "y")).toDF("k", "s"), Seq("k")))
+    assert(exDup.getMessage.contains("multiple rows"), exDup.getMessage)
+    // NULL key raises per row at evaluation
+    val exNull = intercept[Exception](
+      Versioned.merge(cat, "t",
+        Seq((Some(8), "x"), (None: Option[Int], "y")).toDF("k", "s"),
+        Seq("k")))
+    assert(exNull.getMessage.contains("NULL"), exNull.getMessage)
+    // NULL / unknown op refused before anything applies
+    val exOp = intercept[IllegalArgumentException](
+      Versioned.merge(cat, "t",
+        Seq((8, "x", null: String)).toDF("k", "s", "op"), Seq("k"),
+        opCol = Some("op")))
+    assert(exOp.getMessage.contains("op column"), exOp.getMessage)
+    intercept[IllegalArgumentException](
+      Versioned.merge(cat, "t",
+        Seq((8, "x", "replace")).toDF("k", "s", "op"), Seq("k"),
+        opCol = Some("op")))
+    // schema drift in the upsert payload refused
+    intercept[IllegalArgumentException](
+      Versioned.merge(cat, "t",
+        Seq((8, "x", 1.0)).toDF("k", "s", "extra"), Seq("k")))
+    // merging into nothing refused
+    intercept[IllegalArgumentException](
+      Versioned.merge(cat, "nope", Seq((1, "a")).toDF("k", "s"),
+        Seq("k")))
+    // nothing above committed: still at v3
+    assert(Versioned.currentVersion(cat, "t").contains(3L))
+  }
+
+  test("Versioned.readHistory: all retained versions under the " +
+       "unified schema — added columns NULL for older rows, type " +
+       "drift refused, vacuumed versions skipped") {
+    import graft.catalog.Versioned
+    val cat = new TableCatalog(spark, tmp("vhist_"))
+    Versioned.write(cat, Seq((1, "a"), (2, "b")).toDF("k", "s"), "t")
+    Versioned.write(cat, Seq((1, "a2", 10.0)).toDF("k", "s", "extra"),
+      "t")
+    val h = Versioned.readHistory(cat, "t")
+    assert(h.columns.toSeq == Seq("version", "k", "s", "extra"))
+    assert(h.orderBy($"version", $"k")
+      .as[(Long, Int, String, Option[Double])].collect().toSeq ==
+      Seq((1L, 1, "a", None), (1L, 2, "b", None),
+        (2L, 1, "a2", Some(10.0))))
+    // vacuumed versions drop out instead of failing the whole read
+    Versioned.write(cat, Seq((9, "z", 1.0)).toDF("k", "s", "extra"), "t")
+    Versioned.vacuum(cat, "t", keepLast = 2)
+    assert(Versioned.readHistory(cat, "t")
+      .select($"version").distinct().as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+    // same column name, different type: refused loudly
+    Versioned.write(cat, Seq((1, 5, 1.0)).toDF("k", "s", "extra"), "t")
+    val ex = intercept[IllegalArgumentException](
+      Versioned.readHistory(cat, "t"))
+    assert(ex.getMessage.contains("changed type"), ex.getMessage)
+  }
 }
