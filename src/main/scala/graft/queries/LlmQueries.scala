@@ -706,6 +706,17 @@ object LlmQueries {
       graft.text.CorpusPipeline.datasheet(t(s, dir, "documents"))
         .orderBy(col("lang"), col("source"))),
 
+    // Stage-attrition funnel over the dp01 chain: per stage, how many
+    // documents survive and how many the stage dropped — the "where
+    // did my data go" report, computed from the SAME CorpusPipeline
+    // stage definitions dp01 runs (fenced once per stage, counted with
+    // partial aggregation). A stage counted against the wrong subtree,
+    // a mis-ordered funnel, or a drop attributed to the wrong stage
+    // all break the hash.
+    "dp15_funnel" -> ((s, dir) =>
+      graft.text.CorpusPipeline.funnel(t(s, dir, "documents"))
+        .orderBy(col("stage_ord"))),
+
     // The FULL training-shard path — dp01's survivor chain extended
     // the way a real corpus build finishes: per-language token-budget
     // mixture cut (ts10's operator, the "keep the best N tokens per
@@ -2030,14 +2041,19 @@ object LlmQueries {
         ${Dedup.clusterLosersSql("pairs", "doc_a", "doc_b")}"""
   }
 
-  private val dp01SurvivorPredicate: String = {
+  private val dp01ClusterSurvivorCond: String =
+    """NOT EXISTS (SELECT 1 FROM losers
+          WHERE losers.id = deduped.doc_id)"""
+
+  private val dp01SampleCond: String = {
     val cp = graft.text.CorpusPipeline
-    s"""NOT EXISTS (SELECT 1 FROM losers
-          WHERE losers.id = deduped.doc_id)
-        AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+    s"""substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
           (CASE WHEN lang = 'en' THEN '${cp.SampleBucketEn}'
             ELSE '${cp.SampleBucketOther}' END)"""
   }
+
+  private val dp01SurvivorPredicate: String =
+    s"$dp01ClusterSurvivorCond AND $dp01SampleCond"
 
   /** The dp01 chain's survivor set, with an optional extra exclusion
     * (`AND ...`) — the dp07 takedown gate removes a modular id slice
@@ -2716,6 +2732,26 @@ object LlmQueries {
           ORDER BY doc_id""",
     "dp14_datasheet" ->
       graft.text.CorpusPipeline.datasheetSql("documents"),
+    // the funnel's stage counts replay off the SAME chain CTEs dp01
+    // gates on; dropped = the lag over the 5-row funnel
+    "dp15_funnel" ->
+      s"""WITH RECURSIVE $dp01ChainCtes,
+          survivors AS (SELECT deduped.* FROM deduped
+            WHERE $dp01ClusterSurvivorCond),
+          counts AS (
+            SELECT 0 AS stage_ord, 'raw' AS stage,
+              (SELECT COUNT(*) FROM documents) AS n_docs
+            UNION ALL SELECT 1, 'gated', (SELECT COUNT(*) FROM gated)
+            UNION ALL SELECT 2, 'exact_dedup',
+              (SELECT COUNT(*) FROM deduped)
+            UNION ALL SELECT 3, 'neardup_cluster',
+              (SELECT COUNT(*) FROM survivors)
+            UNION ALL SELECT 4, 'sampled',
+              (SELECT COUNT(*) FROM survivors WHERE $dp01SampleCond))
+          SELECT stage_ord, stage, n_docs,
+            COALESCE(lag(n_docs) OVER (ORDER BY stage_ord) - n_docs,
+              0) AS dropped
+          FROM counts ORDER BY stage_ord""",
     // dp03 is oracle-equal to dp01 BY DESIGN: ascending-id batches
     // through the incremental pipeline reproduce the batch chain's
     // global keep-smallest-id semantics (the StreamingSpec equality),

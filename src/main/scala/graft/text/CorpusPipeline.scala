@@ -84,6 +84,42 @@ object CorpusPipeline {
           count(lit(1)).cast("double")).as("dup_rate"))
   }
 
+  /** Stage-attrition funnel — "where did my data go": one row per
+    * pipeline stage (raw → gated → exact_dedup → neardup_cluster →
+    * sampled) with the surviving document count and how many the stage
+    * dropped. The first question an operator asks when a corpus build
+    * comes out smaller than expected, answered from the SAME stage
+    * definitions the dp01 chain runs (this object's constants), so the
+    * funnel cannot drift from the pipeline it explains.
+    *
+    * Scale shape: the chain runs ONCE — the gate+dedup and cluster
+    * subtrees are fenced, so each stage count is a partial-aggregated
+    * count(1) over a materialized stage, not a chain re-run per row of
+    * output. The 5-row `dropped` window is funnel-sized (stage count),
+    * never corpus-sized. */
+  def funnel(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gated = graft.core.Fence.soft(gate(docs))
+    val deduped = graft.core.Fence(graft.ops.Dedup.exactDedup(
+      gated, fingerprintPrefix, col("doc_id")))
+    val pairs = graft.sim.MinHashLSH.nearDupPairs(deduped, "doc_id",
+      "text", threshold = NearDupThreshold)
+    val clustered = graft.core.Fence(graft.ops.Dedup.clusterDedup(
+      deduped, "doc_id", pairs, "doc_a", "doc_b"))
+    def cnt(df: DataFrame, ord: Int, name: String) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_docs"))
+    val counts = cnt(docs, 0, "raw")
+      .unionAll(cnt(gated, 1, "gated"))
+      .unionAll(cnt(deduped, 2, "exact_dedup"))
+      .unionAll(cnt(clustered, 3, "neardup_cluster"))
+      .unionAll(cnt(clustered.filter(samplePredicate), 4, "sampled"))
+    counts.withColumn("dropped",
+      coalesce(lag(col("n_docs"), 1).over(Window.orderBy("stage_ord"))
+        - col("n_docs"), lit(0L)))
+  }
+
   /** DuckDB rendering of [[datasheet]] over `docsTable` — identical
     * quantization, window and division shapes. */
   def datasheetSql(docsTable: String): String = {
