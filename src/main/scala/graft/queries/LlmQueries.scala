@@ -441,6 +441,44 @@ object LlmQueries {
         .orderBy(col("exact_count").desc, col("tok").asc)
     }),
 
+    // HyperLogLog distinct sketches + exact register merge: per-lang
+    // distinct-BIGRAM estimates from m=64 one-byte registers — the
+    // fixed-size complement to ts17's KMV sketches (the
+    // approx_count_distinct shape, built from first principles so the
+    // oracle replays it). Bigrams put the cardinality (hundreds per
+    // language) in HLL's operating zone above ~2.5·m, where the raw
+    // estimator's ~1.04/√64 ≈ 13% band holds (the ln()-based
+    // small-range correction is deliberately not served — see Hll).
+    // Each corpus half builds its register table independently (one
+    // hash aggregation keyed (lang, bucket) with a map-side partial —
+    // at most m rows per group whatever the cardinality); the merge is
+    // the SAME aggregation over the union (registers merge by max —
+    // lossless by construction), and the oracle computes every
+    // register from the whole corpus directly: equality IS the merge
+    // proof. exact_distinct rides along to show the band on real data.
+    "ts24_hll_distinct" -> ((s, dir) => {
+      import graft.ops.Hll
+      val m = 64
+      val grams = graft.core.Fence.soft(t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(TextAnalysis.bigrams(TextHash.tokens(col("text"))))
+            .as("gram")))
+      val r0 = Hll.registers(
+        grams.filter(pmod(col("doc_id"), lit(2)) === 0), Seq("lang"),
+        col("gram"), m)
+      val r1 = Hll.registers(
+        grams.filter(pmod(col("doc_id"), lit(2)) === 1), Seq("lang"),
+        col("gram"), m)
+      val merged = Hll.mergeRegisters(r0, r1, Seq("lang"))
+      val exact = grams.groupBy(col("lang"))
+        .agg(countDistinct(col("gram")).as("exact_distinct"))
+      Hll.estimate(merged, Seq("lang"), m)
+        .join(exact, Seq("lang"))
+        .select(col("lang"), col("n_buckets"), col("est_distinct"),
+          col("exact_distinct"))
+        .orderBy(col("lang"))
+    }),
+
     // TF-IDF keyword extraction: top-3 distinctive terms per document,
     // integer-ordered (tf DESC, df ASC, term ASC) so the ranking is
     // engine-exact; (tf, df, n_docs) ride along for a float idf
@@ -2683,6 +2721,30 @@ object LlmQueries {
           SELECT cb.tok, cb.exact_count, LEAST(s0.n, s1.n) AS est_count
           FROM cb JOIN s0 ON s0.b = cb.b0 JOIN s1 ON s1.b = cb.b1
           ORDER BY exact_count DESC, tok"""
+    },
+    // HLL: the oracle derives every register from the WHOLE corpus
+    // (registers merge by max, so this equals the gate's merged
+    // half-sketches — the lossless-merge proof) and replays the
+    // estimator arithmetic literally (integer 2^(cap-r) fold, one
+    // division).
+    "ts24_hll_distinct" -> {
+      import graft.ops.Hll
+      val m = 64
+      val (bkt, rho) = Hll.registerSql("gram", m)
+      val (nb, est) = Hll.estimateSql(m)
+      s"""WITH b AS (SELECT lang, string_split(text, ' ') AS toks
+            FROM documents),
+          grams AS (SELECT lang,
+            unnest(${TextAnalysis.bigramsSql("toks")}) AS gram FROM b),
+          regs AS (SELECT lang, $bkt AS bucket, MAX($rho) AS r
+            FROM grams GROUP BY lang, bucket),
+          e AS (SELECT lang, $nb AS n_buckets, $est AS est_distinct
+            FROM regs GROUP BY lang),
+          ex AS (SELECT lang,
+            CAST(COUNT(DISTINCT gram) AS BIGINT) AS exact_distinct
+            FROM grams GROUP BY lang)
+          SELECT lang, n_buckets, est_distinct, exact_distinct
+          FROM e JOIN ex USING (lang) ORDER BY lang"""
     },
     "ts01_langid" -> {
       val toks = "string_split(text, ' ')"

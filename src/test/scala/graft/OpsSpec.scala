@@ -248,6 +248,46 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("built under"), e2.getMessage)
   }
 
+  test("Hll: merged half-sketches equal the whole-corpus registers " +
+       "exactly, state bounded at m rows per group, estimates track " +
+       "truth in the operating zone, non-power-of-two m refused") {
+    import graft.ops.Hll
+    val m = 64
+    // group a: 2000 distinct (well above 2.5·m — the raw-estimator
+    // zone); group b: 300 distinct, each value seen twice
+    val rows = (0 until 2000).map(i => ("a", s"va$i")) ++
+      (0 until 300).flatMap(i => Seq(("b", s"vb$i"), ("b", s"vb$i")))
+    val df = rows.toDF("grp", "v")
+    def regMap(r: org.apache.spark.sql.DataFrame) =
+      r.as[(String, Int, Int)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    val whole = regMap(Hll.registers(df, Seq("grp"), $"v", m))
+    // state bounded: at most m occupied registers per group
+    assert(whole.keys.count(_._1 == "a") <= m)
+    assert(whole.keys.count(_._1 == "b") <= m)
+    // merged halves == whole, register for register (max is lossless)
+    val h1 = Hll.registers(df.filter(length($"v") % 2 === 0),
+      Seq("grp"), $"v", m)
+    val h2 = Hll.registers(df.filter(length($"v") % 2 === 1),
+      Seq("grp"), $"v", m)
+    assert(regMap(Hll.mergeRegisters(h1, h2, Seq("grp"))) == whole)
+    // arrival-order-free
+    assert(regMap(Hll.registers(df.orderBy($"v".desc), Seq("grp"),
+      $"v", m)) == whole)
+    // estimates inside a generous 3σ band (σ ≈ 1.04/√64 = 13%)
+    val est = Hll.estimate(Hll.registers(df, Seq("grp"), $"v", m),
+        Seq("grp"), m)
+      .select($"grp", $"est_distinct").as[(String, Double)]
+      .collect().toMap
+    assert(est("a") > 1200 && est("a") < 2800, s"est ${est("a")}")
+    assert(est("b") > 180 && est("b") < 420, s"est ${est("b")}")
+    // geometry discipline: m must be a power of two >= 4
+    intercept[IllegalArgumentException](
+      Hll.registers(df, Seq("grp"), $"v", 48))
+    intercept[IllegalArgumentException](
+      Hll.estimate(h1, Seq("grp"), 0))
+  }
+
   test("RangeJoin is exact past 2^53 (integral bucket division) and " +
        "guards reserved names and runaway replication") {
     // epoch-nanos-scale values: double division would mis-bucket these
