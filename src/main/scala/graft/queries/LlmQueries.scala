@@ -140,6 +140,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-filter decontamination: dd08's removal rule probed through
+    // an m-bit approximate-membership filter instead of the exact gram
+    // set — the shape for when even the distinct benchmark grams are
+    // too large to ship (the filter is m bits however big the
+    // benchmark; error is ONE-SIDED: every true contamination is still
+    // removed, a clean doc is falsely removed at (fill)^d). The gate
+    // uses the dd08 split and a filter sized so false positives are
+    // rare-but-possible; the oracle replays every bit position, the
+    // probe semi-join and the all-d-bits hit rule literally, so a
+    // post-filter that under-removes or a mis-salted bit breaks the
+    // hash.
+    "dd15_bloom_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val bits = Decontaminate.bloomBits(bench, "text", n = 5, d = 3,
+        m = 262144)
+      Decontaminate.bloomDecontaminate(corpus, "doc_id", "text", bits,
+          n = 5, d = 3, m = 262144)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Decontamination provenance: the audit record dd08's removal
     // drops silently — (corpus doc, benchmark doc, distinct shared
     // 5-gram count) for every colliding pair, the row a removal review
@@ -2554,6 +2577,43 @@ object LlmQueries {
           WHERE NOT EXISTS (SELECT 1 FROM bad
             WHERE bad.doc_id = corpus.doc_id)
           ORDER BY doc_id""",
+    // dd15: every Bloom bit, probe and the all-d-bits rule replayed —
+    // the bit positions are the CountMin depth-salted md5 buckets over
+    // the gram hash rendered as VARCHAR
+    "dd15_bloom_decon" -> {
+      import graft.ops.CountMin
+      val m = 262144
+      def b(r: Int) = CountMin.bucketSql("CAST(g AS VARCHAR)", r, m)
+      s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+          corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+          bth AS (SELECT ${TextHash.tokenHashesSql("text")} AS th
+            FROM bench),
+          bsh AS (SELECT ${TextHash.wordShingleHashesSql("th", 5)} AS sh
+            FROM bth),
+          bg AS (SELECT DISTINCT unnest(sh) AS g FROM bsh),
+          bits AS (SELECT DISTINCT pos FROM (
+            SELECT ${b(0)} AS pos FROM bg
+            UNION ALL SELECT ${b(1)} FROM bg
+            UNION ALL SELECT ${b(2)} FROM bg)),
+          cth AS (SELECT doc_id, ${TextHash.tokenHashesSql("text")} AS th
+            FROM corpus),
+          csh AS (SELECT doc_id,
+            ${TextHash.wordShingleHashesSql("th", 5)} AS sh FROM cth),
+          cg AS (SELECT doc_id, unnest(list_distinct(sh)) AS g
+            FROM csh),
+          probes AS (
+            SELECT doc_id, g, ${b(0)} AS pos FROM cg
+            UNION ALL SELECT doc_id, g, ${b(1)} FROM cg
+            UNION ALL SELECT doc_id, g, ${b(2)} FROM cg),
+          bad AS (SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, g FROM probes
+            WHERE pos IN (SELECT pos FROM bits)
+            GROUP BY doc_id, g HAVING COUNT(*) = 3))
+          SELECT doc_id, lang, n_chars FROM corpus
+          WHERE NOT EXISTS (SELECT 1 FROM bad
+            WHERE bad.doc_id = corpus.doc_id)
+          ORDER BY doc_id"""
+    },
     "dd14_decon_provenance" ->
       s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
           corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),

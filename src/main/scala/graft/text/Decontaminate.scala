@@ -42,6 +42,62 @@ object Decontaminate {
       "left_anti")
   }
 
+  /** The benchmark gram set compressed into a Bloom filter — the
+    * approximate-membership form of [[decontaminate]] for when even
+    * the distinct benchmark gram set is too large to ship to every
+    * probe site: `d` hash functions into `m` bits cap the filter at
+    * `m` bits NO MATTER how many grams the benchmark holds. Served
+    * relationally as the DISTINCT set-bit positions (≤ m int rows —
+    * the broadcastable bitset; a physical bitmask is the same content
+    * packed 8 per byte). Bit positions are [[graft.ops.CountMin]]'s
+    * depth-salted md5 buckets, so the DuckDB oracle replays every bit.
+    */
+  def bloomBits(benchmark: DataFrame, benchTextCol: String,
+                n: Int = 5, d: Int = 3, m: Int = 262144): DataFrame = {
+    require(d > 0 && m > 0, s"need d > 0 and m > 0, got d=$d m=$m")
+    val grams = graft.sim.JaccardJoin
+      .wordShingleFrame(benchmark.withColumn("__bid", lit(0L)),
+        "__bid", benchTextCol, n)
+      .select(explode(col("sh")).as("__g"))
+    (0 until d)
+      .map(r => grams.select(
+        graft.ops.CountMin.bucket(col("__g"), r, m).as("pos")))
+      .reduce(_.unionAll(_)).distinct()
+  }
+
+  /** Corpus rows the Bloom filter clears: a document is flagged when
+    * ANY of its grams finds ALL `d` of its bits set (one-sided error —
+    * every truly-contaminated document is flagged, a clean one is
+    * falsely flagged with probability (fill ratio)^d, the standard
+    * Bloom trade: over-removal bounded by the filter size, NEVER
+    * under-removal). `n`/`d`/`m` must match the [[bloomBits]] build —
+    * positions mean nothing under another geometry.
+    *
+    * Scale shape: grams probe the broadcast bit set with one semi-join
+    * landing BEFORE the per-(doc, gram) hit count (so only set-bit
+    * rows survive to the aggregation), then one anti-join removes
+    * flagged ids — no pair enumeration, no cartesian. */
+  def bloomDecontaminate(corpus: DataFrame, idCol: String,
+                         textCol: String, bits: DataFrame,
+                         n: Int = 5, d: Int = 3,
+                         m: Int = 262144): DataFrame = {
+    require(d > 0 && m > 0, s"need d > 0 and m > 0, got d=$d m=$m")
+    val corpusGrams = graft.sim.JaccardJoin
+      .wordShingleFrame(corpus, idCol, textCol, n)
+      .select(col("id").as("__id"),
+        explode(array_distinct(col("sh"))).as("__g"))
+    val probes = corpusGrams.select(col("__id"), col("__g"),
+      explode(array((0 until d).map(r =>
+        graft.ops.CountMin.bucket(col("__g"), r, m)): _*)).as("pos"))
+    val flagged = probes
+      .join(broadcast(bits.select(col("pos"))), Seq("pos"), "left_semi")
+      .groupBy(col("__id"), col("__g"))
+      .agg(count(lit(1)).as("__nh"))
+      .filter(col("__nh") === d)
+      .select(col("__id")).distinct()
+    corpus.join(flagged, corpus(idCol) === flagged("__id"), "left_anti")
+  }
+
   /** The explainability record [[decontaminate]] drops silently: for
     * every (corpus doc, benchmark doc) pair sharing at least one word
     * n-gram, how many DISTINCT gram hashes they share — the audit row

@@ -196,6 +196,43 @@ class TextSimSpec extends SparkSpec {
     assert(out == Set(2L, 4L))
   }
 
+  test("bloomDecontaminate's error is one-sided: every exact removal " +
+       "is removed, survivors are a subset of the exact survivors; " +
+       "bounded bits; short docs survive; bad geometry refused") {
+    import graft.text.Decontaminate
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon other tail words here"),
+      (2L, "completely different words with no overlap at all"),
+      (3L, "prefix beta gamma delta epsilon zeta trailing"),
+      (4L, "tiny doc")) // shorter than n: no grams, always survives
+      .toDF("doc_id", "text")
+    val d = 3; val m = 4096
+    val bits = Decontaminate.bloomBits(bench, "text", 5, d, m)
+    // the filter is bounded: at most min(m, d * #grams) positions
+    assert(bits.count() <= d * 2) // bench has 2 distinct 5-grams
+    val out = Decontaminate
+      .bloomDecontaminate(corpus, "doc_id", "text", bits, 5, d, m)
+      .select($"doc_id").as[Long].collect().toSet
+    // one-sided: truly-contaminated 1 and 3 are ALWAYS removed; at
+    // this fill ratio (≤6 bits of 4096) false positives are
+    // vanishingly unlikely, so the clean docs survive
+    assert(out == Set(2L, 4L))
+    // a saturated filter still never under-removes — with every bit
+    // set, everything WITH grams is flagged, gram-less docs survive
+    val full = spark.range(m).select($"id".cast("int").as("pos"))
+    val sat = Decontaminate
+      .bloomDecontaminate(corpus, "doc_id", "text", full, 5, d, m)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sat == Set(4L))
+    intercept[IllegalArgumentException](
+      Decontaminate.bloomBits(bench, "text", 5, 0, m))
+    intercept[IllegalArgumentException](
+      Decontaminate.bloomDecontaminate(corpus, "doc_id", "text", bits,
+        5, d, 0))
+  }
+
   test("tokenBudgetSample keeps exactly the per-language best-quality " +
        "prefix within budget (boundary bucket, fits-whole, tie cases)") {
     import graft.text.Mixture
