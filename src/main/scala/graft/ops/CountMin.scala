@@ -111,6 +111,114 @@ object CountMin {
           lit(r * w + 1) + bucket(value, r, w)))
         .reduce((a, b) => least(a, b)))
 
+  // ---- streaming maintenance of a persisted sketch ------------------
+  //
+  // The foreachBatch story for "track token frequencies over a live
+  // feed forever in bounded space": each micro-batch lands its own
+  // d×w sketch as one catalog partition keyed by batch id (a replayed
+  // batch overwrites ITS OWN partition — idempotent under the
+  // engine's latest-batch replay, the only replay Structured
+  // Streaming performs), the served sketch is the elementwise sum of
+  // the live partitions (lossless: counters are sums), and compaction
+  // folds them into one under a GENERATION pointer flipped last (the
+  // Versioned commit shape) so a crash mid-compaction leaves the old
+  // generation serving and an invisible orphan the next compaction
+  // overwrites. Compaction runs while the stream is QUIESCENT (no
+  // uncommitted batch outstanding) — that contract is what keeps
+  // "replayed batch overwrites its own partition" sound, because a
+  // batch can only be folded after it was committed.
+
+  private val GeomMarker = "_cmsgeom"
+  private val GenMarker = "_cmsgen"
+
+  private def currentGen(catalog: graft.catalog.TableCatalog,
+                         table: String): Long =
+    catalog.readMarker(table, GenMarker).map { s =>
+      s.trim.toLongOption.getOrElse(throw new IllegalStateException(
+        s"CountMin: damaged generation pointer for '$table' " +
+          s"(content: '${s.trim.take(32)}')"))
+    }.getOrElse(0L)
+
+  private def checkGeom(catalog: graft.catalog.TableCatalog,
+                        table: String, d: Int, w: Int,
+                        writeIfAbsent: Boolean): Unit = {
+    val geom = s"d=$d w=$w"
+    catalog.readMarker(table, GeomMarker) match {
+      case Some(m) if m.trim != geom => throw new IllegalArgumentException(
+        s"CountMin: sketch table '$table' was built under (${m.trim}) " +
+          s"— serve it under the recorded geometry, not ($geom)")
+      case None if writeIfAbsent =>
+        catalog.writeMarker(table, GeomMarker, geom)
+      case None => throw new IllegalArgumentException(
+        s"CountMin: no sketch state at '$table' — ingest a batch first")
+      case _ => ()
+    }
+  }
+
+  /** foreachBatch sink body: sketch this micro-batch's `value` rows
+    * and land them as the batch's own partition of the persisted
+    * sketch table. O(batch) work + one d·w-row write per batch; the
+    * geometry is recorded at first ingest and a later ingest under a
+    * different (d, w) is refused loudly (its buckets would mean
+    * nothing). */
+  def ingestSketchBatch(catalog: graft.catalog.TableCatalog,
+                        batch: DataFrame, value: Column, table: String,
+                        batchId: Long, d: Int, w: Int): Unit = {
+    require(d > 0 && w > 0, s"need d > 0 and w > 0, got d=$d w=$w")
+    catalog.withTableLock(table) {
+      checkGeom(catalog, table, d, w, writeIfAbsent = true)
+      val seg = s"g${currentGen(catalog, table)}-b$batchId"
+      catalog.writePartition(
+        sketchAgg(batch, Nil, value, d, w).withColumn("seg", lit(seg)),
+        table, "seg", seg)
+    }
+  }
+
+  /** The served sketch: one (cms) row — the elementwise sum of the
+    * current generation's partitions (exact, by the merge property).
+    * The fold is relational (position explode → partial-aggregated
+    * sum → re-assembled array): d·w rows per live partition, never
+    * corpus-scale. */
+  def readSketch(catalog: graft.catalog.TableCatalog,
+                 table: String, d: Int, w: Int): DataFrame = {
+    checkGeom(catalog, table, d, w, writeIfAbsent = false)
+    val gen = currentGen(catalog, table)
+    val segs = catalog.listPartitions(table, "seg")
+      .filter(_.startsWith(s"g$gen-"))
+    require(segs.nonEmpty,
+      s"CountMin: no sketch partitions at '$table' (generation $gen)")
+    catalog.spark.read
+      .parquet(segs.map(sv => catalog.partitionPath(table, "seg", sv)): _*)
+      .select(posexplode(col("cms")).as(Seq("pos", "n")))
+      .groupBy(col("pos")).agg(sum(col("n")).as("n"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("n")))),
+        x => x.getField("n")).as("cms"))
+  }
+
+  /** Fold the current generation's per-batch partitions into ONE and
+    * commit it by flipping the generation pointer LAST — partition
+    * count (and the read fan-in) stays bounded however long the
+    * stream runs. Old-generation directories become invisible at the
+    * flip and are dropped best-effort after it (a crash leaves
+    * orphans the next compaction's overwrite converges). QUIESCENT
+    * CONTRACT: call between micro-batches, not concurrently with an
+    * in-flight ingest — a batch may only be folded after its
+    * checkpoint commit, which is what keeps replay idempotent. */
+  def compactSketch(catalog: graft.catalog.TableCatalog,
+                    table: String, d: Int, w: Int): Unit =
+    catalog.withTableLock(table) {
+      val gen = currentGen(catalog, table)
+      val next = s"g${gen + 1}-c"
+      catalog.writePartition(
+        readSketch(catalog, table, d, w).withColumn("seg", lit(next)),
+        table, "seg", next)
+      catalog.writeMarker(table, GenMarker, (gen + 1).toString)
+      catalog.listPartitions(table, "seg")
+        .filter(_.startsWith(s"g$gen-"))
+        .foreach(sv => catalog.deletePartition(table, "seg", sv))
+    }
+
   /** DuckDB twin of [[bucket]] over SQL expression `e` (a VARCHAR):
     * the ts16 hex fold of md5 over the depth-salted string, mod `w`. */
   def bucketSql(e: String, r: Int, w: Int): String =

@@ -464,6 +464,61 @@ object LlmQueries {
         .orderBy(col("exact_count").desc, col("tok").asc)
     }),
 
+    // Streaming count-min maintenance: the ts19 sketch kept as LIVE
+    // STATE over a document feed — each micro-batch lands its own d×w
+    // sketch partition (O(batch) work, replay overwrites its own
+    // partition), a mid-stream compaction folds them under a
+    // generation pointer flipped last (bounded read fan-in however
+    // long the stream runs), and the served sketch is the elementwise
+    // sum of the live partitions. Estimates off the streamed state
+    // must equal the whole-corpus sketch — counters are sums, so
+    // batch-sliced ingestion is exactly the ts19 merge proof — and the
+    // gate shares ts19's oracle verbatim.
+    "ts25_cms_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.ops.CountMin
+      val d = 2; val w = 1024
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ts25_").toString
+      val cat = new graft.catalog.TableCatalog(s, wh)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).as[(Long, String)].collect()
+      val n = docs.length
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text")
+        .writeStream.option("checkpointLocation", wh + "/_ckpt")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          CountMin.ingestSketchBatch(cat,
+            df.select(explode(TextHash.tokens(col("text"))).as("tok")),
+            col("tok"), "cms_state", batchId, d, w)
+        }.start()
+      try {
+        Seq(docs.slice(0, n / 3), docs.slice(n / 3, 2 * n / 3))
+          .foreach { chunk =>
+            mem.addData(chunk.toSeq); q.processAllAvailable()
+          }
+        // quiescent between batches: fold the first two partitions
+        CountMin.compactSketch(cat, "cms_state", d, w)
+        mem.addData(docs.slice(2 * n / 3, n).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val sk = CountMin.readSketch(cat, "cms_state", d, w)
+      val toks = t(s, dir, "documents")
+        .select(explode(TextHash.tokens(col("text"))).as("tok"))
+      val cand = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok").asc)
+        .limit(20)
+      cand.crossJoin(broadcast(sk))
+        .select(col("tok"), col("exact_count"),
+          CountMin.estimate(col("cms"), col("tok"), d, w)
+            .as("est_count"))
+        .orderBy(col("exact_count").desc, col("tok").asc)
+    }),
+
     // HyperLogLog distinct sketches + exact register merge: per-lang
     // distinct-BIGRAM estimates from m=64 one-byte registers — the
     // fixed-size complement to ts17's KMV sketches (the
@@ -2102,6 +2157,29 @@ object LlmQueries {
         ${Dedup.clusterLosersSql("pairs", "doc_a", "doc_b")}"""
   }
 
+  /** The count-min heavy-hitter oracle (ts19/ts25): every probed
+    * counter recomputed as a whole-corpus GROUP-BY-bucket sum —
+    * counters are sums, so this equals any batch- or half-sliced
+    * sketch assembly. */
+  private val cmsHeavyOracleSql: String = {
+    import graft.ops.CountMin
+    val w = 1024
+    val b0 = CountMin.bucketSql("tok", 0, w)
+    val b1 = CountMin.bucketSql("tok", 1, w)
+    s"""WITH toks AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS tok FROM documents),
+        b AS (SELECT $b0 AS b0, $b1 AS b1 FROM toks),
+        s0 AS (SELECT b0 AS b, COUNT(*) AS n FROM b GROUP BY b0),
+        s1 AS (SELECT b1 AS b, COUNT(*) AS n FROM b GROUP BY b1),
+        cand AS (SELECT tok, COUNT(*) AS exact_count FROM toks
+          GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 20),
+        cb AS (SELECT tok, exact_count, $b0 AS b0, $b1 AS b1
+          FROM cand)
+        SELECT cb.tok, cb.exact_count, LEAST(s0.n, s1.n) AS est_count
+        FROM cb JOIN s0 ON s0.b = cb.b0 JOIN s1 ON s1.b = cb.b1
+        ORDER BY exact_count DESC, tok"""
+  }
+
   private val dp01ClusterSurvivorCond: String =
     """NOT EXISTS (SELECT 1 FROM losers
           WHERE losers.id = deduped.doc_id)"""
@@ -2764,24 +2842,11 @@ object LlmQueries {
     // whole-corpus bucket sum (counters are sums, so this equals the
     // gate's merged half-sketches — the lossless-merge proof), then
     // takes the per-token minimum across the d rows.
-    "ts19_cms_heavy" -> {
-      import graft.ops.CountMin
-      val w = 1024
-      val b0 = CountMin.bucketSql("tok", 0, w)
-      val b1 = CountMin.bucketSql("tok", 1, w)
-      s"""WITH toks AS (SELECT doc_id,
-            unnest(string_split(text, ' ')) AS tok FROM documents),
-          b AS (SELECT $b0 AS b0, $b1 AS b1 FROM toks),
-          s0 AS (SELECT b0 AS b, COUNT(*) AS n FROM b GROUP BY b0),
-          s1 AS (SELECT b1 AS b, COUNT(*) AS n FROM b GROUP BY b1),
-          cand AS (SELECT tok, COUNT(*) AS exact_count FROM toks
-            GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 20),
-          cb AS (SELECT tok, exact_count, $b0 AS b0, $b1 AS b1
-            FROM cand)
-          SELECT cb.tok, cb.exact_count, LEAST(s0.n, s1.n) AS est_count
-          FROM cb JOIN s0 ON s0.b = cb.b0 JOIN s1 ON s1.b = cb.b1
-          ORDER BY exact_count DESC, tok"""
-    },
+    "ts19_cms_heavy" -> cmsHeavyOracleSql,
+    // ts25 streams the SAME sketch as batch-sliced state: counters are
+    // sums, so the streamed-and-compacted sketch equals the
+    // whole-corpus one — ts19's oracle verbatim
+    "ts25_cms_stream" -> cmsHeavyOracleSql,
     // HLL: the oracle derives every register from the WHOLE corpus
     // (registers merge by max, so this equals the gate's merged
     // half-sketches — the lossless-merge proof) and replays the

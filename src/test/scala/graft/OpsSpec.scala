@@ -248,6 +248,60 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("built under"), e2.getMessage)
   }
 
+  test("CountMin streaming state: batch-sliced ingestion equals the " +
+       "whole-corpus sketch, replay is idempotent, compaction bounds " +
+       "partitions and preserves estimates, a crashed compaction's " +
+       "orphan is invisible, geometry drift refused") {
+    import graft.ops.CountMin
+    import graft.catalog.TableCatalog
+    val d = 2; val w = 64
+    val cat = new TableCatalog(spark,
+      java.nio.file.Files.createTempDirectory("cmsst_").toString)
+    val rows = Seq.fill(40)("v0") ++ Seq.fill(20)("v1") ++
+      (0 until 10).map(i => s"t$i")
+    val df = rows.toDF("v")
+    def est(t: String, v: String) = CountMin
+      .readSketch(cat, t, d, w).select(
+        CountMin.estimate($"cms", lit(v), d, w)).as[Long].collect()(0)
+    // three "micro-batches" land the sliced corpus
+    val slices = Seq(df.limit(0), df.filter(length($"v") === 2),
+      df.filter(length($"v") =!= 2)) // empty batch included
+    slices.zipWithIndex.foreach { case (b, i) =>
+      CountMin.ingestSketchBatch(cat, b, $"v", "t", i.toLong, d, w) }
+    val whole = CountMin.sketchAgg(df, Nil, $"v", d, w)
+      .as[Seq[Long]].collect()(0)
+    def served(t: String) = CountMin.readSketch(cat, t, d, w)
+      .as[Seq[Long]].collect()(0)
+    assert(served("t") == whole)
+    // latest-batch replay: re-ingesting batch 2 changes nothing
+    CountMin.ingestSketchBatch(cat, slices(2), $"v", "t", 2L, d, w)
+    assert(served("t") == whole)
+    // compaction folds to one partition, estimates identical
+    CountMin.compactSketch(cat, "t", d, w)
+    assert(cat.listPartitions("t", "seg").size == 1)
+    assert(served("t") == whole)
+    // post-compaction ingestion lands under the new generation
+    CountMin.ingestSketchBatch(cat, df.limit(5), $"v", "t", 3L, d, w)
+    assert(est("t", "v0") >= 40L)
+    // a crashed compaction: next-generation partition written but the
+    // pointer never flipped — invisible to reads
+    CountMin.compactSketch(cat, "t", d, w)
+    val before = served("t")
+    cat.writePartition(
+      CountMin.sketchAgg(df, Nil, $"v", d, w)
+        .withColumn("seg", lit("g3-c")), "t", "seg", "g3-c")
+    assert(served("t") == before)
+    // geometry drift and missing state are refused loudly
+    val eGeom = intercept[IllegalArgumentException](
+      CountMin.ingestSketchBatch(cat, df, $"v", "t", 9L, d, w * 2))
+    assert(eGeom.getMessage.contains("recorded geometry"),
+      eGeom.getMessage)
+    intercept[IllegalArgumentException](
+      CountMin.readSketch(cat, "t", d + 1, w))
+    intercept[IllegalArgumentException](
+      CountMin.readSketch(cat, "nope", d, w))
+  }
+
   test("Hll: merged half-sketches equal the whole-corpus registers " +
        "exactly, state bounded at m rows per group, estimates track " +
        "truth in the operating zone, non-power-of-two m refused") {
