@@ -112,6 +112,51 @@ object AggWindowQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // A11 pivot (the pandas pivot_table shape): events reshaped to one
+    // row per day with one count column per event type — Spark's
+    // native pivot with the value set PINNED (an unpinned pivot scans
+    // once to discover values; pinning is both the determinism and the
+    // scale answer — one pass, map-side partial aggregation, missing
+    // cells NULL). The oracle replays it as conditional aggregation.
+    "a11_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("d"))),
+
+    // A12 unpivot/melt — the inverse reshape: the pivoted wide frame
+    // back to (d, event_type, n) rows via Spark's native unpivot, NULL
+    // cells dropped (pandas melt + dropna). Round-tripping through
+    // pivot proves the two reshapes compose; the oracle is the direct
+    // long-form aggregation the round trip must land on.
+    "a12_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .unpivot(Array(col("d")), types.map(col).toArray,
+          "event_type", "n")
+        .filter(col("n").isNotNull)
+        .orderBy(col("d"), col("event_type"))
+    }),
+
+    // A13 rollup: subtotals at every prefix level (status+priority,
+    // status, grand total) in ONE pass — grouping_id disambiguates a
+    // rolled-up NULL from a data NULL. Sums ride integer cents; NULLS
+    // FIRST pinned explicitly on both engines (their defaults differ).
+    "a13_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+            .cast("long")).cast("double") / 100.0).as("total"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // W2 limit / head-k (custom_search_extraction.py:189-190)
     "w02_limit_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -186,6 +231,27 @@ object AggWindowQueries {
     "w01_multikey_sort" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
          ORDER BY o_orderdate ASC, o_orderkey ASC""",
+    "a11_pivot" ->
+      """SELECT ts::DATE AS d,
+         SUM(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         SUM(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         SUM(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY d ORDER BY d""",
+    "a12_unpivot" ->
+      """SELECT ts::DATE AS d, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY d, event_type ORDER BY d, event_type""",
+    "a13_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+           AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST,
+           o_orderpriority NULLS FIRST""",
     "w02_limit_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",

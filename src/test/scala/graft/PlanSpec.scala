@@ -402,4 +402,32 @@ class PlanSpec extends SparkSpec {
     val p = sparkPlan("dd13_leakage_split")
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("a11: the pinned-values pivot is ONE aggregation pass — a " +
+       "single events scan with a map-side partial, no value-discovery " +
+       "scan, no join") {
+    val p = sparkPlan("a11_pivot")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("a13: rollup is one pass — Expand feeding a partial-aggregated " +
+       "HashAggregate, one orders scan, no union of per-level scans") {
+    val p = sparkPlan("a13_rollup")
+    assert(p.contains("Expand"), p.take(1500))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("dp15: the funnel's stage counts are partial-aggregated " +
+       "count(1)s over fenced stages — the dropped window is " +
+       "funnel-sized, never corpus-sized") {
+    val df = SparkEntry.queries("dp15_funnel")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    // every aggregation in the final plan has a partial stage
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(df.count() == 5)
+  }
 }
