@@ -400,6 +400,22 @@ object EventQueries {
     // Typed JSON extraction from the props payload column (schema-on-read
     // over a semi-structured field), rolled up per event type. from_json
     // with an explicit schema, not a UDF — stays in codegen.
+    // Ordered event-sequence funnel: how many users signed up, then
+    // viewed AFTER their first signup, then purchased AFTER that first
+    // qualifying view — the product-analytics stage report. Each stage
+    // is one user-keyed equi-join + partial-aggregated min (first-touch
+    // attribution), every stage reusing the same hash partitioning; a
+    // funnel that ignores ordering (plain type counts) or attributes to
+    // a later touch breaks the hash. The event_id % 7 slice thins the
+    // feed so every stage shows real attrition at gate scale (13→8→2
+    // at sf0.001 — the dense feed converts everyone).
+    "ev13_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.report(
+          t(s, dir, "events").filter(col("event_id") % 7 === 0),
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "purchase"))
+        .orderBy(col("stage_ord"))),
+
     "ev04_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -556,6 +572,23 @@ object EventQueries {
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
            AS BIGINT) AS sum_k,
          MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "ev13_funnel" ->
+      """WITH e AS (SELECT * FROM events WHERE event_id % 7 = 0),
+           s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+             WHERE event_type = 'signup' GROUP BY user_id),
+           s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM e
+             JOIN s1 USING (user_id)
+             WHERE event_type = 'view' AND ts > t1 GROUP BY e.user_id),
+           s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM e
+             JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND ts > t2
+             GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT 1 AS stage_ord, 'signup' AS stage,
+             (SELECT COUNT(*) FROM s1) AS users
+           UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+           UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+         ORDER BY stage_ord"""
   )
 }

@@ -170,6 +170,23 @@ object IoQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // S12 ORC round-trip: the columnar interchange format beside
+    // parquet — documents written as ORC (Spark's native writer) and
+    // read back with an explicit schema must hash-match the parquet
+    // oracle byte for byte, proving the format conversion is lossless
+    // for the corpus column types (long/string). The same scan-side
+    // capabilities (pushdown, pruning) apply; the gate is the
+    // fidelity check.
+    "s12_orc_roundtrip" -> ((s, dir) => {
+      val stage = tmp("graft_s12_")
+      t(s, dir, "documents").coalesce(1)
+        .write.mode("overwrite").orc(s"$stage/out")
+      s.read.orc(s"$stage/out")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // K8 versioned writes + time travel: every write is an immutable
     // snapshot committed by flipping a pointer LAST (data job first,
     // bytes-sized pointer second — readers never observe a partial
@@ -300,6 +317,9 @@ object IoQueries {
 
   val oracle: Map[String, String] = Map(
     "s11_jsonl_scan" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
+    "s12_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          ORDER BY doc_id""",
     "s01_http_csv" ->

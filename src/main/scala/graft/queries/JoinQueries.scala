@@ -132,7 +132,30 @@ object JoinQueries {
               greatest(col("a_lo"), col("b_lo")) + 1).cast("long")
             .as("max_overlap_days"))
         .orderBy(col("a_id"))
-    })
+    }),
+
+    // Salted skew join: the manual hot-key defense run through the
+    // named operator — lineitem (probe, salted by order key) joins
+    // supplier (build, replicated ×8) on the supp key, then aggregates
+    // revenue per nation. Row-for-row equal to the plain join BY
+    // CONSTRUCTION (each probe row carries one salt and meets one
+    // replica of each matching build row), so the oracle IS the plain
+    // join; a replication that duplicates matches or a salt that
+    // drops one breaks the hash. Join-type and NULL-salt refusals are
+    // OpsSpec-pinned.
+    "j11_salted_join" -> ((s, dir) =>
+      graft.ops.SkewJoin.saltedEquiJoin(
+          t(s, dir, "lineitem")
+            .select(col("l_suppkey").as("suppkey"), col("l_orderkey"),
+              col("l_extendedprice")),
+          t(s, dir, "supplier")
+            .select(col("s_suppkey").as("suppkey"), col("s_nationkey")),
+          Seq("suppkey"), saltExpr = col("l_orderkey"), buckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long")).cast("double") / 100.0).as("revenue"))
+        .orderBy(col("s_nationkey")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -197,6 +220,12 @@ object JoinQueries {
            CAST(MAX(datediff('day', greatest(alo, blo),
              least(ahi, bhi)) + 1) AS BIGINT) AS max_overlap_days
          FROM a JOIN b ON greatest(alo, blo) <= least(ahi, bhi)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "j11_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+           AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey"""
   )
 }

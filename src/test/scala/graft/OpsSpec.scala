@@ -248,6 +248,71 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("built under"), e2.getMessage)
   }
 
+  test("Funnel: ordering is enforced (stage events BEFORE the prior " +
+       "reach time don't count), first-touch attribution, duplicate " +
+       "stages refused") {
+    import graft.ops.Funnel
+    // u1 completes in order; u2 has the view BEFORE the signup (never
+    // reaches stage 2); u3 signs up only; u4 purchases before viewing
+    // (reaches stage 2, not 3); timestamps are seconds
+    def ts(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$n%02d")
+    val ev = Seq(
+      (1L, "signup", ts(1)), (1L, "view", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "view", ts(1)), (2L, "signup", ts(2)),
+      (3L, "signup", ts(1)),
+      (4L, "signup", ts(1)), (4L, "purchase", ts(2)), (4L, "view", ts(3))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Funnel.report(ev, "user_id", "event_type", "ts",
+        Seq("signup", "view", "purchase"))
+      .orderBy($"stage_ord").as[(Int, String, Long)].collect().toSeq
+    assert(r == Seq((1, "signup", 4L), (2, "view", 2L),
+      (3, "purchase", 1L)))
+    // first-touch: u1's purchase counts against the FIRST qualifying
+    // view — a second earlier signup must not resurrect u2
+    intercept[IllegalArgumentException](
+      Funnel.report(ev, "user_id", "event_type", "ts",
+        Seq("signup", "signup")))
+    intercept[IllegalArgumentException](
+      Funnel.report(ev, "user_id", "event_type", "ts", Nil))
+  }
+
+  test("SkewJoin.saltedEquiJoin equals the plain join on a skewed " +
+       "fixture (inner and left), refuses corrupting join types, " +
+       "NULL salts and reserved names") {
+    import graft.ops.SkewJoin
+    // one hot key (k=1, 50 rows), some cold keys, an unmatched probe
+    // row and an unmatched build row
+    val left = ((0 until 50).map(i => (1, i.toLong)) ++
+      Seq((2, 100L), (3, 101L), (9, 102L))).toDF("k", "rid")
+    val right = Seq((1, "hot"), (2, "cold"), (7, "lonely"))
+      .toDF("k", "tag")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"rid", $"tag").as[(Int, Long, Option[String])]
+        .collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+    val plainInner = sortedRows(left.join(right, Seq("k")))
+    assert(sortedRows(SkewJoin.saltedEquiJoin(left, right, Seq("k"),
+      $"rid", 8)) == plainInner)
+    val plainLeft = sortedRows(left.join(right, Seq("k"), "left"))
+    assert(sortedRows(SkewJoin.saltedEquiJoin(left, right, Seq("k"),
+      $"rid", 8, "left")) == plainLeft)
+    // buckets=1 degenerates to the plain join
+    assert(sortedRows(SkewJoin.saltedEquiJoin(left, right, Seq("k"),
+      $"rid", 1)) == plainInner)
+    Seq("right", "full", "left_semi", "left_anti").foreach { jt =>
+      intercept[IllegalArgumentException](
+        SkewJoin.saltedEquiJoin(left, right, Seq("k"), $"rid", 8, jt))
+    }
+    val exNull = intercept[Exception](
+      SkewJoin.saltedEquiJoin(
+        Seq((Some(1L), 1)).toDF("rid", "k")
+          .select($"k", when($"rid" === 2L, $"rid").as("rid")),
+        right, Seq("k"), $"rid", 8).collect())
+    assert(exNull.getMessage.contains("NULL salt"), exNull.getMessage)
+    intercept[IllegalArgumentException](
+      SkewJoin.saltedEquiJoin(left.withColumn("__salt", lit(1)),
+        right, Seq("k"), $"rid", 8))
+  }
+
   test("CountMin streaming state: batch-sliced ingestion equals the " +
        "whole-corpus sketch, replay is idempotent, compaction bounds " +
        "partitions and preserves estimates, a crashed compaction's " +
