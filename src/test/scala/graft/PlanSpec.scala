@@ -403,6 +403,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("dd16: containment candidates come from the prefix-postings " +
+       "equi-join — never a cartesian; the verify joins only actual " +
+       "collisions") {
+    val p = sparkPlan("dd16_containment")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("a11: the pinned-values pivot is ONE aggregation pass — a " +
        "single events scan with a map-side partial, no value-discovery " +
        "scan, no join") {

@@ -196,6 +196,30 @@ class TextSimSpec extends SparkSpec {
     assert(out == Set(2L, 4L))
   }
 
+  test("ContainmentJoin finds the short-doc-inside-long-doc relation " +
+       "symmetric Jaccard misses; no self-pairs; gram-less docs " +
+       "pair with nothing; bad thresholds refused") {
+    import graft.sim.{ContainmentJoin, JaccardJoin}
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                    // the short doc
+      (2L, s"$filler $quote"),        // quotes 1 whole inside filler
+      (3L, "totally unrelated words that overlap with nothing else"),
+      (4L, "tiny")                    // < n tokens: no grams
+    ).toDF("doc_id", "text")
+    val c = ContainmentJoin.containedIn(docs, "doc_id", "text", 5, 0.8)
+      .select($"inner_id", $"outer_id", $"containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(c == Seq((1L, 2L, 1.0)), c.toString) // 1 fully inside 2, once
+    // symmetric Jaccard at the same bar misses it: the union is
+    // dominated by doc 2's filler
+    assert(JaccardJoin.selfJoinWords(docs, "doc_id", "text", 5, 0.8)
+      .count() == 0)
+    intercept[IllegalArgumentException](
+      ContainmentJoin.containedIn(docs, "doc_id", "text", 5, 0.85))
+  }
+
   test("bloomDecontaminate's error is one-sided: every exact removal " +
        "is removed, survivors are a subset of the exact survivors; " +
        "bounded bits; short docs survive; bad geometry refused") {
