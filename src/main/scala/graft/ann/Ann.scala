@@ -60,6 +60,68 @@ object Ann {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k: re-rank each
+    * query's exact-cosine candidate pool so the k results are relevant
+    * AND unlike each other — the standard serving answer to "my top-10
+    * are ten near-copies of the same document". Greedy MMR: step 1
+    * takes the most relevant candidate; step i takes
+    * argmax λ·cos(q,c) − (1−λ)·max_{s∈selected} cos(c,s). λ carries
+    * the repo's one-decimal contract (`lambdaNum`/10, integer-scaled
+    * so both engines evaluate the identical multiply/subtract chain);
+    * ties break by vec_id.
+    *
+    * Scale shape: the greedy recurrence is sequential in k BY
+    * DEFINITION, so the loop is bounded at k plan stages — but each
+    * stage is fully distributed ACROSS queries: one anti-join trims
+    * the pool, one equi-join against the (≤ k-row-per-query, fenced)
+    * selected set computes max-similarity, one per-query rank window
+    * picks the winner. Candidate vectors are fetched ONCE by id into
+    * the pool (the two-stage serving fetch); nothing grows with the
+    * corpus after the pool cut. Output: (q_id, step, vec_id, cos,
+    * mmr), step 1..k, mmr = cos at step 1. */
+  def mmrTopK(data: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, poolSize: Int,
+              lambdaNum: Int = 7): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need 1 <= k <= poolSize, got k=$k poolSize=$poolSize")
+    require(lambdaNum >= 0 && lambdaNum <= 10,
+      s"lambdaNum is tenths in [0, 10], got $lambdaNum")
+    val d = data.select(col(idCol).as("vec_id"),
+      toDouble(col(vecCol)).as("__v"))
+    val pool = graft.core.Fence(
+      bruteForceTopK(data, queries, idCol, vecCol, poolSize)
+        .join(d, "vec_id")
+        .select(col("q_id"), col("vec_id"), col("rank"), col("cos"),
+          col("__v")))
+    var sel = pool.filter(col("rank") === 1)
+      .select(col("q_id"), col("vec_id"), lit(1).as("step"),
+        col("cos"), col("cos").as("mmr"), col("__v"))
+    for (i <- 2 to k) {
+      val remaining = pool
+        .join(sel.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+      val maxSim = remaining.as("c")
+        .join(sel.as("s"), col("c.q_id") === col("s.q_id"))
+        .select(col("c.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+          cosine(col("c.__v"), col("s.__v")).as("__sim"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(max(col("__sim")).as("__m"))
+      val scored = remaining.join(maxSim, Seq("q_id", "vec_id"))
+        .withColumn("__mmr",
+          (lit(lambdaNum) * col("cos") -
+            lit(10 - lambdaNum) * col("__m")) / lit(10.0))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("__mmr").desc, col("vec_id").asc)
+      val pick = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("q_id"), col("vec_id"), lit(i).as("step"),
+          col("cos"), col("__mmr").as("mmr"), col("__v"))
+      sel = graft.core.Fence(sel.unionByName(pick))
+    }
+    sel.select(col("q_id"), col("step"), col("vec_id"), col("cos"),
+      col("mmr"))
+  }
+
   /** Number of random hyperplanes = bucket bits. */
   val Planes = 8
   val Dim = 64

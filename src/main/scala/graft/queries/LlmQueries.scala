@@ -1315,6 +1315,23 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // MMR diversified retrieval: each query's exact top-20 pool
+    // greedily re-ranked to 5 results that are relevant AND unlike
+    // each other (step i maximizes λ·cos(q,c) − (1−λ)·max cos(c,
+    // selected), λ=0.7 under the one-decimal contract). The greedy
+    // recurrence is sequential in k by definition, so the plan is k
+    // bounded stages — each distributed ACROSS queries (anti-join
+    // trim, equi-join max-sim against the fenced ≤k-row selected set,
+    // per-query rank window). The oracle unrolls the identical five
+    // steps as CTE stages; a pick that ignores redundancy (plain
+    // top-5) or attributes the wrong max-sim breaks the hash.
+    "ann31_mmr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.mmrTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5, poolSize = 20, lambdaNum = 7)
+        .orderBy(col("q_id"), col("step"))
+    }),
+
     // Random-projection LSH bucketing + within-bucket top-1 (scale path)
     "ann02_lsh_neighbors" -> ((s, dir) =>
       Ann.lshBucketNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -3376,6 +3393,55 @@ object LlmQueries {
     // IEEE-deterministic, so ranks and scores gate bit-exact.
     "ann11_sq8_topk" -> sq8TopKOracleSql(),
     "ann01_cosine_topk" -> bruteTopKOracleSql,
+    // ann31: the greedy MMR recurrence unrolled — pool, then per step
+    // an anti-joined remainder, a max-similarity join against the
+    // cumulative selected set, and the argmax pick; identical
+    // λ-scaled integer arithmetic on both engines
+    "ann31_mmr" -> {
+      val k = 5; val poolSize = 20; val lam = 7
+      val cosQ = Ann.cosineSql("q.v", "d.v")
+      val cosCS = Ann.cosineSql("c.v", "s.v")
+      val sb = new StringBuilder
+      sb ++= s"""WITH v AS (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v FROM v WHERE q_id < 5),
+          scored AS (SELECT q.q_id, d.vec_id, $cosQ AS cos, d.v
+            FROM q JOIN v d ON d.vec_id <> q.q_id),
+          pool AS (SELECT q_id, vec_id, cos, v, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id ASC) AS rnk FROM scored)
+            WHERE rnk <= $poolSize),
+          sel1 AS (SELECT q_id, vec_id, 1 AS step, cos, cos AS mmr, v
+            FROM pool WHERE rnk = 1)"""
+      var selName = "sel1"
+      for (i <- 2 to k) {
+        sb ++= s""",
+          rem$i AS (SELECT p.* FROM pool p WHERE NOT EXISTS (
+            SELECT 1 FROM $selName s
+            WHERE s.q_id = p.q_id AND s.vec_id = p.vec_id)),
+          ms$i AS (SELECT c.q_id, c.vec_id, MAX($cosCS) AS m
+            FROM rem$i c JOIN $selName s ON c.q_id = s.q_id
+            GROUP BY c.q_id, c.vec_id),
+          pick$i AS (SELECT q_id, vec_id, $i AS step, cos, mmr, v
+            FROM (
+              SELECT r.q_id, r.vec_id, r.cos, r.v,
+                ($lam * r.cos - ${10 - lam} * m.m) / 10.0 AS mmr,
+                row_number() OVER (PARTITION BY r.q_id
+                  ORDER BY ($lam * r.cos - ${10 - lam} * m.m) / 10.0
+                    DESC, r.vec_id ASC) AS rn
+              FROM rem$i r
+              JOIN ms$i m ON m.q_id = r.q_id AND m.vec_id = r.vec_id)
+            WHERE rn = 1),
+          sel$i AS (SELECT * FROM $selName
+            UNION ALL SELECT * FROM pick$i)"""
+        selName = s"sel$i"
+      }
+      sb ++= s"""
+          SELECT q_id, step, vec_id, cos, mmr FROM $selName
+          ORDER BY q_id, step"""
+      sb.toString
+    },
     "ann03_ivf_topk" -> {
       def dt(a: String, b: String) = Ann.dotSql(a, b)
       s"""WITH v AS (SELECT vec_id,

@@ -20,6 +20,43 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("mmrTopK diversifies: near-copies of the top hit are deferred " +
+       "in favor of a relevant-but-different direction; step 1 equals " +
+       "brute top-1; λ=10 degenerates to plain top-k; knobs refused") {
+    // query q along x; a,b,c near-copies along x (plain top-3 = all
+    // three); d a distinct direction still relevant to q
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.05f)),         // the query
+      (1L, Array(1.0f, 0.01f, 0.0f)),         // a
+      (2L, Array(1.0f, 0.02f, 0.0f)),         // b (near-copy of a)
+      (3L, Array(1.0f, 0.03f, 0.0f)),         // c (near-copy of a)
+      (4L, Array(0.3f, 0.0f, 0.95f))          // d (different direction:
+        // shares the query's z-tilt, so its relevance to q exceeds
+        // its similarity to a — the redundancy penalty favors it)
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+    val mmr = Ann.mmrTopK(vecs, q, "vec_id", "embedding",
+        k = 3, poolSize = 4, lambdaNum = 5)
+      .orderBy($"step").select($"step", $"vec_id")
+      .as[(Int, Long)].collect().toSeq
+    val brute = Ann.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+    // plain top-3 is the redundant trio; MMR keeps the top hit, then
+    // jumps to the different direction before any near-copy
+    assert(brute == Seq(1L, 2L, 3L))
+    assert(mmr.head == ((1, 1L)))
+    assert(mmr(1)._2 == 4L, mmr.toString)
+    // λ=1.0 (lambdaNum=10) ignores redundancy: identical to brute
+    val flat = Ann.mmrTopK(vecs, q, "vec_id", "embedding",
+        k = 3, poolSize = 4, lambdaNum = 10)
+      .orderBy($"step").select($"vec_id").as[Long].collect().toSeq
+    assert(flat == brute)
+    intercept[IllegalArgumentException](
+      Ann.mmrTopK(vecs, q, "vec_id", "embedding", 5, 3))
+    intercept[IllegalArgumentException](
+      Ann.mmrTopK(vecs, q, "vec_id", "embedding", 2, 3, lambdaNum = 11))
+  }
+
   test("sq8TopK: quantized cosine tracks exact cosine and preserves " +
        "the exact ranking on separated vectors") {
     // directions far enough apart that int8 rounding (≤ 1/254 per
