@@ -416,6 +416,31 @@ object EventQueries {
           Seq("signup", "view", "purchase"))
         .orderBy(col("stage_ord"))),
 
+    // Cohort retention: users grouped by signup week, counted in each
+    // later week they were active — the companion report to ev13's
+    // funnel (weekly grid instead of ordered stages). Weeks are
+    // integer day-offsets / 7 from a fixed epoch (never engine
+    // week-truncation, whose start-of-week conventions differ); one
+    // distinct (user, week) pass + one cohort join + one partial
+    // aggregation. The event_id % 11 slice thins the feed so cohorts
+    // spread across weeks and retention decays at gate scale (the
+    // dense feed puts everyone in cohort 0 at full retention).
+    "ev14_retention" -> ((s, dir) => {
+      val week = floor(datediff(to_date(col("ts")), lit("2024-01-01"))
+        / lit(7.0)).cast("int")
+      val ev = t(s, dir, "events").filter(col("event_id") % 11 === 0)
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), week.as("w"))
+        .groupBy(col("user_id")).agg(min(col("w")).as("cohort_w"))
+      ev.select(col("user_id"), week.as("w")).distinct()
+        .join(cohorts, "user_id")
+        .filter(col("w") >= col("cohort_w"))
+        .groupBy(col("cohort_w"),
+          (col("w") - col("cohort_w")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_w"), col("week_offset"))
+    }),
+
     "ev04_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -573,6 +598,20 @@ object EventQueries {
            AS BIGINT) AS sum_k,
          MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "ev14_retention" ->
+      """WITH wk AS (SELECT user_id,
+             CAST(FLOOR(datediff('day', DATE '2024-01-01', ts::DATE)
+               / 7.0) AS INT) AS w, event_type
+           FROM events WHERE event_id % 11 = 0),
+           cohorts AS (SELECT user_id, MIN(w) AS cohort_w FROM wk
+             WHERE event_type = 'signup' GROUP BY user_id),
+           act AS (SELECT DISTINCT user_id, w FROM wk)
+         SELECT cohort_w, w - cohort_w AS week_offset,
+           COUNT(*) AS n_users
+         FROM act JOIN cohorts USING (user_id)
+         WHERE w >= cohort_w
+         GROUP BY cohort_w, week_offset
+         ORDER BY cohort_w, week_offset""",
     "ev13_funnel" ->
       """WITH e AS (SELECT * FROM events WHERE event_id % 7 = 0),
            s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
