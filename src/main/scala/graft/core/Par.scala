@@ -17,6 +17,34 @@ object Par {
     df.repartition(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt)
 
+  /** Run independent pipeline stages as CONCURRENT Spark jobs.
+    * Actions are only sequential because the driver calls them
+    * sequentially; inside one application the scheduler happily runs
+    * several jobs at once, so a later lane's tasks back-fill the
+    * executor slots an earlier lane's stragglers leave idle — and on
+    * the many-small-jobs chain gates the lanes also overlap each
+    * other's per-job driver latency. FIFO scheduling (the default)
+    * keeps the first lane ahead; use ONLY for lanes with no data
+    * dependency and no write to the same table/partition. Failure
+    * semantics match the sequential form: the first lane exception
+    * propagates (unwrapped). */
+  def concurrently[T](thunks: Seq[() => T]): Seq[T] = {
+    val tasks = thunks.map { t =>
+      val ft = new java.util.concurrent.FutureTask[T](() => t())
+      val th = new Thread(ft)
+      th.setDaemon(true)
+      th.start()
+      ft
+    }
+    tasks.map { ft =>
+      try ft.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
+    }
+  }
+
   /** [[fanOut]] only when the frame's planned partitioning is narrower
     * than the configured shuffle parallelism — for per-row kernel
     * inputs (signature/shingle pipelines) whose scan may be a single

@@ -41,8 +41,13 @@ object LlmQueries {
     * (dp09). A wider budget and tighter chunk size than dp05's frozen
     * knobs, so the export spans MANY shard directories at gate scale
     * (the multi-shard layout is what's being proven). */
-  private def dp08Assigned(s: SparkSession, dir: String,
-                           chunkTokens: Long = 500L): DataFrame = {
+  /** The dp08/dp09/dp11 export chains' shared prefix: the corpus
+    * pipeline down to the token-budget survivor set. Fenced — dp11
+    * consumes it for TWO chunk assignments, so the fence makes the
+    * chain compute once per gate rather than once per export (`soft`:
+    * the chunkers reference it from concurrent export lanes, and a
+    * persisted InMemoryRelation is the thread-safe shared form). */
+  private def dp08Kept(s: SparkSession, dir: String): DataFrame = {
     val cp = graft.text.CorpusPipeline
     val gated = cp.gate(t(s, dir, "documents"))
     val deduped = graft.core.Fence(Dedup.exactDedup(gated,
@@ -53,15 +58,26 @@ object LlmQueries {
       "doc_a", "doc_b")
     val surv = clustered.filter(cp.samplePredicate)
     val toks = TextHash.tokens(col("text"))
-    val kept = graft.core.Fence(graft.text.Mixture.tokenBudgetSample(
+    graft.core.Fence.soft(graft.text.Mixture.tokenBudgetSample(
       surv, "doc_id", "lang", size(toks).cast("long"),
       TextAnalysis.qualityScore(toks), 200000L))
+  }
+
+  /** Chunk-assign a [[dp08Kept]] survivor set and attach the doc text
+    * — the per-export suffix (cheap: one within-range window over the
+    * fenced survivors + one join back to the source). */
+  private def dp08AssignedFrom(s: SparkSession, dir: String,
+                               kept: DataFrame,
+                               chunkTokens: Long): DataFrame =
     graft.text.Packing.tokenChunks(kept, "id", col("n_toks"),
         chunkTokens)
       .select(col("id"), col("chunk"))
       .join(t(s, dir, "documents")
         .select(col("doc_id").as("id"), col("text")), Seq("id"))
-  }
+
+  private def dp08Assigned(s: SparkSession, dir: String,
+                           chunkTokens: Long = 500L): DataFrame =
+    dp08AssignedFrom(s, dir, dp08Kept(s, dir), chunkTokens)
 
   /** Read an exported shard directory back and checksum per shard —
     * the dp08/dp09 gate output proving the JSON round-trip byte-exact
@@ -935,10 +951,17 @@ object LlmQueries {
         .createTempDirectory("graft_dp11a_").toString
       val outB = java.nio.file.Files
         .createTempDirectory("graft_dp11b_").toString
-      ShardExport.exportJsonl(cat, dp08Assigned(s, dir, 500L),
-        "dp11_a", outA)
-      ShardExport.exportJsonl(cat, dp08Assigned(s, dir, 900L),
-        "dp11_b", outB)
+      // the two exports differ only in chunk size: the heavy corpus
+      // prefix (gate → dedup → near-dup cluster → token budget) is
+      // computed ONCE (dp08Kept's fence) and the two chunk-assign +
+      // write lanes run concurrently — they touch disjoint export
+      // tables, disjoint output dirs, and disjoint registry partitions
+      val kept = dp08Kept(s, dir)
+      graft.core.Par.concurrently(Seq(
+        () => ShardExport.exportJsonl(cat,
+          dp08AssignedFrom(s, dir, kept, 500L), "dp11_a", outA),
+        () => ShardExport.exportJsonl(cat,
+          dp08AssignedFrom(s, dir, kept, 900L), "dp11_b", outB)))
       val doomed = t(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(7)) === 3)
         .select(col("doc_id").as("id"))
@@ -1139,20 +1162,30 @@ object LlmQueries {
       val cat = new graft.catalog.TableCatalog(s, wh)
       val preds: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
         Seq(c => c <= cut1, c => c > cut1 && c <= cut2, c => c > cut2)
-      preds.zipWithIndex.foreach { case (p, i) =>
-        CorpusStream.processBatch(docs.filter(p(col("doc_id"))), cat,
-          "dp06_seen", "dp06_out", i.toLong, compactEvery = 2)
-        val vb = corpusVecs.filter(p(col("vec_id")))
-        if (i == 0)
-          AnnIndex.buildSq8(cat, vb, "vec_id", "embedding", "dp06_ann")
-        else
-          AnnIndex.ingestSq8Batch(cat, vb, "vec_id", "embedding",
-            "dp06_ann", i.toLong, compactEvery = 2)
-      }
-      // vocabulary: trained once on the first batch, persisted; every
-      // doc after that only ever encodes off the loaded artifact
-      BpeIndex.build(cat, docs.filter(col("doc_id") <= cut1), "text",
-        "dp06_bpe")
+      // the three feeds are independent until the decon/encode joins
+      // below (disjoint tables: corpus state/out, ANN index, BPE
+      // vocabulary), and each is a chain of many small jobs — run them
+      // as concurrent lanes so each lane's driver latency and stage
+      // tails back-fill the others' idle slots (identical final
+      // tables; ordering within each lane is unchanged)
+      graft.core.Par.concurrently(Seq(
+        () => preds.zipWithIndex.foreach { case (p, i) =>
+          CorpusStream.processBatch(docs.filter(p(col("doc_id"))), cat,
+            "dp06_seen", "dp06_out", i.toLong, compactEvery = 2)
+        },
+        () => preds.zipWithIndex.foreach { case (p, i) =>
+          val vb = corpusVecs.filter(p(col("vec_id")))
+          if (i == 0)
+            AnnIndex.buildSq8(cat, vb, "vec_id", "embedding", "dp06_ann")
+          else
+            AnnIndex.ingestSq8Batch(cat, vb, "vec_id", "embedding",
+              "dp06_ann", i.toLong, compactEvery = 2)
+        },
+        // vocabulary: trained once on the first batch, persisted;
+        // every doc after that only ever encodes off the loaded
+        // artifact
+        () => BpeIndex.build(cat, docs.filter(col("doc_id") <= cut1),
+          "text", "dp06_bpe")))
       // decon hit list probed off the live index codes
       val bad = AnnIndex.sq8MatchesFromIndex(cat, "dp06_ann", evalVecs,
         "vec_id", "embedding", 460.0 / 1024.0)
@@ -1206,18 +1239,23 @@ object LlmQueries {
       val cat = new graft.catalog.TableCatalog(s, wh)
       val preds: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
         Seq(c => c <= cut1, c => c > cut1 && c <= cut2, c => c > cut2)
-      preds.zipWithIndex.foreach { case (p, i) =>
-        CorpusStream.processBatch(docs.filter(p(col("doc_id"))), cat,
-          "dp12_seen", "dp12_out", i.toLong, compactEvery = 2)
-        val vb = corpusVecs.filter(p(col("vec_id")))
-        if (i == 0)
-          AnnIndex.buildSq8(cat, vb, "vec_id", "embedding", "dp12_ann")
-        else
-          AnnIndex.ingestSq8Batch(cat, vb, "vec_id", "embedding",
-            "dp12_ann", i.toLong, compactEvery = 2)
-      }
-      BpeIndex.build(cat, docs.filter(col("doc_id") <= cut1), "text",
-        "dp12_bpe", alphabet = "bytes")
+      // same three independent lanes as dp06 (see there): identical
+      // final tables, lanes overlap each other's per-job latency
+      graft.core.Par.concurrently(Seq(
+        () => preds.zipWithIndex.foreach { case (p, i) =>
+          CorpusStream.processBatch(docs.filter(p(col("doc_id"))), cat,
+            "dp12_seen", "dp12_out", i.toLong, compactEvery = 2)
+        },
+        () => preds.zipWithIndex.foreach { case (p, i) =>
+          val vb = corpusVecs.filter(p(col("vec_id")))
+          if (i == 0)
+            AnnIndex.buildSq8(cat, vb, "vec_id", "embedding", "dp12_ann")
+          else
+            AnnIndex.ingestSq8Batch(cat, vb, "vec_id", "embedding",
+              "dp12_ann", i.toLong, compactEvery = 2)
+        },
+        () => BpeIndex.build(cat, docs.filter(col("doc_id") <= cut1),
+          "text", "dp12_bpe", alphabet = "bytes")))
       val bad = AnnIndex.sq8MatchesFromIndex(cat, "dp12_ann", evalVecs,
         "vec_id", "embedding", 460.0 / 1024.0)
       val surv = cat.read("dp12_out")
