@@ -26,8 +26,11 @@ object Par {
     * other's per-job driver latency. FIFO scheduling (the default)
     * keeps the first lane ahead; use ONLY for lanes with no data
     * dependency and no write to the same table/partition. Failure
-    * semantics match the sequential form: the first lane exception
-    * propagates (unwrapped). */
+    * semantics match the sequential form EXCEPT that every lane is
+    * AWAITED before the first failure propagates (unwrapped, in lane
+    * order) — propagating early would leave orphan lanes still
+    * running while the caller (or a recovery pass) re-enters the same
+    * tables. */
   def concurrently[T](thunks: Seq[() => T]): Seq[T] = {
     val tasks = thunks.map { t =>
       val ft = new java.util.concurrent.FutureTask[T](() => t())
@@ -36,13 +39,15 @@ object Par {
       th.start()
       ft
     }
-    tasks.map { ft =>
-      try ft.get()
+    val results = tasks.map { ft =>
+      try Right(ft.get())
       catch {
         case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause
+          Left(e.getCause)
       }
     }
+    results.collectFirst { case Left(e) => throw e }
+    results.collect { case Right(v) => v }
   }
 
   /** [[fanOut]] only when the frame's planned partitioning is narrower

@@ -120,6 +120,17 @@ object CorpusStream {
     .add("batch_id", StringType)
   private def withPk(s: StructType): StructType = s.add("pk", LongType)
 
+  /** Label the jobs a block's actions spawn (guide §1.5): thread-local,
+    * restored on exit, so concurrent lanes keep their own labels. Pure
+    * observability — ProbeJobs/the UI attribute chain cost by phase. */
+  private def jd[T](spark: org.apache.spark.sql.SparkSession,
+                    label: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"CorpusStream: $label")
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def bandsTableOf(stateTable: String): String =
     stateTable + "_bands"
 
@@ -511,6 +522,16 @@ object CorpusStream {
       if (!catalog.tableExists(table)) Seq.empty
       else catalog.listPartitions(table, "batch_id")
         .filter(k => k != excludeBatchKey && numOf(k).isDefined)
+    // The five folds below touch DISJOINT tables (sketch / bands / lbl
+    // / emit / fp — all mutated only under this state table's lock, so
+    // the outer lock covers them all) and each is a self-contained
+    // write-target-then-delete-sources unit whose crash recovery never
+    // consults a sibling table. Run them as concurrent lanes
+    // (guide §2.6): the chain gates' compaction pass is many small
+    // serial jobs whose driver latency the lanes overlap — identical
+    // final state in any interleaving. Each lane returns whether it
+    // moved anything.
+    val foldSketch: () => Boolean = () => {
     var moved = false
     // sketch table: mixed layout like the bands (plain small batches vs
     // pk-split large ones — round 12), read shape-aware; the compacted
@@ -546,6 +567,10 @@ object CorpusStream {
       srcs.foreach(catalog.deletePartition(stateTable, "batch_id", _))
       moved = true
     }
+    moved
+    }
+    val foldBands: () => Boolean = () => {
+    var moved = false
     // bands table: mixed layout (pk= sub-dirs vs plain files with a pk
     // data column — see PkSplitMinRows) read per shape, pk recomputed
     // uniformly (a pure function of band_key); the compacted partition
@@ -588,6 +613,10 @@ object CorpusStream {
       srcs.foreach(catalog.deletePartition(bandsTable, "batch_id", _))
       moved = true
     }
+    moved
+    }
+    val foldLbl: () => Boolean = () => {
+    var moved = false
     // label table: rows are UPDATES (latest `b` wins per id), so the
     // compacted partition keeps exactly each id's highest-b row — the
     // union-then-latest a reader would compute anyway, materialized
@@ -614,6 +643,10 @@ object CorpusStream {
       srcs.foreach(catalog.deletePartition(lblTable, "batch_id", _))
       moved = true
     }
+    moved
+    }
+    val foldEmit: () => Boolean = () => {
+    var moved = false
     // emit-index table: same mixed layout as the bands table (pk-split
     // vs plain — see PkSplitMinRows), `eb` is a data column so folding
     // many batch partitions into one `c` partition loses no mapping;
@@ -679,6 +712,10 @@ object CorpusStream {
       srcs.foreach(catalog.deletePartition(emitTable, "batch_id", _))
       moved = true
     }
+    moved
+    }
+    val foldFp: () => Boolean = () => {
+    var moved = false
     // fingerprint-index table: same mixed layout and rules as the emit
     // table; pk is a pure function of fp, recomputed uniformly
     val fpTable = fpTableOf(stateTable)
@@ -722,6 +759,10 @@ object CorpusStream {
       moved = true
     }
     moved
+    }
+    graft.core.Par.concurrently(
+      Seq(foldSketch, foldBands, foldLbl, foldEmit, foldFp))
+      .exists(identity)
   }
 
   /** One micro-batch through the full chain. Exposed (not inlined in
@@ -738,7 +779,24 @@ object CorpusStream {
                    admit: DataFrame => DataFrame = gate,
                    pkSplitMinRows: Long = PkSplitMinRows,
                    compactEvery: Int = CompactEvery,
-                   epochEvery: Int = 0): Unit = {
+                   epochEvery: Int = 0): Unit =
+    // outer label: AQE materializes exchanges as driver-side jobs at
+    // plan-construction time (outside any single action) — the batch-
+    // wide label catches those too; inner labels override per phase
+    jd(batch.sparkSession, s"b$batchId chain") {
+    processBatchInner(batch, catalog, stateTable, outTable, batchId,
+      threshold, benchmark, admit, pkSplitMinRows, compactEvery,
+      epochEvery)
+    }
+
+  private def processBatchInner(batch: DataFrame, catalog: TableCatalog,
+                   stateTable: String, outTable: String, batchId: Long,
+                   threshold: Double,
+                   benchmark: Option[DataFrame],
+                   admit: DataFrame => DataFrame,
+                   pkSplitMinRows: Long,
+                   compactEvery: Int,
+                   epochEvery: Int): Unit = {
     // the threshold-fitted band geometry (MinHashLSH.geometryFor) fixes
     // the stored signature width; requireCompatibleState (below, once
     // the state is opened) ENFORCES that this batch's derived width
@@ -753,7 +811,9 @@ object CorpusStream {
     if (compactEvery > 0 && catalog.tableExists(stateTable) &&
         catalog.listPartitions(stateTable, "batch_id")
           .count(_ != batchKey) >= compactEvery)
-      compactState(catalog, stateTable, batchKey)
+      jd(batch.sparkSession, s"b$batchKey compactState") {
+        compactState(catalog, stateTable, batchKey)
+      }
     // 1. row-local gate + batch-local exact dedup (keep smallest id —
     //    the same rule dp01 applies globally); when a benchmark set is
     //    configured, decontaminate each batch against it before any
@@ -813,8 +873,9 @@ object CorpusStream {
     //    batch skips the anti-join shuffle entirely, driver-decided.
     val seenFp =
       if (state == null) null
-      else seenFpRows(catalog, stateTable, batchKey, state,
-        localDeduped, pkSplitMinRows)
+      else jd(batch.sparkSession, s"b$batchKey seen fp") {
+        seenFpRows(catalog, stateTable, batchKey, state,
+          localDeduped, pkSplitMinRows) }
     val newDocs = graft.core.Fence(
       if (seenFp == null) localDeduped
       else localDeduped.join(seenFp,
@@ -893,11 +954,12 @@ object CorpusStream {
             // state, the same fallback shape as [[cappedComponents]].
             val cand = MinHashLSH.collidedSurvivors(newBands, seenBands,
               threshold, geom, selfJoin = false)
-            val candRows = cand
+            val candRows = jd(batch.sparkSession,
+                s"b$batchKey cross candidates") { cand
               .select(col("doc_a").cast("long"),
                 col("doc_b").cast("long"),
                 emitPkCol(col("doc_b")).as("__pk"))
-              .limit(MergeGraphCap + 1).collect()
+              .limit(MergeGraphCap + 1).collect() }
             if (candRows.length > MergeGraphCap)
               fullStateVerify(cand)
             else if (candRows.isEmpty)
@@ -932,9 +994,10 @@ object CorpusStream {
                 // set
                 def arrMap(df: DataFrame, sel: Seq[Long])
                     : Map[Long, (Array[Long], Array[Long])] =
+                  jd(batch.sparkSession, s"b$batchKey verify fetch") {
                   df.filter(col("id").isin(sel.toIndexedSeq: _*))
                     .select(col("id"), col("sh"), col("sb"))
-                    .collect()
+                    .collect() }
                     .flatMap { r =>
                       if (r.isNullAt(1) || r.isNullAt(2)) None
                       else Some(r.getLong(0) ->
@@ -997,7 +1060,9 @@ object CorpusStream {
     //    iterative CC loop's per-round jobs were most of the chain's
     //    job count; a pathological mass-dup batch falls back to the
     //    distributed operator
-    val labelsOpt = cappedComponents(internal, "doc_a", "doc_b")
+    val labelsOpt = jd(batch.sparkSession,
+      s"b$batchKey internal pairs + components") {
+      cappedComponents(internal, "doc_a", "doc_b") }
     val labeled = labelsOpt match {
       case None => newDocs.withColumn("label", col("doc_id"))
       case Some(l) => newDocs.join(
@@ -1037,8 +1102,9 @@ object CorpusStream {
     // distributed — fenced, so the CC fallback consumes it once.
     val pairRows: Array[(Long, Long)] =
       if (crossPairs == null) Array.empty
-      else crossPairs.limit(MergeGraphCap + 1).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+      else jd(batch.sparkSession, s"b$batchKey cross verify") {
+        crossPairs.limit(MergeGraphCap + 1).collect()
+          .map(r => (r.getLong(0), r.getLong(1))) }
     val overCap = pairRows.length > MergeGraphCap
     val curLbls =
       if (pairRows.isEmpty) null
@@ -1089,7 +1155,9 @@ object CorpusStream {
         mr.filter(col("__m") =!= col("__node"))
           .select(col("__node").as("__r")))
       release += retr
-      retractFromOutput(catalog, stateTable, outTable, batchKey, retr)
+      jd(batch.sparkSession, s"b$batchKey retract") {
+        retractFromOutput(catalog, stateTable, outTable, batchKey, retr)
+      }
     }
     // 6. every new doc's sketch (kept or cluster-dropped) joins the
     //    state — dropped docs still bridge future arrivals. Two tables:
@@ -1102,13 +1170,16 @@ object CorpusStream {
     //    fetch above prunes at the directory level; small batches stay
     //    one plain file — pk is a pure function of id, so plain files
     //    never store it (see [[readSketchBatches]]).
-    val nSigs = newSigs.count()
+    val nSigs = jd(batch.sparkSession, s"b$batchKey signatures count") {
+      newSigs.count() }
     val skDf = newSigs
       .join(newDocs.select(col("doc_id").as("id"), fp.as("fp")),
         Seq("id"))
       .select(col("id"), col("fp"), col("sh"), col("n"), col("sig"),
         col("sb"))
       .withColumn("batch_id", lit(batchKey))
+    val writeSketch: () => Unit = () =>
+      jd(batch.sparkSession, s"b$batchKey write sketch") {
     if (nSigs >= pkSplitMinRows)
       // sortWithinPartitions(id): tight per-row-group id min/max, so
       // the cross-verify fetch's candidate-id IN filter skips row
@@ -1128,8 +1199,11 @@ object CorpusStream {
       catalog.writePartition(
         skDf.coalesce(1).sortWithinPartitions(col("id")),
         stateTable, "batch_id", batchKey)
+    }
     val bandsDf = newBands.withColumn("pk", pkCol)
       .withColumn("batch_id", lit(batchKey))
+    val writeBands: () => Unit = () =>
+      jd(batch.sparkSession, s"b$batchKey write bands") {
     if (nSigs * geom.bands >= pkSplitMinRows)
       // repartition by pk first: otherwise every shuffle task writes a
       // file into every pk dir (tasks × 64 small files); this way each
@@ -1141,6 +1215,7 @@ object CorpusStream {
       // PkSplitMinRows)
       catalog.writePartition(bandsDf.coalesce(1),
         bandsTableOf(stateTable), "batch_id", batchKey)
+    }
     // the fingerprint index rides beside the bands: (id, fp) bucketed
     // by hash(fp) so later batches' exact-dedup gate reads only
     // colliding buckets ([[seenFpRows]]); same granularity-aware
@@ -1148,12 +1223,15 @@ object CorpusStream {
     val fpDf = newDocs.select(col("doc_id").as("id"), fp.as("fp"))
       .withColumn("pk", fpPkCol(col("fp")))
       .withColumn("batch_id", lit(batchKey))
+    val writeFp: () => Unit = () =>
+      jd(batch.sparkSession, s"b$batchKey write fp") {
     if (nSigs >= pkSplitMinRows)
       catalog.writeSubPartitioned(fpDf.repartition(col("pk")),
         fpTableOf(stateTable), "batch_id", batchKey, "pk")
     else
       catalog.writePartition(fpDf.coalesce(1), fpTableOf(stateTable),
         "batch_id", batchKey)
+    }
     // 6b. label-state updates (see [[lblTableOf]]): new member docs of
     //     multi/merged components, dethroned canonicals, and stored
     //     members whose component merged — one latest-wins row each.
@@ -1198,12 +1276,15 @@ object CorpusStream {
     // merge graph dethrones at least one node — so rows exist exactly
     // when the batch found internal pairs or a merge graph, both known
     // driver-side
-    if (mr != null || labelsOpt.nonEmpty)
-      catalog.writePartition(lblChecked
-          .withColumn("b", lit(batchId))
-          .withColumn("batch_id", lit(batchKey))
-          .coalesce(1),
-        lblTableOf(stateTable), "batch_id", batchKey)
+    val writeLbl: () => Unit = () =>
+      if (mr != null || labelsOpt.nonEmpty)
+        jd(batch.sparkSession, s"b$batchKey write lbl") {
+        catalog.writePartition(lblChecked
+            .withColumn("b", lit(batchId))
+            .withColumn("batch_id", lit(batchKey))
+            .coalesce(1),
+          lblTableOf(stateTable), "batch_id", batchKey)
+        }
     // 7. sample + project; the emit-INDEX partition lands first — a
     //    crash between the two writes leaves an index row whose doc
     //    never reached the output (a harmless superset; the replay
@@ -1223,15 +1304,31 @@ object CorpusStream {
         lit(encodeEb(outEpoch, batchKey)).as("eb"))
       .withColumn("pk", emitPkCol(col("id")))
       .withColumn("batch_id", lit(batchKey))
-    if (nSigs >= pkSplitMinRows)
-      catalog.writeSubPartitioned(emitDf.repartition(col("pk")),
-        emitTable, "batch_id", batchKey, "pk")
-    else
-      catalog.writePartition(emitDf.coalesce(1), emitTable,
-        "batch_id", batchKey)
-    catalog.writePartition(
-      outRows.withColumn("batch_id", lit(batchKey)),
-      epochTableName(outTable, outEpoch), "batch_id", batchKey)
+    val writeEmitThenOut: () => Unit = () => {
+      // in-lane ORDER preserved: the emit-index partition must commit
+      // before the output partition (crash contract above)
+      jd(batch.sparkSession, s"b$batchKey write emit") {
+      if (nSigs >= pkSplitMinRows)
+        catalog.writeSubPartitioned(emitDf.repartition(col("pk")),
+          emitTable, "batch_id", batchKey, "pk")
+      else
+        catalog.writePartition(emitDf.coalesce(1), emitTable,
+          "batch_id", batchKey)
+      }
+      jd(batch.sparkSession, s"b$batchKey write out") {
+      catalog.writePartition(
+        outRows.withColumn("batch_id", lit(batchKey)),
+        epochTableName(outTable, outEpoch), "batch_id", batchKey)
+      }
+    }
+    // the five sinks above land in DISJOINT tables/partitions and every
+    // consumer of a sibling table runs in a LATER batch — run them as
+    // concurrent lanes (guide §2.6); the only ordered pair (emit before
+    // out) stays sequential inside its lane. A crash now leaves an
+    // arbitrary subset of partitions instead of a prefix; the replay
+    // overwrites every one of them idempotently, exactly as before.
+    graft.core.Par.concurrently(Seq(
+      writeSketch, writeBands, writeFp, writeLbl, writeEmitThenOut))
     } finally release.foreach(_.unpersist(false))
   }
 
