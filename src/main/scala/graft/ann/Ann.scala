@@ -1094,12 +1094,18 @@ object Ann {
   def pqTrainOn(frame: DataFrame, iters: Int,
                 geom: Geom = DefaultGeom)
       : Array[Array[(Seq[Double], Double)]] =
-    (0 until geom.pqM).map { m =>
-      kmeansCentroidsL2(
-        frame.select(col("id"),
-          slice(col("u"), m * geom.subDim + 1, geom.subDim).as("s")),
-        geom.pqK, iters)
-    }.toArray
+    // the M subspace fits are INDEPENDENT (each reads its own slice of
+    // the fenced frame and fits its own codebook) but each is a chain
+    // of tiny driver-latency-bound Lloyd jobs — run them as concurrent
+    // lanes (guide §2.6); results are positionally identical to the
+    // sequential fold
+    graft.core.Par.concurrently(
+      (0 until geom.pqM).map { m => () =>
+        kmeansCentroidsL2(
+          frame.select(col("id"),
+            slice(col("u"), m * geom.subDim + 1, geom.subDim).as("s")),
+          geom.pqK, iters)
+      }).toArray
 
   /** Encode every vector to its M codebook cells — the rows a PQ index
     * stores: (id, c0 … c_{M−1}), M small ints per vector. One pass;

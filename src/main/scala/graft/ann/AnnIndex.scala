@@ -159,12 +159,17 @@ object AnnIndex {
     }.toSeq
     catalog.withTableLock(assignTableOf(indexTable)) {
       markRebuilding(catalog, indexTable)
-      catalog.writeFull(centRows.toDF("cell", "pos", "val"),
-        indexTable + "_cent")
-      writeSeg(catalog, indexTable,
-        assignIvf(data, idCol, vecCol, cents, dim), "0", "cell")
-      dropOtherSegs(catalog, indexTable, keep = "0")
-      drainDels(catalog, indexTable)
+      // disjoint-table artifact writes as concurrent lanes; meta last
+      // (the buildIvfPq pattern)
+      graft.core.Par.concurrently(Seq(
+        () => catalog.writeFull(centRows.toDF("cell", "pos", "val"),
+          indexTable + "_cent"),
+        () => {
+          writeSeg(catalog, indexTable,
+            assignIvf(data, idCol, vecCol, cents, dim), "0", "cell")
+          dropOtherSegs(catalog, indexTable, keep = "0")
+          drainDels(catalog, indexTable)
+        }))
       writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "ivf", numCells, dim, 0, 0,
         fitN, n)
@@ -355,12 +360,17 @@ object AnnIndex {
     } yield (m, j, p, x)
     catalog.withTableLock(assignTableOf(indexTable)) {
       markRebuilding(catalog, indexTable)
-      catalog.writeFull(rows.toDF("m", "cell", "pos", "val"),
-        indexTable + "_pqcent")
-      writeSeg(catalog, indexTable,
-        assignPq(data, idCol, vecCol, books, geom), "0", "pk")
-      dropOtherSegs(catalog, indexTable, keep = "0")
-      drainDels(catalog, indexTable)
+      // disjoint-table artifact writes as concurrent lanes; meta last
+      // (the buildIvfPq pattern)
+      graft.core.Par.concurrently(Seq(
+        () => catalog.writeFull(rows.toDF("m", "cell", "pos", "val"),
+          indexTable + "_pqcent"),
+        () => {
+          writeSeg(catalog, indexTable,
+            assignPq(data, idCol, vecCol, books, geom), "0", "pk")
+          dropOtherSegs(catalog, indexTable, keep = "0")
+          drainDels(catalog, indexTable)
+        }))
       writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "pq", geom.pqK, geom.dim,
         geom.pqM, geom.pqK, fitN, n)
@@ -447,15 +457,21 @@ object AnnIndex {
     } yield (m, j, p, x)
     catalog.withTableLock(assignTableOf(indexTable)) {
       markRebuilding(catalog, indexTable)
-      catalog.writeFull(centRows.toDF("cell", "pos", "val"),
-        indexTable + "_cent")
-      catalog.writeFull(bookRows.toDF("m", "cell", "pos", "val"),
-        indexTable + "_pqcent")
-      writeSeg(catalog, indexTable,
-        assignIvfPq(data, idCol, vecCol, cents, books, geom, metric),
-        "0", "cell")
-      dropOtherSegs(catalog, indexTable, keep = "0")
-      drainDels(catalog, indexTable)
+      // the three artifact writes land in disjoint tables and nothing
+      // reads them until writeMeta commits (markRebuilding refuses
+      // every probe until then) — concurrent lanes, meta last
+      graft.core.Par.concurrently(Seq(
+        () => catalog.writeFull(centRows.toDF("cell", "pos", "val"),
+          indexTable + "_cent"),
+        () => catalog.writeFull(bookRows.toDF("m", "cell", "pos", "val"),
+          indexTable + "_pqcent"),
+        () => {
+          writeSeg(catalog, indexTable,
+            assignIvfPq(data, idCol, vecCol, cents, books, geom, metric),
+            "0", "cell")
+          dropOtherSegs(catalog, indexTable, keep = "0")
+          drainDels(catalog, indexTable)
+        }))
       writeSegCounts(catalog, indexTable, Map("0" -> n))
       writeMeta(catalog, indexTable, "ivfpq", numCells, geom.dim,
         geom.pqM, geom.pqK, fitN, n, metric)
@@ -952,7 +968,7 @@ object AnnIndex {
   /** (id, cell, c0 … c_{M−1}): the residual IVF-PQ code row — L2 cell
     * under the frozen coarse quantizer, residual encoded under the
     * frozen codebooks ([[Ann.residualFrame]] + [[Ann.pqEncodeOn]]). */
-  private def assignIvfPq(data: DataFrame, idCol: String, vecCol: String,
+  private[ann] def assignIvfPq(data: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Seq[Double], Double)],
       books: Array[Array[(Seq[Double], Double)]],
       geom: Ann.Geom, metric: String): DataFrame =
@@ -985,7 +1001,7 @@ object AnnIndex {
     * (other segments untouched), sub-laid-out by pk (LSH) or cell
     * (IVF). `repartition(subField)` first so each sub-directory gets
     * ~one file instead of one per shuffle task. */
-  private def writeSeg(catalog: TableCatalog, indexTable: String,
+  private[ann] def writeSeg(catalog: TableCatalog, indexTable: String,
                        assigned: DataFrame, segKey: String,
                        subField: String): Unit =
     catalog.writeSubPartitioned(
