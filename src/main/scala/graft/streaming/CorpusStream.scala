@@ -1340,7 +1340,11 @@ object CorpusStream {
       retr: DataFrame): Unit = {
     val affected = affectedOutputPartitions(catalog, stateTable,
       outTable, batchKey, retr)
-    affected.foreach { case (tbl, keys) =>
+    // one lane per affected table — tables are disjoint (base + epoch
+    // generations), each rewrite is self-contained under its own lock,
+    // and at takedown scale each is a couple of small serial jobs
+    // whose driver latency the lanes overlap (guide §2.6)
+    graft.core.Par.concurrently(affected.map { case (tbl, keys) => () =>
       catalog.withTableLock(tbl) {
         // materialize before the self-overwrite: the rewritten rows
         // must not be read lazily from the files being replaced
@@ -1360,7 +1364,7 @@ object CorpusStream {
         (keys.toSet -- surviving).foreach(
           catalog.deletePartition(tbl, "batch_id", _))
       }
-    }
+    })
   }
 
   /** Operator-facing takedown for the streamed corpus: every given doc
@@ -1399,9 +1403,10 @@ object CorpusStream {
     // the sentinel matches no real batch key, so every committed
     // partition is in scope (processBatch passes its own in-flight key
     // to keep the uncommitted batch out of the rewrite)
-    try retractFromOutput(catalog, stateTable, outTable,
-      "__takedown__", retr)
-    finally retr.unpersist(false)
+    try jd(ids.sparkSession, "removeDocs") {
+      retractFromOutput(catalog, stateTable, outTable,
+        "__takedown__", retr)
+    } finally retr.unpersist(false)
   }
 
   /** [[processBatch]] for a change-data feed — the corpus twin of

@@ -64,14 +64,20 @@ object ShardExport {
     * per table; no driver-side loop over shards. */
   def exportJsonl(catalog: TableCatalog, assigned: DataFrame,
                   exportTable: String, outDir: String): Unit = {
-    assigned
-      .write.partitionBy("chunk").mode("overwrite").json(outDir)
     catalog.withTableLock(membersTableOf(exportTable)) {
-      catalog.writePartitioned(
-        assigned.select(col("id"),
-            col("chunk").cast("long").as("chunk"))
-          .withColumn("pk", memberPkCol(col("id"))),
-        membersTableOf(exportTable), "pk")
+      // the shipped JSONL and the membership index are independent
+      // projections of `assigned` into disjoint destinations — write
+      // them as concurrent lanes (guide §2.6); the meta row still
+      // lands strictly AFTER both (a crash earlier reads as "no
+      // export"), so the crash contract is unchanged
+      graft.core.Par.concurrently(Seq(
+        () => assigned
+          .write.partitionBy("chunk").mode("overwrite").json(outDir),
+        () => catalog.writePartitioned(
+          assigned.select(col("id"),
+              col("chunk").cast("long").as("chunk"))
+            .withColumn("pk", memberPkCol(col("id"))),
+          membersTableOf(exportTable), "pk")))
       val spark = assigned.sparkSession
       import spark.implicits._
       val m = catalog.read(membersTableOf(exportTable))
@@ -98,7 +104,10 @@ object ShardExport {
     if (!catalog.tableExists(RegistryTable)) Seq.empty
     else {
       val names = catalog.listPartitions(RegistryTable, "name").sorted
-      names.foreach(purge(catalog, _, ids, idCol))
+      // exports are disjoint (own members table, meta and output dir),
+      // so the per-export purges run as concurrent lanes
+      graft.core.Par.concurrently(
+        names.map(n => () => purge(catalog, n, ids, idCol)))
       names
     }
   }
