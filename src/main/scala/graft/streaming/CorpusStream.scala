@@ -912,7 +912,12 @@ object CorpusStream {
     // needs to know WHICH seen components this batch connects. The
     // forced fp-duplicate pairs union in here — same capped collect,
     // same merge machinery, unconditional dethronement.
-    val crossPairs =
+    // Evaluated as a LANE concurrent with the internal-components
+    // collect below (guide §2.6): the two cascades are independent
+    // until the merge step consumes both (internal×internal vs
+    // new×seen), and each is several serial driver-latency-bound
+    // jobs over the same fenced signature frame.
+    val crossPairsThunk: () => DataFrame = () =>
       if (state == null) null
       else {
         val covered = bandsCovered(catalog, stateTable, batchKey)
@@ -1059,10 +1064,16 @@ object CorpusStream {
     //    near-dup graph is metadata-scale in the common case, and the
     //    iterative CC loop's per-round jobs were most of the chain's
     //    job count; a pathological mass-dup batch falls back to the
-    //    distributed operator
-    val labelsOpt = jd(batch.sparkSession,
-      s"b$batchKey internal pairs + components") {
-      cappedComponents(internal, "doc_a", "doc_b") }
+    //    distributed operator. Runs as a lane concurrent with the
+    //    cross-pair cascade (see crossPairsThunk) — independent
+    //    cascades over the shared fenced signatures, joined here.
+    val lanes = graft.core.Par.concurrently(Seq[() => Any](
+      crossPairsThunk,
+      () => jd(batch.sparkSession,
+        s"b$batchKey internal pairs + components") {
+        cappedComponents(internal, "doc_a", "doc_b") }))
+    val crossPairs = lanes(0).asInstanceOf[DataFrame]
+    val labelsOpt = lanes(1).asInstanceOf[Option[DataFrame]]
     val labeled = labelsOpt match {
       case None => newDocs.withColumn("label", col("doc_id"))
       case Some(l) => newDocs.join(
