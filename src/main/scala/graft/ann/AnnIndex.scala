@@ -751,19 +751,25 @@ object AnnIndex {
         val all = graft.core.Fence(dels
           .map(d => stored.join(d, Seq("id"), "left_anti"))
           .getOrElse(stored))
-        // count the materialized set rather than trusting the meta:
-        // compaction is the natural self-heal point after any crashed
-        // append (orphan segment not yet in the counts) or crashed
-        // prior compaction (duplicates the distinct just collapsed)
-        val n = all.count()
         // same tombstone discipline as appendSeg: seg 0 is about to be
         // overwritten, so its recorded count must go first — a crash
         // mid-rewrite then recounts seg 0 from disk instead of
         // trusting a count for data that may be half-replaced
         writeSegCounts(catalog, indexTable,
           readSegCounts(catalog, indexTable) - "0")
-        writeSeg(catalog, indexTable, all, "0", subField)
-        dropOtherSegs(catalog, indexTable, keep = "0")
+        // count the materialized set rather than trusting the meta:
+        // compaction is the natural self-heal point after any crashed
+        // append (orphan segment not yet in the counts) or crashed
+        // prior compaction (duplicates the distinct just collapsed).
+        // The count and the seg-0 rewrite both read the fenced live
+        // set and are independent — concurrent lanes; the count commits
+        // nothing, so the crash contract is the rewrite lane's alone.
+        val n = graft.core.Par.concurrently(Seq[() => Any](
+          () => all.count(),
+          () => {
+            writeSeg(catalog, indexTable, all, "0", subField)
+            dropOtherSegs(catalog, indexTable, keep = "0")
+          }))(0).asInstanceOf[Long]
         writeSegCounts(catalog, indexTable, Map("0" -> n))
         writeMeta(catalog, indexTable, m.kind, m.geometry, m.dim,
           m.pqM, m.pqK, m.fittedN, n, m.metric)
